@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSearch
+
+/** The oracle-checked query inventory. Each entry pairs a Spark dataflow
+  * with ANSI SQL (DuckDB dialect) computing the identical result over the
+  * same parquet, per the driver contract. Column names and rounding are
+  * deliberately identical on both sides.
+  *
+  * Determinism rules (SURVEY.md §7.4): cast f32 -> double before folds,
+  * left-to-right array folds, total tie-break ordering, round floating
+  * scores to 6 dp, exact DECIMAL accumulation for money sums.
+  */
+object Queries {
+
+  /** DuckDB SQL fragment: cosine similarity between list expressions,
+    * cast-then-fold in double — the mirror of [[graft.functions.Similarity.cosine]]. */
+  private def sqlCosine(a: String, q: String): String = {
+    def sq(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($q[i] AS DOUBLE))) / (${sq(a)} * ${sq(q)}))"
+  }
+
+  /** One-row relation holding the query vector (embedding of vec_id 0) —
+    * the SQL analog of the collected literal in Tables.queryVector. */
+  private val qv = "(SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qv"
+
+  // ---------------------------------------------------------------------
+  // V1: scalar cosine scoring over the whole table
+  // ---------------------------------------------------------------------
+  def v1Cosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.scored(Tables.embeddings(spark, sfDir), q)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val v1CosineSql: String =
+    s"""SELECT e.vec_id AS vec_id, round(${sqlCosine("e.embedding", "qv.q")}, 6) AS score
+       |FROM embeddings e, $qv""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V2-V7: top-k KNN with session filter (label = session tag)
+  // ---------------------------------------------------------------------
+  def v2KnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.topK(Tables.embeddings(spark, sfDir), q, k = 10,
+        predicate = Some(col("label") === 2))
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+  val v2KnnTopkSql: String =
+    s"""SELECT vec_id, label, score FROM (
+       |  SELECT e.vec_id AS vec_id, e.label AS label,
+       |         round(${sqlCosine("e.embedding", "qv.q")}, 6) AS score
+       |  FROM embeddings e, $qv
+       |  WHERE e.label = 2
+       |) WHERE score IS NOT NULL
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V5/V6: threshold + default-limit search (the /api/search shape)
+  // ---------------------------------------------------------------------
+  def v5KnnThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.topK(Tables.embeddings(spark, sfDir), q, k = 5,
+        threshold = Some(0.2))
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val v5KnnThresholdSql: String =
+    s"""SELECT vec_id, score FROM (
+       |  SELECT e.vec_id AS vec_id, round(${sqlCosine("e.embedding", "qv.q")}, 6) AS score
+       |  FROM embeddings e, $qv
+       |) WHERE score IS NOT NULL AND score >= 0.2
+       |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // General aggregation (engine extension; exercises shuffle agg + exact
+  // decimal accumulation so the oracle hash is order-independent)
+  // ---------------------------------------------------------------------
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(18,2)"
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cosine"        -> (v1Cosine _),
+    "v2_knn_topk"      -> (v2KnnTopk _),
+    "v5_knn_threshold" -> (v5KnnThreshold _),
+    "q1_agg"           -> (q1Agg _))
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine"        -> v1CosineSql,
+    "v2_knn_topk"      -> v2KnnTopkSql,
+    "v5_knn_threshold" -> v5KnnThresholdSql,
+    "q1_agg"           -> q1AggSql)
+}

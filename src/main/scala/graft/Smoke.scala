@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local stand-in for the driver's t1 smoke: SparkEntry.entry must return
+  * rows > 0 on sf0.001. Run: `sbt "runMain graft.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(10, truncate = 60)
+    println(s"ENTRY_ROWS=$n")
+    require(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md). All reads
+  * go through here so every query benefits from parquet column pruning and
+  * filter pushdown uniformly.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+
+  /** The reference's `MemoryEntry` shape (src/memory.rs:11-21) materialized
+    * from the driver fixtures: documents ⋈ embeddings on doc_id = vec_id
+    * (1:1 at every sf), with `label` playing the session tag. The join is
+    * on the natural key of both tables; at scale both sides are bucketed by
+    * id so this co-locates without a shuffle.
+    */
+  def memories(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val e = embeddings(spark, sfDir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(
+        d("doc_id").as("id"),
+        d("text"),
+        d("lang"),
+        d("source"),
+        e("label"),
+        e("embedding"))
+  }
+
+  /** Fetch one embedding as a driver-side literal query vector — the analog
+    * of the reference embedding the query text before scanning
+    * (src/routes.rs:447). One-row lookup; NOT a data-path collect.
+    */
+  def queryVector(spark: SparkSession, sfDir: String, vecId: Long): Seq[Float] = {
+    import org.apache.spark.sql.functions.col
+    embeddings(spark, sfDir)
+      .where(col("vec_id") === vecId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Brute-force scored top-k KNN over a vector table — the reference's
+  * flagship read path (reference: src/memory.rs:99-136, src/routes.rs:429-453
+  * and the Qdrant variant src/vector_store.rs:265-310).
+  *
+  * Logical plan:
+  *   Scan -> Filter(predicates) -> Project(+score) -> Filter(score IS NOT NULL
+  *   [AND score >= threshold]) -> Sort(score DESC, id ASC) -> Limit(k)
+  *
+  * Catalyst compiles the sort+limit to `TakeOrderedAndProjectExec`: a bounded
+  * priority queue per partition merged on the driver — the same O(N log k)
+  * algorithm the reference hand-codes with a min-heap (src/memory.rs:93-95),
+  * but parallel over partitions, so it scales linearly with executors at
+  * 100 TB. The session filter runs *before* scoring (predicate ordering the
+  * reference also hand-codes, src/memory.rs:112-116) — Catalyst pushes the
+  * cheap equality predicate into the parquet scan.
+  */
+object VectorSearch {
+
+  /** Attach a similarity score column against a literal query vector. */
+  def scored(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      metric: String = "cosine",
+      embeddingCol: String = "embedding",
+      scoreCol: String = "score"): DataFrame =
+    df.withColumn(scoreCol,
+      Similarity.score(metric, col(embeddingCol), typedlit(queryVec)))
+
+  /** Full top-k search. `predicate` is the optional session/metadata filter
+    * (NULL never matches, matching reference src/memory.rs:112-116 — SQL
+    * three-valued logic gives this for free). `threshold` keeps
+    * score >= t (reference: src/routes.rs:305-307).
+    */
+  def topK(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      metric: String = "cosine",
+      predicate: Option[Column] = None,
+      threshold: Option[Double] = None,
+      embeddingCol: String = "embedding",
+      scoreCol: String = "score"): DataFrame = {
+    val filtered = predicate.fold(df)(df.filter)
+    val s = scored(filtered, queryVec, metric, embeddingCol, scoreCol)
+      .where(col(scoreCol).isNotNull)
+    val t = threshold.fold(s)(th => s.where(col(scoreCol) >= lit(th)))
+    // Total order: score DESC then id ASC — deterministic tie-break (the
+    // reference leaves ties arbitrary, src/memory.rs:132-135; we pin them
+    // for oracle reproducibility).
+    t.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.operators.VectorSearch
+
+/** Replicates the reference's MemoryStore unit tests
+  * (reference: src/memory.rs:163-346) — same vectors, same expected
+  * orders/scores/exclusions.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val r = df.head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("cosine: identical vectors -> 1.0 (src/memory.rs:261-267)") {
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)).get - 1.0) < 1e-9)
+  }
+
+  test("cosine: orthogonal vectors -> 0.0 (src/memory.rs:269-274)") {
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f)).get) < 1e-9)
+  }
+
+  test("cosine: zero vector -> NULL (src/memory.rs:276-281)") {
+    assert(cos(Seq(1f, 2f), Seq(0f, 0f)).isEmpty)
+  }
+
+  test("cosine: dimension mismatch -> NULL (src/memory.rs:283-289)") {
+    assert(cos(Seq(1f, 0f, 0f), Seq(1f, 0f)).isEmpty)
+  }
+
+  test("opposite vectors -> -1") {
+    assert(math.abs(cos(Seq(1f, 0f), Seq(-1f, 0f)).get + 1.0) < 1e-9)
+  }
+
+  // --- ranked search: hello(1.0) > hello-again > goodbye(0.0) -----------
+  private val ranked = Seq(
+    ("m1", "hello world", Seq(1f, 0f, 0f), null.asInstanceOf[String]),
+    ("m2", "goodbye world", Seq(0f, 1f, 0f), null.asInstanceOf[String]),
+    ("m3", "hello again", Seq(0.9f, 0.1f, 0f), null.asInstanceOf[String]))
+
+  test("search returns ranked results with exact scores (src/memory.rs:167-199)") {
+    val df = ranked.toDF("id", "text", "embedding", "session")
+    val res = VectorSearch.topK(df, Seq(1f, 0f, 0f), 10, idCol = "id")
+      .select("id", "score").collect()
+    assert(res.map(_.getString(0)).toSeq == Seq("m1", "m3", "m2"))
+    assert(math.abs(res(0).getDouble(1) - 1.0) < 1e-6)
+    assert(math.abs(res(2).getDouble(1) - 0.0) < 1e-6)
+    val expectedM3 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(res(1).getDouble(1) - expectedM3) < 1e-6)
+  }
+
+  test("search respects limit (src/memory.rs:201-215)") {
+    val df = (1 to 5).map(i => (s"m$i", Seq(i.toFloat, 1f))).toDF("id", "embedding")
+    val res = VectorSearch.topK(df, Seq(1f, 1f), 2, idCol = "id")
+    assert(res.count() == 2)
+  }
+
+  test("session filter: NULL session never matches (src/memory.rs:217-242)") {
+    val df = Seq(
+      ("a1", Seq(1f, 0f), "sess-a"),
+      ("b1", Seq(1f, 0f), "sess-b"),
+      ("n1", Seq(1f, 0f), null.asInstanceOf[String]))
+      .toDF("id", "embedding", "session")
+    val res = VectorSearch.topK(df, Seq(1f, 0f), 10, idCol = "id",
+      predicate = Some(col("session") === "sess-a"))
+    assert(res.select("id").as[String].collect().toSeq == Seq("a1"))
+    // no filter -> all three
+    assert(VectorSearch.topK(df, Seq(1f, 0f), 10, idCol = "id").count() == 3)
+  }
+
+  test("mismatched-dim and zero-magnitude rows silently excluded (src/memory.rs:292-333)") {
+    val df = Seq(
+      ("ok", Seq(1f, 0f, 0f)),
+      ("dim2", Seq(1f, 0f)),
+      ("zero", Seq(0f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val res = VectorSearch.topK(df, Seq(1f, 0f, 0f), 10, idCol = "id")
+      .select("id").as[String].collect().toSeq
+    assert(res == Seq("ok"))
+  }
+
+  test("threshold filter keeps score >= t (src/routes.rs:305-307)") {
+    val df = Seq(
+      ("hi", Seq(1f, 0f)),
+      ("mid", Seq(1f, 1f)),
+      ("lo", Seq(0f, 1f)))
+      .toDF("id", "embedding")
+    val res = VectorSearch.topK(df, Seq(1f, 0f), 10, idCol = "id",
+      threshold = Some(0.5))
+    assert(res.select("id").as[String].collect().toSeq == Seq("hi", "mid"))
+  }
+
+  test("metadata round-trip through search (src/memory.rs:335-345)") {
+    val df = Seq(("m1", Map("key" -> "value"), Seq(1f, 0f)))
+      .toDF("id", "metadata", "embedding")
+    val res = VectorSearch.topK(df, Seq(1f, 0f), 1, idCol = "id")
+    assert(res.select("metadata").as[Map[String, String]].head() == Map("key" -> "value"))
+  }
+
+  test("euclid score is 1/(1+dist), dot is plain dot (src/vector_store.rs:44-56)") {
+    val df = Seq(("a", Seq(3f, 4f))).toDF("id", "embedding")
+    val e = VectorSearch.scored(df, Seq(0f, 0f), metric = "euclid")
+      .select("score").as[Double].head()
+    assert(math.abs(e - 1.0 / 6.0) < 1e-9) // dist 5 -> 1/(1+5)
+    val d = VectorSearch.scored(df, Seq(1f, 2f), metric = "dot")
+      .select("score").as[Double].head()
+    assert(math.abs(d - 11.0) < 1e-9)
+  }
+}

@@ -1,0 +1,37 @@
+import duckdb, json, sys, glob, os
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); continue
+    try:
+        got = duckdb.connect().execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"{name}: SPARK RESULT MISSING: {e}"); continue
+    # mimic driver: sort columns by name, sort rows, compare values
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"{name}: SCHEMA MISMATCH exp={list(exp.columns)} got={list(got.columns)}"); continue
+    es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    if len(es) != len(gs):
+        print(f"{name}: ROWCOUNT exp={len(es)} got={len(gs)}"); continue
+    eq = es.equals(gs)
+    if not eq:
+        # show first diff
+        import pandas as pd
+        diff = (es != gs) & ~(es.isna() & gs.isna())
+        nbad = diff.any(axis=1).sum()
+        print(f"{name}: VALUE MISMATCH rows={nbad}/{len(es)}")
+        bad = diff.any(axis=1)
+        print("exp:", es[bad].head(3).to_dict('records'))
+        print("got:", gs[bad].head(3).to_dict('records'))
+    else:
+        print(f"{name}: OK ({len(es)} rows)")
