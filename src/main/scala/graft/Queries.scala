@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.VectorSearch
+import graft.operators.{MemoryOps, SessionOps, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -99,17 +99,200 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // V8: append (insert batch into the keyed table)
+  // ---------------------------------------------------------------------
+  def v8Append(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val fresh = Tables.embeddings(spark, sfDir).where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), lit(99).as("label"))
+    MemoryOps.append(base, fresh)
+  }
+  val v8AppendSql: String =
+    """SELECT vec_id, label FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS vec_id, 99 AS label FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V9: last-write-wins upsert by id
+  // ---------------------------------------------------------------------
+  def v9Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val incoming = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
+      .select(col("vec_id"), (col("label") + 100).as("label"))
+    MemoryOps.upsertById(existing, incoming, "vec_id")
+  }
+  val v9UpsertSql: String =
+    """SELECT vec_id, label FROM (
+      |  SELECT vec_id, label,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC) AS rn
+      |  FROM (
+      |    SELECT vec_id, label, 0 AS v FROM embeddings
+      |    UNION ALL
+      |    SELECT vec_id, label + 100 AS label, 1 AS v FROM embeddings WHERE vec_id < 50
+      |  )
+      |) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V10: batch delete by id (anti-join)
+  // ---------------------------------------------------------------------
+  def v10Delete(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val ids = table.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+    MemoryOps.deleteByIds(table, ids, "vec_id")
+  }
+  val v10DeleteSql: String =
+    """SELECT vec_id, label FROM embeddings e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM embeddings d WHERE d.vec_id % 7 = 0 AND d.vec_id = e.vec_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S1-S4: session catalog over the orders table
+  // (id = o_orderkey, created_at = o_orderdate)
+  // ---------------------------------------------------------------------
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss"
+  private val tsFmtDuck = "%Y-%m-%d %H:%M:%S"
+
+  def s1SessionCreate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("id"), col("o_orderdate").as("created_at"))
+    val row = Seq((999999999L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "created_at")
+    SessionOps.createWith(sessions, row)
+      .select(col("id"), date_format(col("created_at"), tsFmtSpark).as("created_at"))
+  }
+  val s1SessionCreateSql: String =
+    s"""SELECT id, strftime(created_at, '$tsFmtDuck') AS created_at FROM (
+       |  SELECT o_orderkey AS id, o_orderdate AS created_at FROM orders
+       |  UNION ALL
+       |  SELECT 999999999 AS id, TIMESTAMP '2026-01-01 00:00:00' AS created_at
+       |)""".stripMargin
+
+  def s2SessionGet(spark: SparkSession, sfDir: String): DataFrame =
+    SessionOps.get(
+        Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("id"),
+          date_format(col("o_orderdate"), tsFmtSpark).as("created_at"),
+          col("o_orderstatus").as("status")),
+        "id", 42L)
+  val s2SessionGetSql: String =
+    s"""SELECT o_orderkey AS id, strftime(o_orderdate, '$tsFmtDuck') AS created_at,
+       |       o_orderstatus AS status
+       |FROM orders WHERE o_orderkey = 42 LIMIT 1""".stripMargin
+
+  def s3SessionList(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("id"), col("o_orderdate").as("created_at"))
+    SessionOps.list(sessions, limit = Some(50), offset = 10)
+      .select(col("id"), date_format(col("created_at"), tsFmtSpark).as("created_at"))
+  }
+  val s3SessionListSql: String =
+    s"""SELECT o_orderkey AS id, strftime(o_orderdate, '$tsFmtDuck') AS created_at
+       |FROM orders
+       |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50 OFFSET 10""".stripMargin
+
+  def s4SessionTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("id"), col("o_orderdate").as("updated_at"))
+    SessionOps.touch(sessions, "id", 42L,
+        ts = java.sql.Timestamp.valueOf("2026-02-02 12:00:00"))
+      .select(col("id"), date_format(col("updated_at"), tsFmtSpark).as("updated_at"))
+  }
+  val s4SessionTouchSql: String =
+    s"""SELECT o_orderkey AS id,
+       |  strftime(CASE WHEN o_orderkey = 42 THEN TIMESTAMP '2026-02-02 12:00:00'
+       |                ELSE o_orderdate END, '$tsFmtDuck') AS updated_at
+       |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S5: referential integrity — orders link to a session catalog of the
+  // first 50 customers; semi-join accepts, anti-join rejects with the
+  // reference's error message
+  // ---------------------------------------------------------------------
+  def s5FkAccept(spark: SparkSession, sfDir: String): DataFrame = {
+    val memories = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("session_id"))
+    val sessions = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") < 50).select(col("c_custkey").as("id"))
+    val (accepted, _) = MemoryOps.validateSessionLink(memories, sessions)
+    accepted.select(col("o_orderkey"), col("session_id"))
+  }
+  val s5FkAcceptSql: String =
+    """SELECT o_orderkey, o_custkey AS session_id FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_custkey < 50)""".stripMargin
+
+  def s5FkReject(spark: SparkSession, sfDir: String): DataFrame = {
+    val memories = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("session_id"))
+    val sessions = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") < 50).select(col("c_custkey").as("id"))
+    val (_, rejected) = MemoryOps.validateSessionLink(memories, sessions)
+    rejected.select(col("o_orderkey"), col("session_id"), col("reason"))
+  }
+  val s5FkRejectSql: String =
+    """SELECT o_orderkey, o_custkey AS session_id,
+      |       'Session ''' || CAST(o_custkey AS VARCHAR) || ''' not found' AS reason
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer
+      |                  WHERE c_custkey = o_custkey AND c_custkey < 50)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1/A2: validation splits
+  // ---------------------------------------------------------------------
+  def a1ValidateText(spark: SparkSession, sfDir: String): DataFrame = {
+    val (accepted, _) = MemoryOps.validateText(Tables.documents(spark, sfDir))
+    accepted.select(col("doc_id"), col("n_chars"))
+  }
+  val a1ValidateTextSql: String =
+    "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0"
+
+  def a2ReservedKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    // Synthesized metadata: every 17th doc smuggles the reserved "text" key.
+    val docs = Tables.documents(spark, sfDir).withColumn("metadata",
+      map(when(col("doc_id") % 17 === 0, lit("text")).otherwise(lit("topic")),
+        col("source")))
+    val (_, rejected) = MemoryOps.validateReservedKeys(docs)
+    rejected.select(col("doc_id"), col("reason"))
+  }
+  val a2ReservedKeysSql: String =
+    """SELECT doc_id, 'metadata key ''text'' is reserved' AS reason
+      |FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v1_cosine"        -> (v1Cosine _),
-    "v2_knn_topk"      -> (v2KnnTopk _),
-    "v5_knn_threshold" -> (v5KnnThreshold _),
-    "q1_agg"           -> (q1Agg _))
+    "v1_cosine"         -> (v1Cosine _),
+    "v2_knn_topk"       -> (v2KnnTopk _),
+    "v5_knn_threshold"  -> (v5KnnThreshold _),
+    "v8_append"         -> (v8Append _),
+    "v9_upsert"         -> (v9Upsert _),
+    "v10_delete"        -> (v10Delete _),
+    "s1_session_create" -> (s1SessionCreate _),
+    "s2_session_get"    -> (s2SessionGet _),
+    "s3_session_list"   -> (s3SessionList _),
+    "s4_session_touch"  -> (s4SessionTouch _),
+    "s5_fk_accept"      -> (s5FkAccept _),
+    "s5_fk_reject"      -> (s5FkReject _),
+    "a1_validate_text"  -> (a1ValidateText _),
+    "a2_reserved_keys"  -> (a2ReservedKeys _),
+    "q1_agg"            -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
-    "v1_cosine"        -> v1CosineSql,
-    "v2_knn_topk"      -> v2KnnTopkSql,
-    "v5_knn_threshold" -> v5KnnThresholdSql,
-    "q1_agg"           -> q1AggSql)
+    "v1_cosine"         -> v1CosineSql,
+    "v2_knn_topk"       -> v2KnnTopkSql,
+    "v5_knn_threshold"  -> v5KnnThresholdSql,
+    "v8_append"         -> v8AppendSql,
+    "v9_upsert"         -> v9UpsertSql,
+    "v10_delete"        -> v10DeleteSql,
+    "s1_session_create" -> s1SessionCreateSql,
+    "s2_session_get"    -> s2SessionGetSql,
+    "s3_session_list"   -> s3SessionListSql,
+    "s4_session_touch"  -> s4SessionTouchSql,
+    "s5_fk_accept"      -> s5FkAcceptSql,
+    "s5_fk_reject"      -> s5FkRejectSql,
+    "a1_validate_text"  -> a1ValidateTextSql,
+    "a2_reserved_keys"  -> a2ReservedKeysSql,
+    "q1_agg"            -> q1AggSql)
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed-table mutation semantics over immutable columnar storage — the
+  * reference's store/upsert/delete surface re-expressed as version-producing
+  * dataflows (reference: src/memory.rs:72-141, src/vector_store.rs:215-255).
+  *
+  * A "write" returns the next table version as a DataFrame; persisting it is
+  * a parquet overwrite of the keyed table. At 100 TB the table is partitioned
+  * by a key-hash bucket, so a merge only rewrites the buckets that received
+  * incoming keys (partition-pruned MERGE); the logic below is unchanged.
+  */
+object MemoryOps {
+
+  /** V8 — plain append (in-memory store insert, src/memory.rs:72-89).
+    * Schemas are matched by name so callers can't silently transpose
+    * columns.
+    */
+  def append(table: DataFrame, rows: DataFrame): DataFrame =
+    table.unionByName(rows)
+
+  /** V9 — last-write-wins upsert by id (Qdrant PUT points,
+    * src/vector_store.rs:215-255). Incoming rows replace existing rows with
+    * the same id; ids only in one side pass through. The window shuffles
+    * once on the id key — at scale the table is already hash-partitioned by
+    * id, so only the incoming side moves.
+    */
+  def upsertById(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame = {
+    val v = "__graft_version"
+    val rn = "__graft_rn"
+    val merged = existing.withColumn(v, lit(0))
+      .unionByName(incoming.withColumn(v, lit(1)))
+    merged
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col(v).desc)))
+      .where(col(rn) === 1)
+      .drop(v, rn)
+  }
+
+  /** V10 — batch delete by id as an anti-join (src/memory.rs:139-141).
+    * `ids` is a one-column DataFrame of ids to remove.
+    */
+  def deleteByIds(table: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    table.join(ids.select(col(ids.columns.head).as(idCol)), Seq(idCol), "left_anti")
+
+  /** Rows of `table` whose id appears in `ids` — the "did it exist?" half of
+    * delete's bool result (src/routes.rs:460-471), batch form.
+    */
+  def existingIds(table: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    table.join(ids.select(col(ids.columns.head).as(idCol)), Seq(idCol), "left_semi")
+
+  /** A1 — non-empty-text validation split (src/routes.rs:141-145 et al.).
+    * Returns (accepted, rejected-with-reason).
+    */
+  def validateText(df: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
+    val bad = col(textCol).isNull || length(trim(col(textCol))) === 0
+    (df.where(!bad),
+      df.where(bad).withColumn("reason", lit(s"Field '$textCol' must not be empty")))
+  }
+
+  /** A2 — reserved-payload-key validation (src/vector_store.rs:32-37,
+    * src/routes.rs:231-240): metadata maps may not contain "text" or
+    * "session_id". Returns (accepted, rejected-with-reason).
+    */
+  def validateReservedKeys(df: DataFrame, metadataCol: String = "metadata"): (DataFrame, DataFrame) = {
+    def has(k: String): Column =
+      coalesce(array_contains(map_keys(col(metadataCol)), k), lit(false))
+    val reason = when(has("text"), lit("metadata key 'text' is reserved"))
+      .when(has("session_id"), lit("metadata key 'session_id' is reserved"))
+    (df.where(reason.isNull), df.where(reason.isNotNull).withColumn("reason", reason))
+  }
+
+  /** S5 — referential-integrity split: memories carrying a session id must
+    * reference an existing session (src/routes.rs:252-263). Broadcast
+    * semi/anti join — the session catalog is tiny relative to the data.
+    */
+  def validateSessionLink(
+      memories: DataFrame,
+      sessions: DataFrame,
+      memSessionCol: String = "session_id",
+      sessIdCol: String = "id"): (DataFrame, DataFrame) = {
+    val s = broadcast(sessions.select(col(sessIdCol).as(memSessionCol)))
+    val withSession = memories.where(col(memSessionCol).isNotNull)
+    val accepted = memories.where(col(memSessionCol).isNull)
+      .unionByName(withSession.join(s, Seq(memSessionCol), "left_semi"))
+    val rejected = withSession.join(s, Seq(memSessionCol), "left_anti")
+      .withColumn("reason",
+        concat(lit("Session '"), col(memSessionCol).cast("string"), lit("' not found")))
+    (accepted, rejected)
+  }
+}

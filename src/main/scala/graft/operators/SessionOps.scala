@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Session-catalog operators (reference: src/session_store.rs:40-155,
+  * route clamps src/routes.rs:536-561). The catalog is a small keyed table;
+  * list/get are driver-cheap, and the ordered scan's sort+limit compiles to
+  * the same top-k physical plan as vector search.
+  */
+object SessionOps {
+
+  /** S1 — create: append a new session row with a server-generated UUIDv4
+    * id and both timestamps = now (src/session_store.rs:82-104).
+    * Non-deterministic by nature; oracle-checked queries use
+    * [[createWith]] instead.
+    */
+  def create(sessions: DataFrame, tags: Seq[String]): DataFrame =
+    sessions.unionByName(
+      sessions.sparkSession.range(1).select(
+        expr("uuid()").as("id"),
+        current_timestamp().as("created_at"),
+        current_timestamp().as("updated_at"),
+        typedlit(tags).as("tags")))
+
+  /** S1 deterministic form: caller-supplied id/timestamp (the reference
+    * accepts caller UUIDs on the memory path, src/routes.rs:193-195).
+    */
+  def createWith(sessions: DataFrame, row: DataFrame): DataFrame =
+    sessions.unionByName(row)
+
+  /** S2 — point lookup by id (src/session_store.rs:127-136). */
+  def get(sessions: DataFrame, idCol: String, id: Any): DataFrame =
+    sessions.where(col(idCol) === lit(id)).limit(1)
+
+  /** S3 — newest-first paginated list (src/session_store.rs:142-154):
+    * ORDER BY created_at DESC, id DESC LIMIT ? OFFSET ?. The route clamps
+    * limit to [1,100] with default 50, offset default 0
+    * (src/routes.rs:536-561); limit 0 in the store means unbounded.
+    */
+  def list(
+      sessions: DataFrame,
+      limit: Option[Int] = None,
+      offset: Int = 0,
+      createdCol: String = "created_at",
+      idCol: String = "id"): DataFrame = {
+    val n = limit.map(l => math.max(1, math.min(100, l))).getOrElse(50)
+    val sorted = sessions.orderBy(col(createdCol).desc, col(idCol).desc)
+    val paged = if (offset > 0) sorted.offset(offset) else sorted
+    paged.limit(n)
+  }
+
+  /** S4 — touch: set updated_at for one id, leave other rows untouched
+    * (src/session_store.rs:111-120). Keyed point-update as a conditional
+    * projection; at scale this merges into the id-bucket holding the key.
+    */
+  def touch(
+      sessions: DataFrame,
+      idCol: String,
+      id: Any,
+      updatedCol: String = "updated_at",
+      ts: java.sql.Timestamp = null): DataFrame = {
+    val newTs = Option(ts).map(lit(_)).getOrElse(current_timestamp())
+    sessions.withColumn(updatedCol,
+      when(col(idCol) === lit(id), newTs).otherwise(col(updatedCol)))
+  }
+}

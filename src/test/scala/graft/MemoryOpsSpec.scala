@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MemoryOps, VectorSearch}
+
+/** Replicates the reference's mutation-semantics tests
+  * (src/memory.rs:244-259 delete, src/vector_store.rs:485-567 upsert +
+  * reserved keys, src/routes.rs:252-263 FK check).
+  */
+class MemoryOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val id1 = "00000000-0000-0000-0000-000000000001"
+
+  test("upsert: last-write-wins by id, supplied vs fresh id (src/vector_store.rs:485-538)") {
+    val existing = Seq((id1, "old text", Seq(1f, 0f))).toDF("id", "text", "embedding")
+    val incoming = Seq(
+      (id1, "new text", Seq(0f, 1f)),
+      ("00000000-0000-0000-0000-000000000002", "other", Seq(1f, 1f)))
+      .toDF("id", "text", "embedding")
+    val merged = MemoryOps.upsertById(existing, incoming, "id")
+    assert(merged.count() == 2)
+    assert(merged.where($"id" === id1).select("text").as[String].head() == "new text")
+  }
+
+  test("delete by id: removed from table and from search (src/memory.rs:244-259)") {
+    val table = Seq((id1, Seq(1f, 0f)), ("other", Seq(1f, 0f))).toDF("id", "embedding")
+    val ids = Seq(id1).toDF("id")
+    // "existed?" half of the bool result
+    assert(MemoryOps.existingIds(table, ids, "id").count() == 1)
+    val after = MemoryOps.deleteByIds(table, ids, "id")
+    assert(after.count() == 1)
+    // deleting again: nothing left to match -> existed=false
+    assert(MemoryOps.existingIds(after, ids, "id").count() == 0)
+    // gone from search
+    val res = VectorSearch.topK(after, Seq(1f, 0f), 10, idCol = "id")
+    assert(res.select("id").as[String].collect().toSeq == Seq("other"))
+  }
+
+  test("append preserves both old and new rows (src/memory.rs:72-89)") {
+    val table = Seq(("a", 1)).toDF("id", "v")
+    val rows = Seq(("b", 2)).toDF("id", "v")
+    assert(MemoryOps.append(table, rows).count() == 2)
+  }
+
+  test("validateText rejects empty/blank/null text with the reference message (src/routes.rs:141-145)") {
+    val df = Seq(("d1", "fine"), ("d2", ""), ("d3", "   "), ("d4", null))
+      .toDF("id", "text")
+    val (ok, bad) = MemoryOps.validateText(df)
+    assert(ok.select("id").as[String].collect().toSet == Set("d1"))
+    assert(bad.count() == 3)
+    assert(bad.select("reason").distinct().as[String].head() ==
+      "Field 'text' must not be empty")
+  }
+
+  test("validateReservedKeys rejects 'text' and 'session_id' metadata keys (src/vector_store.rs:32-37)") {
+    val df = Seq(
+      ("ok", Map("topic" -> "x")),
+      ("r1", Map("text" -> "smuggled")),
+      ("r2", Map("session_id" -> "s")),
+      ("nom", null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "metadata")
+    val (ok, bad) = MemoryOps.validateReservedKeys(df)
+    assert(ok.select("id").as[String].collect().toSet == Set("ok", "nom"))
+    val reasons = bad.select("id", "reason").as[(String, String)].collect().toMap
+    assert(reasons("r1") == "metadata key 'text' is reserved")
+    assert(reasons("r2") == "metadata key 'session_id' is reserved")
+  }
+
+  test("session FK: semi-join accepts, anti-join rejects with message; null session always accepted (src/routes.rs:252-263)") {
+    val mem = Seq(
+      ("m1", "sess-a"),
+      ("m2", "sess-missing"),
+      ("m3", null.asInstanceOf[String]))
+      .toDF("mid", "session_id")
+    val sessions = Seq("sess-a").toDF("id")
+    val (ok, bad) = MemoryOps.validateSessionLink(mem, sessions)
+    assert(ok.select("mid").as[String].collect().toSet == Set("m1", "m3"))
+    assert(bad.select("reason").as[String].head() == "Session 'sess-missing' not found")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.SessionOps
+
+/** Replicates the reference's SessionStore tests
+  * (src/session_store.rs:189-327): newest-first ordering, limit/offset,
+  * get none/some, touch advances updated_at, create shape.
+  */
+class SessionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def catalog = Seq(
+    ("s1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), Seq("a")),
+    ("s2", ts("2024-01-02 10:00:00"), ts("2024-01-02 10:00:00"), Seq("b")),
+    ("s3", ts("2024-01-03 10:00:00"), ts("2024-01-03 10:00:00"), Seq[String]()),
+    // same created_at as s3 -> id DESC tie-break
+    ("s0", ts("2024-01-03 10:00:00"), ts("2024-01-03 10:00:00"), Seq("c")))
+    .toDF("id", "created_at", "updated_at", "tags")
+
+  test("list: newest-first, created_at DESC then id DESC (src/session_store.rs:142-154)") {
+    val ids = SessionOps.list(catalog).select("id").as[String].collect().toSeq
+    assert(ids == Seq("s3", "s0", "s2", "s1"))
+  }
+
+  test("list: limit and offset (src/session_store.rs:252-287)") {
+    assert(SessionOps.list(catalog, limit = Some(2)).count() == 2)
+    val page2 = SessionOps.list(catalog, limit = Some(2), offset = 2)
+      .select("id").as[String].collect().toSeq
+    assert(page2 == Seq("s2", "s1"))
+    // route clamps limit to [1,100] (src/routes.rs:557)
+    assert(SessionOps.list(catalog, limit = Some(1000)).count() == 4)
+    assert(SessionOps.list(catalog, limit = Some(0)).count() == 1)
+  }
+
+  test("get: some for existing id, none for missing (src/session_store.rs:224-250)") {
+    assert(SessionOps.get(catalog, "id", "s2").count() == 1)
+    assert(SessionOps.get(catalog, "id", "nope").count() == 0)
+  }
+
+  test("touch advances updated_at for that id only (src/session_store.rs:289-316)") {
+    val later = ts("2024-06-01 00:00:00")
+    val touched = SessionOps.touch(catalog, "id", "s1", ts = later)
+    val m = touched.select("id", "updated_at").as[(String, Timestamp)].collect().toMap
+    assert(m("s1") == later)
+    assert(m("s2") == ts("2024-01-02 10:00:00"))
+  }
+
+  test("create appends a UUID row with both timestamps set and tags round-trip (src/session_store.rs:82-104, 189-222)") {
+    val out = SessionOps.create(catalog, Seq("tag1", "tag2"))
+    assert(out.count() == 5)
+    val fresh = out.join(catalog.select("id"), Seq("id"), "left_anti")
+    val row = fresh.select("id", "created_at", "updated_at", "tags")
+      .as[(String, Timestamp, Timestamp, Seq[String])].head()
+    // UUIDv4 format
+    assert(row._1.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(row._2 == row._3)
+    assert(row._4 == Seq("tag1", "tag2"))
+  }
+}
