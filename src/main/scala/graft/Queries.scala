@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{MemoryOps, SessionOps, VectorSearch}
+import graft.functions.{Embed, EmbedSql}
+import graft.operators.{MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -17,7 +18,7 @@ object Queries {
 
   /** DuckDB SQL fragment: cosine similarity between list expressions,
     * cast-then-fold in double — the mirror of [[graft.functions.Similarity.cosine]]. */
-  private def sqlCosine(a: String, q: String): String = {
+  private[graft] def sqlCosine(a: String, q: String): String = {
     def sq(v: String) =
       s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($q[i] AS DOUBLE))) / (${sq(a)} * ${sq(q)}))"
@@ -260,6 +261,82 @@ object Queries {
       |FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T1-T4: text analysis over documents
+  // ---------------------------------------------------------------------
+  def t1LangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_guess"))
+  val t1LangIdSql: String =
+    s"SELECT doc_id, ${TextAnalysisSql.langId("text")} AS lang_guess FROM documents"
+
+  def t2Quality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      round(TextAnalysis.avgWordLen(col("text")), 6).as("avg_word_len"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+  val t2QualitySql: String =
+    s"""SELECT doc_id,
+       |  ${TextAnalysisSql.tokenCount("text")} AS n_tokens,
+       |  round(${TextAnalysisSql.avgWordLen("text")}, 6) AS avg_word_len,
+       |  round(${TextAnalysisSql.qualityScore("text")}, 6) AS quality
+       |FROM documents""".stripMargin
+
+  def t3TokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+  val t3TokenCountSql: String =
+    s"""SELECT doc_id,
+       |  ${TextAnalysisSql.tokenCount("text")} AS n_tokens,
+       |  ${TextAnalysisSql.subwordCount("text")} AS n_subwords
+       |FROM documents""".stripMargin
+
+  def t4Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+  val t4FingerprintSql: String =
+    s"SELECT doc_id, ${TextAnalysisSql.fingerprint("text")} AS fp FROM documents"
+
+  // ---------------------------------------------------------------------
+  // E1/E2: deterministic feature-hash embedding + full text->vector->search
+  // lifecycle (store-then-search with zero network)
+  // ---------------------------------------------------------------------
+  def e1Embed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).where(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(Embed.embedRaw(col("text"), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("dim_idx"), col("col").as("val"))
+  val e1EmbedSql: String =
+    s"""SELECT doc_id, i AS dim_idx, vec[CAST(i AS INT) + 1] AS val FROM
+       |  (SELECT doc_id, ${EmbedSql.embedRaw("text", 8)} AS vec
+       |   FROM documents WHERE doc_id < 50), range(0, 8) t(i)""".stripMargin
+
+  def e2EmbedSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 16
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Embed.embed(col("text"), dim).as("emb"))
+    val q = docs.where(col("doc_id") === 0).select(col("emb").as("q"))
+    docs.crossJoin(broadcast(q))
+      .withColumn("score", graft.functions.Similarity.cosine(col("emb"), col("q")))
+      .where(col("score").isNotNull)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+  val e2EmbedSearchSql: String = {
+    val emb = EmbedSql.embed("text", 16)
+    s"""SELECT doc_id, score FROM (
+       |  SELECT d.doc_id AS doc_id, round(${sqlCosine("d.emb", "qv.q")}, 6) AS score
+       |  FROM (SELECT doc_id, $emb AS emb FROM documents) d,
+       |       (SELECT $emb AS q FROM documents WHERE doc_id = 0) qv
+       |) WHERE score IS NOT NULL
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,6 +354,12 @@ object Queries {
     "s5_fk_reject"      -> (s5FkReject _),
     "a1_validate_text"  -> (a1ValidateText _),
     "a2_reserved_keys"  -> (a2ReservedKeys _),
+    "t1_langid"         -> (t1LangId _),
+    "t2_quality"        -> (t2Quality _),
+    "t3_tokencount"     -> (t3TokenCount _),
+    "t4_fingerprint"    -> (t4Fingerprint _),
+    "e1_embed"          -> (e1Embed _),
+    "e2_embed_search"   -> (e2EmbedSearch _),
     "q1_agg"            -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +377,11 @@ object Queries {
     "s5_fk_reject"      -> s5FkRejectSql,
     "a1_validate_text"  -> a1ValidateTextSql,
     "a2_reserved_keys"  -> a2ReservedKeysSql,
+    "t1_langid"         -> t1LangIdSql,
+    "t2_quality"        -> t2QualitySql,
+    "t3_tokencount"     -> t3TokenCountSql,
+    "t4_fingerprint"    -> t4FingerprintSql,
+    "e1_embed"          -> e1EmbedSql,
+    "e2_embed_search"   -> e2EmbedSearchSql,
     "q1_agg"            -> q1AggSql)
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic feature-hashing text embedder — the offline stand-in for
+  * the reference's pluggable embedding providers (reference:
+  * src/embedding/mod.rs:22-25 trait; ollama.rs/openai.rs/claude.rs are
+  * one-HTTP-call-per-text scalar transforms). The HashingTF-style signed
+  * feature hash is a public MLlib technique; it keeps the whole
+  * text -> vector -> search lifecycle runnable and oracle-checkable with
+  * zero network.
+  *
+  * token -> h = rollingHash(token); bucket = h mod dim;
+  * sign = +1 if (h mod 2·dim) < dim else -1; vector[bucket] += sign;
+  * optional L2 normalization (zero vector stays zero).
+  *
+  * In production the provider dispatch (E4) slots in here: a partition-level
+  * batched HTTP client replaces the hash — same column signature.
+  */
+object Embed {
+  val DefaultDim = 64
+
+  /** Unnormalized signed-count vector, ARRAY<DOUBLE> of length `dim`
+    * (integer-valued, so exactly representable). */
+  def embedRaw(text: Column, dim: Int = DefaultDim): Column = {
+    val hs = TextHash.tokenHashes(text)
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(hs, lit(0.0), (s, h) =>
+        s + when(pmod(h, lit(dim.toLong)) === i.cast("long"),
+              when(pmod(h, lit(2L * dim)) < dim, lit(1.0)).otherwise(lit(-1.0)))
+            .otherwise(lit(0.0))))
+  }
+
+  /** L2-normalized embedding; all-zero input (empty text) stays all-zero,
+    * which the search path then excludes via the zero-magnitude NULL rule
+    * — matching the reference's treatment of degenerate vectors. */
+  def embed(text: Column, dim: Int = DefaultDim): Column = {
+    val raw = embedRaw(text, dim)
+    val mag = sqrt(aggregate(raw, lit(0.0), (s, x) => s + x * x))
+    when(mag === 0.0, raw).otherwise(transform(raw, x => x / mag))
+  }
+}
+
+/** DuckDB mirrors of [[Embed]]. */
+object EmbedSql {
+  def embedRaw(text: String, dim: Int): String = {
+    val hs = TextHashSql.tokenHashes(text)
+    s"list_transform(range(0, $dim), i -> " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($hs, " +
+      s"h -> CASE WHEN h % $dim = i THEN (CASE WHEN h % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END) ELSE 0.0 END)), " +
+      s"(s, x) -> s + x))"
+  }
+
+  def embed(text: String, dim: Int): String = {
+    val raw = embedRaw(text, dim)
+    val mag = s"sqrt(list_sum(list_transform($raw, x -> x * x)))"
+    s"CASE WHEN $mag = 0.0 THEN $raw ELSE list_transform($raw, x -> x / $mag) END"
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text hashing primitives shared by the fingerprint,
+  * embedding, MinHash and SimHash operators. Everything is built from
+  * integer arithmetic on character codes, so an ANSI-SQL oracle can
+  * reproduce results bit-for-bit (no engine-specific murmur seeds).
+  *
+  * The polynomial rolling hash is the document-fingerprinting primitive
+  * (h ← (h·31 + code(c)) mod 1e9+7).
+  */
+object TextHash {
+  /** Modulus: large prime, keeps h·31+c far from Long overflow. */
+  val Mod = 1000000007L
+
+  /** Whitespace tokens, empties dropped. The fixture corpus is
+    * single-space-joined, ASCII-only (FIXTURES.md). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Polynomial rolling hash over the characters of `s`, in [0, Mod). */
+  def rollingHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c).cast("long"), lit(Mod)))
+
+  /** Rolling hash of every whitespace token. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), rollingHash _)
+
+  /** Word-level n-gram shingles, space-rejoined ("a b c", n=2 ->
+    * ["a b","b c"]); fewer than n tokens -> empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Rolling hash of every n-gram shingle. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), rollingHash _)
+
+  /** One universal-family hash of a pre-hashed value:
+    * (a·h + b) mod Mod — the per-permutation hash used by MinHash. */
+  def permuted(h: Column, a: Long, b: Long): Column =
+    pmod(h * lit(a) + lit(b), lit(Mod))
+}
+
+/** DuckDB-dialect mirrors of [[TextHash]] — fragment builders used to
+  * assemble oracle SQL that reproduces the Spark results exactly. */
+object TextHashSql {
+  val Mod = TextHash.Mod
+
+  def tokens(text: String): String =
+    s"list_filter(string_split($text, ' '), x -> x <> '')"
+
+  def rollingHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($s) + 1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % $Mod)"
+
+  def tokenHashes(text: String): String =
+    s"list_transform(${tokens(text)}, t -> ${rollingHash("t")})"
+
+  def shingles(text: String, n: Int): String =
+    s"CASE WHEN len(${tokens(text)}) < $n THEN [] " +
+      s"ELSE list_transform(range(0, len(${tokens(text)}) - $n + 1), " +
+      s"i -> array_to_string(list_slice(${tokens(text)}, i + 1, i + $n), ' ')) END"
+
+  def shingleHashes(text: String, n: Int): String =
+    s"list_transform(${shingles(text, n)}, s -> ${rollingHash("s")})"
+
+  def permuted(h: String, a: Long, b: Long): String =
+    s"(($h * $a + $b) % $Mod)"
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Embed, TextHash}
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokens drop empties; counts") {
+    assert(one[Long](TextAnalysis.tokenCount(col("text")), "hello  world x") == 3L)
+    assert(one[Long](TextAnalysis.tokenCount(col("text")), "") == 0L)
+    // subwords: ceil(5/4)+ceil(5/4)+ceil(1/4) = 2+2+1
+    assert(one[Long](TextAnalysis.subwordCount(col("text")), "hello world x") == 5L)
+  }
+
+  test("rolling hash is stable and in range") {
+    val h = one[Long](TextHash.rollingHash(col("text")), "abc")
+    assert(h == ((('a' * 31 + 'b') * 31 + 'c') % 1000000007))
+  }
+
+  test("shingles: word n-grams, short text -> empty") {
+    val s = Seq("a b c d").toDF("text")
+      .select(TextHash.shingles(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(s == Seq("a b", "b c", "c d"))
+    val empty = Seq("only").toDF("text")
+      .select(TextHash.shingles(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("langId picks the language with most stopword hits, deterministic ties") {
+    assert(one[String](TextAnalysis.langId(col("text")), "the cat is in the house") == "en")
+    assert(one[String](TextAnalysis.langId(col("text")), "el perro y la casa que en") == "es")
+    assert(one[String](TextAnalysis.langId(col("text")), "xyzzy qwerty") == "und")
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = Tables.documents(spark, sf0001)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("embedder: deterministic, fixed dim, unit norm for non-empty, zero for empty (src/embedding/mod.rs:22-25 contract)") {
+    val df = Seq("spark catalyst engine", "spark catalyst engine", "").toDF("text")
+      .select(Embed.embed(col("text"), 16).as("e"))
+    val rows = df.as[Seq[Double]].collect()
+    assert(rows(0) == rows(1))              // deterministic
+    assert(rows.forall(_.size == 16))       // fixed dimension
+    val mag0 = math.sqrt(rows(0).map(x => x * x).sum)
+    assert(math.abs(mag0 - 1.0) < 1e-12)    // unit norm
+    assert(rows(2).forall(_ == 0.0))        // empty text -> zero vector
+  }
+
+  test("embed -> search lifecycle finds the identical doc first") {
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Embed.embed(col("text"), 32).as("embedding"))
+    val q = docs.where(col("doc_id") === 0).head().getSeq[Double](1).map(_.toFloat)
+    val top = graft.operators.VectorSearch.topK(docs, q, 3, idCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.take(2) == Seq(0L, 1L)) // exact then duplicate text
+  }
+}
