@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Embed, EmbedSql}
-import graft.operators.{MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.functions.{Embed, EmbedSql, TextHashSql}
+import graft.operators.{Dedup, DedupSql, MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -337,6 +337,99 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // D1-D5: deduplication family over documents/embeddings
+  // ---------------------------------------------------------------------
+
+  /** Re-crawl simulation: documents plus a copy of the first 30 under new
+    * ids — gives exact dedup real duplicate groups to collapse. */
+  private def recrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.unionByName(d.where(col("doc_id") < 30)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  def d1ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDedup(recrawl(spark, sfDir), "doc_id", "text")
+  val d1ExactDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+      |) GROUP BY text""".stripMargin
+
+  def d2MinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  val d2MinhashPairsSql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    val sig = DedupSql.minhashSignature("text", 16, 2)
+    s"""WITH base AS (
+       |  SELECT * FROM (SELECT doc_id, $sh AS sh, $sig AS sig FROM documents)
+       |  WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, b, ${DedupSql.bandKey("sig", "b", 2)} AS key
+       |  FROM base, range(0, 8) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+       |SELECT c.id1, c.id2, round(${DedupSql.jaccard("x.sh", "y.sh")}, 6) AS jaccard
+       |FROM cands c JOIN base x ON x.doc_id = c.id1 JOIN base y ON y.doc_id = c.id2
+       |WHERE ${DedupSql.jaccard("x.sh", "y.sh")} >= 0.5""".stripMargin
+  }
+
+  def d3Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+  val d3SimhashSql: String =
+    s"SELECT doc_id, ${DedupSql.simhash("text")} AS simhash FROM documents"
+
+  /** Band-join candidates + hamming verify; the oracle states the
+    * equivalent brute-force semantics (banding has no false negatives by
+    * pigeonhole, so the results coincide). */
+  def d3SimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+      maxDist = 3)
+  val d3SimhashPairsSql: String = {
+    val sim = DedupSql.simhash("text")
+    s"""WITH sh AS (SELECT doc_id, $sim AS simhash FROM documents
+       |            WHERE len(${TextHashSql.shingles("text", 2)}) > 0)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       ${DedupSql.hamming("a.simhash", "b.simhash")} AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ${DedupSql.hamming("a.simhash", "b.simhash")} <= 3""".stripMargin
+  }
+
+  def d4JaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.2, shingleN = 2)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  val d4JaccardPairsSql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    s"""WITH sets AS (
+       |  SELECT * FROM (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 1000)
+       |  WHERE len(sh) > 0)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       round(${DedupSql.jaccard("a.sh", "b.sh")}, 6) AS jaccard
+       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |WHERE ${DedupSql.jaccard("a.sh", "b.sh")} >= 0.2""".stripMargin
+  }
+
+  def d5EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDups(
+        Tables.embeddings(spark, sfDir).where(col("vec_id") < 250),
+        "vec_id", "embedding", threshold = 0.3)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  val d5EmbedNearDupSql: String = {
+    val c = sqlCosine("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2, round($c, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE a.vec_id < 250 AND b.vec_id < 250 AND $c IS NOT NULL AND $c >= 0.3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -360,6 +453,12 @@ object Queries {
     "t4_fingerprint"    -> (t4Fingerprint _),
     "e1_embed"          -> (e1Embed _),
     "e2_embed_search"   -> (e2EmbedSearch _),
+    "d1_exact_dedup"    -> (d1ExactDedup _),
+    "d2_minhash_pairs"  -> (d2MinhashPairs _),
+    "d3_simhash"        -> (d3Simhash _),
+    "d3_simhash_pairs"  -> (d3SimhashPairs _),
+    "d4_jaccard_pairs"  -> (d4JaccardPairs _),
+    "d5_embed_neardup"  -> (d5EmbedNearDup _),
     "q1_agg"            -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +482,11 @@ object Queries {
     "t4_fingerprint"    -> t4FingerprintSql,
     "e1_embed"          -> e1EmbedSql,
     "e2_embed_search"   -> e2EmbedSearchSql,
+    "d1_exact_dedup"    -> d1ExactDedupSql,
+    "d2_minhash_pairs"  -> d2MinhashPairsSql,
+    "d3_simhash"        -> d3SimhashSql,
+    "d3_simhash_pairs"  -> d3SimhashPairsSql,
+    "d4_jaccard_pairs"  -> d4JaccardPairsSql,
+    "d5_embed_neardup"  -> d5EmbedNearDupSql,
     "q1_agg"            -> q1AggSql)
 }

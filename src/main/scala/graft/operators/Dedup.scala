@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, TextHashSql}
+
+/** Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Beyond the reference's own surface; these are
+  * the LLM-pipeline near-dup operators the north-star requires.
+  *
+  * Scale posture (100 TB): exact dedup is one shuffle on the text hash;
+  * MinHash/SimHash candidate generation is an equi-join on band keys
+  * (shuffle on small keys, never O(N²)); only the verify step touches
+  * candidate pairs. The brute-force pair scans kept here are the *exact
+  * baselines* the approximate paths are validated against, always behind an
+  * explicit blocking predicate.
+  */
+object Dedup {
+  val Mod: Long = TextHash.Mod
+  /** Mod / 2, the parity threshold for SimHash bit signs. */
+  val HalfMod: Long = 500000003L
+
+  // --- exact ------------------------------------------------------------
+
+  /** Exact dedup: one survivor (min id) per distinct text. Single shuffle
+    * on the group key; at scale group on the fingerprint hash instead of
+    * raw text to keep shuffle rows narrow.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("keep_id"), col("n_dupes"))
+
+  // --- MinHash ----------------------------------------------------------
+
+  /** Universal-family permutation constants (deterministic, mirrored in
+    * SQL): a_j = 2j+1 (odd), b_j = 7919j + 13. */
+  private def permA(j: Column): Column = j.cast("long") * 2L + 1L
+  private def permB(j: Column): Column = j.cast("long") * 7919L + 13L
+
+  /** MinHash signature over distinct word-n-gram shingle hashes:
+    * sig_j = min_h (a_j·h + b_j mod M). Docs with no shingles yield
+    * an all-NULL signature — exclude them upstream. */
+  def minhashSignature(text: Column, nPerm: Int, shingleN: Int): Column = {
+    val hs = array_distinct(TextHash.shingleHashes(text, shingleN))
+    transform(sequence(lit(0), lit(nPerm - 1)), j =>
+      array_min(transform(hs, h => pmod(h * permA(j) + permB(j), lit(Mod)))))
+  }
+
+  /** LSH band keys: fold each band of r signature values into one key. */
+  def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * lit(r) + 1, lit(r)), lit(0L),
+        (acc, s) => pmod(acc * 31L + s, lit(Mod))))
+
+  /** MinHash-LSH near-dup pipeline: shingle -> signature -> band ->
+    * bucket-join -> exact-Jaccard verify. Returns (id1, id2, jaccard)
+    * for verified pairs with jaccard >= threshold.
+    *
+    * The candidate join is an equi-join on (band index, band key):
+    * at scale this shuffles on band keys — cost proportional to bucket
+    * sizes, not N².
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      nPerm: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 2): DataFrame = {
+    require(nPerm % bands == 0, "nPerm must divide into bands")
+    val r = nPerm / bands
+    val base = df.select(
+        col(idCol).as("__id"),
+        array_distinct(TextHash.shingleHashes(col(textCol), shingleN)).as("__sh"),
+        minhashSignature(col(textCol), nPerm, shingleN).as("__sig"))
+      .where(size(col("__sh")) > 0)
+    val banded = base.select(col("__id"),
+        posexplode(bandKeys(col("__sig"), bands, r)))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    val sets = base.select(col("__id"), col("__sh"))
+    cands
+      .join(sets.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", jaccardOf(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // --- Jaccard ----------------------------------------------------------
+
+  /** |A ∩ B| / |A ∪ B| over distinct-element arrays, in double. */
+  def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact n-gram Jaccard pairs — the brute-force baseline, to be used
+    * behind a blocking predicate (`block`) only. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 2): DataFrame = {
+    val sets = df.select(
+        col(idCol).as("__id"),
+        array_distinct(TextHash.shingleHashes(col(textCol), shingleN)).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    sets.as("a").join(sets.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        jaccardOf(col("a.__sh"), col("b.__sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over distinct word-n-gram shingle hashes: bit i is set
+    * when the majority of shingles hash to the upper half of [0, Mod) under
+    * permutation i. Shingles (not unigrams) keep the hash discriminative on
+    * corpora with small shared vocabularies. Shingle-free docs hash to 0.
+    * Fits comfortably in a BIGINT for SQL mirroring. */
+  def simhash(text: Column, bits: Int = 32, shingleN: Int = 2): Column = {
+    val hs = array_distinct(TextHash.shingleHashes(text, shingleN))
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), i => {
+        val s = aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(pmod(h * permA(i) + permB(i), lit(Mod)) < HalfMod, 1L)
+            .otherwise(-1L))
+        when(s > 0, 1L).otherwise(0L)
+      }),
+      lit(0L), (acc, b) => acc * 2L + b)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash near-dup pairs with hamming <= maxDist. Brute-force pair scan
+    * behind the caller's blocking predicate; the scale path joins on
+    * byte-bands of the simhash first (any pair within distance d shares at
+    * least one of d+1 bands — pigeonhole), then verifies hamming.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      bits: Int = 32,
+      shingleN: Int = 2,
+      bandJoin: Boolean = true): DataFrame = {
+    val sh = df
+      .where(size(TextHash.shingles(col(textCol), shingleN)) > 0)
+      .select(col(idCol).as("__id"), simhash(col(textCol), bits, shingleN).as("__sim"))
+    val pairs =
+      if (!bandJoin) {
+        sh.as("a").join(sh.as("b"), col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+            col("a.__sim").as("sim1"), col("b.__sim").as("sim2"))
+      } else {
+        // pigeonhole banding: split into maxDist+1 bands; a pair within
+        // hamming distance maxDist must agree exactly on at least one band
+        // -> equi-join candidates, then verify
+        val nb = maxDist + 1
+        val w = math.max(1, bits / nb)
+        val bandCols = (0 until nb).map(b =>
+          shiftright(col("__sim"), b * w) % lit(1L << w))
+        val banded = sh.select(col("__id"), col("__sim"),
+            posexplode(array(bandCols: _*)))
+          .select(col("__id"), col("__sim"), col("pos").as("__band"), col("col").as("__key"))
+        banded.as("a").join(banded.as("b"),
+            col("a.__band") === col("b.__band") &&
+              col("a.__key") === col("b.__key") &&
+              col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+            col("a.__sim").as("sim1"), col("b.__sim").as("sim2"))
+          .distinct()
+      }
+    pairs
+      .select(col("id1"), col("id2"), hamming(col("sim1"), col("sim2")).as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
+  // --- embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-dup pairs — exact baseline behind a blocking
+    * predicate; the scale path is the bucketed ANN join in [[Ann]]. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(embCol).as("__e"))
+    v.as("a").join(v.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        graft.functions.Similarity.cosine(col("a.__e"), col("b.__e")).as("cosine"))
+      .where(col("cosine").isNotNull && col("cosine") >= threshold)
+  }
+}
+
+/** DuckDB mirrors of [[Dedup]] fragments. */
+object DedupSql {
+  import Dedup.{HalfMod, Mod}
+
+  def permHash(h: String, j: String): String =
+    s"(($h * ($j * 2 + 1) + ($j * 7919 + 13)) % $Mod)"
+
+  def shingleSet(text: String, n: Int): String =
+    s"list_distinct(${TextHashSql.shingleHashes(text, n)})"
+
+  def minhashSignature(text: String, nPerm: Int, shingleN: Int): String =
+    s"list_transform(range(0, $nPerm), j -> " +
+      s"list_min(list_transform(${shingleSet(text, shingleN)}, h -> ${permHash("h", "j")})))"
+
+  /** Band key over sig list (1-based, DuckDB list_slice end-inclusive). */
+  def bandKey(sig: String, b: String, r: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($sig, $b * $r + 1, $b * $r + $r)), " +
+      s"(acc, s) -> (acc * 31 + s) % $Mod)"
+
+  def jaccard(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"
+
+  def simhash(text: String, bits: Int = 32, shingleN: Int = 2): String = {
+    val hs = s"list_distinct(${TextHashSql.shingleHashes(text, shingleN)})"
+    val bit = s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($hs, h -> CASE WHEN ${permHash("h", "i")} < $HalfMod THEN 1 ELSE -1 END)), " +
+      s"(acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $bits), i -> CAST($bit AS BIGINT))), " +
+      s"(acc, b) -> acc * 2 + b)"
+  }
+
+  def hamming(a: String, b: String): String =
+    s"CAST(bit_count(xor($a, $b)) AS BIGINT)"
+}

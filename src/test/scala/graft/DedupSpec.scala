@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words entirely here now today"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "x"))                                           // too short for 2-grams
+    .toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts to min id") {
+    val res = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(res == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("jaccardPairs finds near and exact dups, excludes shingle-free docs") {
+    val res = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id1", "id2")
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(res == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    // exact dup pair has jaccard exactly 1.0
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .where($"id1" === 0 && $"id2" === 3).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhashNearDups candidate-join + verify finds the same pairs as exact jaccard") {
+    val res = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").orderBy("id1", "id2").as[(Long, Long)].collect().toSeq
+    // exact-dup pair (0,3) must always be a candidate (identical signatures);
+    // (0,1)/(1,3) at jaccard ~0.8 are candidates with prob ~1 at 8 bands
+    assert(res.contains((0L, 3L)))
+    assert(res.toSet.subsetOf(Set((0L, 1L), (0L, 3L), (1L, 3L))))
+  }
+
+  test("simhash: identical text -> identical hash; near-dup closer than random") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("simhashPairs band-join equals brute force (pigeonhole: no false negatives)") {
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+      .select("id1", "id2", "hamming").orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 6, bandJoin = false)
+      .select("id1", "id2", "hamming").orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(banded == brute)
+    assert(banded.exists { case (a, b, h) => a == 0L && b == 3L && h == 0L })
+  }
+
+  test("embeddingNearDups finds parallel vectors above threshold") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(res == Seq((0L, 1L)))
+  }
+}
