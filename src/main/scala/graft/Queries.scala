@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embed, EmbedSql, TextHashSql}
-import graft.operators.{Dedup, DedupSql, MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -430,6 +430,49 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // A-NN: batch similarity search — brute-force and sign-bucketed
+  // ---------------------------------------------------------------------
+  private def annQueries(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  def a1AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.bruteForceTopK(Tables.embeddings(spark, sfDir),
+        annQueries(spark, sfDir), k = 5)
+      .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  val a1AnnBruteforceSql: String = {
+    val c = sqlCosine("v.embedding", "q.qvec")
+    s"""SELECT qid, vec_id, score FROM (
+       |  SELECT q.qid AS qid, v.vec_id AS vec_id, round($c, 6) AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                            ORDER BY $c DESC, v.vec_id ASC) AS rn
+       |  FROM embeddings v,
+       |       (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |        WHERE vec_id < 5) q
+       |  WHERE $c IS NOT NULL
+       |) WHERE rn <= 5""".stripMargin
+  }
+
+  def a2AnnBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.bucketedTopK(Tables.embeddings(spark, sfDir),
+        annQueries(spark, sfDir), k = 5, m = 4)
+      .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  val a2AnnBucketedSql: String = {
+    val c = sqlCosine("v.embedding", "q.qvec")
+    val vb = AnnSql.signBucket("v.embedding", 4)
+    val qb = AnnSql.signBucket("q.qvec", 4)
+    s"""SELECT qid, vec_id, score FROM (
+       |  SELECT q.qid AS qid, v.vec_id AS vec_id, round($c, 6) AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                            ORDER BY $c DESC, v.vec_id ASC) AS rn
+       |  FROM embeddings v,
+       |       (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |        WHERE vec_id < 5) q
+       |  WHERE $vb = $qb AND $c IS NOT NULL
+       |) WHERE rn <= 5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -459,6 +502,8 @@ object Queries {
     "d3_simhash_pairs"  -> (d3SimhashPairs _),
     "d4_jaccard_pairs"  -> (d4JaccardPairs _),
     "d5_embed_neardup"  -> (d5EmbedNearDup _),
+    "a1_ann_bruteforce" -> (a1AnnBruteforce _),
+    "a2_ann_bucketed"   -> (a2AnnBucketed _),
     "q1_agg"            -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -488,5 +533,7 @@ object Queries {
     "d3_simhash_pairs"  -> d3SimhashPairsSql,
     "d4_jaccard_pairs"  -> d4JaccardPairsSql,
     "d5_embed_neardup"  -> d5EmbedNearDupSql,
+    "a1_ann_bruteforce" -> a1AnnBruteforceSql,
+    "a2_ann_bucketed"   -> a2AnnBucketedSql,
     "q1_agg"            -> q1AggSql)
 }

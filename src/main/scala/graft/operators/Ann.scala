@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Batch similarity search over an embedding column — the scale-out form of
+  * the reference's KNN endpoints (src/memory.rs:99-136 scores one query per
+  * request; here a whole query *table* is answered in one job).
+  *
+  * Two physical strategies:
+  *   - brute force: broadcast the query batch, score map-side against every
+  *     vector, per-query top-k via window. Exact; cost O(|V|·|Q|·d) spread
+  *     across executors — the right baseline, and the validator for the
+  *     approximate path.
+  *   - sign-bucketed (IVF-flavored): coarse-quantize vectors by the sign
+  *     pattern of the leading dims into 2^m buckets; a query probes only its
+  *     own bucket. At 100 TB the vector table is *partitioned* by bucket, so
+  *     a probe is a partition-pruned scan touching 1/2^m of the data;
+  *     recall is traded via m and multi-probe (flip one sign at a time).
+  */
+object Ann {
+
+  /** Per-query exact top-k: queries (qidCol, qVecCol) × vectors
+    * (idCol, embCol) -> (qid, id, score), k rows per query.
+    */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec",
+      metric: String = "cosine"): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        Similarity.score(metric, col(embCol), col(qVecCol)).as("score"))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Sign-pattern coarse bucket over the first `m` dimensions:
+    * Σ 2^i · [v[i] >= 0]. Cheap, deterministic, SQL-mirrorable. */
+  def signBucket(vec: Column, m: Int = 4): Column =
+    (0 until m).map(i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: probe only the query's own sign bucket, exact re-rank
+    * inside it. Returns k rows per query drawn from the bucket.
+    */
+  def bucketedTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec",
+      metric: String = "cosine"): DataFrame = {
+    val v = vectors.withColumn("__bucket", signBucket(col(embCol), m))
+    val q = queries.withColumn("__bucket", signBucket(col(qVecCol), m))
+    val scored = v.join(broadcast(q), Seq("__bucket"))
+      .select(col(qidCol), col(idCol),
+        Similarity.score(metric, col(embCol), col(qVecCol)).as("score"))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+}
+
+/** DuckDB mirrors of [[Ann]] fragments. */
+object AnnSql {
+  def signBucket(vec: String, m: Int = 4): String =
+    (0 until m).map(i =>
+      s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vectors = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+    (2L, Seq(-1f, 0f, 0f, 0f)),
+    (3L, Seq(0f, 1f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  private val queries = Seq((100L, Seq(1f, 0f, 0f, 0f)))
+    .toDF("qid", "qvec")
+
+  test("bruteForceTopK: exact per-query ranking, k rows per query") {
+    val res = Ann.bruteForceTopK(vectors, queries, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(res == Seq((100L, 0L), (100L, 1L), (100L, 3L)))
+  }
+
+  test("signBucket: deterministic sign pattern of leading dims") {
+    val b = vectors.select($"vec_id", Ann.signBucket($"embedding", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // [1,0,0,0] -> all four dims >= 0 -> 1+2+4+8 = 15
+    assert(b(0L) == 15L)
+    // [-1,0,0,0] -> dim0 negative -> 2+4+8 = 14
+    assert(b(2L) == 14L)
+  }
+
+  test("bucketedTopK probes only the query's bucket (vec 2 excluded)") {
+    val res = Ann.bucketedTopK(vectors, queries, k = 4, m = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(res == Set(0L, 1L, 3L)) // 2 lives in another bucket
+  }
+
+  test("bucketed recall vs brute force on real data (same bucket -> same top result)") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val qs = vecs.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Ann.bruteForceTopK(vecs, qs, k = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val bucketed = Ann.bucketedTopK(vecs, qs, k = 1, m = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    // self-similarity = 1.0 and the query is in its own bucket, so both
+    // strategies must return the query itself at rank 1
+    brute.foreach { case (q, v) => assert(v == q) }
+    bucketed.foreach { case (q, v) => assert(v == q) }
+  }
+}
