@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embed, EmbedSql, TextHashSql}
-import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -473,6 +473,64 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // M1/M2: multimodal binary-column plumbing (decode stage stubbed — see
+  // Multimodal.stubDecode; the formula below is that stub's contract)
+  // ---------------------------------------------------------------------
+  def m1MediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaMeta(Multimodal.mediaTable(Tables.documents(spark, sfDir)))
+  val m1MediaMetaSql: String =
+    s"""SELECT doc_id AS media_id, ${MultimodalSql.kindExpr} AS kind,
+       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |       sha256(text) AS sha256
+       |FROM documents""".stripMargin
+
+  def m2MediaDecode(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.mediaTable(Tables.documents(spark, sfDir)))
+      .toDF()
+  val m2MediaDecodeSql: String =
+    s"""SELECT doc_id AS media_id, kind, n AS n_bytes,
+       |  CAST(16 + (n * 7) % 240 AS INT) AS width,
+       |  CAST(16 + (n * 13) % 240 AS INT) AS height,
+       |  CAST(CASE WHEN kind = 'video' THEN 1 + n % 30 ELSE 1 END AS INT) AS n_frames,
+       |  CASE WHEN kind = 'image' THEN 0 ELSE n * 3 END AS duration_ms
+       |FROM (SELECT doc_id, ${MultimodalSql.kindExpr} AS kind,
+       |             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // E3/E4: event-stream transforms, batch forms (the same plans run under
+  // Structured Streaming — see graft.streaming.EventStream and its spec)
+  // ---------------------------------------------------------------------
+  def e3EventWindow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.windowedAgg(Tables.events(spark, sfDir))
+      .select(
+        date_format(col("window_start"), tsFmtSpark).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  val e3EventWindowSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '$tsFmtDuck') AS window_start,
+       |       event_type, COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  def e4Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.sessionizeBatch(Tables.events(spark, sfDir))
+  val e4SessionizeSql: String =
+    """SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+      |       COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |         CASE WHEN prev IS NULL
+      |                OR CAST(floor(epoch(ts)) AS BIGINT)
+      |                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT user_id, ts,
+      |               LAG(ts) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS prev
+      |        FROM events))
+      |GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,6 +562,10 @@ object Queries {
     "d5_embed_neardup"  -> (d5EmbedNearDup _),
     "a1_ann_bruteforce" -> (a1AnnBruteforce _),
     "a2_ann_bucketed"   -> (a2AnnBucketed _),
+    "m1_media_meta"     -> (m1MediaMeta _),
+    "m2_media_decode"   -> (m2MediaDecode _),
+    "e3_event_window"   -> (e3EventWindow _),
+    "e4_sessionize"     -> (e4Sessionize _),
     "q1_agg"            -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +597,9 @@ object Queries {
     "d5_embed_neardup"  -> d5EmbedNearDupSql,
     "a1_ann_bruteforce" -> a1AnnBruteforceSql,
     "a2_ann_bucketed"   -> a2AnnBucketedSql,
+    "m1_media_meta"     -> m1MediaMetaSql,
+    "m2_media_decode"   -> m2MediaDecodeSql,
+    "e3_event_window"   -> e3EventWindowSql,
+    "e4_sessionize"     -> e4SessionizeSql,
     "q1_agg"            -> q1AggSql)
 }

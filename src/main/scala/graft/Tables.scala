@@ -16,7 +16,23 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark only reads as a raw Long (requires
+    * spark.sql.legacy.parquet.nanosAsLong=true — set by every entry point).
+    * Normalize to TimestampType by integer-dividing to microseconds
+    * (`div`, not `/` — ns epochs exceed double's exact range), the same
+    * truncation DuckDB applies reading NANOS into its native TIMESTAMP.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

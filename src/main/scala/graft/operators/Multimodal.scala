@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One decoded media row produced by [[Multimodal.decodeFeatures]]. */
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    duration_ms: Long)
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
+  * with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side mechanics are real — binary columns, checksums, typed
+  * Dataset mapPartitions with explicit micro-batching (the Scala analog of
+  * arrow-batched decode UDFs), schema, and partition parallelism. The codec
+  * itself is STUBBED: this container has no image/audio libraries, so
+  * [[Multimodal.stubDecode]] derives deterministic pseudo-features from the
+  * byte stream. Swapping in a real decoder changes one function, nothing
+  * about the dataflow.
+  *
+  * At 100 TB: payloads live in their own column chunk, so metadata-only
+  * queries never read the bytes (parquet column pruning); decode is
+  * embarrassingly parallel map work sized by `spark.sql.files.maxPartitionBytes`.
+  */
+object Multimodal {
+
+  /** Deterministic media table from the documents fixture: payload =
+    * UTF-8 bytes of the text, kind round-robins image/audio/video. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** Payload metadata without touching a decoder: byte length + SHA-256.
+    * Stays entirely in codegen'd built-ins; payload column pruned away
+    * for downstream metadata-only consumers. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"))
+
+  /** STUB decoder — deterministic pseudo-features from the byte stream.
+    * A real implementation decodes the payload with an image/audio codec
+    * here; the signature (bytes in, features out) is the real contract. */
+  def stubDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+    val n = payload.length.toLong
+    MediaFeatures(
+      media_id = id,
+      kind = kind,
+      n_bytes = n,
+      width = (16 + (n * 7) % 240).toInt,
+      height = (16 + (n * 13) % 240).toInt,
+      n_frames = if (kind == "video") (1 + n % 30).toInt else 1,
+      duration_ms = if (kind == "image") 0L else n * 3)
+  }
+
+  /** Decode/feature-extract stage: typed mapPartitions with explicit
+    * micro-batches of `batchSize` rows — the shape a vectorized decoder
+    * (or remote inference call) wants. One decoder instance per partition,
+    * never per row.
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec init, model load)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, kind, payload) => stubDecode(id, kind, payload) }
+        }
+      }
+  }
+}
+
+/** DuckDB mirrors for the deterministic parts of [[Multimodal]]. */
+object MultimodalSql {
+  val kindExpr: String =
+    "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+  def nBytes(payload: String): String = s"CAST(octet_length($payload) AS BIGINT)"
+}

