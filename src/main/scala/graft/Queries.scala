@@ -316,8 +316,10 @@ object Queries {
 
   def e2EmbedSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 16
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Embed.embed(col("text"), dim).as("emb"))
+    val docs = Embed.withEmbedding(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "text", "emb", dim)
+      .select(col("doc_id"), col("emb"))
     val q = docs.where(col("doc_id") === 0).select(col("emb").as("q"))
     docs.crossJoin(broadcast(q))
       .withColumn("score", graft.functions.Similarity.cosine(col("emb"), col("q")))
@@ -381,7 +383,7 @@ object Queries {
 
   def d3Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
-      col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      col("doc_id"), graft.functions.Native.simhash(col("text")).as("simhash"))
   val d3SimhashSql: String =
     s"SELECT doc_id, ${DedupSql.simhash("text")} AS simhash FROM documents"
 

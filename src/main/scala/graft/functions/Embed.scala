@@ -21,16 +21,21 @@ import org.apache.spark.sql.functions._
 object Embed {
   val DefaultDim = 64
 
-  /** Unnormalized signed-count vector, ARRAY<DOUBLE> of length `dim`
-    * (integer-valued, so exactly representable). */
-  def embedRaw(text: Column, dim: Int = DefaultDim): Column = {
-    val hs = TextHash.tokenHashes(text)
+  /** Signed-count vector from pre-computed token hashes. */
+  def rawFromHashes(hs: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
       aggregate(hs, lit(0.0), (s, h) =>
         s + when(pmod(h, lit(dim.toLong)) === i.cast("long"),
               when(pmod(h, lit(2L * dim)) < dim, lit(1.0)).otherwise(lit(-1.0)))
             .otherwise(lit(0.0))))
-  }
+
+  /** Unnormalized signed-count vector, ARRAY<DOUBLE> of length `dim`
+    * (integer-valued, so exactly representable). NOTE: inlines the token
+    * hashing into every output dimension — fine for literals/tests; bulk
+    * embedding goes through [[withEmbedding]], which stages intermediates
+    * so hashes are computed once per row. */
+  def embedRaw(text: Column, dim: Int = DefaultDim): Column =
+    rawFromHashes(TextHash.tokenHashes(text), dim)
 
   /** L2-normalized embedding; all-zero input (empty text) stays all-zero,
     * which the search path then excludes via the zero-magnitude NULL rule
@@ -39,6 +44,20 @@ object Embed {
     val raw = embedRaw(text, dim)
     val mag = sqrt(aggregate(raw, lit(0.0), (s, x) => s + x * x))
     when(mag === 0.0, raw).otherwise(transform(raw, x => x / mag))
+  }
+
+  /** Bulk embedding through the fused native expression (single pass over
+    * the tokens; the HOF form re-hashes the text once per output dimension
+    * because Catalyst re-inlines single-static-reference subtrees into the
+    * per-dimension lambda). Result column is bit-identical to [[embed]].
+    */
+  def withEmbedding(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String,
+      dim: Int = DefaultDim,
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    df.withColumn(outCol, Native.featureHashEmbed(col(textCol), dim, normalize))
   }
 }
 

@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels shared by the native expressions. Each reproduces its
+  * higher-order-function counterpart in [[TextHash]]/[[Embed]]/[[graft.operators.Dedup]]
+  * bit-for-bit (same integer arithmetic, same left-to-right double folds), so
+  * swapping native for HOF never changes results — the specs assert equality.
+  */
+object Kernels {
+  val Mod: Long = TextHash.Mod
+  val HalfMod: Long = 500000003L
+
+  /** Polynomial rolling hash over code points — mirrors
+    * aggregate(split(s,""), 0L, (h,c) => (h*31 + ascii(c)) % Mod). */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def tokens(text: String): Array[String] =
+    text.split(" ", -1).filter(_.nonEmpty)
+
+  def tokenHashes(text: String): Array[Long] =
+    tokens(text).map(rollingHash)
+
+  /** Distinct word-n-gram shingle hashes, first-occurrence order
+    * (mirrors array_distinct(TextHash.shingleHashes)). */
+  def distinctShingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(rollingHash(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  @inline def permHash(h: Long, j: Long): Long =
+    (h * (j * 2 + 1) + (j * 7919 + 13)) % Mod
+
+  def minhashSig(hs: Array[Long], nPerm: Int): Array[Long] = {
+    val sig = new Array[Long](nPerm)
+    var j = 0
+    while (j < nPerm) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val p = permHash(hs(i), j)
+        if (p < m) m = p
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    sig
+  }
+
+  def simhash(hs: Array[Long], bits: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      var s = 0L
+      var k = 0
+      while (k < hs.length) {
+        s += (if (permHash(hs(k), i) < HalfMod) 1L else -1L)
+        k += 1
+      }
+      acc = acc * 2 + (if (s > 0) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
+
+  /** Feature-hash embedding — mirrors [[Embed.embed]]: signed counts over
+    * token hashes, then L2 normalize with zero-vector passthrough. The
+    * normalization magnitude is a left-to-right fold like the HOF form. */
+  def featureEmbed(text: String, dim: Int, normalize: Boolean): Array[Double] = {
+    val v = new Array[Double](dim)
+    val hs = tokenHashes(text)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      val sign = if (h % (2L * dim) < dim) 1.0 else -1.0
+      v((h % dim).toInt) += sign
+      i += 1
+    }
+    if (normalize) {
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += v(k) * v(k); k += 1 }
+      val mag = math.sqrt(s)
+      if (mag != 0.0) {
+        var m = 0
+        while (m < dim) { v(m) = v(m) / mag; m += 1 }
+      }
+    }
+    v
+  }
+}
+
+/** Fused single-pass cosine similarity with the reference null semantics
+  * (dim mismatch -> null, zero magnitude -> null; reference
+  * src/memory.rs:150-161). One traversal instead of the three the HOF
+  * composition makes, and no per-element lambda interpretation.
+  * Arithmetic is ordered exactly like [[Similarity.cosine]]:
+  * dot/(sqrt(sa)*sqrt(sb)) over left-to-right double folds.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects ARRAY<FLOAT|DOUBLE>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemType(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = elemType(left) == FloatType
+    val yf = elemType(right) == FloatType
+    var dot = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; sa += xi * xi; sb += yi * yi
+      i += 1
+    }
+    val ma = math.sqrt(sa); val mb = math.sqrt(sb)
+    if (ma == 0.0 || mb == 0.0) null
+    else java.lang.Double.valueOf(dot / (ma * mb))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Distinct word-n-gram shingle hashes in one pass
+  * (= array_distinct(TextHash.shingleHashes(text, n))). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "shingle_hashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash signature in one pass (= Dedup.minhashSignature). */
+case class MinHashSig(child: Expression, nPerm: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "minhash_sig")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val hs = Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, shingleN)
+    if (hs.isEmpty) null // mirrors array_min(empty) -> null signature
+    else new GenericArrayData(Kernels.minhashSig(hs, nPerm))
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** SimHash in one pass (= Dedup.simhash). */
+case class SimHash(child: Expression, bits: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "simhash")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val hs = Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, shingleN)
+    java.lang.Long.valueOf(Kernels.simhash(hs, bits))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Feature-hash embedding in one pass (= Embed.embed / embedRaw). */
+case class FeatureHashEmbed(child: Expression, dim: Int, normalize: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "feature_hash_embed")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Kernels.featureEmbed(v.asInstanceOf[UTF8String].toString, dim, normalize))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+private[graft] object StringInput {
+  def check(child: Expression, name: String): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects STRING, got ${child.dataType}")
+}
+
+/** Column-API front door for the native kernels. */
+object Native {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def shingleHashes(text: Column, n: Int): Column = col(ShingleHashes(ex(text), n))
+  def minhashSig(text: Column, nPerm: Int, shingleN: Int): Column =
+    col(MinHashSig(ex(text), nPerm, shingleN))
+  def simhash(text: Column, bits: Int = 32, shingleN: Int = 2): Column =
+    col(SimHash(ex(text), bits, shingleN))
+  def featureHashEmbed(text: Column, dim: Int, normalize: Boolean = true): Column =
+    col(FeatureHashEmbed(ex(text), dim, normalize))
+}

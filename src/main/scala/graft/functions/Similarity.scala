@@ -37,13 +37,19 @@ object Similarity {
   private def dimGuard(a: Column, b: Column)(body: => Column): Column =
     when(a.isNull || b.isNull || size(a) =!= size(b), nullD).otherwise(body)
 
-  /** Cosine similarity with the reference's NULL rules. */
-  def cosine(a: Column, b: Column): Column = dimGuard(a, b) {
+  /** Cosine similarity with the reference's NULL rules — higher-order
+    * composition (3 array traversals). Kept as the SQL-mirrorable
+    * reference form; the query path uses the fused native expression. */
+  def cosineHof(a: Column, b: Column): Column = dimGuard(a, b) {
     val ma = magnitude(a)
     val mb = magnitude(b)
     when(ma === 0.0 || mb === 0.0, nullD)
       .otherwise(dotProduct(a, b) / (ma * mb))
   }
+
+  /** Cosine similarity — fused single-pass native expression
+    * ([[CosineSim]]); bit-identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column = Native.cosineSim(a, b)
 
   /** Plain dot-product score (Qdrant `Distance::Dot`). */
   def dotScore(a: Column, b: Column): Column = dimGuard(a, b)(dotProduct(a, b))

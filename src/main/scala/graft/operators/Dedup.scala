@@ -38,14 +38,17 @@ object Dedup {
   private def permA(j: Column): Column = j.cast("long") * 2L + 1L
   private def permB(j: Column): Column = j.cast("long") * 7919L + 13L
 
-  /** MinHash signature over distinct word-n-gram shingle hashes:
-    * sig_j = min_h (a_j·h + b_j mod M). Docs with no shingles yield
-    * an all-NULL signature — exclude them upstream. */
-  def minhashSignature(text: Column, nPerm: Int, shingleN: Int): Column = {
-    val hs = array_distinct(TextHash.shingleHashes(text, shingleN))
+  /** Signature from a pre-computed distinct shingle-hash array. */
+  def signatureFromHashes(hs: Column, nPerm: Int): Column =
     transform(sequence(lit(0), lit(nPerm - 1)), j =>
       array_min(transform(hs, h => pmod(h * permA(j) + permB(j), lit(Mod)))))
-  }
+
+  /** MinHash signature over distinct word-n-gram shingle hashes:
+    * sig_j = min_h (a_j·h + b_j mod M). Docs with no shingles yield
+    * an all-NULL signature — exclude them upstream. (Bulk pipelines stage
+    * the hash array as a column first — see [[minhashNearDups]].) */
+  def minhashSignature(text: Column, nPerm: Int, shingleN: Int): Column =
+    signatureFromHashes(array_distinct(TextHash.shingleHashes(text, shingleN)), nPerm)
 
   /** LSH band keys: fold each band of r signature values into one key. */
   def bandKeys(sig: Column, bands: Int, r: Int): Column =
@@ -71,10 +74,12 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     require(nPerm % bands == 0, "nPerm must divide into bands")
     val r = nPerm / bands
+    // staged: shingle hashes materialize once, the signature reads the
+    // materialized array (not the text) — O(shingles + perm·shingles)
     val base = df.select(
         col(idCol).as("__id"),
-        array_distinct(TextHash.shingleHashes(col(textCol), shingleN)).as("__sh"),
-        minhashSignature(col(textCol), nPerm, shingleN).as("__sig"))
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"),
+        graft.functions.Native.minhashSig(col(textCol), nPerm, shingleN).as("__sig"))
       .where(size(col("__sh")) > 0)
     val banded = base.select(col("__id"),
         posexplode(bandKeys(col("__sig"), bands, r)))
@@ -111,7 +116,7 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     val sets = df.select(
         col(idCol).as("__id"),
-        array_distinct(TextHash.shingleHashes(col(textCol), shingleN)).as("__sh"))
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"))
       .where(size(col("__sh")) > 0)
     sets.as("a").join(sets.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
@@ -126,8 +131,8 @@ object Dedup {
     * permutation i. Shingles (not unigrams) keep the hash discriminative on
     * corpora with small shared vocabularies. Shingle-free docs hash to 0.
     * Fits comfortably in a BIGINT for SQL mirroring. */
-  def simhash(text: Column, bits: Int = 32, shingleN: Int = 2): Column = {
-    val hs = array_distinct(TextHash.shingleHashes(text, shingleN))
+  /** SimHash from a pre-computed distinct shingle-hash array. */
+  def simhashFromHashes(hs: Column, bits: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), i => {
         val s = aggregate(hs, lit(0L), (acc, h) =>
@@ -136,7 +141,9 @@ object Dedup {
         when(s > 0, 1L).otherwise(0L)
       }),
       lit(0L), (acc, b) => acc * 2L + b)
-  }
+
+  def simhash(text: Column, bits: Int = 32, shingleN: Int = 2): Column =
+    simhashFromHashes(array_distinct(TextHash.shingleHashes(text, shingleN)), bits)
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
@@ -156,8 +163,9 @@ object Dedup {
       shingleN: Int = 2,
       bandJoin: Boolean = true): DataFrame = {
     val sh = df
-      .where(size(TextHash.shingles(col(textCol), shingleN)) > 0)
-      .select(col(idCol).as("__id"), simhash(col(textCol), bits, shingleN).as("__sim"))
+      .where(size(graft.functions.Native.shingleHashes(col(textCol), shingleN)) > 0)
+      .select(col(idCol).as("__id"),
+        graft.functions.Native.simhash(col(textCol), bits, shingleN).as("__sim"))
     val pairs =
       if (!bandJoin) {
         sh.as("a").join(sh.as("b"), col("a.__id") < col("b.__id"))

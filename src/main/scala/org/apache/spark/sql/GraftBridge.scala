@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's sql package: Spark 4 makes the
+  * Expression -> Column constructor private[sql]
+  * (org.apache.spark.sql.classic.ExpressionUtils), so third-party native
+  * expressions need one forwarding symbol inside the package. This is the
+  * only file outside the graft namespace.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

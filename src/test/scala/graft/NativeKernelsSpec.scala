@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Embed, Native, Similarity, TextHash}
+import graft.operators.Dedup
+
+/** The native fused expressions must be bit-identical to their
+  * SQL-mirrorable higher-order-function counterparts — this is what lets
+  * the query path use the fast kernels while the DuckDB oracle checks the
+  * HOF semantics.
+  */
+class NativeKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("native cosine == HOF cosine on the embeddings fixture (incl. null cases)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = Tables.queryVector(spark, sf0001, 0L)
+    val both = e.select(
+      Similarity.cosine(col("embedding"), typedlit(q)).as("nat"),
+      Similarity.cosineHof(col("embedding"), typedlit(q)).as("hof"))
+    assert(both.where(col("nat") =!= col("hof") ||
+      col("nat").isNull =!= col("hof").isNull).count() == 0)
+    // null semantics: dim mismatch + zero magnitude
+    val edge = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 2f), Seq(0f, 0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("nat"))
+    assert(edge.where(col("nat").isNotNull).count() == 0)
+  }
+
+  test("native shingle hashes == array_distinct(HOF shingle hashes)") {
+    val both = docs.select(
+      Native.shingleHashes(col("text"), 2).as("nat"),
+      array_distinct(TextHash.shingleHashes(col("text"), 2)).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() == 0)
+  }
+
+  test("native minhash signature == HOF signature") {
+    val both = docs.select(
+      Native.minhashSig(col("text"), 16, 2).as("nat"),
+      Dedup.minhashSignature(col("text"), 16, 2).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() == 0)
+  }
+
+  test("native simhash == HOF simhash") {
+    val both = docs.select(
+      Native.simhash(col("text")).as("nat"),
+      Dedup.simhash(col("text")).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() == 0)
+  }
+
+  test("native feature-hash embed == HOF embed (normalized and raw)") {
+    val both = docs.select(
+      Native.featureHashEmbed(col("text"), 16).as("nat"),
+      Embed.embed(col("text"), 16).as("hof"),
+      Native.featureHashEmbed(col("text"), 16, normalize = false).as("natraw"),
+      Embed.embedRaw(col("text"), 16).as("hofraw"))
+    assert(both.where(col("nat") =!= col("hof")).count() == 0)
+    assert(both.where(col("natraw") =!= col("hofraw")).count() == 0)
+    // empty text -> zero vector both ways
+    val z = Seq("").toDF("text")
+      .select(Native.featureHashEmbed(col("text"), 8).as("v"))
+      .as[Seq[Double]].head()
+    assert(z.forall(_ == 0.0))
+  }
+}
