@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embed, EmbedSql, TextHashSql}
-import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, Pipeline, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -533,6 +533,131 @@ object Queries {
       |GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // P1/P2: flagship write pipeline (§3.2) — validate -> FK -> embed ->
+  // LWW merge -> touch, one job, accepted + rejected outputs
+  // ---------------------------------------------------------------------
+  private def ingestParts(spark: SparkSession, sfDir: String) = {
+    val existing = Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("id"),
+      col("label").cast("long").as("session_id"),
+      col("embedding"))
+    // synthetic write batch: every 50th doc has empty text, every 40th a
+    // reserved metadata key, session_id 10..14 missing from the catalog
+    val incoming = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 50 === 0, lit("")).otherwise(col("text")).as("text"),
+      map(when(col("doc_id") % 40 === 0, lit("text")).otherwise(lit("topic")),
+        col("source")).as("metadata"),
+      (col("doc_id") % 15).as("session_id"))
+    val sessions = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") < 10).select(col("c_custkey").as("id"))
+    Pipeline.ingest(existing, incoming, sessions, dim = 64)
+  }
+
+  def p1IngestTable(spark: SparkSession, sfDir: String): DataFrame =
+    ingestParts(spark, sfDir).table.select(col("id"), col("session_id"))
+  val p1IngestTableSql: String =
+    """WITH incoming AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS text,
+      |         doc_id % 40 = 0 AS reserved,
+      |         doc_id % 15 AS session_id
+      |  FROM documents),
+      |accepted AS (
+      |  SELECT id, session_id FROM incoming
+      |  WHERE length(trim(text)) > 0 AND NOT reserved
+      |    AND session_id IN (SELECT c_custkey FROM customer WHERE c_custkey < 10))
+      |SELECT id, session_id FROM (
+      |  SELECT id, session_id,
+      |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC) AS rn
+      |  FROM (
+      |    SELECT vec_id AS id, CAST(label AS BIGINT) AS session_id, 0 AS v FROM embeddings
+      |    UNION ALL
+      |    SELECT id, session_id, 1 AS v FROM accepted)
+      |) WHERE rn = 1""".stripMargin
+
+  def p2IngestRejects(spark: SparkSession, sfDir: String): DataFrame =
+    ingestParts(spark, sfDir).rejects
+  val p2IngestRejectsSql: String =
+    """SELECT id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 'Field ''text'' must not be empty'
+      |       WHEN reserved THEN 'metadata key ''text'' is reserved'
+      |       ELSE 'Session ''' || CAST(session_id AS VARCHAR) || ''' not found'
+      |  END AS reason
+      |FROM (SELECT doc_id AS id,
+      |             CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS text,
+      |             doc_id % 40 = 0 AS reserved,
+      |             doc_id % 15 AS session_id
+      |      FROM documents)
+      |WHERE length(trim(text)) = 0 OR reserved
+      |   OR session_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 10)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V11: pluggable distance metrics (euclid inverted, dot) — the Qdrant
+  // collection-level distance config
+  // ---------------------------------------------------------------------
+  def v11EuclidTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.topK(Tables.embeddings(spark, sfDir), q, k = 10, metric = "euclid")
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val v11EuclidTopkSql: String = {
+    val diff = "list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+      "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.q[i] AS DOUBLE)) * " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(qv.q[i] AS DOUBLE))))"
+    s"""SELECT vec_id, score FROM (
+       |  SELECT e.vec_id AS vec_id,
+       |         round(1.0 / (1.0 + sqrt($diff)), 6) AS score
+       |  FROM embeddings e, $qv
+       |) WHERE score IS NOT NULL
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  def v11DotTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.topK(Tables.embeddings(spark, sfDir), q, k = 10, metric = "dot")
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val v11DotTopkSql: String = {
+    val dot = "list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE)))"
+    s"""SELECT vec_id, score FROM (
+       |  SELECT e.vec_id AS vec_id, round($dot, 6) AS score
+       |  FROM embeddings e, $qv
+       |) WHERE score IS NOT NULL
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Q3: broadcast-join analytics (shipped-revenue per market segment)
+  // ---------------------------------------------------------------------
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(18,2)"
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("decimal(38,4)"))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q3JoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,7 +693,12 @@ object Queries {
     "m2_media_decode"   -> (m2MediaDecode _),
     "e3_event_window"   -> (e3EventWindow _),
     "e4_sessionize"     -> (e4Sessionize _),
-    "q1_agg"            -> (q1Agg _))
+    "p1_ingest_table"   -> (p1IngestTable _),
+    "p2_ingest_rejects" -> (p2IngestRejects _),
+    "v11_euclid_topk"   -> (v11EuclidTopk _),
+    "v11_dot_topk"      -> (v11DotTopk _),
+    "q1_agg"            -> (q1Agg _),
+    "q3_join"           -> (q3Join _))
 
   val oracles: Map[String, String] = Map(
     "v1_cosine"         -> v1CosineSql,
@@ -603,5 +733,10 @@ object Queries {
     "m2_media_decode"   -> m2MediaDecodeSql,
     "e3_event_window"   -> e3EventWindowSql,
     "e4_sessionize"     -> e4SessionizeSql,
-    "q1_agg"            -> q1AggSql)
+    "p1_ingest_table"   -> p1IngestTableSql,
+    "p2_ingest_rejects" -> p2IngestRejectsSql,
+    "v11_euclid_topk"   -> v11EuclidTopkSql,
+    "v11_dot_topk"      -> v11DotTopkSql,
+    "q1_agg"            -> q1AggSql,
+    "q3_join"           -> q3JoinSql)
 }

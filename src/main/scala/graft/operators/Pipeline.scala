@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Embed
+
+/** Composite lifecycle dataflows — the reference's flagship write path as a
+  * single batch job (reference: POST /api/memory, src/routes.rs:224-294):
+  *
+  *   validate text (A1) -> validate reserved keys (A2) -> referential
+  *   integrity vs the session catalog (S5) -> embed (E1-E4) -> last-write-
+  *   wins merge into the memory table (V9) -> touch linked sessions (S4).
+  *
+  * One job, two outputs: the next table version and the reject rows with
+  * first-failing-check reasons (the reference fails per-request; batch form
+  * splits instead of erroring). All joins against the session catalog are
+  * broadcast; the only wide shuffle is the id-keyed merge window.
+  */
+object Pipeline {
+
+  /** Result of [[ingest]]: the merged table version, the rejected rows
+    * (id, reason), and the session ids that were touched. */
+  case class IngestResult(table: DataFrame, rejects: DataFrame, touched: DataFrame)
+
+  /** @param existing  current memory table: (id, session_id, embedding, ...)
+    * @param incoming  batch to write: (id, text, metadata MAP, session_id)
+    * @param sessions  session catalog: one `id` column
+    * @param dim       embedding dimension for the hash embedder
+    */
+  def ingest(
+      existing: DataFrame,
+      incoming: DataFrame,
+      sessions: DataFrame,
+      dim: Int = Embed.DefaultDim): IngestResult = {
+    // A1: text validation
+    val (textOk, textBad) = MemoryOps.validateText(incoming)
+    // A2: reserved metadata keys
+    val (keysOk, keysBad) = MemoryOps.validateReservedKeys(textOk)
+    // S5: session referential integrity (NULL session always accepted)
+    val (linked, fkBad) = MemoryOps.validateSessionLink(keysOk, sessions,
+      memSessionCol = "session_id", sessIdCol = "id")
+
+    // E: embed accepted rows; cast to the table's ARRAY<FLOAT> storage type
+    val embedded = Embed.withEmbedding(linked, "text", "embedding", dim)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .select(existing.columns.map(col): _*)
+
+    // V9: last-write-wins merge
+    val merged = MemoryOps.upsertById(existing, embedded, "id")
+
+    // S4: touched sessions (batch form returns the set to touch)
+    val touched = sessions.join(
+      embedded.select(col("session_id").as("id")).where(col("id").isNotNull),
+      Seq("id"), "left_semi")
+
+    val rejects =
+      textBad.select(col("id"), col("reason"))
+        .unionByName(keysBad.select(col("id"), col("reason")))
+        .unionByName(fkBad.select(col("id"), col("reason")))
+    IngestResult(merged, rejects, touched)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** The §3.2 flagship write path end-to-end (src/routes.rs:224-294):
+  * validation split, FK check, embed, LWW merge, touch. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest: validates, embeds, merges, touches — batch form of POST /api/memory") {
+    val existing = Seq((1L, Option(7L), Seq(1f, 0f, 0f, 0f)))
+      .toDF("id", "session_id", "embedding")
+    val incoming = Seq(
+      (1L, "updated memory text", Map("k" -> "v"), Option(7L)),   // upsert
+      (2L, "fresh memory", Map("k" -> "v"), None),                // insert, no session
+      (3L, "", Map("k" -> "v"), Option(7L)),                      // A1 reject
+      (4L, "bad meta", Map("text" -> "x"), Option(7L)),           // A2 reject
+      (5L, "orphan", Map("k" -> "v"), Option(99L)))               // S5 reject
+      .toDF("id", "text", "metadata", "session_id")
+    val sessions = Seq(7L, 8L).toDF("id")
+
+    val r = Pipeline.ingest(existing, incoming, sessions, dim = 4)
+
+    val table = r.table.select("id").as[Long].collect().toSet
+    assert(table == Set(1L, 2L))
+    // row 1 was replaced: its embedding is now the hash-embed of new text,
+    // not the original [1,0,0,0]
+    val emb1 = r.table.where($"id" === 1).select("embedding")
+      .as[Seq[Float]].head()
+    assert(emb1 != Seq(1f, 0f, 0f, 0f))
+
+    val reasons = r.rejects.as[(Long, String)].collect().toMap
+    assert(reasons(3L) == "Field 'text' must not be empty")
+    assert(reasons(4L) == "metadata key 'text' is reserved")
+    assert(reasons(5L) == "Session '99' not found")
+
+    // only session 7 was linked by an accepted row
+    assert(r.touched.as[Long].collect().toSeq == Seq(7L))
+  }
+}
