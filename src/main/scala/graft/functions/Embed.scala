@@ -61,6 +61,43 @@ object Embed {
   }
 }
 
+/** E4 — provider registry and dispatch (reference: src/embedding/mod.rs:46-89,
+  * per-request `?provider=` override src/routes.rs:439-443). Each provider is
+  * a named text->vector column transform with a fixed dimension; the offline
+  * stand-ins mirror the reference's provider dimensions
+  * (nomic-embed-text 768 / text-embedding-3-small 1536 / voyage-3 1024,
+  * config.toml:49-51). A production provider swaps the column function for a
+  * partition-batched HTTP client — same interface, same dispatch.
+  */
+trait EmbeddingProvider {
+  def name: String
+  def dim: Int
+  /** text column -> ARRAY<DOUBLE> embedding column */
+  def embed(text: Column): Column
+}
+
+object EmbeddingProviders {
+  /** Deterministic hash-embedder stand-in at a provider's dimension. */
+  final case class HashProvider(name: String, dim: Int) extends EmbeddingProvider {
+    def embed(text: Column): Column = Native.featureHashEmbed(text, dim)
+  }
+
+  val default: String = "ollama"
+  val registry: Map[String, EmbeddingProvider] = Map(
+    "ollama" -> HashProvider("ollama", 768),
+    "openai" -> HashProvider("openai", 1536),
+    "anthropic" -> HashProvider("anthropic", 1024),
+    "hash64" -> HashProvider("hash64", 64))
+
+  /** Resolve override-or-default; unknown name errors like the 400 of
+    * src/routes.rs:147-148. */
+  def resolve(name: Option[String] = None): EmbeddingProvider = {
+    val n = name.getOrElse(default)
+    registry.getOrElse(n,
+      throw new IllegalArgumentException(s"Unknown embedding provider '$n'"))
+  }
+}
+
 /** DuckDB mirrors of [[Embed]]. */
 object EmbedSql {
   def embedRaw(text: String, dim: Int): String = {

@@ -52,6 +52,37 @@ object MemoryOps {
   def existingIds(table: DataFrame, ids: DataFrame, idCol: String): DataFrame =
     table.join(ids.select(col(ids.columns.head).as(idCol)), Seq(idCol), "left_semi")
 
+  /** A5 — table bootstrap (the analog of ensure-collection-exists with
+    * create-race tolerance, src/vector_store.rs:112-200): create the keyed
+    * parquet table with its vector config sidecar if absent. Idempotent —
+    * an existing table (or a concurrent creator winning the race) is
+    * success, like the 409-tolerant create. Spark task retries replace the
+    * reference's manual exponential backoff.
+    */
+  def bootstrap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dim: Int,
+      metric: String = "cosine"): Boolean = {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File(path)
+    if (dir.exists()) return false // already bootstrapped
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("text", StringType),
+      StructField("metadata", MapType(StringType, StringType)),
+      StructField("session_id", StringType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("ignore").parquet(path)
+    val cfg = s"""{"dimensions": $dim, "distance": "$metric"}"""
+    val cfgPath = java.nio.file.Paths.get(path, "_graft_schema.json")
+    try java.nio.file.Files.writeString(cfgPath, cfg,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () } // create race
+    true
+  }
+
   /** A1 — non-empty-text validation split (src/routes.rs:141-145 et al.).
     * Returns (accepted, rejected-with-reason).
     */

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MemoryOps, VectorSearch}
+
+/** Property-style invariants from SURVEY.md §5, over seeded random data
+  * (deterministic, no flakiness): cosine range/self-similarity, top-k vs
+  * full sort, filter/score commutativity, upsert idempotence,
+  * delete∘insert identity.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 60L).map { i =>
+      val dim = 2 + (i % 4).toInt
+      val v =
+        if (i % 17 == 0) Seq.fill(dim)(0f) // zero vectors sprinkled in
+        else Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+      (i, v)
+    }
+  private lazy val df = vecs.toDF("id", "embedding")
+
+  test("property: defined cosine is always within [-1, 1] (+fp eps)") {
+    val q = Seq(0.3f, -0.7f, 0.5f)
+    val scored = VectorSearch.scored(df, q).where($"score".isNotNull)
+      .select("score").as[Double].collect()
+    assert(scored.nonEmpty)
+    assert(scored.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+  }
+
+  test("property: cosine(v, v) == 1 for every non-zero v") {
+    val selfScores = df
+      .select(graft.functions.Similarity.cosine($"embedding", $"embedding").as("s"))
+      .where($"s".isNotNull).as[Double].collect()
+    assert(selfScores.nonEmpty)
+    assert(selfScores.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("property: top-k with k = N equals the full sort") {
+    val q = Seq(1f, 0f, 0f)
+    val full = VectorSearch.scored(df, q).where($"score".isNotNull)
+      .orderBy($"score".desc, $"id".asc).select("id").as[Long].collect().toSeq
+    val topAll = VectorSearch.topK(df, q, k = vecs.size, idCol = "id")
+      .select("id").as[Long].collect().toSeq
+    assert(topAll == full)
+  }
+
+  test("property: filter-then-score == score-then-filter") {
+    val tagged = df.withColumn("session",
+      when($"id" % 3 === 0, lit("a")).otherwise(lit("b")))
+    val q = Seq(0.5f, 0.5f, 0.5f)
+    val pre = VectorSearch.topK(tagged, q, 100, idCol = "id",
+      predicate = Some($"session" === "a")).select("id", "score")
+      .as[(Long, Double)].collect().toSeq
+    val post = VectorSearch.scored(tagged, q)
+      .where($"score".isNotNull && $"session" === "a")
+      .orderBy($"score".desc, $"id".asc).select("id", "score")
+      .as[(Long, Double)].collect().toSeq
+    assert(pre == post)
+  }
+
+  test("property: upsert is idempotent and last-write-wins is stable") {
+    val base = df.select($"id", $"embedding")
+    val patch = df.where($"id" < 20)
+      .select($"id", reverse($"embedding").as("embedding"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"embedding").as[(Long, Seq[Float])].collect().toSet
+    val once = MemoryOps.upsertById(base, patch, "id")
+    val twice = MemoryOps.upsertById(once, patch, "id")
+    assert(canon(once) == canon(twice))
+    assert(once.count() == base.count())
+  }
+
+  test("property: delete after insert restores the original table") {
+    val fresh = (1000L until 1010L).map(i => (i, Seq(1f, 2f))).toDF("id", "embedding")
+    val inserted = MemoryOps.append(df, fresh)
+    val restored = MemoryOps.deleteByIds(inserted, fresh.select("id"), "id")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Seq[Float])].collect().toSet
+    assert(canon(restored) == canon(df))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.EmbeddingProviders
+
+/** E4 provider registry semantics (src/embedding/mod.rs:46-89) and A5
+  * bootstrap (src/vector_store.rs:112-200). */
+class ProviderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry: default resolution, override, unknown -> error, dims match the reference config") {
+    assert(EmbeddingProviders.resolve(None).name == "ollama")
+    assert(EmbeddingProviders.resolve(None).dim == 768)
+    assert(EmbeddingProviders.resolve(Some("openai")).dim == 1536)
+    assert(EmbeddingProviders.resolve(Some("anthropic")).dim == 1024)
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingProviders.resolve(Some("nope"))
+    }
+    assert(e.getMessage.contains("Unknown embedding provider 'nope'"))
+  }
+
+  test("providers produce unit vectors at their declared dimension") {
+    val df = Seq("some text to embed").toDF("text")
+    for (p <- Seq("hash64", "ollama")) {
+      val v = df.select(EmbeddingProviders.resolve(Some(p)).embed(col("text")))
+        .as[Seq[Double]].head()
+      assert(v.size == EmbeddingProviders.registry(p).dim)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+  }
+
+  test("bootstrap: creates empty keyed table + config sidecar, idempotent (A5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot").toFile
+    val path = dir.getPath + "/memories"
+    assert(graft.operators.MemoryOps.bootstrap(spark, path, dim = 64))
+    // table readable and empty, sidecar present
+    assert(spark.read.parquet(path).count() == 0)
+    val cfg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_schema.json"))
+    assert(cfg.contains("\"dimensions\": 64") && cfg.contains("cosine"))
+    // second call: already exists -> false, nothing broken
+    assert(!graft.operators.MemoryOps.bootstrap(spark, path, dim = 64))
+    assert(spark.read.parquet(path).columns.contains("embedding"))
+  }
+}
