@@ -629,6 +629,32 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // G1: per-group top-k — "top-3 memories per session" in one pass
+  // (window + filter; the per-group form of the reference's KNN)
+  // ---------------------------------------------------------------------
+  def g1GroupedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    VectorSearch.scored(Tables.embeddings(spark, sfDir), q)
+      .where(col("score").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("label"), col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val g1GroupedTopkSql: String = {
+    val c = sqlCosine("e.embedding", "qv.q")
+    s"""SELECT label, vec_id, score FROM (
+       |  SELECT e.label AS label, e.vec_id AS vec_id, round($c, 6) AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY e.label
+       |                            ORDER BY $c DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings e, $qv
+       |  WHERE $c IS NOT NULL
+       |) WHERE rn <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Q3: broadcast-join analytics (shipped-revenue per market segment)
   // ---------------------------------------------------------------------
   def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
@@ -697,6 +723,7 @@ object Queries {
     "p2_ingest_rejects" -> (p2IngestRejects _),
     "v11_euclid_topk"   -> (v11EuclidTopk _),
     "v11_dot_topk"      -> (v11DotTopk _),
+    "g1_grouped_topk"   -> (g1GroupedTopk _),
     "q1_agg"            -> (q1Agg _),
     "q3_join"           -> (q3Join _))
 
@@ -737,6 +764,7 @@ object Queries {
     "p2_ingest_rejects" -> p2IngestRejectsSql,
     "v11_euclid_topk"   -> v11EuclidTopkSql,
     "v11_dot_topk"      -> v11DotTopkSql,
+    "g1_grouped_topk"   -> g1GroupedTopkSql,
     "q1_agg"            -> q1AggSql,
     "q3_join"           -> q3JoinSql)
 }

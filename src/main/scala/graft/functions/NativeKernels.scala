@@ -169,6 +169,45 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Set Jaccard |A∩B| / |A∪B| over long arrays in one pass (single hash set;
+  * = size(array_intersect)/size(array_union) on distinct inputs, the
+  * [[graft.operators.Dedup.jaccardOf]] HOF). Defensively dedupes. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim expects ARRAY<BIGINT>, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[java.lang.Long](math.max(16, x.numElements() * 2))
+    var i = 0
+    while (i < x.numElements()) { setA.add(x.getLong(i)); i += 1 }
+    val nA = setA.size
+    val seenB = new java.util.HashSet[java.lang.Long](math.max(16, y.numElements() * 2))
+    var common = 0
+    var j = 0
+    while (j < y.numElements()) {
+      val v = y.getLong(j)
+      if (seenB.add(v) && setA.contains(v)) common += 1
+      j += 1
+    }
+    val union = nA + seenB.size - common
+    if (union == 0) null // matches SQL divide-by-zero -> NULL
+    else java.lang.Double.valueOf(common.toDouble / union.toDouble)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Distinct word-n-gram shingle hashes in one pass
   * (= array_distinct(TextHash.shingleHashes(text, n))). */
 case class ShingleHashes(child: Expression, n: Int)
@@ -229,6 +268,7 @@ object Native {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def ex(c: Column): Expression = GraftBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def jaccardSim(a: Column, b: Column): Column = col(JaccardSim(ex(a), ex(b)))
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashes(ex(text), n))
   def minhashSig(text: Column, nPerm: Int, shingleN: Int): Column =
     col(MinHashSig(ex(text), nPerm, shingleN))

@@ -94,7 +94,8 @@ object Dedup {
     cands
       .join(sets.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
       .join(sets.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
-      .withColumn("jaccard", jaccardOf(col("sh1"), col("sh2")))
+      .withColumn("jaccard",
+        graft.functions.Native.jaccardSim(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -120,7 +121,7 @@ object Dedup {
       .where(size(col("__sh")) > 0)
     sets.as("a").join(sets.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
-        jaccardOf(col("a.__sh"), col("b.__sh")).as("jaccard"))
+        graft.functions.Native.jaccardSim(col("a.__sh"), col("b.__sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

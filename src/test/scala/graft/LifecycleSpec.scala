@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MemoryOps, Pipeline, VectorSearch}
+
+/** Full persisted lifecycle over real parquet versions — the batch analog of
+  * the reference's manual e2e demo (examples/agent_client.rs:1-284):
+  * bootstrap -> ingest (validate/embed/merge) -> persist v1 -> reload ->
+  * semantic search finds the stored memory -> delete -> persist v2 ->
+  * reload -> gone. Each write produces a NEW version directory (immutable
+  * storage; never overwrite the path being read).
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bootstrap -> store -> search -> delete, through disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lifecycle").toFile.getPath
+    val v0 = s"$root/v0"
+    assert(MemoryOps.bootstrap(spark, v0, dim = 32))
+
+    // ingest a batch against the empty v0 table
+    val existing = spark.read.parquet(v0)
+      .select(col("id").cast("long").as("id"),
+        col("session_id").cast("long").as("session_id"), col("embedding"))
+    val incoming = Seq(
+      (10L, "the spark catalyst optimizer rewrites plans", Map("topic" -> "db"), Option(1L)),
+      (11L, "cats purr when they are content", Map("topic" -> "pets"), Option(1L)),
+      (12L, "", Map.empty[String, String], Option(1L))) // rejected
+      .toDF("id", "text", "metadata", "session_id")
+    val sessions = Seq(1L).toDF("id")
+    val r = Pipeline.ingest(existing, incoming, sessions, dim = 32)
+    assert(r.rejects.count() == 1)
+
+    val v1 = s"$root/v1"
+    r.table.write.parquet(v1)
+
+    // reload and search with the embedding of the first memory's text
+    val reloaded = spark.read.parquet(v1)
+    assert(reloaded.count() == 2)
+    val qvec = Seq("the spark catalyst optimizer rewrites plans").toDF("text")
+      .select(graft.functions.Native.featureHashEmbed(col("text"), 32))
+      .as[Seq[Double]].head().map(_.toFloat)
+    val top = VectorSearch.topK(reloaded, qvec, 1, idCol = "id")
+    assert(top.select("id").as[Long].head() == 10L)
+
+    // delete it, persist v2, reload: gone from search (src/memory.rs:244-259)
+    val v2 = s"$root/v2"
+    MemoryOps.deleteByIds(reloaded, Seq(10L).toDF("id"), "id").write.parquet(v2)
+    val after = spark.read.parquet(v2)
+    assert(after.count() == 1)
+    val top2 = VectorSearch.topK(after, qvec, 5, idCol = "id")
+      .select("id").as[Long].collect().toSeq
+    assert(top2 == Seq(11L))
+  }
+}
