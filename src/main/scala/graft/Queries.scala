@@ -474,6 +474,25 @@ object Queries {
        |) WHERE rn <= 5""".stripMargin
   }
 
+  def a3AnnMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.multiProbeTopK(Tables.embeddings(spark, sfDir),
+        annQueries(spark, sfDir), k = 5, m = 4)
+      .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  val a3AnnMultiprobeSql: String = {
+    val c = sqlCosine("v.embedding", "q.qvec")
+    val vb = AnnSql.signBucket("v.embedding", 4)
+    val qb = AnnSql.signBucket("q.qvec", 4)
+    s"""SELECT qid, vec_id, score FROM (
+       |  SELECT q.qid AS qid, v.vec_id AS vec_id, round($c, 6) AS score,
+       |         ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                            ORDER BY $c DESC, v.vec_id ASC) AS rn
+       |  FROM embeddings v,
+       |       (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |        WHERE vec_id < 5) q
+       |  WHERE ${AnnSql.multiProbePredicate(vb, qb, 4)} AND $c IS NOT NULL
+       |) WHERE rn <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // M1/M2: multimodal binary-column plumbing (decode stage stubbed — see
   // Multimodal.stubDecode; the formula below is that stub's contract)
@@ -715,6 +734,7 @@ object Queries {
     "d5_embed_neardup"  -> (d5EmbedNearDup _),
     "a1_ann_bruteforce" -> (a1AnnBruteforce _),
     "a2_ann_bucketed"   -> (a2AnnBucketed _),
+    "a3_ann_multiprobe" -> (a3AnnMultiprobe _),
     "m1_media_meta"     -> (m1MediaMeta _),
     "m2_media_decode"   -> (m2MediaDecode _),
     "e3_event_window"   -> (e3EventWindow _),
@@ -756,6 +776,7 @@ object Queries {
     "d5_embed_neardup"  -> d5EmbedNearDupSql,
     "a1_ann_bruteforce" -> a1AnnBruteforceSql,
     "a2_ann_bucketed"   -> a2AnnBucketedSql,
+    "a3_ann_multiprobe" -> a3AnnMultiprobeSql,
     "m1_media_meta"     -> m1MediaMetaSql,
     "m2_media_decode"   -> m2MediaDecodeSql,
     "e3_event_window"   -> e3EventWindowSql,

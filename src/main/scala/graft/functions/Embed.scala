@@ -96,6 +96,11 @@ object EmbeddingProviders {
     registry.getOrElse(n,
       throw new IllegalArgumentException(s"Unknown embedding provider '$n'"))
   }
+
+  /** A4 — health introspection: sorted provider names + default
+    * (src/routes.rs:69-100). */
+  case class Health(providers: Seq[String], defaultProvider: String)
+  def health: Health = Health(registry.keys.toSeq.sorted, default)
 }
 
 /** DuckDB mirrors of [[Embed]]. */

@@ -77,6 +77,36 @@ object Ann {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+  /** Multi-probe bucketed ANN: probe the query's own bucket plus every
+    * bucket at one sign-flip distance (m+1 probes) — the recall knob of the
+    * IVF scheme. Each vector lives in exactly one bucket, so probes never
+    * duplicate candidates. At scale this turns into m+1 partition-pruned
+    * scans instead of 1, still never a full pass.
+    */
+  def multiProbeTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec",
+      metric: String = "cosine"): DataFrame = {
+    val v = vectors.withColumn("__bucket", signBucket(col(embCol), m))
+    val own = signBucket(col(qVecCol), m)
+    val probeList = array((own +: (0 until m).map(i => own.bitwiseXOR(lit(1L << i)))): _*)
+    val q = queries.withColumn("__bucket", explode(probeList))
+    val scored = v.join(broadcast(q), Seq("__bucket"))
+      .select(col(qidCol), col(idCol),
+        Similarity.score(metric, col(embCol), col(qVecCol)).as("score"))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }
 
 /** DuckDB mirrors of [[Ann]] fragments. */
@@ -85,4 +115,9 @@ object AnnSql {
     (0 until m).map(i =>
       s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Probe-set membership: own bucket or any single sign flip. */
+  def multiProbePredicate(vb: String, qb: String, m: Int = 4): String =
+    (Seq(s"$vb = $qb") ++ (0 until m).map(i => s"$vb = xor($qb, ${1L << i})"))
+      .mkString("(", " OR ", ")")
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+class MultiProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multiProbeTopK recall >= single-bucket recall, both subsets of brute force") {
+    val vecs = Tables.embeddings(spark, sf001)
+    val qs = vecs.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = resultSet(Ann.bruteForceTopK(vecs, qs, k = 5))
+    val single = resultSet(Ann.bucketedTopK(vecs, qs, k = 5, m = 4))
+    val multi = resultSet(Ann.multiProbeTopK(vecs, qs, k = 5, m = 4))
+    def recall(approx: Set[(Long, Long)]) =
+      (approx intersect brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single))
+    // the query's own vector (cosine 1.0) is always found by every strategy
+    (0L until 10L).foreach { q =>
+      assert(multi.contains((q, q)) && single.contains((q, q)))
+    }
+    info(f"recall single=${recall(single)}%.2f multi=${recall(multi)}%.2f")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan shapes recorded
+  * in BASELINE.md must not silently degrade (lost pushdown, lost broadcast,
+  * a sort-limit that stops compiling to TakeOrderedAndProject, ...).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    Queries.registry(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("v2_knn_topk: session predicate pushed to the parquet scan, heap top-k") {
+    val p = plan("v2_knn_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,2)"))
+  }
+
+  test("q1_agg: map-side partial aggregation before the single exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+    // pruned scan: only the 5 referenced lineitem columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatu"))
+  }
+
+  test("e2_embed_search: the query vector is broadcast, not shuffled") {
+    assert(plan("e2_embed_search").contains("BroadcastExchange"))
+  }
+
+  test("s3_session_list: offset+limit compile into one TakeOrderedAndProject") {
+    assert(plan("s3_session_list").contains("TakeOrderedAndProject(limit=60, offset=10"))
+  }
+
+  test("a2_ann_bucketed: bucket probe is a hash equi-join, not a nested loop") {
+    val p = plan("a2_ann_bucketed")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s5_fk_accept: referential integrity is a broadcast semi-join") {
+    val p = plan("s5_fk_accept")
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"))
+  }
+}
