@@ -552,6 +552,59 @@ object Queries {
       |GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E5: semi-structured JSON metadata (the Qdrant arbitrary-payload model:
+  // HashMap<String, serde_json::Value>, src/routes.rs:199-203) — extract,
+  // type, aggregate
+  // ---------------------------------------------------------------------
+  def e5PropsExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  val e5PropsExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q4/Q5: exact distinct aggregation + set operations
+  // ---------------------------------------------------------------------
+  def q4CountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  val q4CountDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def q5SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val buyers = ev.where(col("event_type") === "purchase").select(col("user_id"))
+    val errored = ev.where(col("event_type") === "error").select(col("user_id"))
+    buyers.intersect(errored)                       // bought AND hit an error
+      .unionByName(buyers.exceptAll(buyers))        // (empty; exercises except)
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+  val q5SetOpsSql: String =
+    """SELECT DISTINCT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // P1/P2: flagship write pipeline (§3.2) — validate -> FK -> embed ->
   // LWW merge -> touch, one job, accepted + rejected outputs
   // ---------------------------------------------------------------------
@@ -744,8 +797,11 @@ object Queries {
     "v11_euclid_topk"   -> (v11EuclidTopk _),
     "v11_dot_topk"      -> (v11DotTopk _),
     "g1_grouped_topk"   -> (g1GroupedTopk _),
+    "e5_props_extract"  -> (e5PropsExtract _),
     "q1_agg"            -> (q1Agg _),
-    "q3_join"           -> (q3Join _))
+    "q3_join"           -> (q3Join _),
+    "q4_count_distinct" -> (q4CountDistinct _),
+    "q5_setops"         -> (q5SetOps _))
 
   val oracles: Map[String, String] = Map(
     "v1_cosine"         -> v1CosineSql,
@@ -786,6 +842,9 @@ object Queries {
     "v11_euclid_topk"   -> v11EuclidTopkSql,
     "v11_dot_topk"      -> v11DotTopkSql,
     "g1_grouped_topk"   -> g1GroupedTopkSql,
+    "e5_props_extract"  -> e5PropsExtractSql,
     "q1_agg"            -> q1AggSql,
-    "q3_join"           -> q3JoinSql)
+    "q3_join"           -> q3JoinSql,
+    "q4_count_distinct" -> q4CountDistinctSql,
+    "q5_setops"         -> q5SetOpsSql)
 }

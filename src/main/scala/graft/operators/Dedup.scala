@@ -64,6 +64,13 @@ object Dedup {
     * at scale this shuffles on band keys — cost proportional to bucket
     * sizes, not N².
     */
+  /** @param maxBucketSize hot-bucket guard: drop (band, key) buckets with
+    *   more members than this before the pair join. At 100 TB one
+    *   degenerate bucket (boilerplate text, empty-ish docs) makes the
+    *   candidate join quadratic; members of an over-full bucket still pair
+    *   up through their other, more selective bands. None = unguarded
+    *   (exact LSH semantics — what the oracle checks).
+    */
   def minhashNearDups(
       df: DataFrame,
       idCol: String,
@@ -71,7 +78,8 @@ object Dedup {
       threshold: Double,
       nPerm: Int = 16,
       bands: Int = 8,
-      shingleN: Int = 2): DataFrame = {
+      shingleN: Int = 2,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(nPerm % bands == 0, "nPerm must divide into bands")
     val r = nPerm / bands
     // staged: shingle hashes materialize once, the signature reads the
@@ -81,9 +89,16 @@ object Dedup {
         graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"),
         graft.functions.Native.minhashSig(col(textCol), nPerm, shingleN).as("__sig"))
       .where(size(col("__sh")) > 0)
-    val banded = base.select(col("__id"),
+    val allBanded = base.select(col("__id"),
         posexplode(bandKeys(col("__sig"), bands, r)))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__key"))
+    val banded = maxBucketSize.fold(allBanded) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"), col("__key"))
+      allBanded.withColumn("__bucket_n", count(lit(1)).over(w))
+        .where(col("__bucket_n") <= cap)
+        .drop("__bucket_n")
+    }
     val cands = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&

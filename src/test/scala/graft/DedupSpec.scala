@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(res.toSet.subsetOf(Set((0L, 1L), (0L, 3L), (1L, 3L))))
   }
 
+  test("minhash hot-bucket guard drops oversized buckets, keeps selective ones") {
+    // 10 copies of one text make every band bucket size >= 10 for them
+    val skewed = (0L until 10L).map(i => (i, "a b c d e f g")) :+
+      (100L, "x y z w v u t") :+ (101L, "x y z w v u t")
+    val df2 = skewed.toDF("doc_id", "text")
+    val unguarded = Dedup.minhashNearDups(df2, "doc_id", "text", 0.5)
+    assert(unguarded.count() == 45 + 1) // C(10,2) skew pairs + the (100,101) pair
+    val guarded = Dedup.minhashNearDups(df2, "doc_id", "text", 0.5,
+      maxBucketSize = Some(5))
+    // skew bucket dropped everywhere (all its bands are identical),
+    // the selective pair survives
+    assert(guarded.select("id1", "id2").as[(Long, Long)].collect().toSeq ==
+      Seq((100L, 101L)))
+  }
+
   test("simhash: identical text -> identical hash; near-dup closer than random") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .as[(Long, Long)].collect().toMap
