@@ -576,6 +576,50 @@ object Queries {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W1: general window functions — per-user running value + global rank
+  // ---------------------------------------------------------------------
+  def w1RunningWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .where(col("user_id") < 10)
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        row_number().over(byUser).cast("long").as("event_seq"))
+  }
+  val w1RunningWindowSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+      |FROM events WHERE user_id < 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // M3: frame sampling — explode video payloads into every-5th-frame rows
+  // (the decode fan-out shape of a multimodal feature pipeline)
+  // ---------------------------------------------------------------------
+  def m3FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Multimodal.decodeFeatures(
+        Multimodal.mediaTable(Tables.documents(spark, sfDir))).toDF()
+    feats.where(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(5))))
+      .select(col("media_id"), col("n_frames"),
+        col("col").cast("long").as("frame_idx"))
+  }
+  val m3FrameSampleSql: String =
+    s"""SELECT media_id, n_frames, CAST(f AS BIGINT) AS frame_idx FROM (
+       |  SELECT doc_id AS media_id,
+       |         CAST(1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 30 AS INT) AS n_frames
+       |  FROM documents WHERE ${MultimodalSql.kindExpr} = 'video'),
+       |  LATERAL unnest(range(0, n_frames, 5)) t(f)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q4/Q5: exact distinct aggregation + set operations
   // ---------------------------------------------------------------------
   def q4CountDistinct(spark: SparkSession, sfDir: String): DataFrame =
@@ -798,6 +842,8 @@ object Queries {
     "v11_dot_topk"      -> (v11DotTopk _),
     "g1_grouped_topk"   -> (g1GroupedTopk _),
     "e5_props_extract"  -> (e5PropsExtract _),
+    "w1_running_window" -> (w1RunningWindow _),
+    "m3_frame_sample"   -> (m3FrameSample _),
     "q1_agg"            -> (q1Agg _),
     "q3_join"           -> (q3Join _),
     "q4_count_distinct" -> (q4CountDistinct _),
@@ -843,6 +889,8 @@ object Queries {
     "v11_dot_topk"      -> v11DotTopkSql,
     "g1_grouped_topk"   -> g1GroupedTopkSql,
     "e5_props_extract"  -> e5PropsExtractSql,
+    "w1_running_window" -> w1RunningWindowSql,
+    "m3_frame_sample"   -> m3FrameSampleSql,
     "q1_agg"            -> q1AggSql,
     "q3_join"           -> q3JoinSql,
     "q4_count_distinct" -> q4CountDistinctSql,

@@ -27,6 +27,47 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark drops data later than 1 hour behind the max event time") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("es_late").toFile
+    def writeBatch(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "tsStr", "user_id", "event_type", "value", "props")
+        .select($"event_id",
+          unix_timestamp($"tsStr").multiply(1000000000L).cast("long").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1).write.mode("append").parquet(dir.getPath + "/in")
+    // batch 1: two events in the 10:00 window, one at 13:00 -> watermark 12:00
+    writeBatch("b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 10:30:00", 1L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 13:00:00", 1L, "view", 1.0, "{}")))
+    val q = EventStream.windowedAgg(
+        EventStream.readEventStream(spark, dir.getPath + "/in"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("es_late_sink").start()
+    q.processAllAvailable()
+    // batch 2: a LATE event for the (already finalized) 10:00 window plus a
+    // 14:00 event that advances the watermark past 13:00
+    writeBatch("b2", Seq(
+      (4L, "2024-01-01 10:15:00", 1L, "view", 1.0, "{}"),
+      (5L, "2024-01-01 14:00:00", 1L, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past 14:00 so the 13:00 window closes
+    writeBatch("b3", Seq(
+      (6L, "2024-01-01 15:30:00", 1L, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("es_late_sink")
+      .select(col("window_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    // the 10:00 window holds only the 2 on-time events — the late row was
+    // discarded by the watermark, not silently merged into a closed window
+    assert(out("2024-01-01 10:00:00") == 2L)
+    assert(out("2024-01-01 13:00:00") == 1L)
+    // still-open windows are not emitted in append mode
+    assert(!out.contains("2024-01-01 15:00:00"))
+  }
+
   test("sessionizeBatch: gap > 30min opens a new session") {
     def ev(id: Long, user: Long, t: String) =
       (id, Timestamp.valueOf(t), user, "view", 1.0, "{}")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth: the engine's tables round-trip losslessly through
+  * parquet (primary storage), and through CSV/JSON for interchange —
+  * including the array/map columns that need explicit handling in flat
+  * formats.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  test("parquet round-trip preserves embeddings bit-for-bit") {
+    val dir = tmp("graft_pq") + "/emb"
+    val orig = Tables.embeddings(spark, sf0001)
+    orig.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orig.count())
+    assert(orig.exceptAll(back).count() == 0)
+    assert(back.exceptAll(orig).count() == 0)
+  }
+
+  test("json round-trip preserves nested arrays and schema under explicit schema") {
+    val dir = tmp("graft_json") + "/emb"
+    val orig = Tables.embeddings(spark, sf0001)
+    orig.write.json(dir)
+    val back = spark.read.schema(orig.schema).json(dir)
+    assert(back.count() == orig.count())
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
+  test("csv round-trip for flat tables (scalar columns only by design)") {
+    val dir = tmp("graft_csv") + "/docs"
+    val orig = Tables.documents(spark, sf0001)
+    orig.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(orig.schema).csv(dir)
+    assert(back.count() == orig.count())
+    assert(orig.exceptAll(back).count() == 0)
+  }
+}
