@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local fixture files are single small parquets: split scans at 4 MB
+      // so local[N] gets real scan parallelism (cluster deployments keep
+      // the 128 MB default)
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
