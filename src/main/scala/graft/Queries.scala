@@ -357,7 +357,7 @@ object Queries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
-      |) GROUP BY text""".stripMargin
+      |) GROUP BY md5(text)""".stripMargin
 
   def d2MinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, sfDir), "doc_id", "text",

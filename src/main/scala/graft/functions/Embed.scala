@@ -101,6 +101,43 @@ object EmbeddingProviders {
     * (src/routes.rs:69-100). */
   case class Health(providers: Seq[String], defaultProvider: String)
   def health: Health = Health(registry.keys.toSeq.sorted, default)
+
+  /** The production remote-provider shape (E1-E3 as batch dataflow): one
+    * client per PARTITION, requests sent in batches of `batchSize` — never
+    * the reference's one-HTTP-call-per-text (src/embedding/ollama.rs:45-72).
+    * `makeClient` runs once per partition on the executor (pool/session
+    * setup); the returned function embeds a whole batch. The offline stand-in
+    * client reproduces the hash embedder, so tests can assert
+    * batched-remote == native column path.
+    */
+  def withBatchedProvider(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String,
+      dim: Int,
+      batchSize: Int = 32,
+      makeClient: () => Seq[String] => Seq[Array[Double]] = null)
+      : org.apache.spark.sql.DataFrame = {
+    val mkClient: () => Seq[String] => Seq[Array[Double]] =
+      Option(makeClient).getOrElse(
+        () => texts => texts.map(t => Kernels.featureEmbed(t, dim, normalize = true)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema.add(outCol,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val client = mkClient() // per-partition setup (connection pool etc.)
+      rows.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(_.getAs[String](textCol))
+        val vecs = client(texts)
+        batch.lazyZip(vecs).map { (row, v) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (v: Seq[Double]))
+        }
+      }
+    }(enc)
+  }
 }
 
 /** DuckDB mirrors of [[Embed]]. */

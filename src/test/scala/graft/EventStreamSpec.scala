@@ -83,6 +83,27 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("streamingUpsert: micro-batches LWW-merge into successive table versions") {
+    val root = java.nio.file.Files.createTempDirectory("es_upsert").toFile.getPath
+    val in = s"$root/in"
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "payload").coalesce(1)
+        .write.mode("append").parquet(in)
+    writeBatch(Seq((1L, "one"), (2L, "two")))
+    val stream = spark.readStream
+      .schema("id LONG, payload STRING").parquet(in)
+    val q = EventStream.streamingUpsert(stream, s"$root/table", "id")
+    q.processAllAvailable()
+    writeBatch(Seq((2L, "two-updated"), (3L, "three")))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(s"$root/table").list().sorted.toSeq
+    assert(versions == Seq("v0", "v1"))
+    val latest = spark.read.parquet(s"$root/table/v1")
+      .as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "one", 2L -> "two-updated", 3L -> "three"))
+  }
+
   test("sessionizeStreaming (flatMapGroupsWithState) matches batch on the fixture") {
     val batch = EventStream.sessionizeBatch(Tables.events(spark, sf0001))
       .select("user_id", "n_sessions", "n_events")

@@ -29,6 +29,16 @@ class ProviderSpec extends SparkSpec {
     }
   }
 
+  test("batched provider path (mapPartitions, per-partition client) == native column path") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val viaBatches = EmbeddingProviders.withBatchedProvider(
+      docs, "text", "emb", dim = 16, batchSize = 7)
+    val viaColumn = docs.withColumn("emb",
+      graft.functions.Native.featureHashEmbed(col("text"), 16))
+    assert(viaBatches.exceptAll(viaColumn).count() == 0)
+    assert(viaColumn.exceptAll(viaBatches).count() == 0)
+  }
+
   test("bootstrap: creates empty keyed table + config sidecar, idempotent (A5)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_boot").toFile
     val path = dir.getPath + "/memories"
