@@ -83,6 +83,55 @@ object MemoryOps {
     true
   }
 
+  // --- bucketed layout: partition-pruned merge ---------------------------
+
+  private def bucketOf(idCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
+
+  /** Write a keyed table hash-bucketed by id (`__bucket=k/` partition
+    * dirs). This is the 100 TB layout: every keyed operation — upsert,
+    * delete, point lookup — prunes to the buckets its keys hash into.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      nBuckets: Int): Unit =
+    df.withColumn("__bucket", bucketOf(idCol, nBuckets))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+
+  /** Partition-pruned LWW upsert against a bucketed table: only the buckets
+    * the incoming keys hash into are read, merged, and rewritten — the
+    * other buckets' files are untouched (dynamic partition overwrite).
+    * The touched-bucket list is table METADATA (≤ nBuckets small ints) —
+    * collecting it on the driver is a partition-pruning step, not a
+    * data-path collect.
+    */
+  def upsertBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      incoming: DataFrame,
+      idCol: String,
+      nBuckets: Int): Unit = {
+    val inc = incoming.withColumn("__bucket", bucketOf(idCol, nBuckets))
+    val touched = inc.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val current = spark.read.parquet(path)
+      .where(col("__bucket").isin(touched: _*)) // partition-pruned scan
+    val merged = upsertById(current, inc, idCol)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read a bucketed table (drops the layout column). */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
+
   /** A1 — non-empty-text validation split (src/routes.rs:141-145 et al.).
     * Returns (accepted, rejected-with-reason).
     */
