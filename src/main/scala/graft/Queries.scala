@@ -419,6 +419,30 @@ object Queries {
        |WHERE ${DedupSql.jaccard("a.sh", "b.sh")} >= 0.2""".stripMargin
   }
 
+  /** D6 — apply dedup decisions: drop every doc that is the higher-id
+    * member of a verified near-dup pair (deterministic lowest-id-survives
+    * policy; transitive chains collapse because each non-minimal member
+    * pairs with an earlier one or its own predecessor). */
+  def d6DedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 1000)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 2)
+    Dedup.applySurvivors(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+  }
+  val d6DedupApplySql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    s"""WITH sets AS (
+       |  SELECT * FROM (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 1000)
+       |  WHERE len(sh) > 0),
+       |dropped AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE ${DedupSql.jaccard("a.sh", "b.sh")} >= 0.5)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+  }
+
   def d5EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDups(
         Tables.embeddings(spark, sfDir).where(col("vec_id") < 250),
@@ -622,6 +646,20 @@ object Queries {
   // ---------------------------------------------------------------------
   // Q4/Q5: exact distinct aggregation + set operations
   // ---------------------------------------------------------------------
+  def q6Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  val q6RollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   def q4CountDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -829,6 +867,8 @@ object Queries {
     "d3_simhash_pairs"  -> (d3SimhashPairs _),
     "d4_jaccard_pairs"  -> (d4JaccardPairs _),
     "d5_embed_neardup"  -> (d5EmbedNearDup _),
+    "d6_dedup_apply"    -> (d6DedupApply _),
+    "q6_rollup"         -> (q6Rollup _),
     "a1_ann_bruteforce" -> (a1AnnBruteforce _),
     "a2_ann_bucketed"   -> (a2AnnBucketed _),
     "a3_ann_multiprobe" -> (a3AnnMultiprobe _),
@@ -876,6 +916,8 @@ object Queries {
     "d3_simhash_pairs"  -> d3SimhashPairsSql,
     "d4_jaccard_pairs"  -> d4JaccardPairsSql,
     "d5_embed_neardup"  -> d5EmbedNearDupSql,
+    "d6_dedup_apply"    -> d6DedupApplySql,
+    "q6_rollup"         -> q6RollupSql,
     "a1_ann_bruteforce" -> a1AnnBruteforceSql,
     "a2_ann_bucketed"   -> a2AnnBucketedSql,
     "a3_ann_multiprobe" -> a3AnnMultiprobeSql,

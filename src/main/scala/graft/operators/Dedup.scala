@@ -123,6 +123,13 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Apply near-dup decisions to the corpus: remove every row that appears
+    * as the higher-id member (`id2`) of a verified pair — the deterministic
+    * lowest-id-survives policy. One anti-join against the (small) drop set.
+    */
+  def applySurvivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // --- Jaccard ----------------------------------------------------------
 
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, in double. */
