@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine's SQL surface: native kernels callable from spark.sql after
+  * GraftFunctions.register (or spark.sql.extensions=graft.GraftExtensions).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions run the native kernels") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf0001).limit(50).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash(text) AS sh,
+        |       embed_text(text, 16) AS emb,
+        |       minhash_sig(text, 16, 2) AS sig
+        |FROM docs_sql""".stripMargin)
+    val viaColumns = Tables.documents(spark, sf0001).limit(50).select(
+      col("doc_id"),
+      graft.functions.Native.simhash(col("text")).as("sh"),
+      graft.functions.Native.featureHashEmbed(col("text"), 16).as("emb"),
+      graft.functions.Native.minhashSig(col("text"), 16, 2).as("sig"))
+    assert(viaSql.exceptAll(viaColumns).count() == 0)
+    assert(viaColumns.exceptAll(viaSql).count() == 0)
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val jac = spark.sql(
+      "SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").as[Double].head()
+    assert(jac == 0.5)
+  }
+
+  test("GraftExtensions wires every function into SparkSessionExtensions without error") {
+    // a fresh builder-applied session can't be created beside the shared
+    // test session; validate the injection path directly
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("cosine_sim", "jaccard_sim", "shingle_hashes", "minhash_sig",
+        "simhash", "embed_text"))
+  }
+}
