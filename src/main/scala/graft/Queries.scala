@@ -808,6 +808,20 @@ object Queries {
        |) WHERE rn <= 3""".stripMargin
   }
 
+  /** G2 — same semantics as g1 via the TopKScored partial aggregate (only
+    * k rows per group cross the shuffle); the oracle is therefore g1's. */
+  def g2TopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    val scored = VectorSearch.scored(Tables.embeddings(spark, sfDir), q)
+      .select(col("label"), col("vec_id"), col("score"))
+    scored.groupBy(col("label"))
+      .agg(graft.functions.TopKScored(col("score"), col("vec_id"), 3).as("__topk"))
+      .select(col("label"), posexplode(col("__topk")))
+      .select(col("label"), col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("score"))
+  }
+  val g2TopkAggSql: String = g1GroupedTopkSql
+
   // ---------------------------------------------------------------------
   // Q3: broadcast-join analytics (shipped-revenue per market segment)
   // ---------------------------------------------------------------------
@@ -881,6 +895,7 @@ object Queries {
     "v11_euclid_topk"   -> (v11EuclidTopk _),
     "v11_dot_topk"      -> (v11DotTopk _),
     "g1_grouped_topk"   -> (g1GroupedTopk _),
+    "g2_topk_agg"       -> (g2TopkAgg _),
     "e5_props_extract"  -> (e5PropsExtract _),
     "w1_running_window" -> (w1RunningWindow _),
     "m3_frame_sample"   -> (m3FrameSample _),
@@ -930,6 +945,7 @@ object Queries {
     "v11_euclid_topk"   -> v11EuclidTopkSql,
     "v11_dot_topk"      -> v11DotTopkSql,
     "g1_grouped_topk"   -> g1GroupedTopkSql,
+    "g2_topk_agg"       -> g2TopkAggSql,
     "e5_props_extract"  -> e5PropsExtractSql,
     "w1_running_window" -> w1RunningWindowSql,
     "m3_frame_sample"   -> m3FrameSampleSql,

@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: keeps the k best (score DESC, id ASC) pairs.
+  * Linear insertion — k is small (the reference's limits are 5/10). */
+final class TopKBuffer(val k: Int) {
+  var n = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+
+  /** true if (s1,id1) ranks strictly better than (s2,id2). */
+  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && id1 < id2)
+
+  def insert(score: Double, id: Long): Unit = {
+    if (n < k) {
+      var i = n
+      while (i > 0 && better(score, id, scores(i - 1), ids(i - 1))) {
+        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      scores(i) = score; ids(i) = id; n += 1
+    } else if (n > 0 && better(score, id, scores(n - 1), ids(n - 1))) {
+      var i = n - 1
+      while (i > 0 && better(score, id, scores(i - 1), ids(i - 1))) {
+        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      scores(i) = score; ids(i) = id
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+}
+
+/** Per-group top-k as a real aggregate function with PARTIAL aggregation:
+  * each map task keeps a bounded k-slot buffer per group and only k rows
+  * per group cross the shuffle — versus the window-function formulation,
+  * which shuffles every scored row. This is the distributed form of the
+  * reference's bounded min-heap (src/memory.rs:93-95, 109-128), per group.
+  *
+  * Input: (score DOUBLE, id BIGINT); null scores are skipped (the
+  * excluded-row rule, V4). Output: ARRAY<STRUCT<id BIGINT, score DOUBLE>>
+  * ordered score DESC, id ASC.
+  */
+case class TopKScored(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType &&
+        k > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_scored expects (DOUBLE, BIGINT) and k > 0, got " +
+        s"(${scoreExpr.dataType}, ${idExpr.dataType}), k=$k")
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    if (s != null) {
+      val id = idExpr.eval(input)
+      if (id != null) b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    b.mergeFrom(other); b
+  }
+
+  override def eval(b: TopKBuffer): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.ids(i), b.scores(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + b.n * 16)
+    bb.putInt(b.k).putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.scores(i)).putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      buf.insert(s, id)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKScored =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKScored =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKScored =
+    copy(scoreExpr = cs(0), idExpr = cs(1))
+  override def prettyName: String = "topk_scored"
+}
+
+object TopKScored {
+  /** Column form: `topkScored(score, id, k)` inside an agg(). */
+  def apply(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKScored(GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+}

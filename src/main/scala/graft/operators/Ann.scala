@@ -77,6 +77,30 @@ object Ann {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+  /** Per-query exact top-k via the [[graft.functions.TopKScored]] partial
+    * aggregate: each map task keeps a k-slot heap per query, so only
+    * partitions×queries×k rows cross the shuffle — the window formulation
+    * in [[bruteForceTopK]] shuffles every scored row. Same results
+    * (asserted in AggTopKSpec); this is the form that survives 100 TB.
+    */
+  def bruteForceTopKAgg(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec",
+      metric: String = "cosine"): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        Similarity.score(metric, col(embCol), col(qVecCol)).as("score"))
+    scored.groupBy(col(qidCol))
+      .agg(graft.functions.TopKScored(col("score"), col(idCol), k).as("__topk"))
+      .select(col(qidCol), posexplode(col("__topk")))
+      .select(col(qidCol), col("col.id").as(idCol), col("col.score").as("score"))
+  }
+
   /** Multi-probe bucketed ANN: probe the query's own bucket plus every
     * bucket at one sign-flip distance (m+1 probes) — the recall knob of the
     * IVF scheme. Each vector lives in exactly one bucket, so probes never

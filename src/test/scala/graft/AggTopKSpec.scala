@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** TopKScored — the custom TypedImperativeAggregate — must equal the window
+  * formulation, and must partial-aggregate (map-side heaps). */
+class AggTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggregate top-k == window top-k on real data") {
+    val vecs = Tables.embeddings(spark, sf001)
+    val qs = vecs.where($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val window = Ann.bruteForceTopK(vecs, qs, k = 7)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    val agg = Ann.bruteForceTopKAgg(vecs, qs, k = 7)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(agg == window)
+  }
+
+  test("ties break by ascending id, like the window form") {
+    val vecs = Seq(
+      (3L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val got = Ann.bruteForceTopKAgg(vecs, qs, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("null scores are skipped (excluded-row rule)") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val got = Ann.bruteForceTopKAgg(vecs, qs, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("plan has partial aggregation: map-side heaps before the shuffle") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val qs = vecs.where($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val plan = Ann.bruteForceTopKAgg(vecs, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_scored"))
+  }
+}
