@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embed, EmbedSql, TextHashSql}
-import graft.operators.{Ann, AnnSql, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, Pipeline, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.operators.{Ann, AnnSql, AsOfJoin, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, Pipeline, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -644,6 +644,29 @@ object Queries {
        |  LATERAL unnest(range(0, n_frames, 5)) t(f)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X1: backward as-of join — each purchase matched to the user's latest
+  // prior (or simultaneous) view; DuckDB's native ASOF JOIN is the oracle
+  // ---------------------------------------------------------------------
+  def x1AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    // dedupe right to one row per (key, ts) for deterministic equal-ts picks
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    AsOfJoin.backward(purchases, views, "user_id", "ts", Seq("view_id"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+  }
+  val x1AsofJoinSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |      WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.purchase_id, p.user_id, v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q4/Q5: exact distinct aggregation + set operations
   // ---------------------------------------------------------------------
   def q6Rollup(spark: SparkSession, sfDir: String): DataFrame =
@@ -898,6 +921,7 @@ object Queries {
     "g2_topk_agg"       -> (g2TopkAgg _),
     "e5_props_extract"  -> (e5PropsExtract _),
     "w1_running_window" -> (w1RunningWindow _),
+    "x1_asof_join"      -> (x1AsofJoin _),
     "m3_frame_sample"   -> (m3FrameSample _),
     "q1_agg"            -> (q1Agg _),
     "q3_join"           -> (q3Join _),
@@ -948,6 +972,7 @@ object Queries {
     "g2_topk_agg"       -> g2TopkAggSql,
     "e5_props_extract"  -> e5PropsExtractSql,
     "w1_running_window" -> w1RunningWindowSql,
+    "x1_asof_join"      -> x1AsofJoinSql,
     "m3_frame_sample"   -> m3FrameSampleSql,
     "q1_agg"            -> q1AggSql,
     "q3_join"           -> q3JoinSql,

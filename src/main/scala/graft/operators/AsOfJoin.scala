@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to every left row the latest right row with
+  * the same key and right.ts <= left.ts. Spark has no as-of operator;
+  * rather than a range-join explosion this composes built-ins the way the
+  * preference order demands: tag both sides, union, one shuffle on the key,
+  * and a per-key ordered window that carries the last-seen right values
+  * forward (rows at equal ts order right-before-left, giving <= semantics).
+  * Cost: one shuffle + one window pass — linear, no O(left x right)
+  * candidate pairs at any scale.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows (all columns kept)
+    * @param right      right rows; `valueCols` are attached to left rows —
+    *                   names must not collide with left's columns
+    * @param keyCol     equality key on both sides
+    * @param tsCol      event-time column on both sides
+    * @param valueCols  right columns to carry into the output
+    * @param tolerance  optional max seconds between left.ts and right.ts
+    *                   (timestamps compared at whole-second truncation);
+    *                   older matches are nulled out
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    require(valueCols.forall(v => !left.columns.contains(v)),
+      "right value columns must not collide with left columns")
+    val side = "__asof_side"
+    val rts = "__asof_rts"
+    val leftCols = left.columns.toSeq
+
+    val lAligned = valueCols.foldLeft(
+        left.withColumn(side, lit(1)).withColumn(rts, lit(null).cast("long"))) {
+      (d, v) => d.withColumn(v, lit(null).cast(right.schema(v).dataType))
+    }
+    val rTagged = right.select((Seq(keyCol, tsCol) ++ valueCols).map(col): _*)
+      .withColumn(side, lit(0))
+      .withColumn(rts, col(tsCol).cast("long"))
+    val rAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
+      .foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lAligned.columns.map(col): _*)
+
+    // rows at equal ts: right (side 0) sorts before left (side 1) -> "<="
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = lAligned.unionByName(rAligned)
+      .select(
+        (leftCols.map(col) :+ col(side)) ++
+          valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)) :+
+          last(col(rts), ignoreNulls = true).over(w).as(rts): _*)
+      .where(col(side) === 1)
+      .drop(side)
+
+    tolerance.fold(joined.drop(rts)) { tol =>
+      val tooOld = col(rts).isNull || (col(tsCol).cast("long") - col(rts)) > tol
+      valueCols.foldLeft(joined)((d, v) =>
+        d.withColumn(v, when(tooOld, lit(null)).otherwise(col(v))))
+        .drop(rts)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05")),
+    (2L, "A", ts("2024-01-01 10:00:30")),
+    (3L, "B", ts("2024-01-01 10:00:10")),
+    (4L, "C", ts("2024-01-01 10:00:10"))) // no quotes for C
+    .toDF("trade_id", "sym", "ts")
+
+  private val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:00:05"), 101.0), // equal-ts -> matches trade 1
+    ("A", ts("2024-01-01 10:00:20"), 102.0),
+    ("A", ts("2024-01-01 10:00:40"), 103.0), // after trade 2 -> never used
+    ("B", ts("2024-01-01 10:00:09"), 200.0))
+    .toDF("sym", "ts", "px")
+
+  test("backward as-of: latest right row with ts <= left ts, per key") {
+    val r = AsOfJoin.backward(trades, quotes, "sym", "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L) == Some(101.0)) // equal timestamp counts
+    assert(r(2L) == Some(102.0)) // latest prior, not the later 103
+    assert(r(3L) == Some(200.0))
+    assert(r(4L) == None)        // left join: unmatched survives as null
+  }
+
+  test("tolerance nulls matches older than the bound") {
+    val r = AsOfJoin.backward(trades, quotes, "sym", "ts", Seq("px"),
+        tolerance = Some(5L))
+      .select("trade_id", "px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L) == Some(101.0)) // gap 0s
+    assert(r(2L) == None)        // gap 10s > 5s
+    assert(r(3L) == Some(200.0)) // gap 1s
+  }
+
+  test("matches DuckDB ASOF semantics on the events fixture (via the oracle query shape)") {
+    val out = Queries.x1AsofJoin(spark, sf0001)
+    assert(out.count() > 0)
+    // every attached view is a real prior-or-equal view of the same user
+    val ev = Tables.events(spark, sf0001)
+    val joined = out.where(out("view_id").isNotNull)
+      .join(ev.select(ev("event_id").as("view_id"), ev("user_id").as("vu"), ev("ts").as("vts")), Seq("view_id"))
+      .join(ev.select(ev("event_id").as("purchase_id"), ev("ts").as("pts")), Seq("purchase_id"))
+    assert(joined.where(joined("vu") =!= joined("user_id")).count() == 0)
+    assert(joined.where(joined("vts") > joined("pts")).count() == 0)
+  }
+}
