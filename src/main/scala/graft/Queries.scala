@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embed, EmbedSql, TextHashSql}
-import graft.operators.{Ann, AnnSql, AsOfJoin, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, Pipeline, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
+import graft.operators.{Ann, AnnSql, AsOfJoin, Dedup, DedupSql, MemoryOps, Multimodal, MultimodalSql, Pipeline, Sampling, SamplingSql, SessionOps, TextAnalysis, TextAnalysisSql, VectorSearch}
 
 /** The oracle-checked query inventory. Each entry pairs a Spark dataflow
   * with ANSI SQL (DuckDB dialect) computing the identical result over the
@@ -644,6 +644,52 @@ object Queries {
        |  LATERAL unnest(range(0, n_frames, 5)) t(f)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T5: deterministic train/val/test split (reproducible across engines,
+  // partitionings, and cluster sizes — unlike seed-based sample())
+  // ---------------------------------------------------------------------
+  def t5Split(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      Sampling.splitAssign(col("doc_id")).as("split"))
+  val t5SplitSql: String =
+    s"SELECT doc_id, ${SamplingSql.splitAssign("doc_id")} AS split FROM documents"
+
+  // ---------------------------------------------------------------------
+  // Q7: histogram binning over event values
+  // ---------------------------------------------------------------------
+  def q7Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / 5).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("bin_sum"))
+      .orderBy(col("bin"))
+  val q7HistogramSql: String =
+    """SELECT CAST(floor(value / 5) AS BIGINT) AS bin, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+      |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W2: ranking-window breadth — rank / dense_rank / lag per customer
+  // ---------------------------------------------------------------------
+  def w2Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir).where(col("o_custkey") < 20)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+  }
+  val w2RankSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |  LAG(o_orderkey, 1) OVER w AS prev_order
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X1: backward as-of join — each purchase matched to the user's latest
   // prior (or simultaneous) view; DuckDB's native ASOF JOIN is the oracle
   // ---------------------------------------------------------------------
@@ -922,6 +968,9 @@ object Queries {
     "e5_props_extract"  -> (e5PropsExtract _),
     "w1_running_window" -> (w1RunningWindow _),
     "x1_asof_join"      -> (x1AsofJoin _),
+    "t5_split"          -> (t5Split _),
+    "q7_histogram"      -> (q7Histogram _),
+    "w2_rank"           -> (w2Rank _),
     "m3_frame_sample"   -> (m3FrameSample _),
     "q1_agg"            -> (q1Agg _),
     "q3_join"           -> (q3Join _),
@@ -973,6 +1022,9 @@ object Queries {
     "e5_props_extract"  -> e5PropsExtractSql,
     "w1_running_window" -> w1RunningWindowSql,
     "x1_asof_join"      -> x1AsofJoinSql,
+    "t5_split"          -> t5SplitSql,
+    "q7_histogram"      -> q7HistogramSql,
+    "w2_rank"           -> w2RankSql,
     "m3_frame_sample"   -> m3FrameSampleSql,
     "q1_agg"            -> q1AggSql,
     "q3_join"           -> q3JoinSql,

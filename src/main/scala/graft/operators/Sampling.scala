@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, TextHashSql}
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines. Spark's `sample()` is seed-dependent on
+  * partitioning; these assign by a content hash of the key instead, so a
+  * row's split is stable across runs, engines, cluster sizes, and
+  * repartitioning — the property a reproducible train/val/test split needs.
+  */
+object Sampling {
+
+  /** Avalanche multiplier (Knuth's 2^32 golden ratio); h < Mod ~ 1e9 so
+    * the product stays well inside Long. Short keys hash to small rolling
+    * values — without mixing, `% n` would be badly biased for them. */
+  private val Mix = 2654435761L
+
+  /** Stable bucket in [0, n) from the key's decimal-string rolling hash. */
+  def hashBucket(key: Column, n: Int): Column =
+    pmod(pmod(TextHash.rollingHash(key.cast("string")) * lit(Mix) + lit(12345L),
+      lit(TextHash.Mod)), lit(n.toLong))
+
+  /** Keep ~fraction of rows, deterministically by key. */
+  def sampleByHash(key: Column, fraction: Double, granularity: Int = 10000): Column =
+    hashBucket(key, granularity) < (fraction * granularity).toLong
+
+  /** 'train' / 'val' / 'test' assignment with the given percentages. */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+}
+
+/** DuckDB mirrors of [[Sampling]]. */
+object SamplingSql {
+  def hashBucket(key: String, n: Int): String =
+    s"(((${TextHashSql.rollingHash(s"CAST($key AS VARCHAR)")} * 2654435761 + 12345) % ${graft.functions.TextHash.Mod}) % $n)"
+
+  def splitAssign(key: String, trainPct: Int = 80, valPct: Int = 10): String = {
+    val b = hashBucket(key, 100)
+    s"CASE WHEN $b < $trainPct THEN 'train' " +
+      s"WHEN $b < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign is stable across repartitioning and close to the target ratios") {
+    val docs = Tables.documents(spark, sf001)
+    val a = docs.select($"doc_id", Sampling.splitAssign($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = docs.repartition(13)
+      .select($"doc_id", Sampling.splitAssign($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // partitioning-independent
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("sampleByHash keeps a stable subset of about the requested fraction") {
+    val docs = Tables.documents(spark, sf001)
+    val kept = docs.where(Sampling.sampleByHash($"doc_id", 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val keptAgain = docs.repartition(7)
+      .where(Sampling.sampleByHash($"doc_id", 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == keptAgain)
+    val frac = kept.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.25) < 0.1)
+  }
+}
