@@ -669,6 +669,28 @@ object Queries {
       |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q8: pivot — events-per-type matrix per user
+  // ---------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q8Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir).where(col("user_id") < 25)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .count()
+    eventTypes.foldLeft(pivoted)((d, t) =>
+      d.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+  val q8PivotSql: String = {
+    val cols = eventTypes.map(t =>
+      s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events WHERE user_id < 25 GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // W2: ranking-window breadth — rank / dense_rank / lag per customer
   // ---------------------------------------------------------------------
   def w2Rank(spark: SparkSession, sfDir: String): DataFrame = {
@@ -970,6 +992,7 @@ object Queries {
     "x1_asof_join"      -> (x1AsofJoin _),
     "t5_split"          -> (t5Split _),
     "q7_histogram"      -> (q7Histogram _),
+    "q8_pivot"          -> (q8Pivot _),
     "w2_rank"           -> (w2Rank _),
     "m3_frame_sample"   -> (m3FrameSample _),
     "q1_agg"            -> (q1Agg _),
@@ -1024,6 +1047,7 @@ object Queries {
     "x1_asof_join"      -> x1AsofJoinSql,
     "t5_split"          -> t5SplitSql,
     "q7_histogram"      -> q7HistogramSql,
+    "q8_pivot"          -> q8PivotSql,
     "w2_rank"           -> w2RankSql,
     "m3_frame_sample"   -> m3FrameSampleSql,
     "q1_agg"            -> q1AggSql,

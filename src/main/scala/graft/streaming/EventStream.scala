@@ -65,6 +65,16 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup on an id column: re-deliveries within the
+    * watermark horizon are dropped (state bounded by the watermark) — the
+    * at-least-once -> effectively-once ingest guard every training-data
+    * feed needs in front of [[streamingUpsert]].
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(idCol, "ts")
+
   // --- streaming upsert into the versioned memory table -------------------
 
   /** Continuous ingest: LWW-merge every micro-batch into the keyed table,

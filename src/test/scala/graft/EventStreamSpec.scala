@@ -83,6 +83,31 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("dedupStream: a re-delivered event id is emitted exactly once across micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("es_dedup").toFile
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "tsStr")
+        .select($"event_id",
+          unix_timestamp($"tsStr").multiply(1000000000L).cast("long").as("ts"),
+          lit(1L).as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir.getPath + "/in")
+    writeBatch(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00")))
+    val q = EventStream.dedupStream(
+        EventStream.readEventStream(spark, dir.getPath + "/in"))
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("es_dedup_sink").start()
+    q.processAllAvailable()
+    // batch 2 re-delivers event 1 and adds event 3
+    writeBatch(Seq((1L, "2024-01-01 10:00:00"), (3L, "2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("es_dedup_sink").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("streamingUpsert: micro-batches LWW-merge into successive table versions") {
     val root = java.nio.file.Files.createTempDirectory("es_upsert").toFile.getPath
     val in = s"$root/in"
