@@ -119,12 +119,25 @@ object MemoryOps {
     val current = spark.read.parquet(path)
       .where(col("__bucket").isin(touched: _*)) // partition-pruned scan
     val merged = upsertById(current, inc, idCol)
+    // Stage the merged buckets durably BEFORE overwriting: the overwrite
+    // must never race the scan of the files it replaces (a transactional
+    // table format's MERGE subsumes this staging at production scale).
+    val staging = path + "__staging_" + java.util.UUID.randomUUID().toString.take(8)
+    merged.write.partitionBy("__bucket").parquet(staging)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.partitionBy("__bucket").mode("overwrite").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    try spark.read.parquet(staging)
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // best-effort staging cleanup
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(staging))
     }
   }
 
