@@ -517,6 +517,44 @@ object Queries {
        |) WHERE rn <= 5""".stripMargin
   }
 
+  /** A4 — IVF probe search with a fixed sampled codebook (embeddings of
+    * vec_id < 8): inverted-list assignment, 2-probe, exact re-rank. The
+    * trained-codebook path is [[graft.operators.Ann.kmeans]] (AnnSpec);
+    * the oracle uses the sampled codebook so results are deterministic. */
+  def a4IvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val codebook = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Ann.ivfTopK(Tables.embeddings(spark, sfDir),
+        annQueries(spark, sfDir), codebook, k = 5, nProbe = 2)
+      .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val a4IvfTopkSql: String = {
+    val c = sqlCosine("v.embedding", "p.qvec")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |            WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${AnnSql.sqDist("v.embedding", "cb.cvec")} ASC, cb.cid ASC) AS rn
+       |    FROM embeddings v, cb) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${AnnSql.sqDist("q.embedding", "cb.cvec")} ASC, cb.cid ASC) AS rn
+       |    FROM embeddings q, cb WHERE q.vec_id < 5) WHERE rn <= 2)
+       |SELECT qid, vec_id, score FROM (
+       |  SELECT p.qid AS qid, v.vec_id AS vec_id, round($c, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |                       ORDER BY $c DESC, v.vec_id ASC) AS rn
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  JOIN embeddings v ON v.vec_id = a.vec_id
+       |  WHERE $c IS NOT NULL) WHERE rn <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // M1/M2: multimodal binary-column plumbing (decode stage stubbed — see
   // Multimodal.stubDecode; the formula below is that stub's contract)
@@ -977,6 +1015,7 @@ object Queries {
     "a1_ann_bruteforce" -> (a1AnnBruteforce _),
     "a2_ann_bucketed"   -> (a2AnnBucketed _),
     "a3_ann_multiprobe" -> (a3AnnMultiprobe _),
+    "a4_ivf_topk"       -> (a4IvfTopk _),
     "m1_media_meta"     -> (m1MediaMeta _),
     "m2_media_decode"   -> (m2MediaDecode _),
     "e3_event_window"   -> (e3EventWindow _),
@@ -1032,6 +1071,7 @@ object Queries {
     "a1_ann_bruteforce" -> a1AnnBruteforceSql,
     "a2_ann_bucketed"   -> a2AnnBucketedSql,
     "a3_ann_multiprobe" -> a3AnnMultiprobeSql,
+    "a4_ivf_topk"       -> a4IvfTopkSql,
     "m1_media_meta"     -> m1MediaMetaSql,
     "m2_media_decode"   -> m2MediaDecodeSql,
     "e3_event_window"   -> e3EventWindowSql,

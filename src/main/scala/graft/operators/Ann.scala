@@ -131,6 +131,94 @@ object Ann {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+  // --- IVF: codebook, assignment, probe search ---------------------------
+
+  /** Squared L2 distance between an embedding column and a literal
+    * centroid, as a fold (mirrors the SQL fragment). */
+  private def sqDist(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(centroid),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Nearest-centroid id for each row against a driver-side codebook
+    * (k x dim doubles — index metadata, tiny). Ties break to the lower
+    * centroid id. */
+  def assignToCodebook(vec: Column, codebook: Seq[Seq[Double]]): Column = {
+    val (bestId, _) = codebook.zipWithIndex.tail.foldLeft(
+        (lit(0), sqDist(vec, codebook.head))) {
+      case ((bid, bdist), (c, i)) =>
+        val d = sqDist(vec, c)
+        (when(d < bdist, lit(i)).otherwise(bid),
+          when(d < bdist, d).otherwise(bdist))
+    }
+    bestId
+  }
+
+  /** Lloyd's k-means over an embedding column — the batch index-building
+    * step for a trained IVF codebook. Deterministic init (first k rows by
+    * id); each iteration is one broadcast-assign map pass + one
+    * per-dimension shuffle average. Returns the codebook as driver-side
+    * metadata (k x dim — the thing a 100 TB index ships to every probe).
+    */
+  def kmeans(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Seq[Seq[Double]] = {
+    var codebook: Seq[Seq[Double]] = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vectors.select(
+        assignToCodebook(col(embCol), codebook).as("__c"),
+        posexplode(col(embCol)).as(Seq("__dim", "__x")))
+      val means = assigned.groupBy(col("__c"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__c"))
+        .agg(sort_array(collect_list(struct(col("__dim"), col("__m")))).as("__ms"))
+        .select(col("__c"), col("__ms.__m").as("__centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      codebook = codebook.indices.map(i => means.getOrElse(i, codebook(i)))
+    }
+    codebook
+  }
+
+  /** IVF probe search: assign every vector to its nearest centroid
+    * (inverted lists), probe the query's `nProbe` nearest lists, exact
+    * re-rank inside them. At scale the vector table is *partitioned by
+    * centroid id*, so a probe scans nProbe/k of the data.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      codebook: Seq[Seq[Double]],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec",
+      metric: String = "cosine"): DataFrame = {
+    val v = vectors.withColumn("__c", assignToCodebook(col(embCol), codebook))
+    // query-side probe lists: rank all centroids by distance, keep nProbe
+    val probes = queries.select(col(qidCol), col(qVecCol),
+        posexplode(array(codebook.map(c => sqDist(col(qVecCol), c)): _*)))
+      .withColumnRenamed("pos", "__c").withColumnRenamed("col", "__d")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(col("__d").asc, col("__c").asc)))
+      .where(col("__rn") <= nProbe)
+      .select(col(qidCol), col(qVecCol), col("__c"))
+    val scored = v.join(broadcast(probes), Seq("__c"))
+      .select(col(qidCol), col(idCol),
+        Similarity.score(metric, col(embCol), col(qVecCol)).as("score"))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }
 
 /** DuckDB mirrors of [[Ann]] fragments. */
@@ -144,4 +232,10 @@ object AnnSql {
   def multiProbePredicate(vb: String, qb: String, m: Int = 4): String =
     (Seq(s"$vb = $qb") ++ (0 until m).map(i => s"$vb = xor($qb, ${1L << i})"))
       .mkString("(", " OR ", ")")
+
+  /** Squared L2 distance between two list expressions, cast-then-fold. */
+  def sqDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 }

@@ -37,6 +37,36 @@ class AnnSpec extends SparkSpec {
     assert(res == Set(0L, 1L, 3L)) // 2 lives in another bucket
   }
 
+  test("kmeans: deterministic codebook, inertia decreases over iterations") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    def inertia(cb: Seq[Seq[Double]]): Double =
+      vecs.select(Ann.assignToCodebook($"embedding", cb).as("c"), $"embedding")
+        .collect().map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          val c = cb(r.getInt(0))
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+    val cb0 = Ann.kmeans(vecs, k = 8, iters = 0)
+    val cb3 = Ann.kmeans(vecs, k = 8, iters = 3)
+    val cb3b = Ann.kmeans(vecs, k = 8, iters = 3)
+    assert(cb3.map(_.map(x => math.round(x * 1e9))) ==
+      cb3b.map(_.map(x => math.round(x * 1e9)))) // deterministic (to fp noise)
+    assert(inertia(cb3) < inertia(cb0) * 0.9)    // training actually helps
+  }
+
+  test("ivfTopK: results are a subset of brute force; every query finds itself") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val qs = vecs.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cb = Ann.kmeans(vecs, k = 8, iters = 2)
+    val ivf = Ann.ivfTopK(vecs, qs, cb, k = 5, nProbe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Ann.bruteForceTopK(vecs, qs, k = vecs.count().toInt)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(brute))
+    (0L until 5L).foreach(q => assert(ivf.contains((q, q))))
+  }
+
   test("bucketed recall vs brute force on real data (same bucket -> same top result)") {
     val vecs = Tables.embeddings(spark, sf0001)
     val qs = vecs.where($"vec_id" < 3)
