@@ -142,16 +142,13 @@ object Ann {
 
   /** Nearest-centroid id for each row against a driver-side codebook
     * (k x dim doubles — index metadata, tiny). Ties break to the lower
-    * centroid id. */
+    * centroid id (array_position returns the FIRST occurrence of the min).
+    * Built as one distances array + argmin — a chained when-comparison
+    * would duplicate the running-best subtree at every step (exponential
+    * expression size in k). */
   def assignToCodebook(vec: Column, codebook: Seq[Seq[Double]]): Column = {
-    val (bestId, _) = codebook.zipWithIndex.tail.foldLeft(
-        (lit(0), sqDist(vec, codebook.head))) {
-      case ((bid, bdist), (c, i)) =>
-        val d = sqDist(vec, c)
-        (when(d < bdist, lit(i)).otherwise(bid),
-          when(d < bdist, d).otherwise(bdist))
-    }
-    bestId
+    val dists = array(codebook.map(c => sqDist(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Lloyd's k-means over an embedding column — the batch index-building
