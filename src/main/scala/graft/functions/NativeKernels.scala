@@ -126,9 +126,12 @@ object Kernels {
   * composition makes, and no per-element lambda interpretation.
   * Arithmetic is ordered exactly like [[Similarity.cosine]]:
   * dot/(sqrt(sa)*sqrt(sb)) over left-to-right double folds.
+  *
+  * Implements doGenCode, so the kernel compiles INTO the whole-stage
+  * codegen loop (a CodegenFallback would run interpreted inside it).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -163,6 +166,49 @@ case class CosineSim(left: Expression, right: Expression)
     val ma = math.sqrt(sa); val mb = math.sqrt(sb)
     if (ma == 0.0 || mb == 0.0) null
     else java.lang.Double.valueOf(dot / (ma * mb))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    def getter(e: Expression, arr: String, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val sa = ctx.freshName("sa")
+    val sb = ctx.freshName("sb")
+    val xi = ctx.freshName("xi")
+    val yi = ctx.freshName("yi")
+    val ma = ctx.freshName("ma")
+    val mb = ctx.freshName("mb")
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        int $n = ${lg.value}.numElements();
+        if ($n == ${rg.value}.numElements()) {
+          double $dot = 0.0; double $sa = 0.0; double $sb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = ${getter(left, lg.value.toString, i)};
+            double $yi = ${getter(right, rg.value.toString, i)};
+            $dot += $xi * $yi; $sa += $xi * $xi; $sb += $yi * $yi;
+          }
+          double $ma = java.lang.Math.sqrt($sa);
+          double $mb = java.lang.Math.sqrt($sb);
+          if ($ma != 0.0 && $mb != 0.0) {
+            ${ev.isNull} = false;
+            ${ev.value} = $dot / ($ma * $mb);
+          }
+        }
+      }""")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
