@@ -816,6 +816,37 @@ object Queries {
       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E6: native session windows (gap close 30 min) — the streaming-native
+  // sessionization; oracle reconstructs sessions via lag + cumulative sum
+  // ---------------------------------------------------------------------
+  def e6SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"))
+  val e6SessionWindowSql: String =
+    """SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |           CASE WHEN prev IS NULL
+      |                  OR epoch(ts) - epoch(prev) >= 1800.0 THEN 1 ELSE 0 END AS new_s
+      |    FROM (SELECT user_id, ts, event_id,
+      |                 LAG(ts) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |          FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // P1/P2: flagship write pipeline (§3.2) — validate -> FK -> embed ->
   // LWW merge -> touch, one job, accepted + rejected outputs
   // ---------------------------------------------------------------------
@@ -1027,6 +1058,7 @@ object Queries {
     "g1_grouped_topk"   -> (g1GroupedTopk _),
     "g2_topk_agg"       -> (g2TopkAgg _),
     "e5_props_extract"  -> (e5PropsExtract _),
+    "e6_session_window" -> (e6SessionWindow _),
     "w1_running_window" -> (w1RunningWindow _),
     "x1_asof_join"      -> (x1AsofJoin _),
     "t5_split"          -> (t5Split _),
@@ -1083,6 +1115,7 @@ object Queries {
     "g1_grouped_topk"   -> g1GroupedTopkSql,
     "g2_topk_agg"       -> g2TopkAggSql,
     "e5_props_extract"  -> e5PropsExtractSql,
+    "e6_session_window" -> e6SessionWindowSql,
     "w1_running_window" -> w1RunningWindowSql,
     "x1_asof_join"      -> x1AsofJoinSql,
     "t5_split"          -> t5SplitSql,
