@@ -773,6 +773,27 @@ object Queries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Q2: date-filtered pricing summary — the timestamp predicate reaches
+  // the parquet scan (PushedFilters, guarded in PlanSpec)
+  // ---------------------------------------------------------------------
+  def q2DateFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(18,2)"
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q2DateFilterSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q4/Q5: exact distinct aggregation + set operations
   // ---------------------------------------------------------------------
   def q6Rollup(spark: SparkSession, sfDir: String): DataFrame =
@@ -1067,6 +1088,7 @@ object Queries {
     "w2_rank"           -> (w2Rank _),
     "m3_frame_sample"   -> (m3FrameSample _),
     "q1_agg"            -> (q1Agg _),
+    "q2_date_filter"    -> (q2DateFilter _),
     "q3_join"           -> (q3Join _),
     "q4_count_distinct" -> (q4CountDistinct _),
     "q5_setops"         -> (q5SetOps _))
@@ -1124,6 +1146,7 @@ object Queries {
     "w2_rank"           -> w2RankSql,
     "m3_frame_sample"   -> m3FrameSampleSql,
     "q1_agg"            -> q1AggSql,
+    "q2_date_filter"    -> q2DateFilterSql,
     "q3_join"           -> q3JoinSql,
     "q4_count_distinct" -> q4CountDistinctSql,
     "q5_setops"         -> q5SetOpsSql)

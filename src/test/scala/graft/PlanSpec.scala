@@ -22,6 +22,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatu"))
   }
 
+  test("q2_date_filter: the timestamp predicate is pushed to the parquet scan") {
+    val p = plan("q2_date_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
   test("e2_embed_search: the query vector is broadcast, not shuffled") {
     assert(plan("e2_embed_search").contains("BroadcastExchange"))
   }
