@@ -15,8 +15,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warmup outside the timed region
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // JVM/session warmup outside the timed region. The first measured plan
+    // otherwise absorbs ~2 s of one-time infrastructure cost (codegen
+    // compiler, window/broadcast/agg exec classes, native kernel classes,
+    // parquet reader, noop sink), which mis-attributes it to whichever
+    // query sorts first. No fixture data is touched beyond one tiny table.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val warm = spark.range(0, 4096)
+        .selectExpr("id", "id % 7 AS g",
+          "concat('alpha beta gamma delta ', cast(id % 13 AS string)) AS txt",
+          "transform(sequence(0, 15), i -> cast(pmod(id * (i + 3), 97) AS float)) AS v")
+      val q = warm.where(col("id") < 2)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      warm.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"), col("g"),
+          graft.functions.Similarity.cosine(col("v"), col("qv")).as("score"),
+          graft.functions.Native.minhashSig(col("txt"), 16, 2).as("sig"),
+          graft.functions.Native.simhash(col("txt"), 32, 2).as("sim"),
+          graft.functions.Native.featureHashEmbed(col("txt"), 16).as("emb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)))
+        .where(col("rn") <= 5)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     // Force FULL evaluation with the noop sink: a bare count() lets Catalyst
     // prune every unreferenced projection (a langid or embed query would
     // benchmark nothing but the scan).

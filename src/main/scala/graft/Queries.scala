@@ -404,7 +404,7 @@ object Queries {
   }
 
   def d4JaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(
+    Dedup.jaccardPairsIndexed(
         Tables.documents(spark, sfDir).where(col("doc_id") < 1000),
         "doc_id", "text", threshold = 0.2, shingleN = 2)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -425,7 +425,7 @@ object Queries {
     * pairs with an earlier one or its own predecessor). */
   def d6DedupApply(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 1000)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+    val pairs = Dedup.jaccardPairsIndexed(docs, "doc_id", "text",
       threshold = 0.5, shingleN = 2)
     Dedup.applySurvivors(docs, pairs, "doc_id")
       .select(col("doc_id"), col("n_chars"))

@@ -155,6 +155,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs via a posting-list (inverted-index)
+    * self-join — same results as [[jaccardPairs]] for any threshold > 0
+    * (a qualifying pair must share at least one shingle, so no pair is
+    * missed), but never enumerates non-overlapping pairs.
+    *
+    * Plan shape: explode distinct shingle hashes -> equi-join postings on
+    * the hash -> groupBy(id1,id2) count = |A∩B| -> jaccard = c/(n1+n2-c).
+    * Shuffles on shingle hashes and pair keys only; cost is proportional
+    * to co-occurrence, not N². This is the form that survives 100 TB;
+    * the remaining scale hazard is a stop-shingle whose posting list is
+    * huge — the production path caps that with prefix filtering (rarest
+    * shingles first), which stays exact; here corpora are pre-blocked.
+    */
+  def jaccardPairsIndexed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 2): DataFrame = {
+    require(threshold > 0.0, "indexed Jaccard needs a positive threshold " +
+      "(zero-overlap pairs are never enumerated)")
+    val sets = df.select(
+        col(idCol).as("__id"),
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    val posting = sets.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__h"))
+    posting.as("a").join(posting.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("__c"),
+        first(col("a.__n")).as("__n1"), first(col("b.__n")).as("__n2"))
+      .withColumn("jaccard", col("__c").cast("double") /
+        (col("__n1") + col("__n2") - col("__c")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over distinct word-n-gram shingle hashes: bit i is set
