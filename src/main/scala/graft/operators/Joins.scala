@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies the built-in planner doesn't pick on its own: salted
+  * equi-joins for skewed keys and bucketized interval (range) joins.
+  * Both produce results identical to the naive formulation — they only
+  * change the shuffle shape — so the DuckDB oracle states the naive form.
+  */
+object Joins {
+
+  /** Skew-resistant equi-join: co-partition the fact on (key, salt) with
+    * `salts`-way replicated dimension rows, so one hot key spreads over
+    * `salts` reducers instead of melting a single one. `saltExpr` must be
+    * deterministic per fact row (NOT rand(): retries/recomputes would
+    * re-salt and drop/duplicate rows) — any well-mixed per-row value works
+    * because it only load-balances, never routes semantics.
+    *
+    * At 100 TB this is the fallback when AQE skew-join splitting isn't
+    * enough (e.g. one tenant id = 30% of the fact); the dimension
+    * replication multiplies a small table by `salts`, which is cheap,
+    * while the fact is never replicated.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      saltExpr: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val f = fact.withColumn("__salt", pmod(saltExpr.cast("long"), lit(salts)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Bucketized interval join: pairs (l, r) sharing `keyCol` with
+    * r.sec in (l.sec, l.sec + windowSec]. Instead of a theta join
+    * (broadcast nested loop — quadratic per key), both sides are bucketed
+    * to floor(sec / windowSec); a qualifying pair's buckets differ by at
+    * most 1, so the left probes exactly two buckets via a 2-row explode
+    * and the join is a plain shuffled equi-join on (key, bucket) with the
+    * range predicate applied as a post-filter. Scales linearly in rows +
+    * true matches, never in key-group size squared.
+    *
+    * Returns the left rows joined to matching right rows; callers
+    * aggregate or left-join back as needed. Column names are taken from
+    * the supplied frames: both must carry `keyCol` and a numeric `secCol`.
+    */
+  def rangeJoinPairs(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      secCol: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val lb = floor(col(secCol) / windowSec)
+    val l = left.withColumn("__lb", explode(array(lb, lb + 1))).as("l")
+    val r = right.withColumn("__rb", floor(col(secCol) / windowSec)).as("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("__lb") === col("__rb") &&
+          col(s"r.$secCol") > col(s"l.$secCol") &&
+          col(s"r.$secCol") <= col(s"l.$secCol") + windowSec)
+      .drop("__lb", "__rb")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Int8 vector quantization — the storage-scale lever for embedding
+  * columns: a 64-dim float32 vector is 256 B; symmetric int8 cuts it to
+  * 64 B + one float scale, 4x fewer shuffle/scan bytes for ANN candidate
+  * generation (exact re-rank still reads the float column for the tiny
+  * candidate set). Symmetric max-abs scheme: scale = max|x| / 127,
+  * q_i = floor(x_i / scale + 0.5) in [-127, 127].
+  *
+  * floor(x + 0.5) is used instead of round() because engines disagree on
+  * half-rounding (HALF_UP vs banker's); floor keeps the oracle exact.
+  * Zero vectors quantize to all-zero with scale 0 (guarded division).
+  */
+object Quantization {
+
+  /** max|x_i| over a float-array column, in double. */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of a float-array column ->
+    * ARRAY<INT> in [-127, 127] (int for SQL-mirror simplicity; the
+    * storage form would cast to tinyint). */
+  def quantize(vec: Column): Column = {
+    val scale = maxAbs(vec) / 127.0d
+    transform(vec, x =>
+      when(lit(scale) === 0d, lit(0))
+        .otherwise(floor(x.cast("double") / scale + 0.5d).cast("int")))
+  }
+
+  /** Mean absolute reconstruction error of the quantized form vs the
+    * original, in double — the quality metric a pipeline monitors when
+    * deciding the quantization level. */
+  def meanAbsError(vec: Column): Column = {
+    val scale = maxAbs(vec) / 127.0d
+    val errs = transform(vec, x => {
+      val xd = x.cast("double")
+      val q = when(lit(scale) === 0d, lit(0d))
+        .otherwise(floor(xd / scale + 0.5d) * scale)
+      abs(q - xd)
+    })
+    aggregate(errs, lit(0d), (s, e) => s + e) / size(vec).cast("double")
+  }
+}
+
+/** DuckDB mirrors of [[Quantization]]. */
+object QuantizationSql {
+  def maxAbs(vec: String): String =
+    s"list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE))))"
+
+  def quantize(vec: String): String = {
+    val scale = s"(${maxAbs(vec)} / 127.0)"
+    s"list_transform($vec, x -> CASE WHEN $scale = 0 THEN 0 " +
+      s"ELSE CAST(floor(CAST(x AS DOUBLE) / $scale + 0.5) AS INT) END)"
+  }
+
+  def meanAbsError(vec: String): String = {
+    val scale = s"(${maxAbs(vec)} / 127.0)"
+    val errs = s"list_transform($vec, x -> abs(" +
+      s"(CASE WHEN $scale = 0 THEN 0.0 ELSE floor(CAST(x AS DOUBLE) / $scale + 0.5) * $scale END)" +
+      s" - CAST(x AS DOUBLE)))"
+    s"(list_reduce(list_prepend(CAST(0 AS DOUBLE), $errs), (s, e) -> s + e) / len($vec))"
+  }
+}

@@ -132,6 +132,44 @@ object EventStream {
         count(lit(1)).as("n_events"))
   }
 
+  // --- first-touch attribution --------------------------------------------
+
+  case class TouchEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  case class FirstTouch(
+    user_id: Long, first_event_id: Long, first_type: String, first_sec: Long)
+
+  /** Batch first-touch attribution: each user's earliest event
+    * (ties broken by event_id). min_by on a (ts, event_id) struct — a
+    * single partial-aggregating shuffle, no window sort. */
+  def firstTouchBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"))).as("__f"))
+      .select(col("user_id"),
+        col("__f.event_id").as("first_event_id"),
+        col("__f.event_type").as("first_type"),
+        col("__f.sec").as("first_sec"))
+
+  /** Streaming form of [[firstTouchBatch]] with explicit per-user state:
+    * mapGroupsWithState keeps only the current minimum (sec, event_id)
+    * per user — O(users) state, no buffering of the event history. */
+  def firstTouchStreaming(events: Dataset[TouchEvent]): Dataset[FirstTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FirstTouch, FirstTouch](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TouchEvent], state: GroupState[FirstTouch]) =>
+          val candidates = state.getOption.iterator ++ rows.map { e =>
+            FirstTouch(user, e.event_id, e.event_type, e.ts.getTime / 1000L)
+          }
+          val best = candidates.minBy(f => (f.first_sec, f.first_event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming sessionization with explicit per-user state — the
     * flatMapGroupsWithState form of [[sessionizeBatch]]. Emits one updated
     * (user, sessions, events) row per trigger; state survives across

@@ -141,4 +141,39 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(streaming == batch)
   }
+
+  test("firstTouchStreaming (mapGroupsWithState) matches batch on the fixture") {
+    val batch = EventStream.firstTouchBatch(Tables.events(spark, sf0001))
+      .select("user_id", "first_event_id", "first_type", "first_sec")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val typed = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[EventStream.TouchEvent]
+    val streaming = EventStream.firstTouchStreaming(typed)
+      .as[EventStream.FirstTouch].collect()
+      .map(f => (f.user_id, f.first_event_id, f.first_type, f.first_sec)).toSet
+    assert(streaming == batch)
+  }
+
+  test("firstTouchStreaming keeps the earliest event across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, sec: Long, typ: String) =
+      EventStream.TouchEvent(id, new java.sql.Timestamp(sec * 1000L), 1L, typ)
+    val source = MemoryStream[EventStream.TouchEvent]
+    val q = EventStream.firstTouchStreaming(source.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("first_touch_mb").start()
+    try {
+      source.addData(ev(10L, 500L, "view"))
+      q.processAllAvailable()
+      // a later-arriving but earlier-timestamped event must win
+      source.addData(ev(11L, 100L, "signup"), ev(12L, 900L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("first_touch_mb")
+        .as[EventStream.FirstTouch].collect()
+      // last update for user 1 reflects the true minimum
+      assert(rows.last == EventStream.FirstTouch(1L, 11L, "signup", 100L))
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain equi-join, including hot keys") {
+    // one hot key (1) with 100 rows, two cold keys; the plain join is the
+    // semantic oracle, the salted form only changes the shuffle shape
+    val fact = ((1 to 100).map(i => (1L, i.toDouble, i)) ++
+      Seq((2L, 5.0, 1), (3L, 7.0, 2))).toDF("k", "v", "line")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "cool")).toDF("k", "name")
+
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 4,
+        saltExpr = col("line"))
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+
+    val p = plain.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val s = salted.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(s.toSeq == p.toSeq)
+  }
+
+  test("saltedJoin drops fact rows with no dimension match (inner join)") {
+    val fact = Seq((1L, 1.0, 0), (9L, 2.0, 1)).toDF("k", "v", "line")
+    val dim = Seq((1L, "a")).toDF("k", "name")
+    val r = Joins.saltedJoin(fact, dim, "k", salts = 3, saltExpr = col("line"))
+    assert(r.count() == 1L)
+  }
+
+  test("rangeJoinPairs equals the theta join across bucket boundaries") {
+    // pairs straddling a bucket edge (sec 599 -> 601) must still match;
+    // window is (l.sec, l.sec + 600] — exclusive start, inclusive end
+    val left = Seq((1L, 10L, 0L), (1L, 11L, 599L), (2L, 20L, 100L))
+      .toDF("key", "id", "sec")
+    val right = Seq(
+      (1L, 0L),    // equal to left sec 0 -> excluded (strict >)
+      (1L, 600L),  // = 0 + 600 -> included for id 10; 599+1..1199 for id 11
+      (1L, 601L),  // crosses id 11's bucket boundary
+      (1L, 1200L), // 599 + 601 -> outside id 11's window
+      (2L, 700L),  // 100 + 600 boundary -> included
+      (3L, 50L))   // no left key
+      .toDF("key", "sec")
+
+    val got = Joins.rangeJoinPairs(left, right, "key", "sec", 600L)
+      .select(col("l.id"), col("r.sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val naive = left.as("l").join(right.as("r"),
+        col("l.key") === col("r.key") &&
+          col("r.sec") > col("l.sec") && col("r.sec") <= col("l.sec") + 600L)
+      .select(col("l.id"), col("r.sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    assert(got == naive)
+    assert(got.contains((11L, 601L))) // the cross-bucket match
+    assert(!got.contains((10L, 0L)))  // strict lower bound
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantization
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, -2.0f, 0.5f, 2.0f)),
+    (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector
+    (3L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)),
+    (4L, Seq(127.0f, 1.0f, -127.0f, 0.0f)))
+    .toDF("id", "v")
+
+  test("quantized values stay within [-127, 127] and hit the extremes") {
+    val rows = vecs.select(col("id"), Quantization.quantize(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.values.flatten.foreach(q => assert(q >= -127 && q <= 127))
+    assert(rows(1L) == Seq(64, -127, 32, 127))  // scale = 2/127
+    assert(rows(3L) == Seq(-127, -127, -127, -127))
+    assert(rows(4L) == Seq(127, 1, -127, 0))
+  }
+
+  test("zero vector quantizes to zeros with zero error") {
+    val r = vecs.where(col("id") === 2L)
+      .select(Quantization.quantize(col("v")).as("q"),
+        Quantization.meanAbsError(col("v")).as("mae"))
+      .head()
+    assert(r.getSeq[Int](0) == Seq(0, 0, 0, 0))
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("mean abs reconstruction error is bounded by scale/2") {
+    // |q*scale - x| <= scale/2 pointwise for the floor(x/scale+0.5) scheme
+    val r = vecs.where(col("id") === 1L)
+      .select(Quantization.maxAbs(col("v")).as("m"),
+        Quantization.meanAbsError(col("v")).as("mae"))
+      .head()
+    val halfStep = r.getDouble(0) / 127.0 / 2.0
+    assert(r.getDouble(1) <= halfStep + 1e-12)
+  }
+}

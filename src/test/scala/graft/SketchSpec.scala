@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q12_sketch has no cross-engine oracle (sketches are engine-specific);
+  * this spec is its correctness bound — the estimates must sit within the
+  * published error of the exact values on the fixture. */
+class SketchSpec extends SparkSpec {
+
+  test("HLL++ distinct users within 5% of exact per event type") {
+    val approx = Queries2.q12Sketch(spark, sf001)
+      .select("event_type", "approx_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val est = approx(k)
+      assert(math.abs(est - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: estimate $est vs exact $n")
+    }
+  }
+
+  test("approx median lands between exact p25 and p75 per event type") {
+    val approx = Queries2.q12Sketch(spark, sf001)
+      .select("event_type", "approx_median")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounds = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.25), lit(0.75))).as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1).head, r.getSeq[Double](1).last)).toMap
+    bounds.foreach { case (k, (lo, hi)) =>
+      assert(approx(k) >= lo && approx(k) <= hi,
+        s"$k: median ${approx(k)} outside [$lo, $hi]")
+    }
+  }
+}
