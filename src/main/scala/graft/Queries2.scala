@@ -107,7 +107,8 @@ object Queries2 {
   // ---------------------------------------------------------------------
   def t6NgramFreq(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(explode(TextHash.shingles(col("text"), 2)).as("ngram"))
+      .select(explode(
+        graft.functions.Native.shingleStrings(col("text"), 2)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
@@ -157,10 +158,11 @@ object Queries2 {
   def v12Quantize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
-        round(Quantization.maxAbs(col("embedding")), 6).as("max_abs"),
-        aggregate(Quantization.quantize(col("embedding")), lit(0L),
-          (s, q) => s + abs(q).cast("long")).as("sum_abs_q"),
-        round(Quantization.meanAbsError(col("embedding")), 6).as("mae"))
+        graft.functions.Native.quantizeStats(col("embedding")).as("__s"))
+      .select(col("vec_id"),
+        round(col("__s.max_abs"), 6).as("max_abs"),
+        col("__s.sum_abs_q").as("sum_abs_q"),
+        round(col("__s.mae"), 6).as("mae"))
   val v12QuantizeSql: String = {
     val q = QuantizationSql.quantize("embedding")
     s"""SELECT vec_id,

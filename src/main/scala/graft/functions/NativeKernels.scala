@@ -93,6 +93,23 @@ object Kernels {
     acc
   }
 
+  /** Word-n-gram shingle strings in order, duplicates kept
+    * (mirrors TextHash.shingles). */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.empty[String]
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** Feature-hash embedding — mirrors [[Embed.embed]]: signed counts over
     * token hashes, then L2 normalize with zero-vector passthrough. The
     * normalization magnitude is a left-to-right fold like the HOF form. */
@@ -303,6 +320,149 @@ case class FeatureHashEmbed(child: Expression, dim: Int, normalize: Boolean)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Word-n-gram shingle strings in one pass (= TextHash.shingles — order
+  * kept, duplicates kept). The HOF form interprets a concat_ws+slice
+  * lambda per shingle; this is one tokenizer pass per document. */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    StringInput.check(child, "shingle_strings")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Kernels.shingles(v.asInstanceOf[UTF8String].toString, n)
+        .map(UTF8String.fromString(_)): Array[Any])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Int8 quantization stats in one pass: (max_abs, sum_abs_q, mae) for the
+  * symmetric max-abs scheme of [[graft.operators.Quantization]]. The HOF
+  * form re-inlines the max-abs fold into the per-element lambda (the
+  * single-static-reference collapse), making it O(d^2) per row; this is
+  * O(d). Bit-identical arithmetic: scale = maxAbs/127 in double,
+  * q = floor(x/scale + 0.5), error summed in index order.
+  */
+case class QuantizeStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"quantize_stats expects ARRAY<FLOAT|DOUBLE>, got $dt")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_abs", DoubleType, nullable = false),
+    StructField("sum_abs_q", LongType, nullable = false),
+    StructField("mae", DoubleType, nullable = false)))
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    @inline def at(i: Int): Double =
+      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+    var maxAbs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) { val a = math.abs(at(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = maxAbs / 127.0
+    var sumAbsQ = 0L
+    var errSum = 0.0
+    var j = 0
+    while (j < n) {
+      val xj = at(j)
+      if (scale == 0.0) {
+        // q = 0, reconstruction 0.0 - x
+        errSum += math.abs(0.0 - xj)
+      } else {
+        val q = math.floor(xj / scale + 0.5)
+        sumAbsQ += math.abs(q).toLong
+        errSum += math.abs(q * scale - xj)
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      maxAbs, sumAbsQ, errSum / n.toDouble)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Squared L2 distances from a float/double vector to every centroid of a
+  * literal codebook (k x dim doubles — IVF index metadata). Left-to-right
+  * per-dimension folds, matching the zip_with+aggregate HOF form the
+  * DuckDB oracle mirrors. One native eval replaces k HOF folds, and the
+  * plan stops carrying k 64-element literal arrays. */
+case class CodebookDists(child: Expression, codebook: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"codebook_dists expects ARRAY<FLOAT|DOUBLE>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](cb.length)
+    var c = 0
+    while (c < cb.length) {
+      val cen = cb(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), cen.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - cen(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Nearest-centroid index (argmin of [[CodebookDists]], first occurrence
+  * on ties — the array_position(array_min) contract). */
+case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"codebook_assign expects ARRAY<FLOAT|DOUBLE>, got $dt")
+  }
+  override def dataType: DataType = IntegerType
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val cen = cb(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), cen.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - cen(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 private[graft] object StringInput {
   def check(child: Expression, name: String): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -322,4 +482,11 @@ object Native {
     col(SimHash(ex(text), bits, shingleN))
   def featureHashEmbed(text: Column, dim: Int, normalize: Boolean = true): Column =
     col(FeatureHashEmbed(ex(text), dim, normalize))
+  def codebookDists(vec: Column, codebook: Seq[Seq[Double]]): Column =
+    col(CodebookDists(ex(vec), codebook))
+  def codebookAssign(vec: Column, codebook: Seq[Seq[Double]]): Column =
+    col(CodebookAssign(ex(vec), codebook))
+  def shingleStrings(text: Column, n: Int): Column =
+    col(ShingleStrings(ex(text), n))
+  def quantizeStats(vec: Column): Column = col(QuantizeStats(ex(vec)))
 }

@@ -134,22 +134,29 @@ object Ann {
   // --- IVF: codebook, assignment, probe search ---------------------------
 
   /** Squared L2 distance between an embedding column and a literal
-    * centroid, as a fold (mirrors the SQL fragment). */
-  private def sqDist(vec: Column, centroid: Seq[Double]): Column =
+    * centroid, as a fold (mirrors the SQL fragment; kept as the HOF
+    * reference form the native kernel is asserted against in AnnSpec). */
+  private[graft] def sqDistHof(vec: Column, centroid: Seq[Double]): Column =
     aggregate(zip_with(vec, typedlit(centroid),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (s, x) => s + x)
 
-  /** Nearest-centroid id for each row against a driver-side codebook
-    * (k x dim doubles — index metadata, tiny). Ties break to the lower
-    * centroid id (array_position returns the FIRST occurrence of the min).
-    * Built as one distances array + argmin — a chained when-comparison
-    * would duplicate the running-best subtree at every step (exponential
-    * expression size in k). */
-  def assignToCodebook(vec: Column, codebook: Seq[Seq[Double]]): Column = {
-    val dists = array(codebook.map(c => sqDist(vec, c)): _*)
+  /** HOF form of [[assignToCodebook]] — distances array + argmin (a
+    * chained when-comparison would duplicate the running-best subtree at
+    * every step: exponential expression size in k). */
+  private[graft] def assignToCodebookHof(
+      vec: Column, codebook: Seq[Seq[Double]]): Column = {
+    val dists = array(codebook.map(c => sqDistHof(vec, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
+
+  /** Nearest-centroid id for each row against a driver-side codebook
+    * (k x dim doubles — index metadata, tiny). Ties break to the lower
+    * centroid id (first-occurrence argmin). Native kernel: one eval does
+    * all k distance folds, and the plan stops carrying k dim-length
+    * literal arrays through analysis/codegen. */
+  def assignToCodebook(vec: Column, codebook: Seq[Seq[Double]]): Column =
+    graft.functions.Native.codebookAssign(vec, codebook)
 
   /** Lloyd's k-means over an embedding column — the batch index-building
     * step for a trained IVF codebook. Deterministic init (first k rows by
@@ -200,7 +207,7 @@ object Ann {
     val v = vectors.withColumn("__c", assignToCodebook(col(embCol), codebook))
     // query-side probe lists: rank all centroids by distance, keep nProbe
     val probes = queries.select(col(qidCol), col(qVecCol),
-        posexplode(array(codebook.map(c => sqDist(col(qVecCol), c)): _*)))
+        posexplode(graft.functions.Native.codebookDists(col(qVecCol), codebook)))
       .withColumnRenamed("pos", "__c").withColumnRenamed("col", "__d")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(qidCol)).orderBy(col("__d").asc, col("__c").asc)))

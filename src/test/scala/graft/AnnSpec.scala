@@ -54,6 +54,22 @@ class AnnSpec extends SparkSpec {
     assert(inertia(cb3) < inertia(cb0) * 0.9)    // training actually helps
   }
 
+  test("native codebook assign/dists match the HOF forms on real data") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val cb = Ann.kmeans(vecs, k = 8, iters = 1)
+    val both = vecs.select(
+      Ann.assignToCodebook($"embedding", cb).as("native"),
+      Ann.assignToCodebookHof($"embedding", cb).as("hof"),
+      graft.functions.Native.codebookDists($"embedding", cb).as("nd"),
+      org.apache.spark.sql.functions.array(
+        cb.map(c => Ann.sqDistHof($"embedding", c)): _*).as("hd"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3)) // bit-identical folds
+    }
+  }
+
   test("ivfTopK: results are a subset of brute force; every query finds itself") {
     val vecs = Tables.embeddings(spark, sf0001)
     val qs = vecs.where($"vec_id" < 5)

@@ -38,6 +38,13 @@ class NativeKernelsSpec extends SparkSpec {
     assert(both.where(col("nat") =!= col("hof")).count() == 0)
   }
 
+  test("native shingle strings == HOF shingles (order and duplicates kept)") {
+    val both = docs.select(
+      Native.shingleStrings(col("text"), 2).as("nat"),
+      TextHash.shingles(col("text"), 2).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() == 0)
+  }
+
   test("native minhash signature == HOF signature") {
     val both = docs.select(
       Native.minhashSig(col("text"), 16, 2).as("nat"),

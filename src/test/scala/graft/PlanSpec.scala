@@ -45,4 +45,43 @@ class PlanSpec extends SparkSpec {
     val p = plan("s5_fk_accept")
     assert(p.contains("LeftSemi") && p.contains("Broadcast"))
   }
+
+  private def plan2(q: String): String =
+    Queries2.registry(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("x2_range_join: interval join runs as an equi-join, not a nested loop") {
+    val p = plan2("x2_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q11_salted_join: joins on (key, salt) — no broadcast of the fact side") {
+    val p = plan2("q11_salted_join")
+    // the salted dimension explode must sit under the join, and the join
+    // keys must include the salt column
+    assert(p.contains("__salt"))
+    assert(p.contains("partial_sum")) // aggregation still map-side partial
+  }
+
+  test("q9_cube: expand + partial aggregation before the exchange") {
+    val p = plan2("q9_cube")
+    assert(p.contains("Expand"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("t6_ngram_freq: top-50 compiles to TakeOrderedAndProject over partial counts") {
+    val p = plan2("t6_ngram_freq")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count") || p.contains("count(1)"))
+  }
+
+  test("e7_first_touch: single partial-aggregating shuffle, no window sort") {
+    val p = plan2("e7_first_touch")
+    assert(p.contains("partial_min") || p.contains("partial_"))
+    assert(!p.contains("Window"))
+  }
+
+  test("v12_quantize: pure map-side projection — no shuffle at all") {
+    val p = plan2("v12_quantize")
+    assert(!p.contains("Exchange"))
+  }
 }

@@ -31,6 +31,23 @@ class QuantizationSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("native QuantizeStats matches the HOF forms bit-for-bit on real data") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(
+        graft.functions.Native.quantizeStats(col("embedding")).as("s"),
+        Quantization.maxAbs(col("embedding")).as("m"),
+        aggregate(Quantization.quantize(col("embedding")), lit(0L),
+          (acc, q) => acc + abs(q).cast("long")).as("saq"),
+        Quantization.meanAbsError(col("embedding")).as("mae"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getDouble(0) == r.getDouble(1))
+      assert(s.getLong(1) == r.getLong(2))
+      assert(s.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("mean abs reconstruction error is bounded by scale/2") {
     // |q*scale - x| <= scale/2 pointwise for the floor(x/scale+0.5) scheme
     val r = vecs.where(col("id") === 1L)
