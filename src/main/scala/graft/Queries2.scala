@@ -214,6 +214,43 @@ object Queries2 {
       |WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // T7: TF-IDF — top-100 (doc, term) scores with smooth idf. Plan shape:
+  // one shuffle on (doc, tok) for tf, one on tok for df (window count
+  // over the tf rows — vocabulary-sized, no second pass over the corpus),
+  // corpus size broadcast as a 1-row frame; top-100 is a
+  // TakeOrderedAndProject on the rounded score with a total tie-break.
+  // ---------------------------------------------------------------------
+  def t7Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    withDf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("cnt").cast("double") *
+          (log((col("n_docs") + 1.0d) / (col("df") + 1.0d)) + 1.0d), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("tok").asc)
+      .limit(100)
+  }
+  val t7TfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextHashSql.tokens("text")}) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, tok,
+       |  round(CAST(cnt AS DOUBLE) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+       |    AS tfidf
+       |FROM (SELECT doc_id, tok, cnt,
+       |        COUNT(*) OVER (PARTITION BY tok) AS df FROM tf), n
+       |ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Q12: sketch aggregates — HLL++ distinct users and a t-digest-style
   // median per event type. Approximation algorithms are engine-specific,
   // so there is no cross-engine oracle: the driver records the weaker
@@ -233,6 +270,7 @@ object Queries2 {
     "q11_salted_join"  -> (q11SaltedJoin _),
     "w3_window_dist"   -> (w3WindowDist _),
     "t6_ngram_freq"    -> (t6NgramFreq _),
+    "t7_tfidf"         -> (t7Tfidf _),
     "x2_range_join"    -> (x2RangeJoin _),
     "v12_quantize"     -> (v12Quantize _),
     "a5_ann_recall"    -> (a5AnnRecall _),
@@ -245,6 +283,7 @@ object Queries2 {
     "q11_salted_join"  -> q11SaltedJoinSql,
     "w3_window_dist"   -> w3WindowDistSql,
     "t6_ngram_freq"    -> t6NgramFreqSql,
+    "t7_tfidf"         -> t7TfidfSql,
     "x2_range_join"    -> x2RangeJoinSql,
     "v12_quantize"     -> v12QuantizeSql,
     "a5_ann_recall"    -> a5AnnRecallSql,

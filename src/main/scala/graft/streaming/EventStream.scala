@@ -132,6 +132,37 @@ object EventStream {
         count(lit(1)).as("n_events"))
   }
 
+  // --- stream-stream interval join ----------------------------------------
+
+  /** Stream-stream interval join: events following a purchase by the same
+    * user within `windowSec`. Both sides are watermarked so the join state
+    * is bounded — a right-side row can be dropped once it is older than
+    * the watermark minus the interval, which is exactly the buffer bound
+    * Spark derives from the time-range condition. Works on batch frames
+    * too (watermark is a no-op in batch), which is what the oracle checks
+    * via the x2_range_join query semantics.
+    *
+    * Streaming requires the raw event-time columns in the join condition
+    * (not pre-truncated epochs), so the bound is expressed on `ts`
+    * directly via an interval.
+    */
+  def followsWithin(
+      purchases: DataFrame,
+      events: DataFrame,
+      windowSec: Long): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val e = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+    p.join(e,
+      col("p_user_id") === col("e_user_id") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   // --- first-touch attribution --------------------------------------------
 
   case class TouchEvent(

@@ -155,6 +155,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("stream-stream interval join (followsWithin) equals the batch join") {
+    val ev = Tables.events(spark, sf0001)
+    val purch = ev.where(col("event_type") === "purchase")
+    val batch = EventStream.followsWithin(purch, ev, 600L)
+      .groupBy("p_event_id").count()
+      .as[(Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("ss_join").toFile
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir.getPath, "in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        java.nio.file.Paths.get(dir.getPath, "in", "events.parquet"))
+      val pStream = EventStream.readEventStream(spark, dir.getPath + "/in")
+        .where(col("event_type") === "purchase")
+      val eStream = EventStream.readEventStream(spark, dir.getPath + "/in")
+      val q = EventStream.followsWithin(pStream, eStream, 600L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ss_join").start()
+      q.processAllAvailable()
+      q.stop()
+      val streaming = spark.table("ss_join")
+        .groupBy("p_event_id").count()
+        .as[(Long, Long)].collect().toSet
+      assert(streaming == batch)
+      assert(batch.nonEmpty)
+    } finally dir.deleteOnExit()
+  }
+
   test("firstTouchStreaming keeps the earliest event across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
