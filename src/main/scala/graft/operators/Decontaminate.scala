@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection for training corpora: for every
+  * training document, how much of its distinct n-gram set also appears in
+  * a held-out benchmark corpus. The standard pre-training hygiene step —
+  * documents overlapping an eval set must be surfaced (and usually
+  * dropped) before training. Beyond the reference's own surface; part of
+  * the LLM-pipeline operator family ([[Dedup]], [[TextAnalysis]]).
+  *
+  * Scale posture (100 TB train / bounded benchmark): the benchmark's
+  * distinct shingle set is tiny relative to the corpus (evals are
+  * human-curated), so it broadcasts; the train side then never shuffles —
+  * the semi-join and both aggregates run map-side partial against the
+  * broadcast hash table, one shuffle on doc_id to finish the counts.
+  */
+object Decontaminate {
+
+  /** Per-document distinct-shingle overlap of `corpus` against
+    * `benchmark`. Returns (idCol, n_total, n_shared, contamination) with
+    * contamination = n_shared / n_total rounded to 6dp; documents with
+    * fewer than `shingleN` tokens have no shingles and drop out (no
+    * signal either way).
+    */
+  def ngramOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    def postings(df: DataFrame) = df.select(
+      col(idCol),
+      explode(graft.functions.Native.shingleHashes(col(textCol), shingleN))
+        .as("__h"))
+    val benchSet = postings(benchmark).select(col("__h")).distinct()
+    val train = postings(corpus)
+    val totals = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    val shared = train.join(broadcast(benchSet), Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_total"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("contamination"))
+  }
+}

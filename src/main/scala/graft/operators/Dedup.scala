@@ -130,6 +130,58 @@ object Dedup {
   def applySurvivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(pairs.select(col("id2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over an undirected pair list — turns verified
+    * near-dup PAIRS into duplicate CLUSTERS (pairwise decisions alone are
+    * not transitive: a~b, b~c must collapse into one group before picking
+    * one survivor per group). Returns (id, component) where component is
+    * the minimum member id, for ids that appear in at least one pair.
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * equi-join of the edge list with the current labels plus a min
+    * aggregate — all shuffles on the id key, nothing driver-side, so a
+    * round costs the same as one groupBy at any corpus size. Rounds
+    * needed = graph diameter; LSH-verified near-dup clusters are
+    * near-cliques (diameter 1-2), so this converges in 2-3 rounds.
+    * `localCheckpoint` truncates lineage each round so the plan does not
+    * grow with the iteration count. For adversarial long-chain graphs the
+    * upgrade path is the large-star/small-star algorithm (O(log d)
+    * rounds), same join-aggregate building blocks.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idCol1: String = "id1",
+      idCol2: String = "id2",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
+      .union(pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("__src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("__dst") === labels("id"))
+        .select(col("__src").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no label dropped" == fixed point
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .where(col("n.component") < col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // --- Jaccard ----------------------------------------------------------
 
   /** |A ∩ B| / |A ∪ B| over distinct-element arrays, in double. */

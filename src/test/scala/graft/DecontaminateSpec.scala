@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramOverlap reports shared distinct 3-gram fraction per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // fully contained: 2/2 shared
+      (2L, "alpha beta gamma other words"),  // 1 of 3 shingles shared
+      (3L, "nothing in common here at all"), // 0 shared
+      (4L, "too short"))                     // no 3-grams -> dropped
+      .toDF("doc_id", "text")
+    val res = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_total", "n_shared", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(res == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 4L, 0L, 0.0)))
+  }
+
+  test("ngramOverlap counts distinct shingles (repeats in a doc count once)") {
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    // "a b c a b c" 3-grams: (a b c), (b c a), (c a b), (a b c) ->
+    // 3 distinct; exactly one ("a b c") appears in the benchmark
+    val res = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text")
+      .select("n_total", "n_shared").as[(Long, Long)].head()
+    assert(res == ((3L, 1L)))
+  }
+
+  test("repetition ratio ingredients separate repetitive from diverse docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all words here are unique tokens"))
+      .toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        graft.functions.Native.shingleStrings(col("text"), 2).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        size(array_distinct(col("sh"))).as("d"))
+      .orderBy("doc_id").as[(Long, Int, Int)].collect()
+    assert(rows(0) == ((1L, 4, 1))) // "spam spam" x4, all identical
+    assert(rows(1) == ((2L, 5, 5))) // all distinct
+  }
+}

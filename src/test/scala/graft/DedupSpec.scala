@@ -85,4 +85,24 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSeq
     assert(res == Seq((0L, 1L)))
   }
+
+  test("connectedComponents merges transitive pairs into min-id clusters") {
+    // chain 1-2-3 (1~3 never paired directly) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val res = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(res == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("connectedComponents handles a long chain (diameter > 2)") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val res = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSeq
+    assert(res.size == 10 && res.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents on no pairs is empty") {
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(none).isEmpty)
+  }
 }
