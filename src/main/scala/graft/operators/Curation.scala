@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: stratified
+  * down-sampling, target-proportion domain mixing, and token-budget shard
+  * packing. All sampling is deterministic by content hash
+  * ([[Sampling.hashBucket]]) — a row's fate never depends on partitioning,
+  * cluster size, or a seed, which is what reproducible corpus builds
+  * require. Beyond the reference's own surface; part of the LLM-pipeline
+  * family ([[Dedup]], [[Decontaminate]], [[TextAnalysis]]).
+  */
+object Curation {
+
+  /** Keep-predicate for per-stratum sampling rates (e.g. downsample the
+    * dominant language, keep the rest). Pure map-side column math — no
+    * shuffle, no state; rates are compile-time literals folded into one
+    * CASE chain.
+    */
+  def stratifiedKeep(
+      key: Column,
+      strata: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      granularity: Int = 10000): Column = {
+    val thresh = rates.foldLeft(lit((defaultRate * granularity).toLong)) {
+      case (acc, (s, r)) =>
+        when(strata === lit(s), lit((r * granularity).toLong)).otherwise(acc)
+    }
+    Sampling.hashBucket(key, granularity) < thresh
+  }
+
+  /** Per-domain sampling thresholds that rebalance a corpus toward equal
+    * share per domain: domains above the equal share are down-sampled to
+    * it, smaller domains keep everything (rate capped at 1). Returns
+    * (domainCol, n_before, thresh) with thresh in [0, granularity].
+    *
+    * Scale posture: one groupBy over the corpus for counts; the
+    * per-domain table is tiny (domains are a catalog, not data) so the
+    * global total joins back via broadcast and the subsequent keep-filter
+    * is map-side against broadcast thresholds.
+    */
+  def equalShareThresholds(
+      df: DataFrame,
+      domainCol: String,
+      granularity: Int = 10000): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_before"))
+    val stats = counts.agg(
+      sum(col("n_before")).as("__total"),
+      count(lit(1)).as("__ndom"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(domainCol), col("n_before"),
+        least(lit(granularity.toLong),
+          floor(lit(granularity.toDouble) * col("__total") /
+            (col("__ndom") * col("n_before"))).cast("long")).as("thresh"))
+  }
+
+  /** Apply [[equalShareThresholds]]: keep rows whose key-hash bucket falls
+    * under their domain's threshold. */
+  def rebalance(
+      df: DataFrame,
+      key: Column,
+      domainCol: String,
+      granularity: Int = 10000): DataFrame = {
+    val thresholds = equalShareThresholds(df, domainCol, granularity)
+      .drop("n_before")
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .where(Sampling.hashBucket(key, granularity) < col("thresh"))
+      .drop("thresh")
+  }
+
+  /** Greedy sequential shard packing: within each `partCol` group, walk
+    * rows in `orderCol` order accumulating `tokensCol`; a row's shard is
+    * `floor(tokens_before_it / budget)` — shards hold ~budget tokens each
+    * (a row may straddle the boundary; it belongs to the shard where it
+    * started). Adds `shard_ix`. The window is partitioned by `partCol`, so
+    * packing parallelizes across domains/files at any corpus size — never
+    * a single global sort.
+    */
+  def packShards(
+      df: DataFrame,
+      orderCol: Column,
+      tokensCol: Column,
+      partCol: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard_ix",
+      floor((sum(tokensCol).over(w) - tokensCol).cast("double") /
+        budget.toDouble).cast("long"))
+  }
+}
+
+/** DuckDB mirrors of [[Curation]] for the oracle. */
+object CurationSql {
+  def stratifiedKeep(
+      key: String,
+      strata: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      granularity: Int = 10000): String = {
+    val cases = rates.map { case (s, r) =>
+      s"WHEN $strata = '$s' THEN ${(r * granularity).toLong}"
+    }.mkString(" ")
+    s"(${SamplingSql.hashBucket(key, granularity)} < " +
+      s"(CASE $cases ELSE ${(defaultRate * granularity).toLong} END))"
+  }
+}

@@ -141,7 +141,12 @@ object Dedup {
     * aggregate — all shuffles on the id key, nothing driver-side, so a
     * round costs the same as one groupBy at any corpus size. Rounds
     * needed = graph diameter; LSH-verified near-dup clusters are
-    * near-cliques (diameter 1-2), so this converges in 2-3 rounds.
+    * near-cliques (diameter 1-2), so this converges in 1-2 rounds after
+    * the zeroth round (label = min of self and direct neighbors) is
+    * folded into initialization. Convergence is detected from a
+    * `__changed` flag computed in the SAME pass as the new labels — no
+    * separate old-vs-new join, so a round materializes exactly once and
+    * the check is a scalar aggregate over the checkpointed result.
     * `localCheckpoint` truncates lineage each round so the plan does not
     * grow with the iteration count. For adversarial long-chain graphs the
     * upgrade path is the large-star/small-star algorithm (O(log d)
@@ -157,26 +162,26 @@ object Dedup {
       .union(pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("__src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
+    var labels = edges.groupBy(col("__src").as("id"))
+      .agg(least(first(col("__src")), min(col("__dst"))).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges
+      val neighborMin = edges
         .join(labels, edges("__dst") === labels("id"))
-        .select(col("__src").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .groupBy(col("__src").as("id"))
+        .agg(min(col("component")).as("__nmin"))
+      val next = labels.withColumnRenamed("component", "__old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("__old"), coalesce(col("__nmin"), col("__old")))
+            .as("component"),
+          (col("__nmin") < col("__old")).as("__changed"))
         .localCheckpoint(true)
-      // labels only ever decrease, so "no label dropped" == fixed point
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .where(col("n.component") < col("o.component"))
-        .isEmpty
-      labels = next
+      converged = !next.agg(coalesce(max(col("__changed")), lit(false)))
+        .head().getBoolean(0)
+      labels = next.drop("__changed")
       iter += 1
     }
     labels

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedKeep keeps everything at rate 1 and nothing at rate 0") {
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val all = docs.where(Curation.stratifiedKeep(col("doc_id"), col("lang"),
+      Map("en" -> 1.0, "fr" -> 1.0)))
+    assert(all.count() == 100)
+    val none = docs.where(Curation.stratifiedKeep(col("doc_id"), col("lang"),
+      Map("en" -> 0.0), defaultRate = 0.0))
+    assert(none.count() == 0)
+  }
+
+  test("stratifiedKeep downsamples only the named stratum") {
+    val docs = (0L until 1000L).map(i => (i, if (i < 800) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = docs.where(Curation.stratifiedKeep(col("doc_id"), col("lang"),
+        Map("en" -> 0.2)))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("fr") == 200)            // untouched stratum keeps all rows
+    assert(kept("en") > 80 && kept("en") < 320) // ~160 of 800 at rate 0.2
+  }
+
+  test("stratifiedKeep is deterministic under repartitioning") {
+    val docs = (0L until 500L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val keep = Curation.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 0.5))
+    val a = docs.where(keep).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = docs.repartition(17).where(keep)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("equalShareThresholds caps small domains at granularity") {
+    // 3 domains: 600 / 300 / 100 rows, equal share = 333
+    val docs = ((0L until 600L).map(i => (i, "big")) ++
+      (600L until 900L).map(i => (i, "mid")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val thr = Curation.equalShareThresholds(docs, "source")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(thr("small") == ((100L, 10000L))) // under share: keep all
+    assert(thr("big")._2 < 10000L)           // over share: downsampled
+    assert(thr("big")._2 == math.floor(10000.0 * 1000 / (3 * 600)).toLong)
+  }
+
+  test("rebalance moves the big domain toward equal share") {
+    val docs = ((0L until 600L).map(i => (i, "big")) ++
+      (600L until 700L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val after = Curation.rebalance(docs, col("doc_id"), "source")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(after("small") == 100)   // kept whole
+    assert(after("big") < 450)      // 600 -> ~350 (equal share)
+  }
+
+  test("packShards assigns shards by running token budget within a group") {
+    val docs = Seq(
+      (1L, "a", 900L), (2L, "a", 900L), (3L, "a", 900L), (4L, "a", 900L),
+      (10L, "b", 50L))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = Curation.packShards(docs, col("doc_id"), col("n_tokens"),
+        col("source"), budget = 2000L)
+      .select("doc_id", "shard_ix").as[(Long, Long)].collect().toMap
+    // cum-before: 0, 900, 1800, 2700 -> shards 0,0,0,1; b restarts at 0
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 10L -> 0L))
+  }
+}
