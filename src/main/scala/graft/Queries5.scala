@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.operators.Dedup
+
+/** Round-2 query inventory, fourth batch: explicit GROUPING SETS, corpus
+  * token-frequency scoring, quality-aware duplicate-cluster survivor
+  * selection, and per-label embedding centroids. Same contract as
+  * [[Queries]]: each Spark dataflow paired with DuckDB SQL computing the
+  * identical result.
+  */
+object Queries5 {
+
+  // ---------------------------------------------------------------------
+  // Q13: explicit grouping sets — (flag, status), (flag), () in one pass.
+  // Catalyst expands to a single Expand + partial aggregation, one
+  // shuffle; grouping_id disambiguates the aggregation level (Spark and
+  // DuckDB share the Postgres bit convention: leftmost column = MSB).
+  // ---------------------------------------------------------------------
+  def q13GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  val q13GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T9: corpus-frequency scoring — mean corpus term frequency and
+  // rare-token ratio per document (the integer-arithmetic stand-in for an
+  // LM perplexity filter: low mean_tf / high rare_ratio = unusual text).
+  // Pure integer sums, so the oracle matches bit-for-bit — no
+  // transcendentals whose last-ulp rounding differs across engines.
+  // Scale posture: the vocabulary aggregate is Zipf-bounded (heavy
+  // hitters dominate) and broadcasts; at open-web vocabulary scale the
+  // same plan runs as a shuffle join on tok — one line changed.
+  // ---------------------------------------------------------------------
+  def t9Rarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("freq_sum"),
+        sum(when(col("tf") <= 2, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("freq_sum").cast("double") / col("n_tokens"), 6).as("mean_tf"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+  }
+  val t9RaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${graft.functions.TextHashSql.tokens("text")}) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  round(CAST(SUM(v.tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf,
+       |  round(CAST(SUM(CASE WHEN v.tf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS rare_ratio
+       |FROM toks t JOIN vocab v USING (tok)
+       |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // D8: quality-aware survivor selection — cluster near-dups (connected
+  // components over MinHash-verified pairs), then keep the LONGEST doc of
+  // each cluster (n_chars desc, doc_id asc tie-break) instead of the
+  // arbitrary min-id. Emits every clustered doc with its survivor and a
+  // keep-flag; the full-corpus apply is then one broadcast anti-join.
+  // ---------------------------------------------------------------------
+  def d8ClusterSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashNearDups(docs,
+      "doc_id", "text", threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comp.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        first(col("doc_id")).over(w).as("survivor_id"))
+      .withColumn("is_survivor", col("doc_id") === col("survivor_id"))
+  }
+  val d8ClusterSurvivorsSql: String =
+    s"""WITH RECURSIVE pairs AS (${Queries.d2MinhashPairsSql}),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT c.doc_id, c.cluster_id,
+       |  FIRST_VALUE(c.doc_id) OVER
+       |    (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC)
+       |    AS survivor_id,
+       |  c.doc_id = FIRST_VALUE(c.doc_id) OVER
+       |    (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC)
+       |    AS is_survivor
+       |FROM comp c JOIN documents d USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A6: per-label embedding centroids (one Lloyd assignment-free step —
+  // the codebook-training primitive behind the IVF index in a4). Explode
+  // to (label, dim, x) and mean per cell: the explode-aggregate shape is
+  // the scalable way to average vectors — partial sums map-side, one
+  // shuffle keyed (label, dim), never a collect. Cross-row double sums
+  // are order-sensitive, so sum in DECIMAL (exact, associative) and
+  // divide once at the end.
+  // ---------------------------------------------------------------------
+  def a6Centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(round(
+        sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("centroid"))
+  val a6CentroidsSql: String =
+    """SELECT label, i AS dim,
+      |  round(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid
+      |FROM embeddings, range(0, 64) t(i)
+      |GROUP BY label, i""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_grouping_sets"    -> (q13GroupingSets _),
+    "t9_rarity"            -> (t9Rarity _),
+    "d8_cluster_survivors" -> (d8ClusterSurvivors _),
+    "a6_centroids"         -> (a6Centroids _))
+
+  val oracles: Map[String, String] = Map(
+    "q13_grouping_sets"    -> q13GroupingSetsSql,
+    "t9_rarity"            -> t9RaritySql,
+    "d8_cluster_survivors" -> d8ClusterSurvivorsSql,
+    "a6_centroids"         -> a6CentroidsSql)
+}

@@ -84,4 +84,37 @@ class PlanSpec extends SparkSpec {
     val p = plan2("v12_quantize")
     assert(!p.contains("Exchange"))
   }
+
+  private def planN(reg: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+      q: String): String =
+    reg(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q13_grouping_sets: one Expand + partial aggregation, single exchange") {
+    val p = planN(Queries5.registry, "q13_grouping_sets")
+    assert(p.contains("Expand"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("t9_rarity: the vocabulary side is broadcast, not shuffled") {
+    assert(planN(Queries5.registry, "t9_rarity").contains("BroadcastHashJoin"))
+  }
+
+  test("a6_centroids: partial aggregation below the (label, dim) exchange") {
+    val p = planN(Queries5.registry, "a6_centroids")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("Generate explode") || p.contains("posexplode"))
+  }
+
+  test("smp1_stratified_sample: map-side filter, no shuffle at all") {
+    assert(!planN(Queries4.registry, "smp1_stratified_sample").contains("Exchange"))
+  }
+
+  test("mix1_domain_mixture: thresholds broadcast back to the corpus scan") {
+    assert(planN(Queries4.registry, "mix1_domain_mixture").contains("BroadcastHashJoin"))
+  }
+
+  test("c1_contamination: benchmark shingle set is a broadcast semi-join") {
+    val p = planN(Queries3.registry, "c1_contamination")
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"))
+  }
 }
