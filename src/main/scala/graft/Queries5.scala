@@ -134,15 +134,80 @@ object Queries5 {
       |FROM embeddings, range(0, 64) t(i)
       |GROUP BY label, i""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A7: trained IVF — Lloyd's k-means (2 iterations, deterministic seed =
+  // first 8 vectors) trains the codebook that a4 takes as given, then the
+  // same probe search runs against the trained centroids. Training is two
+  // broadcast-assign map passes + per-(centroid, dim) shuffle averages;
+  // the codebook itself is index metadata (k x 64 doubles) and rides to
+  // the probes as a literal. Centroid means use exact DECIMAL sums so the
+  // trained codebook is bit-identical across partitionings and engines.
+  // ---------------------------------------------------------------------
+  def a7IvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val codebook = graft.operators.Ann.kmeans(embs, k = 8, iters = 2)
+    graft.operators.Ann.ivfTopK(embs, queries, codebook, k = 5, nProbe = 2)
+      .select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  }
+  val a7IvfTrainedSql: String = {
+    import graft.operators.AnnSql
+    val c = Queries.sqlCosine("v.embedding", "p.qvec")
+    def assign(cb: String) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${AnnSql.sqDist("v.embedding", "c.cvec")} ASC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings v, $cb c) WHERE rn = 1""".stripMargin
+    def step(prev: String, a: String, m: String, next: String) =
+      s"""$a AS (${assign(prev)}),
+         |$m AS (
+         |  SELECT a.cid, i AS dim,
+         |    CAST(SUM(CAST(CAST(v.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM $a a JOIN embeddings v USING (vec_id), range(0, 64) t(i)
+         |  GROUP BY a.cid, i),
+         |$next AS (
+         |  SELECT c0.cid, COALESCE(c1.cvec, c0.cvec) AS cvec
+         |  FROM $prev c0 LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS cvec FROM $m GROUP BY cid
+         |  ) c1 USING (cid))""".stripMargin
+    s"""WITH cb0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |${step("cb0", "asg1", "m1", "cb1")},
+       |${step("cb1", "asg2", "m2", "cb2")},
+       |av AS (${assign("cb2")}),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${AnnSql.sqDist("q.embedding", "c.cvec")} ASC,
+       |          c.cid ASC) AS rn
+       |    FROM embeddings q, cb2 c WHERE q.vec_id < 5) WHERE rn <= 2)
+       |SELECT qid, vec_id, score FROM (
+       |  SELECT p.qid AS qid, v.vec_id AS vec_id, round($c, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |                       ORDER BY $c DESC, v.vec_id ASC) AS rn
+       |  FROM probes p JOIN av a ON a.cid = p.cid
+       |  JOIN embeddings v ON v.vec_id = a.vec_id)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_grouping_sets"    -> (q13GroupingSets _),
     "t9_rarity"            -> (t9Rarity _),
     "d8_cluster_survivors" -> (d8ClusterSurvivors _),
-    "a6_centroids"         -> (a6Centroids _))
+    "a6_centroids"         -> (a6Centroids _),
+    "a7_ivf_trained"       -> (a7IvfTrained _))
 
   val oracles: Map[String, String] = Map(
     "q13_grouping_sets"    -> q13GroupingSetsSql,
     "t9_rarity"            -> t9RaritySql,
     "d8_cluster_survivors" -> d8ClusterSurvivorsSql,
-    "a6_centroids"         -> a6CentroidsSql)
+    "a6_centroids"         -> a6CentroidsSql,
+    "a7_ivf_trained"       -> a7IvfTrainedSql)
 }

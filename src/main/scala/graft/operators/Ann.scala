@@ -177,8 +177,12 @@ object Ann {
       val assigned = vectors.select(
         assignToCodebook(col(embCol), codebook).as("__c"),
         posexplode(col(embCol)).as(Seq("__dim", "__x")))
+      // exact DECIMAL sums: cross-row double addition is order-sensitive,
+      // which would make the codebook depend on partitioning (and break
+      // the DuckDB oracle); decimal addition is exact and associative
       val means = assigned.groupBy(col("__c"), col("__dim"))
-        .agg(avg(col("__x")).as("__m"))
+        .agg((sum(col("__x").cast("double").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("__m"))
         .groupBy(col("__c"))
         .agg(sort_array(collect_list(struct(col("__dim"), col("__m")))).as("__ms"))
         .select(col("__c"), col("__ms.__m").as("__centroid"))
