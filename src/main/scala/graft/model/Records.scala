@@ -1,0 +1,73 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed row models for the engine's two catalogs — the case-class
+  * `Dataset[T]` face of the reference's serde structs (SURVEY.md §1.1).
+  * The DataFrame operators remain the primary surface (schema-dynamic,
+  * oracle-checkable); these encoders are for API consumers who want
+  * compile-time row types on the reference-shaped tables.
+  */
+
+/** In-memory store row — reference `MemoryEntry`, src/memory.rs:11-21.
+  * `session` is optional there (`Option<String>`); nullable String here
+  * (None ⇔ NULL, and NULL never matches a session filter). */
+final case class MemoryRecord(
+    id: String,
+    text: String,
+    metadata: Map[String, String],
+    session: Option[String],
+    embedding: Seq[Float])
+
+/** Search hit — reference `SearchResult` (MemoryEntry minus embedding
+  * plus score), src/memory.rs:24-32. */
+final case class SearchHit(
+    id: String,
+    text: String,
+    metadata: Map[String, String],
+    session: Option[String],
+    score: Double)
+
+/** Session-catalog row — reference `Session`, src/session_store.rs:24-34
+  * (RFC3339 strings there; proper timestamps here). */
+final case class SessionRecord(
+    id: String,
+    created_at: java.sql.Timestamp,
+    updated_at: java.sql.Timestamp,
+    tags: Seq[String])
+
+object Records {
+  implicit val memoryEncoder: Encoder[MemoryRecord] = Encoders.product[MemoryRecord]
+  implicit val hitEncoder: Encoder[SearchHit] = Encoders.product[SearchHit]
+  implicit val sessionEncoder: Encoder[SessionRecord] = Encoders.product[SessionRecord]
+
+  /** Typed view of a memory table (column order normalized). */
+  def memories(df: DataFrame): Dataset[MemoryRecord] =
+    df.select(col("id").cast("string"), col("text"), col("metadata"),
+        col("session"), col("embedding"))
+      .as[MemoryRecord](memoryEncoder)
+
+  /** Typed view of a session catalog. */
+  def sessions(df: DataFrame): Dataset[SessionRecord] =
+    df.select(col("id").cast("string"), col("created_at"),
+        col("updated_at"), col("tags"))
+      .as[SessionRecord](sessionEncoder)
+
+  /** Typed flagship read (reference §3.1): top-k scored hits. */
+  def searchTyped(
+      memories: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      session: Option[String] = None,
+      threshold: Option[Double] = None): Dataset[SearchHit] = {
+    val hits = graft.operators.VectorSearch.topK(
+      memories, queryVec, k,
+      idCol = "id",
+      predicate = session.map(s => col("session") === lit(s)),
+      threshold = threshold)
+    hits.select(col("id").cast("string"), col("text"), col("metadata"),
+        col("session"), col("score").cast("double"))
+      .as[SearchHit](hitEncoder)
+  }
+}

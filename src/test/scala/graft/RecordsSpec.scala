@@ -1,0 +1,41 @@
+package graft
+
+import graft.model.{MemoryRecord, Records, SessionRecord}
+
+class RecordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def memTable = Seq(
+    MemoryRecord("a", "hello world", Map("k" -> "v"), Some("s1"), Seq(1f, 0f, 0f)),
+    MemoryRecord("b", "goodbye world", Map.empty, Some("s2"), Seq(0f, 1f, 0f)),
+    MemoryRecord("c", "hello again", Map.empty, None, Seq(0.9f, 0.1f, 0f)))
+
+  test("typed memory round-trip: Dataset[MemoryRecord] -> DataFrame -> typed") {
+    val ds = spark.createDataset(memTable)(Records.memoryEncoder)
+    val back = Records.memories(ds.toDF()).collect().sortBy(_.id).toSeq
+    assert(back == memTable)
+  }
+
+  test("searchTyped ranks hits like the reference flagship read") {
+    val df = spark.createDataset(memTable)(Records.memoryEncoder).toDF()
+    val hits = Records.searchTyped(df, Seq(1f, 0f, 0f), k = 2)
+    val got = hits.collect().toSeq
+    assert(got.map(_.id) == Seq("a", "c")) // exact match first, near second
+    assert(math.abs(got.head.score - 1.0) < 1e-9)
+    assert(got.head.metadata == Map("k" -> "v")) // metadata round-trips
+  }
+
+  test("searchTyped session filter: None session never matches") {
+    val df = spark.createDataset(memTable)(Records.memoryEncoder).toDF()
+    val got = Records.searchTyped(df, Seq(1f, 0f, 0f), k = 5,
+      session = Some("s1")).collect().toSeq
+    assert(got.map(_.id) == Seq("a")) // c has NULL session -> excluded
+  }
+
+  test("typed session catalog round-trips timestamps and tags") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq(SessionRecord("s1", t, t, Seq("x", "y")))
+    val ds = spark.createDataset(rows)(Records.sessionEncoder)
+    assert(Records.sessions(ds.toDF()).collect().toSeq == rows)
+  }
+}
