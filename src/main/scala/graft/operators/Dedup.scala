@@ -92,11 +92,17 @@ object Dedup {
     val r = nPerm / bands
     // staged: shingle hashes materialize once, the signature reads the
     // materialized array (not the text) — O(shingles + perm·shingles)
+    // materialize once: this subtree is consumed by both self-join sides
+    // AND both verify joins — without the checkpoint the scan + kernel
+    // pass recomputes per consumer (exchange reuse only covers the
+    // identically-shuffled self-join). At warehouse scale the analog is
+    // persisting the signature table before the LSH join.
     val base = df.select(
         col(idCol).as("__id"),
         graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"),
         graft.functions.Native.minhashSig(col(textCol), nPerm, shingleN).as("__sig"))
       .where(size(col("__sh")) > 0)
+      .localCheckpoint(true)
     val allBanded = base.select(col("__id"),
         posexplode(bandKeys(col("__sig"), bands, r)))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__key"))
