@@ -46,14 +46,19 @@ object Bench {
     }
     // Force FULL evaluation with the noop sink: a bare count() lets Catalyst
     // prune every unreferenced projection (a langid or embed query would
-    // benchmark nothing but the scan).
+    // benchmark nothing but the scan). Each query runs twice and reports
+    // the min: this box carries unrelated background load (~2 cores), and
+    // min-of-2 measures the engine rather than the co-tenant.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
