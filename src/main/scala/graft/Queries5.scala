@@ -197,12 +197,32 @@ object Queries5 {
        |WHERE rn <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // T10: compression-ratio quality signal — deflate bytes / raw bytes per
+  // document (boilerplate and repeated spans compress far better than
+  // prose; a standard cheap pre-training filter). Pure map-side native
+  // kernel; no engine-portable SQL mirror exists, so this registers as a
+  // rows-only check (like the q12 sketches). Monotonicity and edge cases
+  // are pinned in NativeKernelsSpec instead.
+  // ---------------------------------------------------------------------
+  def t10Compression(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Native.deflateStats(col("text")).as("__z"))
+      .select(col("doc_id"),
+        col("__z.raw_bytes").as("raw_bytes"),
+        col("__z.deflate_bytes").as("deflate_bytes"),
+        round(when(col("__z.raw_bytes") === 0, lit(0.0))
+          .otherwise(col("__z.deflate_bytes").cast("double") /
+            col("__z.raw_bytes").cast("double")), 6).as("z_ratio"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_grouping_sets"    -> (q13GroupingSets _),
     "t9_rarity"            -> (t9Rarity _),
     "d8_cluster_survivors" -> (d8ClusterSurvivors _),
     "a6_centroids"         -> (a6Centroids _),
-    "a7_ivf_trained"       -> (a7IvfTrained _))
+    "a7_ivf_trained"       -> (a7IvfTrained _),
+    "t10_compression"      -> (t10Compression _))
 
   val oracles: Map[String, String] = Map(
     "q13_grouping_sets"    -> q13GroupingSetsSql,

@@ -463,6 +463,42 @@ case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Deflate-compressibility stats per string: (raw_bytes, deflate_bytes).
+  * Compression ratio is a standard corpus-quality signal (repetitive
+  * boilerplate compresses far better than natural prose). zlib level 6,
+  * raw UTF-8 input, one pass per row off a thread-local Deflater — no
+  * engine-portable SQL mirror exists, so the query using this is a
+  * rows-only check (like the sketches).
+  */
+case class DeflateStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    StringInput.check(child, "deflate_stats")
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_bytes", LongType, nullable = false),
+    StructField("deflate_bytes", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val d = DeflateStats.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var z = 0L
+    val buf = DeflateStats.buf.get()
+    while (!d.finished()) z += d.deflate(buf)
+    org.apache.spark.sql.catalyst.InternalRow(bytes.length.toLong, z)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+object DeflateStats {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() = new java.util.zip.Deflater(6, false)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](8192)
+  }
+}
+
 private[graft] object StringInput {
   def check(child: Expression, name: String): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -489,4 +525,5 @@ object Native {
   def shingleStrings(text: Column, n: Int): Column =
     col(ShingleStrings(ex(text), n))
   def quantizeStats(vec: Column): Column = col(QuantizeStats(ex(vec)))
+  def deflateStats(text: Column): Column = col(DeflateStats(ex(text)))
 }

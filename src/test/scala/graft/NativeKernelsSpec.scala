@@ -73,4 +73,24 @@ class NativeKernelsSpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(z.forall(_ == 0.0))
   }
+
+  test("deflateStats: repetitive text compresses harder than diverse text") {
+    val rows = Seq(
+      (1L, "spam " * 200),                                    // boilerplate
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")), // diverse
+      (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Native.deflateStats(col("text")).as("z"))
+      .select(col("doc_id"), col("z.raw_bytes"), col("z.deflate_bytes"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val Array((_, raw1, z1), (_, raw2, z2), (_, raw0, z0)) = rows
+    assert(raw1 == 1000L && z1 < raw1 / 10)     // repeats crush down
+    assert(z2 > z1 && z2 < raw2)                // diverse compresses less
+    assert(raw0 == 0L && z0 > 0L)               // empty input: header only
+    // determinism: same input, same bytes (thread-local deflater reset)
+    val again = Seq(("spam " * 200)).toDF("text")
+      .select(Native.deflateStats(col("text")).as("z"))
+      .select(col("z.deflate_bytes")).as[Long].head()
+    assert(again == z1)
+  }
 }
