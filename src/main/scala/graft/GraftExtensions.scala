@@ -55,7 +55,13 @@ object GraftFunctions {
     ("embed_text",
       info("embed_text", "embed_text(text, dim[, normalize]) - feature-hash embedding"),
       (es: Seq[Expression]) => FeatureHashEmbed(es(0), intArg(es(1), "dim"),
-        if (es.size > 2) boolArg(es(2), "normalize") else true)))
+        if (es.size > 2) boolArg(es(2), "normalize") else true)),
+    ("quantize_stats",
+      info("quantize_stats", "quantize_stats(vec) - int8 max-abs quantization stats struct"),
+      (es: Seq[Expression]) => QuantizeStats(es(0))),
+    ("deflate_stats",
+      info("deflate_stats", "deflate_stats(text) - (raw_bytes, deflate_bytes) compressibility"),
+      (es: Seq[Expression]) => DeflateStats(es(0))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -216,18 +216,53 @@ object Queries5 {
           .otherwise(col("__z.deflate_bytes").cast("double") /
             col("__z.raw_bytes").cast("double")), 6).as("z_ratio"))
 
+  // ---------------------------------------------------------------------
+  // M4: resize planning — clamp the longest decoded side to 128 px,
+  // aspect-preserved integer floor arithmetic. Plans the batch without
+  // touching a pixel (map-side column math over the decode stage's
+  // metadata); the resample itself belongs to the codec in decodeFeatures.
+  // ---------------------------------------------------------------------
+  def m4ResizePlan(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Multimodal.resizePlan(
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.mediaTable(
+          Tables.documents(spark, sfDir))).toDF(),
+      maxSide = 128)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_width"), col("out_height"), col("is_scaled"))
+  val m4ResizePlanSql: String =
+    s"""SELECT media_id, kind, width, height,
+       |  CAST(CASE WHEN m <= 128 THEN width
+       |    ELSE greatest(1, CAST(floor(width * 128 / m) AS INT)) END AS INT)
+       |    AS out_width,
+       |  CAST(CASE WHEN m <= 128 THEN height
+       |    ELSE greatest(1, CAST(floor(height * 128 / m) AS INT)) END AS INT)
+       |    AS out_height,
+       |  m > 128 AS is_scaled
+       |FROM (
+       |  SELECT doc_id AS media_id, kind,
+       |    CAST(16 + (n * 7) % 240 AS INT) AS width,
+       |    CAST(16 + (n * 13) % 240 AS INT) AS height,
+       |    greatest(CAST(16 + (n * 7) % 240 AS INT),
+       |             CAST(16 + (n * 13) % 240 AS INT)) AS m
+       |  FROM (SELECT doc_id, ${graft.operators.MultimodalSql.kindExpr} AS kind,
+       |               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+       |        FROM documents))""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_grouping_sets"    -> (q13GroupingSets _),
     "t9_rarity"            -> (t9Rarity _),
     "d8_cluster_survivors" -> (d8ClusterSurvivors _),
     "a6_centroids"         -> (a6Centroids _),
     "a7_ivf_trained"       -> (a7IvfTrained _),
-    "t10_compression"      -> (t10Compression _))
+    "t10_compression"      -> (t10Compression _),
+    "m4_resize_plan"       -> (m4ResizePlan _))
 
   val oracles: Map[String, String] = Map(
     "q13_grouping_sets"    -> q13GroupingSetsSql,
     "t9_rarity"            -> t9RaritySql,
     "d8_cluster_survivors" -> d8ClusterSurvivorsSql,
     "a6_centroids"         -> a6CentroidsSql,
-    "a7_ivf_trained"       -> a7IvfTrainedSql)
+    "a7_ivf_trained"       -> a7IvfTrainedSql,
+    "m4_resize_plan"       -> m4ResizePlanSql)
 }

@@ -64,6 +64,24 @@ object Multimodal {
       duration_ms = if (kind == "image") 0L else n * 3)
   }
 
+  /** Resize planning over decoded dimensions: clamp the longest side to
+    * `maxSide`, preserving aspect ratio with integer floor arithmetic
+    * (min 1 px). Pure map-side column math — at 100 TB this plans the
+    * resize batch without touching a pixel; the actual resample happens
+    * in the decode stage ([[decodeFeatures]]) where the codec lives.
+    */
+  def resizePlan(features: DataFrame, maxSide: Int = 128): DataFrame = {
+    val m = greatest(col("width"), col("height"))
+    def scaled(side: org.apache.spark.sql.Column) =
+      greatest(lit(1), floor(side * maxSide / m).cast("int"))
+    features
+      .withColumn("out_width",
+        when(m <= maxSide, col("width")).otherwise(scaled(col("width"))))
+      .withColumn("out_height",
+        when(m <= maxSide, col("height")).otherwise(scaled(col("height"))))
+      .withColumn("is_scaled", m > maxSide)
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions with explicit
     * micro-batches of `batchSize` rows — the shape a vectorized decoder
     * (or remote inference call) wants. One decoder instance per partition,

@@ -38,6 +38,16 @@ class SqlSurfaceSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("cosine_sim", "jaccard_sim", "shingle_hashes", "minhash_sig",
-        "simhash", "embed_text"))
+        "simhash", "embed_text", "quantize_stats", "deflate_stats"))
+  }
+
+  test("quantize_stats and deflate_stats run from SQL") {
+    GraftFunctions.register(spark)
+    val q = spark.sql(
+      "SELECT quantize_stats(array(1.0D, -2.0D)).max_abs AS m").as[Double].head()
+    assert(q == 2.0)
+    val z = spark.sql(
+      "SELECT deflate_stats('aaaaaaaaaaaaaaaa').raw_bytes AS r").as[Long].head()
+    assert(z == 16L)
   }
 }
