@@ -249,6 +249,36 @@ object Queries5 {
        |               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
        |        FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X3: full-outer join — per-user event totals against a customer
+  // account slice with unmatched rows on BOTH sides (users without
+  // accounts, accounts without events). Completes the join-family
+  // coverage (inner/broadcast, semi, anti, as-of, range, salted, full
+  // outer). At scale a full outer is a shuffle join on the key — both
+  // sides keyed, no broadcast (neither side may be dropped).
+  // ---------------------------------------------------------------------
+  def x3FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_custkey").between(100, 299))
+      .select(col("c_custkey"), col("c_acctbal"))
+    ev.join(cust, ev("user_id") === cust("c_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("c_custkey")).as("key"),
+        col("n_events"), col("c_acctbal").as("acctbal"),
+        col("user_id").isNotNull.as("has_events"),
+        col("c_custkey").isNotNull.as("has_account"))
+  }
+  val x3FullOuterSql: String =
+    """SELECT COALESCE(e.user_id, c.c_custkey) AS key, e.n_events,
+      |  c.c_acctbal AS acctbal,
+      |  e.user_id IS NOT NULL AS has_events,
+      |  c.c_custkey IS NOT NULL AS has_account
+      |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) e
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+      |                 WHERE c_custkey BETWEEN 100 AND 299) c
+      |ON e.user_id = c.c_custkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_grouping_sets"    -> (q13GroupingSets _),
     "t9_rarity"            -> (t9Rarity _),
@@ -256,7 +286,8 @@ object Queries5 {
     "a6_centroids"         -> (a6Centroids _),
     "a7_ivf_trained"       -> (a7IvfTrained _),
     "t10_compression"      -> (t10Compression _),
-    "m4_resize_plan"       -> (m4ResizePlan _))
+    "m4_resize_plan"       -> (m4ResizePlan _),
+    "x3_full_outer"        -> (x3FullOuter _))
 
   val oracles: Map[String, String] = Map(
     "q13_grouping_sets"    -> q13GroupingSetsSql,
@@ -264,5 +295,6 @@ object Queries5 {
     "d8_cluster_survivors" -> d8ClusterSurvivorsSql,
     "a6_centroids"         -> a6CentroidsSql,
     "a7_ivf_trained"       -> a7IvfTrainedSql,
-    "m4_resize_plan"       -> m4ResizePlanSql)
+    "m4_resize_plan"       -> m4ResizePlanSql,
+    "x3_full_outer"        -> x3FullOuterSql)
 }

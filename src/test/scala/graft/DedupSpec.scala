@@ -105,4 +105,27 @@ class DedupSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(none).isEmpty)
   }
+
+  test("property: connectedComponents == brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 20 + trial * 10
+      val pairs = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find with min-id relabel
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
 }
