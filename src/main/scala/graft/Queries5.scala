@@ -279,6 +279,53 @@ object Queries5 {
       |                 WHERE c_custkey BETWEEN 100 AND 299) c
       |ON e.user_id = c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SMP2: balanced sampling — EXACTLY k docs per language (smp1's rate
+  // sampling keeps ~fraction; mixture targets often need exact counts).
+  // Rank within each stratum by content hash then id (deterministic,
+  // partitioning-independent) and keep the first k. One window shuffle
+  // keyed by the stratum.
+  // ---------------------------------------------------------------------
+  def smp2BalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(graft.operators.Sampling.hashBucket(col("doc_id"), 1000000),
+        col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 20)
+      .select(col("doc_id"), col("lang"))
+  }
+  val smp2BalancedSampleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY ${graft.operators.SamplingSql.hashBucket("doc_id", 1000000)},
+       |      doc_id) AS rn
+       |  FROM documents) WHERE rn <= 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T11: length-outlier filter — flag docs outside the corpus's [p5, p95]
+  // char-length band (truncated garbage / concatenation accidents). The
+  // two quantiles are one aggregate broadcast back to the scan: no
+  // per-row sort, no second shuffle of the corpus.
+  // ---------------------------------------------------------------------
+  def t11LengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bounds = docs.agg(
+      percentile(col("n_chars"), array(lit(0.05), lit(0.95))).as("__p"))
+      .select(element_at(col("__p"), 1).as("__lo"),
+        element_at(col("__p"), 2).as("__hi"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") < col("__lo") || col("n_chars") > col("__hi"))
+          .as("is_outlier"))
+  }
+  val t11LengthOutliersSql: String =
+    """SELECT doc_id, n_chars,
+      |  (n_chars < lo OR n_chars > hi) AS is_outlier
+      |FROM documents, (SELECT quantile_cont(n_chars, 0.05) AS lo,
+      |                        quantile_cont(n_chars, 0.95) AS hi
+      |                 FROM documents)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_grouping_sets"    -> (q13GroupingSets _),
     "t9_rarity"            -> (t9Rarity _),
@@ -287,7 +334,9 @@ object Queries5 {
     "a7_ivf_trained"       -> (a7IvfTrained _),
     "t10_compression"      -> (t10Compression _),
     "m4_resize_plan"       -> (m4ResizePlan _),
-    "x3_full_outer"        -> (x3FullOuter _))
+    "x3_full_outer"        -> (x3FullOuter _),
+    "smp2_balanced_sample" -> (smp2BalancedSample _),
+    "t11_length_outliers"  -> (t11LengthOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q13_grouping_sets"    -> q13GroupingSetsSql,
@@ -296,5 +345,7 @@ object Queries5 {
     "a6_centroids"         -> a6CentroidsSql,
     "a7_ivf_trained"       -> a7IvfTrainedSql,
     "m4_resize_plan"       -> m4ResizePlanSql,
-    "x3_full_outer"        -> x3FullOuterSql)
+    "x3_full_outer"        -> x3FullOuterSql,
+    "smp2_balanced_sample" -> smp2BalancedSampleSql,
+    "t11_length_outliers"  -> t11LengthOutliersSql)
 }
