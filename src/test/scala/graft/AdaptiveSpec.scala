@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runtime re-planning behaviors that matter at 100 TB: AQE skew-join
+  * splitting (the engine's answer to hot keys when salting isn't wired
+  * in) and Hive-style partition pruning on partitioned writes.
+  */
+class AdaptiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      // apply the split even when it costs an extra downstream shuffle
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // half the fact rows share key 0 -> one shuffle partition dwarfs the rest
+      val fact = spark.range(0, 200000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 1000).as("k"),
+          $"id".as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      // execute THIS df's QueryExecution (count() would build its own,
+      // leaving joined's adaptive plan unfinalized)
+      val joined = fact.join(dim, "k").select($"v", $"w")
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("hive-style partitioned write prunes partitions on the partition column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toFile.getPath
+    Tables.documents(spark, sf0001)
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$root/docs")
+    val en = spark.read.parquet(s"$root/docs").where($"lang" === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune directories, not scan them:\n$plan")
+    // pruned scan returns exactly the en docs
+    val expected = Tables.documents(spark, sf0001)
+      .where($"lang" === "en").count()
+    assert(en.count() == expected && expected > 0)
+  }
+}
