@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 query inventory, fifth batch: event-sequence analytics —
+  * funnel progression (order-sensitive state fold) and cohort retention.
+  * Same contract as [[Queries]]: each Spark dataflow paired with DuckDB
+  * SQL computing the identical result.
+  */
+object Queries6 {
+
+  // ---------------------------------------------------------------------
+  // F1: funnel analysis — how far each user progresses through
+  // view -> click -> purchase, in event-time order. The per-user fold is
+  // a sequential state machine over the ordered event-code list (both
+  // engines fold left-to-right, so the oracle matches exactly); one
+  // shuffle keyed by user. Event times are µs-identical on both sides
+  // (Tables.normalizeEventTs), so (ts, event_id) orders identically.
+  // ---------------------------------------------------------------------
+  private def stageCode(c: Column): Column =
+    when(c === "view", 1).when(c === "click", 2)
+      .when(c === "purchase", 3).otherwise(0)
+
+  def f1Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      struct(col("ts"), col("event_id"), stageCode(col("event_type")).as("code"))
+        .as("e"))
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("__seq"))
+      .select(col("user_id"),
+        aggregate(transform(col("__seq"), e => e.getField("code")),
+          lit(0),
+          (s, x) => when(s === 0 && x === 1, 1)
+            .when(s === 1 && x === 2, 2)
+            .when(s === 2 && x === 3, 3)
+            .otherwise(s)).as("funnel_stage"))
+  }
+  val f1FunnelSql: String =
+    """SELECT user_id,
+      |  list_reduce(
+      |    list_prepend(0, list(CASE event_type WHEN 'view' THEN 1
+      |        WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END
+      |      ORDER BY ts, event_id)),
+      |    (s, x) -> CASE WHEN s = 0 AND x = 1 THEN 1
+      |      WHEN s = 1 AND x = 2 THEN 2
+      |      WHEN s = 2 AND x = 3 THEN 3 ELSE s END) AS funnel_stage
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // R1: cohort retention — users grouped by their first active week;
+  // (cohort_week, week, n_users) counts how many of each cohort return
+  // each week. Two keyed aggregations + one join, all integer counts.
+  // ---------------------------------------------------------------------
+  def r1Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(col("ts").cast("long") / 604800L).cast("long").as("week"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+  val r1RetentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT c.cohort_week, e.week, COUNT(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_funnel"    -> (f1Funnel _),
+    "r1_retention" -> (r1Retention _))
+
+  val oracles: Map[String, String] = Map(
+    "f1_funnel"    -> f1FunnelSql,
+    "r1_retention" -> r1RetentionSql)
+}
