@@ -74,11 +74,63 @@ object Queries6 {
       |FROM ev e JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PIPE1: the corpus-curation funnel end to end — the composite a
+  // training-data pipeline actually runs, with a count at every stage:
+  //   raw -> nonempty (A1 validation) -> exact (one survivor per distinct
+  //   text) -> neardup (MinHash-verified higher-id drop) -> clean
+  //   (benchmark contamination <= 0.3).
+  // Every stage is the already-oracle-checked operator, composed; the
+  // oracle composes the same CTEs. All counts integer-exact.
+  // ---------------------------------------------------------------------
+  def pipe1CorpusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Decontaminate, Dedup}
+    val docs = Tables.documents(spark, sfDir)
+    val s2 = docs.where(length(trim(col("text"))) > 0)
+    val keep3 = s2.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val s3 = s2.join(keep3, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+    val s4 = Dedup.applySurvivors(s3, pairs, "doc_id")
+    val drop5 = Decontaminate.ngramOverlap(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3)
+      .where(col("contamination") > 0.3).select(col("doc_id"))
+    val s5 = s4.join(drop5, Seq("doc_id"), "left_anti")
+    def cnt(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    cnt("1_raw", docs)
+      .unionByName(cnt("2_nonempty", s2))
+      .unionByName(cnt("3_exact", s3))
+      .unionByName(cnt("4_neardup", s4))
+      .unionByName(cnt("5_clean", s5))
+  }
+  val pipe1CorpusFunnelSql: String =
+    s"""WITH s2 AS (SELECT * FROM documents WHERE trim(text) <> ''),
+       |keep3 AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id)),
+       |pairs AS (${Queries.d2MinhashPairsSql}),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN
+       |  (SELECT DISTINCT id2 FROM pairs)),
+       |cont AS (${Queries3.c1ContaminationSql}),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN
+       |  (SELECT doc_id FROM cont WHERE contamination > 0.3))
+       |SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+       |UNION ALL SELECT '2_nonempty', COUNT(*) FROM s2
+       |UNION ALL SELECT '3_exact', COUNT(*) FROM s3
+       |UNION ALL SELECT '4_neardup', COUNT(*) FROM s4
+       |UNION ALL SELECT '5_clean', COUNT(*) FROM s5""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f1_funnel"    -> (f1Funnel _),
-    "r1_retention" -> (r1Retention _))
+    "f1_funnel"     -> (f1Funnel _),
+    "r1_retention"  -> (r1Retention _),
+    "pipe1_funnel"  -> (pipe1CorpusFunnel _))
 
   val oracles: Map[String, String] = Map(
-    "f1_funnel"    -> f1FunnelSql,
-    "r1_retention" -> r1RetentionSql)
+    "f1_funnel"     -> f1FunnelSql,
+    "r1_retention"  -> r1RetentionSql,
+    "pipe1_funnel"  -> pipe1CorpusFunnelSql)
 }
