@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time one registered query N times in a fresh session.
+  * Usage: runMain graft.TimeOne <queryName> [sfDir] [n]
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"[timeone] $name run $i: construct ${(t1 - t0) / 1e9}%.2f s, execute ${(t2 - t1) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
