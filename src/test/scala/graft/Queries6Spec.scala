@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Unit pins for the event-sequence analytics batch, on crafted fixture
+  * dirs (the oracle checks the full corpus; these pin the semantics that
+  * matter — order sensitivity, cohort assignment, stage monotonicity).
+  */
+class Queries6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q6").toFile.getPath
+    rows.map { case (id, ts, user, typ) =>
+      (id, Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("f1_funnel: stage transitions are order-sensitive in event time") {
+    val dir = writeEvents(Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      // user 2: purchase arrives BEFORE the view -> never counts
+      (4L, "2024-01-01 10:00:00", 2L, "purchase"),
+      (5L, "2024-01-01 10:01:00", 2L, "view"),
+      (6L, "2024-01-01 10:02:00", 2L, "click"),
+      // user 3: noise events interleaved, still completes
+      (7L, "2024-01-01 10:00:00", 3L, "click"),
+      (8L, "2024-01-01 10:01:00", 3L, "view"),
+      (9L, "2024-01-01 10:02:00", 3L, "error"),
+      (10L, "2024-01-01 10:03:00", 3L, "click"),
+      (11L, "2024-01-01 10:04:00", 3L, "purchase"),
+      // user 4: stalls at view
+      (12L, "2024-01-01 10:00:00", 4L, "view")))
+    val got = Queries6.f1Funnel(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 1))
+  }
+
+  test("r1_retention: cohort = first active week, returns counted per week") {
+    // weeks are epoch/604800; 1970-01-01..07 is week 0, 08..14 week 1, ...
+    val dir = writeEvents(Seq(
+      (1L, "1970-01-02 10:00:00", 1L, "view"),  // u1 week 0
+      (2L, "1970-01-16 10:00:00", 1L, "view"),  // u1 returns week 2
+      (3L, "1970-01-09 10:00:00", 2L, "view"),  // u2 week 1
+      (4L, "1970-01-09 11:00:00", 2L, "click"), // same week, counted once
+      (5L, "1970-01-02 12:00:00", 3L, "view"))) // u3 week 0, never returns
+    val got = Queries6.r1Retention(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 2L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("pipe1_funnel: stage counts are monotonically non-increasing") {
+    val rows = Queries6.pipe1CorpusFunnel(spark, sf0001)
+      .orderBy("stage").as[(String, Long)].collect()
+    assert(rows.map(_._1).toSeq ==
+      Seq("1_raw", "2_nonempty", "3_exact", "4_neardup", "5_clean"))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head == 500 && counts.last > 0)
+  }
+}
