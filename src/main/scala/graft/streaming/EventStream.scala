@@ -201,6 +201,49 @@ object EventStream {
       }
   }
 
+  // --- funnel progression -------------------------------------------------
+
+  case class FunnelEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  case class FunnelState(stage: Int)
+  case class UserFunnel(user_id: Long, funnel_stage: Int)
+
+  /** Streaming form of the view -> click -> purchase funnel
+    * (graft.Queries6.f1Funnel): one Int of state per user, events folded
+    * through the same stage machine in (event-time, id) order within each
+    * micro-batch. Like [[sessionizeStreaming]], cross-batch correctness
+    * assumes in-order arrival between triggers; within a batch order is
+    * restored by sorting, at µs precision (ms-level Timestamp.getTime
+    * would merge distinct fixture timestamps).
+    */
+  def funnelStreaming(events: Dataset[FunnelEvent]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.map(_.stage).getOrElse(0)
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val code = e.event_type match {
+              case "view" => 1
+              case "click" => 2
+              case "purchase" => 3
+              case _ => 0
+            }
+            st = (st, code) match {
+              case (0, 1) => 1
+              case (1, 2) => 2
+              case (2, 3) => 3
+              case _ => st
+            }
+          }
+          state.update(FunnelState(st))
+          UserFunnel(user, st)
+      }
+  }
+
   /** Streaming sessionization with explicit per-user state — the
     * flatMapGroupsWithState form of [[sessionizeBatch]]. Emits one updated
     * (user, sessions, events) row per trigger; state survives across

@@ -155,6 +155,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("funnelStreaming (mapGroupsWithState) matches the batch funnel") {
+    val batch = Queries6.f1Funnel(spark, sf0001)
+      .as[(Long, Int)].collect().toSet
+    val typed = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[EventStream.FunnelEvent]
+    val streaming = EventStream.funnelStreaming(typed)
+      .as[EventStream.UserFunnel].collect()
+      .map(f => (f.user_id, f.funnel_stage)).toSet
+    assert(streaming == batch)
+  }
+
   test("stream-stream interval join (followsWithin) equals the batch join") {
     val ev = Tables.events(spark, sf0001)
     val purch = ev.where(col("event_type") === "purchase")
