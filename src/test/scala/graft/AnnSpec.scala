@@ -96,4 +96,21 @@ class AnnSpec extends SparkSpec {
     brute.foreach { case (q, v) => assert(v == q) }
     bucketed.foreach { case (q, v) => assert(v == q) }
   }
+
+  test("IVF layout at scale: probing reads only the probed centroid partitions") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val cb = Ann.kmeans(vecs, k = 8, iters = 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getPath
+    // the 100 TB layout: the vector table partitioned by assigned centroid
+    vecs.withColumn("c", Ann.assignToCodebook($"embedding", cb))
+      .write.partitionBy("c").mode("overwrite").parquet(s"$root/ivf")
+    val probe = spark.read.parquet(s"$root/ivf").where($"c".isin(2, 5))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c"),
+      s"probe must prune centroid directories, not scan them:\n$plan")
+    // pruned read returns exactly the vectors assigned to those lists
+    val expected = vecs
+      .where(Ann.assignToCodebook($"embedding", cb).isin(2, 5)).count()
+    assert(probe.count() == expected && expected > 0)
+  }
 }
