@@ -124,13 +124,67 @@ object Queries6 {
        |UNION ALL SELECT '4_neardup', COUNT(*) FROM s4
        |UNION ALL SELECT '5_clean', COUNT(*) FROM s5""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q14: data profiling — count / mean / population-std / min / max per
+  // numeric lineitem column, the describe() every ingest pipeline runs
+  // first. One aggregation pass per column over a pruned scan, unioned.
+  // Determinism: sums and sums-of-squares accumulate in exact DECIMAL
+  // (x*x is one IEEE double multiply — identical everywhere — and DECIMAL
+  // addition is associative); mean/std derive in double at the end.
+  // sqrt IS correctly rounded under IEEE-754 (unlike ln), so it is
+  // oracle-safe.
+  // ---------------------------------------------------------------------
+  private def profileOne(df: DataFrame, c: String): DataFrame = {
+    val d = col(c).cast("double")
+    df.agg(
+      count(lit(1)).as("n"),
+      sum(d.cast("decimal(28,10)")).cast("double").as("__s"),
+      sum((d * d).cast("decimal(28,8)")).cast("double").as("__ss"),
+      min(d).as("min_val"),
+      max(d).as("max_val"))
+      .select(lit(c).as("column"), col("n"),
+        round(col("__s") / col("n"), 6).as("mean"),
+        round(sqrt(greatest(lit(0.0),
+          col("__ss") / col("n") -
+            (col("__s") / col("n")) * (col("__s") / col("n")))), 6).as("std"),
+        round(col("min_val"), 6).as("min_val"),
+        round(col("max_val"), 6).as("max_val"))
+  }
+
+  def q14Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(profileOne(li, _))
+      .reduce(_.unionByName(_))
+  }
+  val q14ProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         |  round(CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean,
+         |  round(sqrt(greatest(0.0,
+         |    CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE)
+         |      AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+         |    - (CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,10)))
+         |        AS DOUBLE) / COUNT(*))
+         |      * (CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,10)))
+         |        AS DOUBLE) / COUNT(*)))), 6) AS std,
+         |  round(MIN(CAST($c AS DOUBLE)), 6) AS min_val,
+         |  round(MAX(CAST($c AS DOUBLE)), 6) AS max_val
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(one).mkString("\nUNION ALL\n")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_funnel"     -> (f1Funnel _),
     "r1_retention"  -> (r1Retention _),
-    "pipe1_funnel"  -> (pipe1CorpusFunnel _))
+    "pipe1_funnel"  -> (pipe1CorpusFunnel _),
+    "q14_profile"   -> (q14Profile _))
 
   val oracles: Map[String, String] = Map(
     "f1_funnel"     -> f1FunnelSql,
     "r1_retention"  -> r1RetentionSql,
-    "pipe1_funnel"  -> pipe1CorpusFunnelSql)
+    "pipe1_funnel"  -> pipe1CorpusFunnelSql,
+    "q14_profile"   -> q14ProfileSql)
 }
