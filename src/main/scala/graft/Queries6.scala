@@ -176,15 +176,40 @@ object Queries6 {
       .map(one).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------------
+  // W5: moving average — 3-row trailing mean of event values per user,
+  // the sliding-frame window shape (w1 covers the running/unbounded
+  // frame). Frame sums in exact DECIMAL so the 2-or-3-value addition is
+  // order-proof.
+  // ---------------------------------------------------------------------
+  def w5MovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+    Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+        count(lit(1)).over(w), 6).as("mov_avg"))
+  }
+  val w5MovingAvgSql: String =
+    """SELECT event_id, user_id,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    / (COUNT(*) OVER w), 6) AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_funnel"     -> (f1Funnel _),
     "r1_retention"  -> (r1Retention _),
     "pipe1_funnel"  -> (pipe1CorpusFunnel _),
-    "q14_profile"   -> (q14Profile _))
+    "q14_profile"   -> (q14Profile _),
+    "w5_moving_avg" -> (w5MovingAvg _))
 
   val oracles: Map[String, String] = Map(
     "f1_funnel"     -> f1FunnelSql,
     "r1_retention"  -> r1RetentionSql,
     "pipe1_funnel"  -> pipe1CorpusFunnelSql,
-    "q14_profile"   -> q14ProfileSql)
+    "q14_profile"   -> q14ProfileSql,
+    "w5_moving_avg" -> w5MovingAvgSql)
 }

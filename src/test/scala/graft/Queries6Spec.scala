@@ -54,6 +54,23 @@ class Queries6Spec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 2L, 1L), (1L, 1L, 1L)))
   }
 
+  test("d8 survivor policy: the longest doc of a cluster survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8").toFile.getPath
+    // docs 1 and 2 share 3 of 5 distinct 2-grams (jaccard 0.6 >= 0.5);
+    // doc 2 is declared longer, so it must be the survivor despite the
+    // default min-id convention. doc 9 is unrelated and must not appear.
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s0", 30L),
+      (2L, "alpha beta gamma delta zeta", "en", "s0", 95L),
+      (9L, "completely different words entirely here", "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries5.d8ClusterSurvivors(spark, dir)
+      .select("doc_id", "cluster_id", "survivor_id", "is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, false), (2L, 1L, 2L, true)))
+  }
+
   test("pipe1_funnel: stage counts are monotonically non-increasing") {
     val rows = Queries6.pipe1CorpusFunnel(spark, sf0001)
       .orderBy("stage").as[(String, Long)].collect()
