@@ -199,17 +199,46 @@ object Queries6 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Q15: correlated-subquery shape — orders priced above their
+  // priority's average. The decorrelated plan Catalyst would produce for
+  // `WHERE price > (SELECT AVG(...) WHERE same priority)`: one tiny
+  // per-priority aggregate broadcast back to the fact scan. Averages from
+  // DECIMAL sums.
+  // ---------------------------------------------------------------------
+  def q15AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val avgs = orders.groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("__avg"))
+    orders.join(broadcast(avgs), Seq("o_orderpriority"))
+      .where(col("o_totalprice") > col("__avg"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), round(col("__avg"), 6).as("prio_avg"))
+  }
+  val q15AboveAvgSql: String =
+    """SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      |  round(a.avg_p, 6) AS prio_avg
+      |FROM orders o JOIN (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+      |      / COUNT(*) AS avg_p
+      |  FROM orders GROUP BY 1) a USING (o_orderpriority)
+      |WHERE o.o_totalprice > a.avg_p""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_funnel"     -> (f1Funnel _),
     "r1_retention"  -> (r1Retention _),
     "pipe1_funnel"  -> (pipe1CorpusFunnel _),
     "q14_profile"   -> (q14Profile _),
-    "w5_moving_avg" -> (w5MovingAvg _))
+    "w5_moving_avg" -> (w5MovingAvg _),
+    "q15_above_avg" -> (q15AboveAvg _))
 
   val oracles: Map[String, String] = Map(
     "f1_funnel"     -> f1FunnelSql,
     "r1_retention"  -> r1RetentionSql,
     "pipe1_funnel"  -> pipe1CorpusFunnelSql,
     "q14_profile"   -> q14ProfileSql,
-    "w5_moving_avg" -> w5MovingAvgSql)
+    "w5_moving_avg" -> w5MovingAvgSql,
+    "q15_above_avg" -> q15AboveAvgSql)
 }

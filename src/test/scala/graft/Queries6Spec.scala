@@ -80,4 +80,22 @@ class Queries6Spec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     assert(counts.head == 500 && counts.last > 0)
   }
+
+  test("smp2 keeps exactly min(k, stratum size) docs per language") {
+    val perLang = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Queries5.smp2BalancedSample(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet == perLang.keySet)
+    kept.foreach { case (lang, n) => assert(n == math.min(20L, perLang(lang))) }
+  }
+
+  test("t11 flags roughly the outer 10% of lengths, never the median") {
+    val rows = Queries5.t11LengthOutliers(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect()
+    val flagged = rows.count(_._3)
+    assert(flagged > 0 && flagged < rows.length / 5) // ~10% of 500
+    val sorted = rows.sortBy(_._2)
+    assert(!sorted(rows.length / 2)._3) // median-length doc never an outlier
+  }
 }
