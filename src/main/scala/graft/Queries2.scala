@@ -251,18 +251,42 @@ object Queries2 {
        |ORDER BY tfidf DESC, doc_id ASC, tok ASC LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Q12: sketch aggregates — HLL++ distinct users and a t-digest-style
-  // median per event type. Approximation algorithms are engine-specific,
-  // so there is no cross-engine oracle: the driver records the weaker
-  // rows-only check, and SketchSpec bounds the error vs the exact values.
+  // Q12: sketch aggregates — HLL++ distinct users and a quantile-sketch
+  // median per event type. The sketch values themselves are
+  // engine-specific, so the oracle is BOUND-style: the query also computes
+  // the exact answers (portable in both engines) and derives booleans
+  // asserting each sketch lands inside its published error bound — HLL++
+  // within 3×rsd (rsd = 0.05 default) of the exact distinct count, and the
+  // approx median inside the exact [p45, p55] quantile band. DuckDB emits
+  // the same exact columns plus literal TRUE for the bound flags, so any
+  // out-of-bound sketch hash-mismatches. SketchSpec keeps the tighter
+  // engine-side error-bound assertions.
   // ---------------------------------------------------------------------
   def q12Sketch(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        approx_count_distinct(col("user_id")).as("__approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000))
+          .as("__approx_median"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile(col("value"), array(lit(0.45), lit(0.5), lit(0.55)))
+          .as("__band"))
+      .select(col("event_type"), col("exact_users"),
+        round(element_at(col("__band"), 2), 6).as("exact_median"),
+        (abs(col("__approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.15d).as("users_in_bound"),
+        (col("__approx_median") >= element_at(col("__band"), 1) &&
+          col("__approx_median") <= element_at(col("__band"), 3))
+          .as("median_in_band"))
       .orderBy(col("event_type"))
+  val q12SketchSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  round(quantile_cont(value, 0.5), 6) AS exact_median,
+      |  TRUE AS users_in_bound,
+      |  TRUE AS median_in_band
+      |FROM events GROUP BY event_type""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q9_cube"          -> (q9Cube _),
@@ -287,6 +311,6 @@ object Queries2 {
     "x2_range_join"    -> x2RangeJoinSql,
     "v12_quantize"     -> v12QuantizeSql,
     "a5_ann_recall"    -> a5AnnRecallSql,
-    "e7_first_touch"   -> e7FirstTouchSql)
-    // q12_sketch intentionally has no oracle (rows-only check)
+    "e7_first_touch"   -> e7FirstTouchSql,
+    "q12_sketch"       -> q12SketchSql)
 }

@@ -200,10 +200,17 @@ object Queries5 {
   // ---------------------------------------------------------------------
   // T10: compression-ratio quality signal — deflate bytes / raw bytes per
   // document (boilerplate and repeated spans compress far better than
-  // prose; a standard cheap pre-training filter). Pure map-side native
-  // kernel; no engine-portable SQL mirror exists, so this registers as a
-  // rows-only check (like the q12 sketches). Monotonicity and edge cases
-  // are pinned in NativeKernelsSpec instead.
+  // prose; a standard cheap pre-training filter). DuckDB has no portable
+  // deflate, so the oracle is BOUND-style: raw_bytes is portable
+  // (octet_length), and two derived booleans assert the per-doc deflate
+  // output is structurally sane — `z_bounded` pins the zlib worst-case
+  // expansion envelope (1 <= deflate_bytes <= raw_bytes + 64; observed
+  // max expansion on the fixture is +6 bytes), and `ratio_in_band` pins
+  // the corpus-calibrated ratio band (0.3, 1.2) (observed fixture range
+  // 0.38..1.13, same pinning style as t11's outlier band). DuckDB emits
+  // the portable columns plus literal TRUE, so a deflate regression
+  // hash-mismatches. Exact byte counts and monotonicity stay pinned in
+  // NativeKernelsSpec.
   // ---------------------------------------------------------------------
   def t10Compression(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -211,10 +218,19 @@ object Queries5 {
         graft.functions.Native.deflateStats(col("text")).as("__z"))
       .select(col("doc_id"),
         col("__z.raw_bytes").as("raw_bytes"),
-        col("__z.deflate_bytes").as("deflate_bytes"),
-        round(when(col("__z.raw_bytes") === 0, lit(0.0))
-          .otherwise(col("__z.deflate_bytes").cast("double") /
-            col("__z.raw_bytes").cast("double")), 6).as("z_ratio"))
+        (col("__z.deflate_bytes") >= 1L &&
+          col("__z.deflate_bytes") <= col("__z.raw_bytes") + 64L)
+          .as("z_bounded"),
+        (col("__z.deflate_bytes").cast("double") >
+            col("__z.raw_bytes").cast("double") * 0.3d &&
+          col("__z.deflate_bytes").cast("double") <
+            col("__z.raw_bytes").cast("double") * 1.2d).as("ratio_in_band"))
+  val t10CompressionSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS raw_bytes,
+      |  TRUE AS z_bounded,
+      |  TRUE AS ratio_in_band
+      |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
   // M4: resize planning — clamp the longest decoded side to 128 px,
@@ -344,6 +360,7 @@ object Queries5 {
     "d8_cluster_survivors" -> d8ClusterSurvivorsSql,
     "a6_centroids"         -> a6CentroidsSql,
     "a7_ivf_trained"       -> a7IvfTrainedSql,
+    "t10_compression"      -> t10CompressionSql,
     "m4_resize_plan"       -> m4ResizePlanSql,
     "x3_full_outer"        -> x3FullOuterSql,
     "smp2_balanced_sample" -> smp2BalancedSampleSql,
