@@ -1,0 +1,226 @@
+package graft
+
+import graft.functions.RemoteProviderConfig
+
+/** A7 — engine configuration with environment overrides (reference:
+  * src/config.rs:6-90 structure, config.toml shape, src/config.rs:92-139
+  * override semantics).
+  *
+  * The loader reads the reference's own TOML layout (sections
+  * `[server]`, `[embedding]`, `[embedding.providers.<name>]`,
+  * `[qdrant]`, `[database]`) via a dependency-free TOML-subset parser —
+  * sections + `key = value` with strings, integers, and booleans, `#`
+  * comments — which covers the reference config.toml verbatim.
+  *
+  * Env override semantics are the reference's, exactly
+  * (src/config.rs:102-136):
+  *  - QDRANT_URL non-empty → the sole trigger that can ENABLE the store
+  *    section when absent (defaults filled in), else overrides url.
+  *  - QDRANT_COLLECTION non-empty → overrides only when the store section
+  *    exists; never activates it alone.
+  *  - QDRANT_API_KEY set → overrides only when the section exists (even
+  *    an empty value overrides, matching the `if let Ok` in the
+  *    reference).
+  *  - Either of the last two set without a store section → a WARNING is
+  *    recorded, not an error.
+  *  - DATABASE_URL non-empty → enables-or-overrides the [database] url.
+  *
+  * The engine analog of the qdrant store section points at the parquet
+  * memory table: `url` is the table path and `collection` the table name
+  * (what MemoryOps bootstrap/merge operate on).
+  */
+final case class GraftServerConfig(host: String, port: Int)
+
+final case class GraftStoreConfig(
+    url: String,
+    collection: String,
+    apiKey: Option[String],
+    dimensions: Int,
+    distance: String)
+
+object GraftStoreConfig {
+  /** Defaults mirror src/config.rs:80-90. */
+  def default: GraftStoreConfig = GraftStoreConfig(
+    url = "http://localhost:6333", collection = "agent_memory",
+    apiKey = None, dimensions = 768, distance = "Cosine")
+}
+
+final case class GraftEmbeddingConfig(
+    defaultProvider: String,
+    providers: Map[String, RemoteProviderConfig])
+
+final case class GraftDatabaseConfig(url: String)
+
+final case class GraftConfig(
+    server: GraftServerConfig,
+    embedding: GraftEmbeddingConfig,
+    store: Option[GraftStoreConfig],
+    database: Option[GraftDatabaseConfig])
+
+object GraftConfig {
+  /** Load + env-override + validate. Returns the config and any warnings
+    * (the reference logs them; a library returns them). */
+  def load(path: String,
+      env: Map[String, String] = sys.env): (GraftConfig, Seq[String]) = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    fromToml(text, env)
+  }
+
+  def fromToml(text: String,
+      env: Map[String, String] = Map.empty): (GraftConfig, Seq[String]) = {
+    val sections = parseToml(text)
+    def sec(name: String): Map[String, String] =
+      sections.getOrElse(name, Map.empty)
+    def req(section: String, key: String): String =
+      sec(section).getOrElse(key,
+        throw new ConfigException(s"missing key '$key' in [$section]"))
+    def asInt(section: String, key: String, raw: String): Int =
+      try raw.toInt catch {
+        case _: NumberFormatException => throw new ConfigException(
+          s"key '$key' in [$section] must be an integer, got '$raw'")
+      }
+
+    val server = GraftServerConfig(
+      host = req("server", "host"),
+      port = asInt("server", "port", req("server", "port")))
+
+    val providerNames = sections.keys
+      .filter(_.startsWith("embedding.providers."))
+      .map(_.stripPrefix("embedding.providers.")).toSeq.sorted
+    val providers = providerNames.map { name =>
+      val s = s"embedding.providers.$name"
+      name -> RemoteProviderConfig(
+        providerType = req(s, "type"),
+        baseUrl = req(s, "base_url"),
+        model = req(s, "model"),
+        apiKey = sec(s).get("api_key"),
+        authScheme = sec(s).get("auth_scheme"),
+        embeddingsPath = sec(s).get("embeddings_path"))
+    }.toMap
+    val embedding = GraftEmbeddingConfig(
+      defaultProvider = req("embedding", "default_provider"),
+      providers = providers)
+    // src/embedding/mod.rs:59-64 — the default must be registered.
+    if (!providers.contains(embedding.defaultProvider))
+      throw new ConfigException(
+        s"Default provider '${embedding.defaultProvider}' is not registered")
+    // src/embedding/mod.rs:35-42 via openai.rs:35-39 — constructor-time
+    // validation of each provider config (type and auth scheme).
+    providers.foreach { case (name, p) =>
+      if (!Set("ollama", "openai", "claude").contains(p.providerType))
+        throw new ConfigException(
+          s"Unknown provider type: '${p.providerType}'")
+      p.authScheme.foreach { s =>
+        if (s != "bearer" && s != "api-key")
+          throw new ConfigException(
+            s"""provider '$name': unsupported auth_scheme '$s'""")
+      }
+    }
+
+    var store = sec("qdrant") match {
+      case m if m.isEmpty && !sections.contains("qdrant") => None
+      case m => Some(GraftStoreConfig(
+        url = m.getOrElse("url", GraftStoreConfig.default.url),
+        collection = m.getOrElse("collection",
+          GraftStoreConfig.default.collection),
+        apiKey = m.get("api_key"),
+        dimensions = m.get("dimensions")
+          .map(v => asInt("qdrant", "dimensions", v))
+          .getOrElse(GraftStoreConfig.default.dimensions),
+        distance = m.getOrElse("distance", GraftStoreConfig.default.distance)))
+    }
+    store.foreach { s =>
+      if (!Set("Cosine", "Euclid", "Dot").contains(s.distance))
+        throw new ConfigException(
+          s"invalid distance '${s.distance}': expected Cosine, Euclid or Dot")
+    }
+
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    // QDRANT_URL: the sole enabling trigger (src/config.rs:97-107)
+    env.get("QDRANT_URL").filter(_.nonEmpty).foreach { url =>
+      store = Some(store.getOrElse(GraftStoreConfig.default).copy(url = url))
+    }
+    store match {
+      case Some(s0) =>
+        var s = s0
+        env.get("QDRANT_COLLECTION").filter(_.nonEmpty)
+          .foreach(c => s = s.copy(collection = c))
+        // even an empty env value overrides, like the reference's
+        // bare `if let Ok` (src/config.rs:114-116)
+        env.get("QDRANT_API_KEY").foreach(k => s = s.copy(apiKey = Some(k)))
+        store = Some(s)
+      case None =>
+        if (env.contains("QDRANT_COLLECTION") || env.contains("QDRANT_API_KEY"))
+          warnings += ("Qdrant env vars set but Qdrant is not configured; " +
+            "they will have no effect")
+    }
+
+    var database = sec("database") match {
+      case m if !sections.contains("database") => None
+      case m => Some(GraftDatabaseConfig(url = req("database", "url")))
+    }
+    // DATABASE_URL enables-or-overrides (src/config.rs:128-136)
+    env.get("DATABASE_URL").filter(_.nonEmpty).foreach { url =>
+      database = Some(GraftDatabaseConfig(url))
+    }
+
+    (GraftConfig(server, embedding, store, database), warnings.toSeq)
+  }
+
+  /** TOML-subset parser: `[dotted.section]` headers, `key = value` lines
+    * (double-quoted strings with \" and \\ escapes, bare integers, bare
+    * booleans), `#` comments and blank lines. Covers the reference's
+    * config.toml; anything else is a parse error, not a silent skip. */
+  private[graft] def parseToml(text: String): Map[String, Map[String, String]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+    var current: String = ""
+    out(current) = scala.collection.mutable.LinkedHashMap.empty
+    val Section = """\[([A-Za-z0-9_.-]+)\]""".r
+    val KeyVal = """([A-Za-z0-9_-]+)\s*=\s*(.+)""".r
+    text.linesIterator.zipWithIndex.foreach { case (rawLine, i) =>
+      val line = stripComment(rawLine).trim
+      if (line.nonEmpty) line match {
+        case Section(name) =>
+          current = name
+          if (!out.contains(current))
+            out(current) = scala.collection.mutable.LinkedHashMap.empty
+        case KeyVal(key, rawValue) =>
+          out(current)(key) = parseValue(rawValue.trim, i + 1)
+        case other =>
+          throw new ConfigException(s"config line ${i + 1}: cannot parse '$other'")
+      }
+    }
+    out.iterator.filter(_._2.nonEmpty)
+      .map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  private def stripComment(line: String): String = {
+    // a '#' outside a double-quoted string starts a comment
+    val sb = new StringBuilder
+    var inStr = false
+    var escaped = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (escaped) { sb.append(c); escaped = false }
+      else if (inStr && c == '\\') { sb.append(c); escaped = true }
+      else if (c == '"') { sb.append(c); inStr = !inStr }
+      else if (c == '#' && !inStr) return sb.toString()
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString()
+  }
+
+  private def parseValue(raw: String, lineNo: Int): String =
+    if (raw.startsWith("\"")) {
+      if (raw.length < 2 || !raw.endsWith("\""))
+        throw new ConfigException(s"config line $lineNo: unterminated string")
+      raw.substring(1, raw.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    } else if (raw == "true" || raw == "false") raw
+    else if (raw.matches("-?[0-9]+")) raw
+    else throw new ConfigException(
+      s"config line $lineNo: unsupported value '$raw'")
+}

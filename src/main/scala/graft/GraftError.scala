@@ -1,0 +1,85 @@
+package graft
+
+/** A6 — typed error taxonomy. Mirrors the reference's error enums and their
+  * HTTP status mapping (reference: src/error.rs:37-50 SessionError →
+  * 404/503/401/500, src/error.rs:79-104 EmbeddingError → 400/401/404/
+  * passthrough/500, src/error.rs:133-159 VectorStoreError → 503/400/401/
+  * passthrough/500). The engine is a library, not a service, so the
+  * taxonomy surfaces as an exception hierarchy with the would-be HTTP
+  * status attached; a service layer wrapping the library maps
+  * `GraftException.status` straight onto the response code.
+  *
+  * Reject-reason rows produced by the validation splits (a1/a2/p2/p3/s5)
+  * map onto the same categories via [[GraftError.ofReason]], so dataflow
+  * rejects and thrown errors share one vocabulary.
+  */
+sealed abstract class GraftException(message: String)
+    extends RuntimeException(message) {
+  /** The HTTP status a service layer would map this error to. */
+  def status: Int
+}
+
+/** 400 — malformed input: empty text, reserved metadata keys, malformed
+  * UUIDs, unknown provider names (src/error.rs:82-83). */
+final class BadRequestException(message: String)
+    extends GraftException(s"Bad request: $message") {
+  def status: Int = 400
+}
+
+/** 401 — missing or invalid API key (src/error.rs:84-86, the provider
+  * 401/403 mapping in src/embedding/openai.rs:95-97). */
+final class AuthenticationException(
+    message: String = "Authentication failed: missing or invalid API key")
+    extends GraftException(message) {
+  def status: Int = 401
+}
+
+/** 404 — id lookups that matched nothing (src/error.rs:40 SessionError::
+  * NotFound, src/error.rs:87-90 MemoryNotFound). */
+final class NotFoundException(what: String, id: String)
+    extends GraftException(s"$what '$id' not found") {
+  def status: Int = 404
+}
+
+/** 503 — a required backing store is not configured/reachable
+  * (src/error.rs:41 NotConfigured, src/error.rs:139). */
+final class UnavailableException(message: String)
+    extends GraftException(message) {
+  def status: Int = 503
+}
+
+/** Provider returned a non-success HTTP status — passthrough, like
+  * src/error.rs:91-95 (`ProviderError {status, message}`). */
+final class ProviderHttpException(val providerStatus: Int, message: String)
+    extends GraftException(
+      s"Provider returned error: $providerStatus - $message") {
+  def status: Int = providerStatus
+}
+
+/** 500 — provider replied 2xx but the body is not the documented shape
+  * (src/error.rs:60-61, 96-99). */
+final class InvalidResponseException(message: String)
+    extends GraftException(s"Invalid response from provider: $message") {
+  def status: Int = 500
+}
+
+/** 500 — bad engine/provider configuration (src/error.rs:69-70, 96-98). */
+final class ConfigException(message: String)
+    extends GraftException(s"Configuration error: $message") {
+  def status: Int = 500
+}
+
+object GraftError {
+  /** Map a validation-split reject reason (the `reason` column emitted by
+    * a1/a2/p2/p3/s5 dataflows) to its error category — one vocabulary for
+    * row-level rejects and thrown errors. Unknown reasons are a 400 (the
+    * reject split only emits client-input problems). */
+  def ofReason(reason: String, detail: String = ""): GraftException =
+    reason match {
+      case "missing_session" => new NotFoundException("Session", detail)
+      case "unknown_provider" => new BadRequestException(
+        s"Unknown embedding provider '$detail'")
+      case r => new BadRequestException(
+        if (detail.isEmpty) r else s"$r: $detail")
+    }
+}

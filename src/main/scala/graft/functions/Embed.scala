@@ -89,12 +89,13 @@ object EmbeddingProviders {
     "anthropic" -> HashProvider("anthropic", 1024),
     "hash64" -> HashProvider("hash64", 64))
 
-  /** Resolve override-or-default; unknown name errors like the 400 of
-    * src/routes.rs:147-148. */
+  /** Resolve override-or-default; unknown name is the 400 of
+    * src/routes.rs:147-148 (EmbeddingError::ProviderNotFound →
+    * BAD_REQUEST per src/error.rs:82-83). */
   def resolve(name: Option[String] = None): EmbeddingProvider = {
     val n = name.getOrElse(default)
     registry.getOrElse(n,
-      throw new IllegalArgumentException(s"Unknown embedding provider '$n'"))
+      throw new graft.BadRequestException(s"Unknown embedding provider '$n'"))
   }
 
   /** A4 — health introspection: sorted provider names + default
@@ -138,6 +139,20 @@ object EmbeddingProviders {
       }
     }(enc)
   }
+
+  /** E1-E3 production form: the batched per-partition dataflow above, with
+    * a real HTTP provider client built from config executor-side (only
+    * the case-class config is serialized). Wire contracts and error
+    * taxonomy live in [[graft.functions.HttpEmbed]]. */
+  def withRemoteProvider(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String,
+      cfg: RemoteProviderConfig,
+      dim: Int,
+      batchSize: Int = 32): org.apache.spark.sql.DataFrame =
+    withBatchedProvider(df, textCol, outCol, dim, batchSize,
+      HttpEmbed.makeClient(cfg))
 }
 
 /** DuckDB mirrors of [[Embed]]. */

@@ -1,0 +1,218 @@
+package graft.functions
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.{AuthenticationException, ConfigException, InvalidResponseException,
+  ProviderHttpException}
+
+/** E1-E3 — remote embedding provider HTTP clients (reference:
+  * src/embedding/ollama.rs:43-73, openai.rs:76-117, claude.rs:56-101).
+  *
+  * The wire contracts are the reference's, verbatim:
+  *  - ollama: POST {base_url}/api/embed, body {"model","input"},
+  *    response {"embeddings": [[...]]}; non-2xx → provider error.
+  *  - openai-compatible: POST {base_url}{embeddings_path} (default
+  *    /v1/embeddings, leading slash normalized — openai.rs:41-46), body
+  *    {"model","input"}, response {"data":[{"embedding":[...]}]};
+  *    auth_scheme "bearer" (default) → Authorization: Bearer, "api-key" →
+  *    api-key header (Azure style, openai.rs:34-39,86-90); 401/403 →
+  *    AuthenticationException; empty data → InvalidResponseException.
+  *  - claude: POST {base_url}/v1/embeddings, headers x-api-key +
+  *    anthropic-version: 2023-06-01, body input as array; empty key
+  *    fails fast before any request (claude.rs:58-61).
+  *
+  * The SHAPE diverges from the reference deliberately: the reference is a
+  * request-per-text service call; at engine scale the client is
+  * instantiated once per PARTITION and sends `input` as a BATCH array
+  * (every listed provider accepts array input), so a 10k-row partition is
+  * batchSize-bounded requests, not 10k. Wire this into Spark through
+  * [[EmbeddingProviders.withBatchedProvider]] with
+  * `HttpEmbed.makeClient(cfg)` — the config (plain case class) is what
+  * ships to executors; sockets and parsers are built executor-side.
+  */
+final case class RemoteProviderConfig(
+    providerType: String,
+    baseUrl: String,
+    model: String,
+    apiKey: Option[String] = None,
+    authScheme: Option[String] = None,
+    embeddingsPath: Option[String] = None)
+
+/** One provider connection: embeds a batch of texts in a single request. */
+trait RemoteEmbedClient {
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]]
+}
+
+object HttpEmbed {
+  private val RequestTimeout = Duration.ofSeconds(60)
+
+  /** Build a concrete client from config — the analog of
+    * src/embedding/mod.rs:31-43 build_provider; unknown type is a config
+    * error. Constructor-time validation (auth scheme, claude's empty key
+    * check) happens here, before any executor work starts. */
+  def buildClient(cfg: RemoteProviderConfig): RemoteEmbedClient =
+    cfg.providerType match {
+      case "ollama" => new OllamaClient(cfg)
+      case "openai" => new OpenAIClient(cfg)
+      case "claude" => new ClaudeClient(cfg)
+      case unknown =>
+        throw new ConfigException(s"Unknown provider type: '$unknown'")
+    }
+
+  /** Per-partition client factory for
+    * [[EmbeddingProviders.withBatchedProvider]]: ships only the config;
+    * the HttpClient is constructed on the executor. */
+  def makeClient(cfg: RemoteProviderConfig): () => Seq[String] => Seq[Array[Double]] =
+    () => {
+      val client = buildClient(cfg)
+      texts => client.embedBatch(texts)
+    }
+
+  private[functions] def newHttp(): HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  private[functions] def post(
+      http: HttpClient, url: String, body: String,
+      headers: Seq[(String, String)]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(RequestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private[functions] def requestBody(
+      om: ObjectMapper, model: String, texts: Seq[String],
+      inputAlwaysArray: Boolean): String = {
+    val root = om.createObjectNode()
+    root.put("model", model)
+    if (texts.size == 1 && !inputAlwaysArray) root.put("input", texts.head)
+    else {
+      val arr = root.putArray("input")
+      texts.foreach(arr.add)
+    }
+    om.writeValueAsString(root)
+  }
+
+  private[functions] def parseTree(
+      om: ObjectMapper, body: String, provider: String): JsonNode =
+    try om.readTree(body)
+    catch {
+      case e: Exception => throw new InvalidResponseException(
+        s"Failed to parse $provider response: ${e.getMessage}")
+    }
+
+  private[functions] def vectorOf(node: JsonNode): Array[Double] = {
+    val out = new Array[Double](node.size())
+    var i = 0
+    while (i < out.length) { out(i) = node.get(i).asDouble(); i += 1 }
+    out
+  }
+}
+
+/** Ollama contract (src/embedding/ollama.rs:43-73): fixed /api/embed path,
+  * no auth, response key "embeddings" (list of lists even for one input).
+  * Note: NO 401-special-casing — ollama is a local daemon; any non-2xx is
+  * a provider error, matching ollama.rs:54-61. */
+private final class OllamaClient(cfg: RemoteProviderConfig)
+    extends RemoteEmbedClient {
+  private val http = HttpEmbed.newHttp()
+  private val om = new ObjectMapper()
+  private val url = cfg.baseUrl.reverse.dropWhile(_ == '/').reverse + "/api/embed"
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    val resp = HttpEmbed.post(http, url,
+      HttpEmbed.requestBody(om, cfg.model, texts, inputAlwaysArray = false), Nil)
+    if (resp.statusCode() / 100 != 2)
+      throw new ProviderHttpException(resp.statusCode(), resp.body())
+    val tree = HttpEmbed.parseTree(om, resp.body(), "Ollama")
+    val embs = tree.get("embeddings")
+    if (embs == null || !embs.isArray || embs.size() == 0)
+      throw new InvalidResponseException("Empty embeddings array")
+    if (embs.size() != texts.size)
+      throw new InvalidResponseException(
+        s"Expected ${texts.size} embeddings, got ${embs.size()}")
+    (0 until embs.size()).map(i => HttpEmbed.vectorOf(embs.get(i)))
+  }
+}
+
+/** OpenAI-compatible contract (src/embedding/openai.rs:32-117): config-time
+  * auth-scheme validation, embeddings_path normalization, bearer vs
+  * api-key header, 401/403 → auth error, "data" array of
+  * {"embedding": [...]}. */
+private final class OpenAIClient(cfg: RemoteProviderConfig)
+    extends RemoteEmbedClient {
+  private val authScheme = cfg.authScheme.getOrElse("bearer")
+  if (authScheme != "bearer" && authScheme != "api-key")
+    throw new ConfigException(
+      s"""Unsupported auth_scheme '$authScheme': expected "bearer" or "api-key"""")
+  private val path = {
+    val raw = cfg.embeddingsPath.getOrElse("/v1/embeddings")
+    if (raw.startsWith("/")) raw else s"/$raw"
+  }
+  private val http = HttpEmbed.newHttp()
+  private val om = new ObjectMapper()
+  private val url = cfg.baseUrl.reverse.dropWhile(_ == '/').reverse + path
+  private val apiKey = cfg.apiKey.getOrElse("")
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    val headers =
+      if (apiKey.isEmpty) Nil
+      else if (authScheme == "api-key") Seq("api-key" -> apiKey)
+      else Seq("Authorization" -> s"Bearer $apiKey")
+    val resp = HttpEmbed.post(http, url,
+      HttpEmbed.requestBody(om, cfg.model, texts, inputAlwaysArray = false),
+      headers)
+    OpenAIClient.parse(om, resp, texts.size, "OpenAI")
+  }
+}
+
+private object OpenAIClient {
+  /** Shared "data":[{"embedding":...}] response handling (claude's response
+    * shape is identical — openai.rs:92-116, claude.rs:78-100). */
+  def parse(om: ObjectMapper, resp: HttpResponse[String], n: Int,
+      provider: String): Seq[Array[Double]] = {
+    val sc = resp.statusCode()
+    if (sc == 401 || sc == 403) throw new AuthenticationException()
+    if (sc / 100 != 2) throw new ProviderHttpException(sc, resp.body())
+    val tree = HttpEmbed.parseTree(om, resp.body(), provider)
+    val data = tree.get("data")
+    if (data == null || !data.isArray || data.size() == 0)
+      throw new InvalidResponseException("Empty data array")
+    if (data.size() != n)
+      throw new InvalidResponseException(
+        s"Expected $n embeddings, got ${data.size()}")
+    (0 until data.size()).map { i =>
+      val emb = data.get(i).get("embedding")
+      if (emb == null || !emb.isArray)
+        throw new InvalidResponseException("Missing embedding field")
+      HttpEmbed.vectorOf(emb)
+    }
+  }
+}
+
+/** Claude/Anthropic contract (src/embedding/claude.rs:56-101): fixed
+  * /v1/embeddings path, x-api-key + anthropic-version headers, input
+  * always an array, empty key fails fast without a request. */
+private final class ClaudeClient(cfg: RemoteProviderConfig)
+    extends RemoteEmbedClient {
+  private val AnthropicVersion = "2023-06-01"
+  private val http = HttpEmbed.newHttp()
+  private val om = new ObjectMapper()
+  private val url =
+    cfg.baseUrl.reverse.dropWhile(_ == '/').reverse + "/v1/embeddings"
+  private val apiKey = cfg.apiKey.getOrElse("")
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    if (apiKey.isEmpty) throw new AuthenticationException()
+    val resp = HttpEmbed.post(http, url,
+      HttpEmbed.requestBody(om, cfg.model, texts, inputAlwaysArray = true),
+      Seq("x-api-key" -> apiKey, "anthropic-version" -> AnthropicVersion))
+    OpenAIClient.parse(om, resp, texts.size, "Claude")
+  }
+}

@@ -52,6 +52,21 @@ object MemoryOps {
   def existingIds(table: DataFrame, ids: DataFrame, idCol: String): DataFrame =
     table.join(ids.select(col(ids.columns.head).as(idCol)), Seq(idCol), "left_semi")
 
+  /** Service form of a single-id delete: the miss is the taxonomy's 404
+    * (EmbeddingError::MemoryNotFound → NOT_FOUND, src/error.rs:87-90);
+    * returns the table minus the row when it existed. The existence probe
+    * is a partition-prunable point semi-join, not a full scan at scale. */
+  def deleteByIdOrThrow(table: DataFrame, idCol: String, id: String): DataFrame = {
+    val one = table.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(id)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.StringType))))
+    if (existingIds(table, one, idCol).isEmpty)
+      throw new graft.NotFoundException("Memory entry", id)
+    deleteByIds(table, one, idCol)
+  }
+
   /** A5 — table bootstrap (the analog of ensure-collection-exists with
     * create-race tolerance, src/vector_store.rs:112-200): create the keyed
     * parquet table with its vector config sidecar if absent. Idempotent —
@@ -144,6 +159,17 @@ object MemoryOps {
   /** Read a bucketed table (drops the layout column). */
   def readBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
+
+  /** Open the memory store or fail with the taxonomy's 503 — the analog
+    * of "vector store not configured" (SessionError::NotConfigured /
+    * VectorStoreError::NotConfigured → SERVICE_UNAVAILABLE,
+    * src/error.rs:41,139): a store path that was never bootstrapped is an
+    * unavailable backing service, not a bad request. */
+  def openStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    if (!new java.io.File(path).exists())
+      throw new graft.UnavailableException(s"Vector store not configured: $path")
+    spark.read.parquet(path)
+  }
 
   /** A1 — non-empty-text validation split (src/routes.rs:141-145 et al.).
     * Returns (accepted, rejected-with-reason).

@@ -33,6 +33,15 @@ object SessionOps {
   def get(sessions: DataFrame, idCol: String, id: Any): DataFrame =
     sessions.where(col(idCol) === lit(id)).limit(1)
 
+  /** S2 service form: lookup-or-404 — a miss throws the taxonomy's
+    * NotFound like SessionError::NotFound → 404 (src/error.rs:40,
+    * src/session_store.rs:127-136 row-absent branch). Driver-side single
+    * row fetch; the scan is partition-pruned the same as [[get]]. */
+  def getOrThrow(sessions: DataFrame, idCol: String, id: Any)
+      : org.apache.spark.sql.Row =
+    get(sessions, idCol, id).collect().headOption.getOrElse(
+      throw new graft.NotFoundException("Session", String.valueOf(id)))
+
   /** S3 — newest-first paginated list (src/session_store.rs:142-154):
     * ORDER BY created_at DESC, id DESC LIMIT ? OFFSET ?. The route clamps
     * limit to [1,100] with default 50, offset default 0

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A7 — config loading with env overrides (src/config.rs:92-139): TOML
+  * parse of the reference's own layout, QDRANT_URL as the sole enabling
+  * trigger, override-vs-warn semantics, DATABASE_URL enable-or-override,
+  * and registry validation (default provider must exist). */
+class ConfigSpec extends AnyFunSuite {
+
+  private val referenceToml =
+    """# comment line
+      |[server]
+      |host = "127.0.0.1"
+      |port = 8080
+      |
+      |[embedding]
+      |default_provider = "ollama"
+      |
+      |[embedding.providers.ollama]
+      |type = "ollama"
+      |base_url = "http://localhost:11434"
+      |model = "nomic-embed-text"
+      |
+      |[embedding.providers.openai]
+      |type = "openai"
+      |base_url = "https://api.openai.com"
+      |api_key = ""
+      |model = "text-embedding-3-small"
+      |# auth_scheme = "bearer"
+      |
+      |[embedding.providers.claude]
+      |type = "claude"
+      |base_url = "https://api.anthropic.com"
+      |api_key = ""
+      |model = "voyage-3"
+      |""".stripMargin
+
+  test("parses the reference config.toml layout") {
+    val (cfg, warnings) = GraftConfig.fromToml(referenceToml)
+    assert(cfg.server == GraftServerConfig("127.0.0.1", 8080))
+    assert(cfg.embedding.defaultProvider == "ollama")
+    assert(cfg.embedding.providers.keySet == Set("ollama", "openai", "claude"))
+    assert(cfg.embedding.providers("openai").providerType == "openai")
+    assert(cfg.embedding.providers("openai").apiKey.contains(""))
+    assert(cfg.embedding.providers("ollama").model == "nomic-embed-text")
+    assert(cfg.store.isEmpty && cfg.database.isEmpty)
+    assert(warnings.isEmpty)
+  }
+
+  test("QDRANT_URL alone enables the store section with defaults (config.rs:97-107)") {
+    val (cfg, _) = GraftConfig.fromToml(referenceToml,
+      Map("QDRANT_URL" -> "http://qdrant:6333"))
+    assert(cfg.store.isDefined)
+    assert(cfg.store.get.url == "http://qdrant:6333")
+    assert(cfg.store.get.collection == "agent_memory")
+    assert(cfg.store.get.dimensions == 768)
+    assert(cfg.store.get.distance == "Cosine")
+  }
+
+  test("QDRANT_COLLECTION / QDRANT_API_KEY override only when store configured; warn otherwise") {
+    val withStore = referenceToml +
+      "\n[qdrant]\nurl = \"http://local:6333\"\ncollection = \"mems\"\ndimensions = 1536\n"
+    val (cfg, w) = GraftConfig.fromToml(withStore,
+      Map("QDRANT_COLLECTION" -> "other", "QDRANT_API_KEY" -> ""))
+    assert(w.isEmpty)
+    assert(cfg.store.get.collection == "other")
+    // even an empty env value overrides the key (the reference's bare `if let Ok`)
+    assert(cfg.store.get.apiKey.contains(""))
+    assert(cfg.store.get.dimensions == 1536)
+    // no store section: env vars are a warning, never an activation
+    val (cfg2, w2) = GraftConfig.fromToml(referenceToml,
+      Map("QDRANT_COLLECTION" -> "other"))
+    assert(cfg2.store.isEmpty)
+    assert(w2.exists(_.contains("no effect")))
+  }
+
+  test("empty QDRANT_URL does not enable the store") {
+    val (cfg, _) = GraftConfig.fromToml(referenceToml, Map("QDRANT_URL" -> ""))
+    assert(cfg.store.isEmpty)
+  }
+
+  test("DATABASE_URL enables or overrides the database section (config.rs:128-136)") {
+    val (enabled, _) = GraftConfig.fromToml(referenceToml,
+      Map("DATABASE_URL" -> "sqlite:./x.db"))
+    assert(enabled.database.contains(GraftDatabaseConfig("sqlite:./x.db")))
+    val withDb = referenceToml + "\n[database]\nurl = \"sqlite:./orig.db\"\n"
+    val (overridden, _) = GraftConfig.fromToml(withDb,
+      Map("DATABASE_URL" -> "sqlite:./new.db"))
+    assert(overridden.database.contains(GraftDatabaseConfig("sqlite:./new.db")))
+    val (kept, _) = GraftConfig.fromToml(withDb)
+    assert(kept.database.contains(GraftDatabaseConfig("sqlite:./orig.db")))
+  }
+
+  test("default provider must be registered (mod.rs:59-64)") {
+    val bad = referenceToml.replace("default_provider = \"ollama\"",
+      "default_provider = \"missing\"")
+    val e = intercept[ConfigException](GraftConfig.fromToml(bad))
+    assert(e.getMessage.contains("'missing' is not registered"))
+  }
+
+  test("unknown provider type and bad auth_scheme are config errors") {
+    val badType = referenceToml.replace("type = \"claude\"", "type = \"voyage\"")
+    assert(intercept[ConfigException](GraftConfig.fromToml(badType))
+      .getMessage.contains("Unknown provider type: 'voyage'"))
+    val badScheme = referenceToml +
+      "\n[embedding.providers.azure]\ntype = \"openai\"\nbase_url = \"http://a\"\nmodel = \"m\"\nauth_scheme = \"api_key\"\n"
+    assert(intercept[ConfigException](GraftConfig.fromToml(badScheme))
+      .getMessage.contains("auth_scheme"))
+  }
+
+  test("invalid distance rejected; valid variants accepted") {
+    val base = referenceToml + "\n[qdrant]\nurl = \"http://q\"\n"
+    for (d <- Seq("Cosine", "Euclid", "Dot")) {
+      val (cfg, _) = GraftConfig.fromToml(
+        base + s"distance = \"$d\"\n")
+      assert(cfg.store.get.distance == d)
+    }
+    intercept[ConfigException](GraftConfig.fromToml(
+      base + "distance = \"L2\"\n"))
+  }
+
+  test("malformed lines and missing keys are loud errors, not silent skips") {
+    intercept[ConfigException](GraftConfig.fromToml("not a toml line"))
+    intercept[ConfigException](GraftConfig.fromToml("[server]\nhost = \"h\"\n"))
+    intercept[ConfigException](GraftConfig.fromToml(
+      "[server]\nhost = \"h\"\nport = \"not-a-number\"\n[embedding]\ndefault_provider = \"x\"\n"))
+  }
+
+  test("comments inside strings survive; # comments stripped") {
+    val toml = """[server]
+      |host = "a#b"  # trailing comment
+      |port = 1
+      |[embedding]
+      |default_provider = "p"
+      |[embedding.providers.p]
+      |type = "ollama"
+      |base_url = "http://x"
+      |model = "m"
+      |""".stripMargin
+    val (cfg, _) = GraftConfig.fromToml(toml)
+    assert(cfg.server.host == "a#b")
+  }
+}

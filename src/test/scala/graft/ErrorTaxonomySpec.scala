@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MemoryOps, SessionOps}
+
+/** A6 — each engine error analog pinned to its reference status mapping
+  * (src/error.rs:37-50 SessionError, 79-104 EmbeddingError, 133-159
+  * VectorStoreError). */
+class ErrorTaxonomySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("status mapping mirrors src/error.rs") {
+    assert(new BadRequestException("x").status == 400)
+    assert(new AuthenticationException().status == 401)
+    assert(new NotFoundException("Session", "abc").status == 404)
+    assert(new UnavailableException("x").status == 503)
+    assert(new ProviderHttpException(502, "upstream").status == 502)
+    assert(new InvalidResponseException("x").status == 500)
+    assert(new ConfigException("x").status == 500)
+    // messages carry the reference's phrasing
+    assert(new NotFoundException("Memory entry", "m1").getMessage ==
+      "Memory entry 'm1' not found")
+    assert(new AuthenticationException().getMessage
+      .contains("missing or invalid API key"))
+    assert(new ProviderHttpException(502, "upstream").getMessage
+      .contains("502 - upstream"))
+  }
+
+  test("session get miss -> NotFoundException 404 (src/error.rs:40)") {
+    val sessions = Seq(("s1", "t")).toDF("id", "tag")
+    assert(SessionOps.getOrThrow(sessions, "id", "s1").getString(0) == "s1")
+    val e = intercept[NotFoundException](
+      SessionOps.getOrThrow(sessions, "id", "missing"))
+    assert(e.status == 404 && e.getMessage.contains("'missing' not found"))
+  }
+
+  test("delete of an absent memory id -> NotFoundException 404 (src/error.rs:87-90)") {
+    val table = Seq(("m1", "a"), ("m2", "b")).toDF("id", "text")
+    val after = MemoryOps.deleteByIdOrThrow(table, "id", "m1")
+    assert(after.select("id").as[String].collect().toSet == Set("m2"))
+    intercept[NotFoundException](MemoryOps.deleteByIdOrThrow(table, "id", "nope"))
+  }
+
+  test("unbootstrapped store -> UnavailableException 503 (NotConfigured analog)") {
+    val e = intercept[UnavailableException](
+      MemoryOps.openStore(spark, "/tmp/graft_no_such_store_xyz"))
+    assert(e.status == 503)
+    // and a bootstrapped one opens
+    val dir = java.nio.file.Files.createTempDirectory("graft_taxo").toFile
+    val path = dir.getPath + "/memories"
+    MemoryOps.bootstrap(spark, path, dim = 8)
+    assert(MemoryOps.openStore(spark, path).columns.contains("embedding"))
+  }
+
+  test("reject-reason rows map onto the same categories (ofReason)") {
+    val docs = Seq(("d1", ""), ("d2", "ok")).toDF("id", "text")
+    val (_, rejected) = MemoryOps.validateText(docs)
+    val reason = rejected.select("reason").as[String].head()
+    val err = GraftError.ofReason(reason)
+    assert(err.isInstanceOf[BadRequestException] && err.status == 400)
+    assert(GraftError.ofReason("missing_session", "s9").status == 404)
+    assert(GraftError.ofReason("unknown_provider", "nope").getMessage
+      .contains("Unknown embedding provider 'nope'"))
+  }
+}

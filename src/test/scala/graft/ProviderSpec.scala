@@ -13,10 +13,11 @@ class ProviderSpec extends SparkSpec {
     assert(EmbeddingProviders.resolve(None).dim == 768)
     assert(EmbeddingProviders.resolve(Some("openai")).dim == 1536)
     assert(EmbeddingProviders.resolve(Some("anthropic")).dim == 1024)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.BadRequestException] {
       EmbeddingProviders.resolve(Some("nope"))
     }
     assert(e.getMessage.contains("Unknown embedding provider 'nope'"))
+    assert(e.status == 400)
   }
 
   test("providers produce unit vectors at their declared dimension") {
