@@ -226,13 +226,68 @@ object Queries6 {
       |  FROM orders GROUP BY 1) a USING (o_orderpriority)
       |WHERE o.o_totalprice > a.avg_p""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // P3: caller-supplied-id validation in the ingest pipeline — malformed
+  // UUIDs rejected BEFORE any content check, the batch analog of the
+  // reference's deserialization-time rejection (src/routes.rs:193-195
+  // `id: Option<Uuid>`). Fixture: every 7th id is garbage, every 13th a
+  // truncated UUID, the rest canonical; text/reserved-key/FK faults from
+  // the p1/p2 fixture stay in, so the reason column also pins the
+  // precedence uuid > empty-text > reserved-key > missing-session.
+  // ---------------------------------------------------------------------
+  private def uuidOf(c: Column): Column =
+    format_string("%08x-0000-4000-8000-%012x", c, c)
+
+  def p3IngestBadIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = Tables.embeddings(spark, sfDir).select(
+      uuidOf(col("vec_id")).as("id"),
+      col("label").cast("long").as("session_id"),
+      col("embedding"))
+    val incoming = Tables.documents(spark, sfDir).select(
+      when(col("doc_id") % 7 === 0, concat(lit("bad:"), col("doc_id")))
+        .when(col("doc_id") % 13 === 0, substring(uuidOf(col("doc_id")), 1, 35))
+        .otherwise(uuidOf(col("doc_id"))).as("id"),
+      when(col("doc_id") % 50 === 0, lit("")).otherwise(col("text")).as("text"),
+      map(when(col("doc_id") % 40 === 0, lit("text")).otherwise(lit("topic")),
+        col("source")).as("metadata"),
+      (col("doc_id") % 15).as("session_id"))
+    val sessions = Tables.customer(spark, sfDir)
+      .where(col("c_custkey") < 10).select(col("c_custkey").as("id"))
+    graft.operators.Pipeline.ingest(existing, incoming, sessions, dim = 64,
+      requireUuidIds = true).rejects
+  }
+  val p3IngestBadIdsSql: String =
+    """SELECT id,
+      |  CASE WHEN NOT regexp_matches(id,
+      |         '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+      |         THEN 'Invalid id: ''' || id || ''' is not a valid UUID'
+      |       WHEN length(trim(text)) = 0 THEN 'Field ''text'' must not be empty'
+      |       WHEN reserved THEN 'metadata key ''text'' is reserved'
+      |       ELSE 'Session ''' || CAST(session_id AS VARCHAR) || ''' not found'
+      |  END AS reason
+      |FROM (SELECT
+      |        CASE WHEN doc_id % 7 = 0 THEN 'bad:' || doc_id
+      |             WHEN doc_id % 13 = 0
+      |               THEN substr(printf('%08x-0000-4000-8000-%012x', doc_id, doc_id), 1, 35)
+      |             ELSE printf('%08x-0000-4000-8000-%012x', doc_id, doc_id)
+      |        END AS id,
+      |        CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS text,
+      |        doc_id % 40 = 0 AS reserved,
+      |        doc_id % 15 AS session_id
+      |      FROM documents)
+      |WHERE NOT regexp_matches(id,
+      |        '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+      |   OR length(trim(text)) = 0 OR reserved
+      |   OR session_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 10)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_funnel"     -> (f1Funnel _),
     "r1_retention"  -> (r1Retention _),
     "pipe1_funnel"  -> (pipe1CorpusFunnel _),
     "q14_profile"   -> (q14Profile _),
     "w5_moving_avg" -> (w5MovingAvg _),
-    "q15_above_avg" -> (q15AboveAvg _))
+    "q15_above_avg" -> (q15AboveAvg _),
+    "p3_ingest_bad_ids" -> (p3IngestBadIds _))
 
   val oracles: Map[String, String] = Map(
     "f1_funnel"     -> f1FunnelSql,
@@ -240,5 +295,6 @@ object Queries6 {
     "pipe1_funnel"  -> pipe1CorpusFunnelSql,
     "q14_profile"   -> q14ProfileSql,
     "w5_moving_avg" -> w5MovingAvgSql,
-    "q15_above_avg" -> q15AboveAvgSql)
+    "q15_above_avg" -> q15AboveAvgSql,
+    "p3_ingest_bad_ids" -> p3IngestBadIdsSql)
 }

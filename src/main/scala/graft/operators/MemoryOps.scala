@@ -180,6 +180,25 @@ object MemoryOps {
       df.where(bad).withColumn("reason", lit(s"Field '$textCol' must not be empty")))
   }
 
+  /** Canonical hyphenated UUID shape (8-4-4-4-12 hex), case-insensitive —
+    * what the reference's route layer accepts for caller-supplied ids. */
+  private val UuidPattern =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  /** Caller-supplied-id validation split (the reference rejects malformed
+    * UUIDs at request deserialization — src/routes.rs:193-195 `id:
+    * Option<Uuid>`, serde-validated before any handler runs; the batch
+    * analog is a reject split BEFORE all content checks). NULL ids pass:
+    * the id is optional and absent means server-generated.
+    * Returns (accepted, rejected-with-reason). */
+  def validateUuid(df: DataFrame, idCol: String = "id"): (DataFrame, DataFrame) = {
+    val bad = col(idCol).isNotNull && !col(idCol).rlike(UuidPattern)
+    (df.where(!bad),
+      df.where(bad).withColumn("reason",
+        concat(lit("Invalid id: '"), col(idCol),
+          lit("' is not a valid UUID"))))
+  }
+
   /** A2 — reserved-payload-key validation (src/vector_store.rs:32-37,
     * src/routes.rs:231-240): metadata maps may not contain "text" or
     * "session_id". Returns (accepted, rejected-with-reason).

@@ -26,14 +26,25 @@ object Pipeline {
     * @param incoming  batch to write: (id, text, metadata MAP, session_id)
     * @param sessions  session catalog: one `id` column
     * @param dim       embedding dimension for the hash embedder
+    * @param requireUuidIds  validate caller-supplied ids as UUIDs before
+    *   any content check — the batch analog of the reference's
+    *   deserialization-time rejection (src/routes.rs:193-195). Off by
+    *   default: a pipeline whose ids are engine-generated (or synthetic
+    *   numeric fixtures) skips the format check, like the reference does
+    *   when `id` is absent from the request.
     */
   def ingest(
       existing: DataFrame,
       incoming: DataFrame,
       sessions: DataFrame,
-      dim: Int = Embed.DefaultDim): IngestResult = {
+      dim: Int = Embed.DefaultDim,
+      requireUuidIds: Boolean = false): IngestResult = {
+    // A0: id-format validation (deserialization order: before content)
+    val (idOk, idBad) =
+      if (requireUuidIds) MemoryOps.validateUuid(incoming, "id")
+      else (incoming, null)
     // A1: text validation
-    val (textOk, textBad) = MemoryOps.validateText(incoming)
+    val (textOk, textBad) = MemoryOps.validateText(idOk)
     // A2: reserved metadata keys
     val (keysOk, keysBad) = MemoryOps.validateReservedKeys(textOk)
     // S5: session referential integrity (NULL session always accepted)
@@ -53,10 +64,13 @@ object Pipeline {
       embedded.select(col("session_id").as("id")).where(col("id").isNotNull),
       Seq("id"), "left_semi")
 
-    val rejects =
+    val contentRejects =
       textBad.select(col("id"), col("reason"))
         .unionByName(keysBad.select(col("id"), col("reason")))
         .unionByName(fkBad.select(col("id"), col("reason")))
+    val rejects =
+      if (idBad == null) contentRejects
+      else idBad.select(col("id"), col("reason")).unionByName(contentRejects)
     IngestResult(merged, rejects, touched)
   }
 }

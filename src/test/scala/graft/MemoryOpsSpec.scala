@@ -78,4 +78,22 @@ class MemoryOpsSpec extends SparkSpec {
     assert(ok.select("mid").as[String].collect().toSet == Set("m1", "m3"))
     assert(bad.select("reason").as[String].head() == "Session 'sess-missing' not found")
   }
+
+  test("UUID validation: canonical and uppercase accepted, NULL passes (optional id), malformed rejected (src/routes.rs:193-195)") {
+    val df = Seq(
+      ("550e8400-e29b-41d4-a716-446655440000", "ok-lower"),
+      ("550E8400-E29B-41D4-A716-446655440000", "ok-upper"),
+      (null.asInstanceOf[String], "ok-null"),
+      ("550e8400-e29b-41d4-a716-44665544000", "short"),
+      ("550e8400e29b41d4a716446655440000", "no-hyphens"),
+      ("zz0e8400-e29b-41d4-a716-446655440000", "non-hex"))
+      .toDF("id", "tag")
+    val (ok, bad) = MemoryOps.validateUuid(df)
+    assert(ok.select("tag").as[String].collect().toSet ==
+      Set("ok-lower", "ok-upper", "ok-null"))
+    val reasons = bad.select("tag", "reason").as[(String, String)].collect().toMap
+    assert(reasons.keySet == Set("short", "no-hyphens", "non-hex"))
+    assert(reasons("short").startsWith("Invalid id: '") &&
+      reasons("short").endsWith("' is not a valid UUID"))
+  }
 }
