@@ -403,6 +403,11 @@ object Queries {
        |WHERE ${DedupSql.hamming("a.simhash", "b.simhash")} <= 3""".stripMargin
   }
 
+  // Plain posting-list join here: at t=0.2 the prefix keeps ~80% of
+  // postings, so the filter's df-aggregate + rank window cost more than
+  // they prune (measured 1.9 s vs 1.1 s at sf0.1). The prefix-filtered
+  // form is the production path for selective thresholds — d6 (t=0.5)
+  // runs it, and DedupSpec pins prefix == indexed exactly.
   def d4JaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairsIndexed(
         Tables.documents(spark, sfDir).where(col("doc_id") < 1000),
@@ -417,6 +422,27 @@ object Queries {
        |       round(${DedupSql.jaccard("a.sh", "b.sh")}, 6) AS jaccard
        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |WHERE ${DedupSql.jaccard("a.sh", "b.sh")} >= 0.2""".stripMargin
+  }
+
+  /** D9 — the prefix-filtered production Jaccard path under oracle: each
+    * doc posts only its ⌈(1−t)·n⌉+1 rarest shingles, candidates verified
+    * on full sets (Dedup.jaccardPairsPrefix). Same brute-force oracle as
+    * d4 at t=0.5 — the prefix filter is exact, so results must be
+    * identical pairs. */
+  def d9PrefixJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.5, shingleN = 2)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  val d9PrefixJaccardSql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    s"""WITH sets AS (
+       |  SELECT * FROM (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 1000)
+       |  WHERE len(sh) > 0)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       round(${DedupSql.jaccard("a.sh", "b.sh")}, 6) AS jaccard
+       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |WHERE ${DedupSql.jaccard("a.sh", "b.sh")} >= 0.5""".stripMargin
   }
 
   /** D6 — apply dedup decisions: drop every doc that is the higher-id
@@ -1061,6 +1087,7 @@ object Queries {
     "d3_simhash"        -> (d3Simhash _),
     "d3_simhash_pairs"  -> (d3SimhashPairs _),
     "d4_jaccard_pairs"  -> (d4JaccardPairs _),
+    "d9_prefix_jaccard" -> (d9PrefixJaccard _),
     "d5_embed_neardup"  -> (d5EmbedNearDup _),
     "d6_dedup_apply"    -> (d6DedupApply _),
     "q6_rollup"         -> (q6Rollup _),
@@ -1119,6 +1146,7 @@ object Queries {
     "d3_simhash"        -> d3SimhashSql,
     "d3_simhash_pairs"  -> d3SimhashPairsSql,
     "d4_jaccard_pairs"  -> d4JaccardPairsSql,
+    "d9_prefix_jaccard" -> d9PrefixJaccardSql,
     "d5_embed_neardup"  -> d5EmbedNearDupSql,
     "d6_dedup_apply"    -> d6DedupApplySql,
     "q6_rollup"         -> q6RollupSql,

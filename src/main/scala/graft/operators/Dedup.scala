@@ -256,6 +256,60 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED posting-list join —
+    * the hot-shingle guard for [[jaccardPairsIndexed]]. Each doc posts
+    * only its ⌈(1−t)·n⌉+1 RAREST shingles (global rarity order: ascending
+    * document frequency, hash tie-break); a pair at Jaccard ≥ t must
+    * share ≥ ⌈t·n⌉ of either side's n shingles, so under any global
+    * total order the two prefixes must intersect (the all-pairs/ppjoin
+    * prefix bound: keeping n − ⌈t·n⌉ + 1 is complete; ⌈(1−t)·n⌉+1 is that
+    * or one more) — candidates are EXACTLY a superset of the answer, and
+    * the final verify join recomputes true Jaccard on the full sets.
+    *
+    * Scale: a stop-shingle shared by every doc lands in almost no
+    * prefixes (highest document frequency = last in rarity order), so
+    * its posting list never explodes the join — the degenerate-bucket
+    * hazard the plain posting join has. Costs one extra vocabulary-sized
+    * aggregate (document frequencies) and a per-doc rank window; both
+    * shuffle posting-sized data, nothing driver-sized.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefix-filtered Jaccard needs a threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // consumed by the posting derivation AND both verify sides: pin once
+    // (Catalyst recomputes multi-consumer subtrees otherwise)
+    val sets = df.select(
+        col(idCol).as("__id"),
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .localCheckpoint(true)
+    val posting = sets.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__h"))
+    val dfreq = posting.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__h"))
+    val prefix = posting.join(dfreq, Seq("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <=
+        ceil((lit(1.0) - lit(threshold)) * col("__n")).cast("int") + 1)
+      .select(col("__id"), col("__h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("id1"), col("__sh").as("__sha")), Seq("id1"))
+      .join(sets.select(col("__id").as("id2"), col("__sh").as("__shb")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        graft.functions.Native.jaccardSim(col("__sha"), col("__shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over distinct word-n-gram shingle hashes: bit i is set

@@ -56,6 +56,45 @@ class DedupSpec extends SparkSpec {
       Seq((100L, 101L)))
   }
 
+  test("prefix-filtered Jaccard == posting-list Jaccard on random corpora (exactness property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // 3 corpora x 3 thresholds; small vocab forces heavy shingle sharing
+    // (the hot-shingle regime prefix filtering exists for)
+    for (trial <- 1 to 3) {
+      val base = (0L until 56L).map { i =>
+        val n = 3 + rnd.nextInt(25)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // planted exact + near dups so the higher thresholds have answers
+      val docs2 = (base ++ Seq(
+        (100L, base(0)._2), (101L, base(0)._2 + " alpha"),
+        (102L, base(1)._2), (103L, base(1)._2))).toDF("doc_id", "text")
+      for (t <- Seq(0.2, 0.5, 0.8)) {
+        def canon(d: org.apache.spark.sql.DataFrame) =
+          d.select($"id1", $"id2", round($"jaccard", 9).as("j"))
+            .orderBy("id1", "id2")
+            .as[(Long, Long, Double)].collect().toSeq
+        val indexed = canon(Dedup.jaccardPairsIndexed(docs2, "doc_id", "text", t))
+        val prefixed = canon(Dedup.jaccardPairsPrefix(docs2, "doc_id", "text", t))
+        assert(prefixed == indexed, s"trial $trial threshold $t")
+        assert(indexed.nonEmpty, s"trial $trial threshold $t: degenerate fixture")
+      }
+    }
+  }
+
+  test("prefix filter: a universal stop-shingle does not explode the candidate join") {
+    // every doc shares the "common common" shingle; only (0,1) are real dups
+    val docs3 = ((0L until 30L).map { i =>
+      if (i < 2) (i, "common common real duplicate pair text")
+      else (i, s"common common unique$i words$i here$i now$i")
+    }).toDF("doc_id", "text")
+    val res = Dedup.jaccardPairsPrefix(docs3, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(res == Seq((0L, 1L)))
+  }
+
   test("simhash: identical text -> identical hash; near-dup closer than random") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .as[(Long, Long)].collect().toMap
