@@ -110,6 +110,48 @@ object Kernels {
     out
   }
 
+  // --- codegen entry points -------------------------------------------
+  // Called BY NAME from generated Java (the expressions' doGenCode):
+  // `object Kernels` emits static forwarders, so generated code reaches
+  // them as plain static calls — the kernel body stays one JIT-compiled
+  // method, and the expression stays inside the whole-stage loop.
+
+  /** MinHash signature or null for shingle-free text (the expression's
+    * null semantics, shared by eval and codegen). */
+  def minhashSigOrNull(text: String, nPerm: Int, shingleN: Int): GenericArrayData = {
+    val hs = distinctShingleHashes(text, shingleN)
+    if (hs.isEmpty) null else new GenericArrayData(minhashSig(hs, nPerm))
+  }
+
+  /** SimHash straight from text (shingle + hash in one call). */
+  def simhashOfText(text: String, bits: Int, shingleN: Int): Long =
+    simhash(distinctShingleHashes(text, shingleN), bits)
+
+  /** Shingle strings as a ready ArrayData of UTF8String. */
+  def shinglesUtf8(text: String, n: Int): GenericArrayData =
+    new GenericArrayData(
+      shingles(text, n).map(UTF8String.fromString(_)): Array[Any])
+
+  /** Set Jaccard over two long-array ArrayData, null on empty union —
+    * the single source of truth for [[JaccardSim]] eval AND codegen. */
+  def jaccardOrNull(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val setA = new java.util.HashSet[java.lang.Long](math.max(16, x.numElements() * 2))
+    var i = 0
+    while (i < x.numElements()) { setA.add(x.getLong(i)); i += 1 }
+    val nA = setA.size
+    val seenB = new java.util.HashSet[java.lang.Long](math.max(16, y.numElements() * 2))
+    var common = 0
+    var j = 0
+    while (j < y.numElements()) {
+      val v = y.getLong(j)
+      if (seenB.add(v) && setA.contains(v)) common += 1
+      j += 1
+    }
+    val union = nA + seenB.size - common
+    if (union == 0) null
+    else java.lang.Double.valueOf(common.toDouble / union.toDouble)
+  }
+
   /** Feature-hash embedding — mirrors [[Embed.embed]]: signed counts over
     * token hashes, then L2 normalize with zero-vector passthrough. The
     * normalization magnitude is a left-to-right fold like the HOF form. */
@@ -234,9 +276,11 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Set Jaccard |A∩B| / |A∪B| over long arrays in one pass (single hash set;
   * = size(array_intersect)/size(array_union) on distinct inputs, the
-  * [[graft.operators.Dedup.jaccardOf]] HOF). Defensively dedupes. */
+  * [[graft.operators.Dedup.jaccardOf]] HOF). Defensively dedupes.
+  * Codegen calls the same [[Kernels.jaccardOrNull]] the interpreter uses,
+  * as a static call inside the whole-stage loop. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -247,76 +291,97 @@ case class JaccardSim(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"jaccard_sim expects ARRAY<BIGINT>, got ${left.dataType} / ${right.dataType}")
   }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val setA = new java.util.HashSet[java.lang.Long](math.max(16, x.numElements() * 2))
-    var i = 0
-    while (i < x.numElements()) { setA.add(x.getLong(i)); i += 1 }
-    val nA = setA.size
-    val seenB = new java.util.HashSet[java.lang.Long](math.max(16, y.numElements() * 2))
-    var common = 0
-    var j = 0
-    while (j < y.numElements()) {
-      val v = y.getLong(j)
-      if (seenB.add(v) && setA.contains(v)) common += 1
-      j += 1
-    }
-    val union = nA + seenB.size - common
-    if (union == 0) null // matches SQL divide-by-zero -> NULL
-    else java.lang.Double.valueOf(common.toDouble / union.toDouble)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tmp = ctx.freshName("jac")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $tmp = graft.functions.Kernels.jaccardOrNull($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }""")
   }
   override def nullable: Boolean = true
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
+/** Shared shape for the text kernels: unary, string-input, codegen via a
+  * static [[Kernels]] call so the scan stays in whole-stage codegen (a
+  * CodegenFallback would box an InternalRow and eval interpreted per row
+  * right in the middle of the dedup scans — the biggest bench items). */
+private[functions] trait TextKernelCodegen { self: UnaryExpression =>
+  /** Java source for one static kernel call; `in` is the UTF8String input
+    * expression, result must be assigned to `ev.value` (and `ev.isNull`
+    * for nullable kernels). */
+  protected def kernelCall(in: String, ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in => kernelCall(in, ev))
+}
+
 /** Distinct word-n-gram shingle hashes in one pass
   * (= array_distinct(TextHash.shingleHashes(text, n))). */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextKernelCodegen {
   override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "shingle_hashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(
       Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, n))
+  override protected def kernelCall(in: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.Kernels.distinctShingleHashes($in.toString(), $n));""".stripMargin
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** MinHash signature in one pass (= Dedup.minhashSignature). */
 case class MinHashSig(child: Expression, nPerm: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextKernelCodegen {
   override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "minhash_sig")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val hs = Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, shingleN)
-    if (hs.isEmpty) null // mirrors array_min(empty) -> null signature
-    else new GenericArrayData(Kernels.minhashSig(hs, nPerm))
-  }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashSigOrNull(v.asInstanceOf[UTF8String].toString, nPerm, shingleN)
+  override protected def kernelCall(in: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    s"""${ev.value} = graft.functions.Kernels.minhashSigOrNull(
+       |  $in.toString(), $nPerm, $shingleN);
+       |${ev.isNull} = (${ev.value} == null);""".stripMargin
   override def nullable: Boolean = true
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** SimHash in one pass (= Dedup.simhash). */
 case class SimHash(child: Expression, bits: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextKernelCodegen {
   override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "simhash")
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val hs = Kernels.distinctShingleHashes(v.asInstanceOf[UTF8String].toString, shingleN)
-    java.lang.Long.valueOf(Kernels.simhash(hs, bits))
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      Kernels.simhashOfText(v.asInstanceOf[UTF8String].toString, bits, shingleN))
+  override protected def kernelCall(in: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    s"${ev.value} = graft.functions.Kernels.simhashOfText($in.toString(), $bits, $shingleN);"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Feature-hash embedding in one pass (= Embed.embed / embedRaw). */
 case class FeatureHashEmbed(child: Expression, dim: Int, normalize: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextKernelCodegen {
   override def checkInputDataTypes(): TypeCheckResult = StringInput.check(child, "feature_hash_embed")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(
       Kernels.featureEmbed(v.asInstanceOf[UTF8String].toString, dim, normalize))
+  override protected def kernelCall(in: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.Kernels.featureEmbed($in.toString(), $dim, $normalize));""".stripMargin
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -324,14 +389,15 @@ case class FeatureHashEmbed(child: Expression, dim: Int, normalize: Boolean)
   * kept, duplicates kept). The HOF form interprets a concat_ws+slice
   * lambda per shingle; this is one tokenizer pass per document. */
 case class ShingleStrings(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextKernelCodegen {
   override def checkInputDataTypes(): TypeCheckResult =
     StringInput.check(child, "shingle_strings")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      Kernels.shingles(v.asInstanceOf[UTF8String].toString, n)
-        .map(UTF8String.fromString(_)): Array[Any])
+    Kernels.shinglesUtf8(v.asInstanceOf[UTF8String].toString, n)
+  override protected def kernelCall(in: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String =
+    s"${ev.value} = graft.functions.Kernels.shinglesUtf8($in.toString(), $n);"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -93,4 +93,42 @@ class NativeKernelsSpec extends SparkSpec {
       .select(col("z.deflate_bytes")).as[Long].head()
     assert(again == z1)
   }
+
+  test("text kernels survive codegen with fallback DISABLED (doGenCode compiles and is used)") {
+    // with fallback off, a janino failure in any kernel's generated code
+    // throws instead of silently eval-ing interpreted — this pins that the
+    // doGenCode paths actually compile and produce the eval results
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy cat"),
+        (2L, ""), (3L, "one")).toDF("doc_id", "text")
+      val out = df.select(
+        col("doc_id"),
+        Native.shingleHashes(col("text"), 2).as("sh"),
+        Native.minhashSig(col("text"), 8, 2).as("mh"),
+        Native.simhash(col("text"), 32, 2).as("si"),
+        Native.featureHashEmbed(col("text"), 16).as("fe"),
+        Native.shingleStrings(col("text"), 2).as("ss"))
+      val rows = out.collect().sortBy(_.getLong(0))
+      assert(rows.length == 4)
+      // codegen results == interpreted kernel results
+      assert(rows(0).getSeq[Long](1) ==
+        graft.functions.Kernels.distinctShingleHashes(
+          "the quick brown fox jumps over the lazy dog", 2).toSeq)
+      assert(rows(2).isNullAt(2) && rows(3).isNullAt(2)) // shingle-free -> null sig
+      assert(rows(0).getLong(3) ==
+        graft.functions.Kernels.simhashOfText(
+          "the quick brown fox jumps over the lazy dog", 32, 2))
+      // jaccard of the near-dup pair through codegen
+      val j = df.where(col("doc_id") === 0).as("a")
+        .crossJoin(df.where(col("doc_id") === 1).as("b"))
+        .select(Native.jaccardSim(
+          Native.shingleHashes(col("a.text"), 2),
+          Native.shingleHashes(col("b.text"), 2)).as("j"))
+        .as[Double].head()
+      assert(j > 0.7 && j < 1.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
