@@ -95,6 +95,33 @@ class DedupSpec extends SparkSpec {
     assert(res == Seq((0L, 1L)))
   }
 
+  test("large-star/small-star CC: 10k-node path graph converges in ~log rounds with correct labels") {
+    // the adversarial case for min-label (needs diameter = 9999 rounds)
+    val path = spark.range(0, 9999).selectExpr("id as id1", "id + 1 as id2")
+    val (labels, rounds) = Dedup.ccAlternatingWithRounds(path, "id1", "id2", 50)
+    assert(rounds <= 2 * 14 + 4, s"took $rounds rounds") // 2·⌈log₂ 10k⌉ + c
+    val comps = labels.select("component").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L), s"expected one component labeled 0, got $comps")
+    assert(labels.count() == 10000)
+  }
+
+  test("large-star/small-star CC == min-label CC on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // ~300 nodes, sparse random edges + a planted chain => mixed shapes
+      val randomEdges = Seq.fill(150)(
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+        .filter { case (a, b) => a != b }
+      val chain = (400L until 420L).map(i => (i, i + 1))
+      val pairs = (randomEdges ++ chain).toDF("id1", "id2")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id").as[(Long, Long)].collect().toSeq
+      val viaStars = canon(Dedup.connectedComponentsAlternating(pairs))
+      val viaMinLabel = canon(Dedup.connectedComponents(pairs, maxIter = 100))
+      assert(viaStars == viaMinLabel, s"trial $trial")
+    }
+  }
+
   test("simhash: identical text -> identical hash; near-dup closer than random") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .as[(Long, Long)].collect().toMap
