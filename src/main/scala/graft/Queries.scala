@@ -640,6 +640,17 @@ object Queries {
       |GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E8: file-stream replay — the events table replayed through the
+  // stateful streaming sessionizer as 8 real micro-batches; the FINAL
+  // state table must equal the batch mirror, so the oracle is e4's SQL
+  // verbatim. This is the stream-equals-batch guarantee under oracle
+  // instead of only spec assertion.
+  // ---------------------------------------------------------------------
+  def e8StreamReplay(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replaySessionize(Tables.events(spark, sfDir))
+  val e8StreamReplaySql: String = e4SessionizeSql
+
+  // ---------------------------------------------------------------------
   // E5: semi-structured JSON metadata (the Qdrant arbitrary-payload model:
   // HashMap<String, serde_json::Value>, src/routes.rs:199-203) — extract,
   // type, aggregate
@@ -1099,6 +1110,7 @@ object Queries {
     "m2_media_decode"   -> (m2MediaDecode _),
     "e3_event_window"   -> (e3EventWindow _),
     "e4_sessionize"     -> (e4Sessionize _),
+    "e8_stream_replay"  -> (e8StreamReplay _),
     "p1_ingest_table"   -> (p1IngestTable _),
     "p2_ingest_rejects" -> (p2IngestRejects _),
     "v11_euclid_topk"   -> (v11EuclidTopk _),
@@ -1158,6 +1170,7 @@ object Queries {
     "m2_media_decode"   -> m2MediaDecodeSql,
     "e3_event_window"   -> e3EventWindowSql,
     "e4_sessionize"     -> e4SessionizeSql,
+    "e8_stream_replay"  -> e8StreamReplaySql,
     "p1_ingest_table"   -> p1IngestTableSql,
     "p2_ingest_rejects" -> p2IngestRejectsSql,
     "v11_euclid_topk"   -> v11EuclidTopkSql,

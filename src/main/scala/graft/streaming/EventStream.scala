@@ -273,4 +273,67 @@ object EventStream {
           Iterator(UserSessions(user, s.sessionCount, s.eventCount))
       }
   }
+
+  /** E8 — deterministic FILE-STREAM REPLAY of a batch event table through
+    * the stateful streaming sessionizer, returning the FINAL per-user
+    * state for oracle comparison against the batch mirror (e4's SQL).
+    *
+    * Replay mechanics: the events are split into `chunks` time-range
+    * parquet files whose modification times are staggered per chunk, so
+    * the file source (maxFilesPerTrigger=1, oldest-first) delivers them
+    * as `chunks` micro-batches in event-time order — per-user state
+    * crosses real micro-batch boundaries instead of arriving in one go.
+    *
+    * Timestamps are truncated to whole seconds before replay: the
+    * streaming state diffs milliseconds while the batch mirror and the
+    * DuckDB oracle diff floor-seconds, and on truncated inputs
+    * `diff_ms > gap*60000  ⟺  floor-second diff > gap*60` — exactly
+    * equivalent, with no boundary disagreement on sub-second gaps.
+    * Same-second events for one user produce no session break in either
+    * form regardless of intra-second order, so chunk order is the only
+    * ordering that matters and the time-range split guarantees it.
+    *
+    * The append-mode memory sink accumulates one row per touched user per
+    * micro-batch; both state fields are monotonically non-decreasing, so
+    * the final state is the per-user max — a plain batch aggregate over
+    * the sink. */
+  def replaySessionize(
+      events: DataFrame,
+      chunks: Int = 8,
+      gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    val dir = root.resolve("in").toString
+    val src = events.select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts"),
+        col("ts").cast("long").as("__sec"))
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val t0 = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    (0 until chunks).foreach { i =>
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      src.where(col("__sec") >= cLo && col("__sec") < cHi)
+        .select(col("user_id"), col("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      // stagger mtimes so the file source replays chunks in time order
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    }
+    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sink = "graft_e8_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStreaming(stream.as[SessionEvent], gapMinutes)
+      .toDF().writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink).groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
 }
