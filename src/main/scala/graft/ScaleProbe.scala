@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: 10× scaling probe. No sf1 fixture exists, so this builds a
+  * 10×-replicated copy of sf0.1 under tmp/ (facts replicated with
+  * key-shifted ids, text perturbed per replica, dims kept 1×) and times a
+  * representative set of heavy queries on BOTH scales in one session,
+  * reporting the time ratio. Ideal linear scaling is ratio ≈ 10 (fixed
+  * per-query overhead pulls it below); super-linear ratios flag a plan
+  * that would not survive 100 TB. Dedup pair queries are excluded by
+  * design — their fixtures are id-blocked (doc_id < 1000), so replication
+  * doesn't change what they scan; their scale posture is argued by plan
+  * shape (bucketed/banded joins) instead.
+  *
+  * Usage: runMain graft.ScaleProbe [factor] [runsPerQuery]
+  */
+object ScaleProbe {
+  val ProbeQueries: Seq[String] = Seq(
+    "q1_agg", "q3_join", "q4_count_distinct", "q14_profile",
+    "e3_event_window", "e4_sessionize", "e5_props_extract", "f1_funnel",
+    "w4_lag_delta", "t1_langid", "t3_tokencount", "t7_tfidf",
+    "d1_exact_dedup", "c1_contamination", "a7_ivf_trained", "v2_knn_topk")
+
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val out = new java.io.File(outDir)
+    if (out.exists()) return // built once, reused across runs
+    out.mkdirs()
+    def reps(df: DataFrame, f: DataFrame => Int => DataFrame): DataFrame =
+      (0 until factor).map(f(df)).reduce(_ unionByName _)
+
+    val ev = Tables.events(spark, baseDir)
+    val evMax = ev.agg(max("event_id")).head().getLong(0) + 1
+    reps(ev, d => i => d.withColumn("event_id", col("event_id") + lit(i * evMax)))
+      .repartition(32).write.parquet(s"$outDir/events.parquet")
+
+    val docs = Tables.documents(spark, baseDir)
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    reps(docs, d => i => d
+        .withColumn("doc_id", col("doc_id") + lit(i * docMax))
+        // perturb one trailing token so replicas aren't exact dups
+        .withColumn("text", concat(col("text"), lit(s" zrep$i"))))
+      .repartition(32).write.parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    reps(emb, d => i => d.withColumn("vec_id", col("vec_id") + lit(i * embMax)))
+      .repartition(32).write.parquet(s"$outDir/embeddings.parquet")
+
+    val ord = Tables.orders(spark, baseDir)
+    val ordMax = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    reps(ord, d => i => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordMax)))
+      .repartition(32).write.parquet(s"$outDir/orders.parquet")
+    reps(Tables.lineitem(spark, baseDir),
+        d => i => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordMax)))
+      .repartition(32).write.parquet(s"$outDir/lineitem.parquet")
+
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+      Tables.load(spark, baseDir, t).write.parquet(s"$outDir/$t.parquet")
+  }
+
+  def timeQuery(spark: SparkSession, name: String, sfDir: String,
+      runs: Int): Double = {
+    (1 to runs).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val baseDir = "/root/testdata/sf0.1"
+    val scaledDir = s"/root/repo/tmp/scale$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(8 * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, baseDir, scaledDir, factor)
+    // warm the JIT/codegen caches off the timed path
+    spark.read.parquet(s"$baseDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    val rows = ProbeQueries.map { q =>
+      val base = timeQuery(spark, q, baseDir, runs)
+      val scaled = timeQuery(spark, q, scaledDir, runs)
+      val r = scaled / base
+      println(f"[scaleprobe] $q%-20s sf0.1 $base%6.2f s  x$factor ${scaled}%6.2f s  ratio $r%5.2f")
+      (q, base, scaled, r)
+    }
+    val js = rows.map { case (q, b, s, r) =>
+      f"""\"$q\":{\"base\":$b%.3f,\"scaled\":$s%.3f,\"ratio\":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":{$js}}""")
+    spark.stop()
+  }
+}
