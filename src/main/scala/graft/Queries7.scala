@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Boilerplate, Decontaminate, KeywordSearch, KeywordSearchSql, Pii, PiiSql, Scd, VectorSearch}
+
+/** Round-3 query inventory: corpus-hygiene and retrieval operators —
+  * PII redaction, boilerplate line removal, BM25 + hybrid RRF search,
+  * bloom-prefiltered decontamination, SCD2 history, embedding-norm
+  * outliers. Same contract as [[Queries]]: each Spark dataflow paired
+  * with DuckDB SQL computing the identical result.
+  */
+object Queries7 {
+
+  // ---------------------------------------------------------------------
+  // PII1: detect + redact emails / IPv4s / phone numbers. The fixture
+  // corpus carries no PII, so the query builds a deterministic augmented
+  // view first (every 5th doc gains an email, 7th an IP, 11th a phone) —
+  // identical string construction on both engines — then runs the real
+  // operator over it. Map-side regex work only; no shuffle.
+  // ---------------------------------------------------------------------
+  private def piiDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1555"),
+            lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+          .otherwise(lit(""))).as("text"))
+
+  // NOTE: no line may BEGIN with '||' — this string is re-interpolated
+  // into pii1RedactSql whose own stripMargin would eat the first pipe.
+  private val piiDocsSql: String =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+      |            CAST(doc_id % 250 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  def pii1Redact(spark: SparkSession, sfDir: String): DataFrame =
+    piiDocs(spark, sfDir).select(
+      col("doc_id"),
+      Pii.piiCount(col("text"), "email").as("n_emails"),
+      Pii.piiCount(col("text"), "ip").as("n_ips"),
+      Pii.piiCount(col("text"), "phone").as("n_phones"),
+      Pii.redact(col("text")).as("redacted"))
+
+  val pii1RedactSql: String =
+    s"""SELECT doc_id,
+       |  ${PiiSql.piiCount("text", "email")} AS n_emails,
+       |  ${PiiSql.piiCount("text", "ip")} AS n_ips,
+       |  ${PiiSql.piiCount("text", "phone")} AS n_phones,
+       |  ${PiiSql.redact("text")} AS redacted
+       |FROM ($piiDocsSql)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // L1: boilerplate line removal. The fixture text is single-line, so the
+  // query first derives a multi-line view by turning two pivot words into
+  // newlines (same regex, both engines), then strips every line that
+  // recurs in >= 3 distinct documents and reassembles the rest in order.
+  // ---------------------------------------------------------------------
+  private def linedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      regexp_replace(col("text"), " (table|value) ", "\n").as("text"))
+
+  private val linedDocsSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, ' (table|value) ', chr(10), 'g') AS text
+      |FROM documents""".stripMargin
+
+  def l1Boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    Boilerplate.stripRecurringLines(
+      linedDocs(spark, sfDir), "doc_id", "text", minDocs = 3)
+
+  val l1BoilerplateSql: String =
+    s"""WITH d AS ($linedDocsSql),
+       |l AS (SELECT doc_id,
+       |        unnest(string_split(text, chr(10))) AS line,
+       |        generate_subscripts(string_split(text, chr(10)), 1) AS pos
+       |      FROM d),
+       |bp AS (SELECT line FROM l GROUP BY line
+       |       HAVING COUNT(DISTINCT doc_id) >= 3)
+       |SELECT l.doc_id,
+       |  COUNT(*) AS n_lines,
+       |  count(*) FILTER (WHERE bp.line IS NULL) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN bp.line IS NULL THEN l.line END,
+       |    chr(10) ORDER BY l.pos), '') AS clean_text
+       |FROM l LEFT JOIN bp ON l.line = bp.line
+       |GROUP BY l.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // T12: BM25 keyword retrieval — top-20 documents for a fixed query-term
+  // set. Corpus stats reduce to one broadcast row; scoring is map-side;
+  // the cut orders by the ROUNDED score (both engines) so the limit falls
+  // on a deterministic boundary.
+  // ---------------------------------------------------------------------
+  private val bmTerms = Seq("spark", "vector", "hash", "stream")
+
+  def t12Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    KeywordSearch.bm25(Tables.documents(spark, sfDir), "doc_id", "text", bmTerms)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  val t12Bm25Sql: String =
+    s"""WITH toks AS (${KeywordSearchSql.toksCte("doc_id")}),
+       |stats AS (${KeywordSearchSql.statsCte(bmTerms)})
+       |SELECT doc_id, round(${KeywordSearchSql.scoreExpr(bmTerms)}, 6) AS score
+       |FROM toks, stats
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // H1: hybrid retrieval — reciprocal-rank fusion of the BM25 ranking and
+  // the cosine (vector) ranking, joined on the shared id space
+  // (doc_id = vec_id, Tables.memories). Both input rankings cut at 50 by
+  // rounded score with id tiebreak; fusion arithmetic is 1/(60+rank) over
+  // integer ranks — bit-deterministic.
+  // ---------------------------------------------------------------------
+  def h1HybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    val wAll = Window.orderBy(col("score").desc, col("id"))
+    val vec = VectorSearch.scored(Tables.embeddings(spark, sfDir), q)
+      .select(col("vec_id").as("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(50)
+      .select(col("id"), row_number().over(wAll).as("rank"))
+    val lex = KeywordSearch.bm25(
+        Tables.documents(spark, sfDir), "doc_id", "text", bmTerms)
+      .select(col("doc_id").as("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(50)
+      .select(col("id"), row_number().over(wAll).as("rank"))
+    KeywordSearch.rrfFuse(vec, lex, "id")
+      .select(col("id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(10)
+  }
+
+  val h1HybridRrfSql: String =
+    s"""WITH vtop AS (
+       |  SELECT vec_id AS id,
+       |    round(${Queries.sqlCosine("e.embedding", "qv.q")}, 6) AS score
+       |  FROM embeddings e,
+       |    (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qv
+       |  ORDER BY score DESC, id LIMIT 50),
+       |vrank AS (SELECT id,
+       |    row_number() OVER (ORDER BY score DESC, id) AS rank FROM vtop),
+       |toks AS (${KeywordSearchSql.toksCte("doc_id")}),
+       |stats AS (${KeywordSearchSql.statsCte(bmTerms)}),
+       |ltop AS (
+       |  SELECT doc_id AS id,
+       |    round(${KeywordSearchSql.scoreExpr(bmTerms)}, 6) AS score
+       |  FROM toks, stats ORDER BY score DESC, id LIMIT 50),
+       |lrank AS (SELECT id,
+       |    row_number() OVER (ORDER BY score DESC, id) AS rank FROM ltop)
+       |SELECT id,
+       |  round(coalesce(1.0 / (60 + v.rank), 0.0)
+       |      + coalesce(1.0 / (60 + l.rank), 0.0), 6) AS rrf
+       |FROM vrank v FULL OUTER JOIN lrank l USING (id)
+       |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C2: bloom-prefiltered exact decontamination — drop corpus docs whose
+  // text appears verbatim in the benchmark. The corpus deliberately
+  // CONTAINS the benchmark split (the "eval set leaked into the crawl"
+  // case), so the clean set provably shrinks. The bloom phase only routes
+  // rows; the confirm join makes the result exact, so the oracle is the
+  // plain anti-join.
+  // ---------------------------------------------------------------------
+  def c2BloomClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Decontaminate.bloomClean(
+        docs,
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"))
+  }
+
+  val c2BloomCleanSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SCD1: type-2 history build over the event stream — each user's value
+  // timeline as validity intervals. One window shuffle on user_id.
+  // ---------------------------------------------------------------------
+  def scd1History(spark: SparkSession, sfDir: String): DataFrame =
+    Scd.buildHistory(Tables.events(spark, sfDir),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCols = Seq("value"))
+      .select(col("user_id"), col("version"), col("valid_from"),
+        col("valid_to"), col("is_current"), round(col("value"), 6).as("value"))
+
+  val scd1HistorySql: String =
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  ts AS valid_from,
+      |  lead(ts, 1) OVER w AS valid_to,
+      |  lead(ts, 1) OVER w IS NULL AS is_current,
+      |  round(value, 6) AS value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // O1: embedding outliers by distance to the corpus centroid (the norms
+  // themselves are unit — the fixture is normalized — so the meaningful
+  // anomaly signal is angular drift from the center of mass). Centroid =
+  // per-dim DECIMAL-exact mean (a6 pattern), driver-side index metadata
+  // (64 doubles) like the IVF codebook; distances are ordered double
+  // folds (the v1 cosine pattern); mean/std of the distances use the q14
+  // DECIMAL moments; |z| > 2 flagged. The data-quality gate before
+  // vectors enter an index.
+  // ---------------------------------------------------------------------
+  def o1EmbedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val cen: Seq[Double] = embs.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
+    val dist = sqrt(aggregate(
+      zip_with(col("embedding"), typedlit(cen),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (s, v) => s + v))
+    val dd = embs.select(col("vec_id"), dist.as("__dist"))
+    val stats = dd.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dist").cast("decimal(28,10)")).cast("double").as("__s"),
+      sum((col("__dist") * col("__dist")).cast("decimal(28,8)")).cast("double")
+        .as("__ss"))
+      .select(
+        (col("__s") / col("__n")).as("__mean"),
+        sqrt(greatest(lit(0.0),
+          col("__ss") / col("__n") -
+            (col("__s") / col("__n")) * (col("__s") / col("__n")))).as("__std"))
+    dd.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        round(col("__dist"), 6).as("dist"),
+        round((col("__dist") - col("__mean")) / col("__std"), 6).as("z"),
+        (abs((col("__dist") - col("__mean")) / col("__std")) > 2.0)
+          .as("is_outlier"))
+  }
+
+  val o1EmbedOutliersSql: String =
+    """WITH cen AS (
+      |  SELECT list(m ORDER BY dim) AS c FROM (
+      |    SELECT i AS dim,
+      |      CAST(SUM(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+      |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      |    FROM embeddings, range(0, 64) t(i) GROUP BY i)),
+      |d AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+      |         * (CAST(embedding[i] AS DOUBLE) - c[i])))) AS dist
+      |  FROM embeddings, cen),
+      |st AS (SELECT
+      |    CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+      |    sqrt(greatest(0.0,
+      |      CAST(SUM(CAST(dist * dist AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+      |      - (CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+      |        * (CAST(SUM(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))))
+      |      AS std
+      |  FROM d)
+      |SELECT vec_id, round(dist, 6) AS dist,
+      |  round((dist - mean) / std, 6) AS z,
+      |  abs((dist - mean) / std) > 2.0 AS is_outlier
+      |FROM d, st""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii1_redact"      -> (pii1Redact _),
+    "l1_boilerplate"   -> (l1Boilerplate _),
+    "t12_bm25"         -> (t12Bm25 _),
+    "h1_hybrid_rrf"    -> (h1HybridRrf _),
+    "c2_bloom_clean"   -> (c2BloomClean _),
+    "scd1_history"     -> (scd1History _),
+    "o1_embed_outliers" -> (o1EmbedOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "pii1_redact"      -> pii1RedactSql,
+    "l1_boilerplate"   -> l1BoilerplateSql,
+    "t12_bm25"         -> t12Bm25Sql,
+    "h1_hybrid_rrf"    -> h1HybridRrfSql,
+    "c2_bloom_clean"   -> c2BloomCleanSql,
+    "scd1_history"     -> scd1HistorySql,
+    "o1_embed_outliers" -> o1EmbedOutliersSql)
+}

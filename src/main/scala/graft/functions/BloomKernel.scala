@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native membership probe against a pre-built Bloom filter — the scan-side
+  * half of bloom-prefiltered decontamination ([[graft.operators.Decontaminate.bloomClean]]).
+  * The filter is built once from the small side (benchmark digests), rides
+  * into the expression as a reference object, and the probe compiles into
+  * whole-stage codegen: one virtual call per row, no join, no shuffle.
+  * At 100 TB this is how the 99.9% of rows that can't possibly match skip
+  * the confirm join entirely; Spark's own runtime-filter injection uses the
+  * same BloomFilter sketch, which is why it is Serializable and cheap to
+  * broadcast.
+  */
+case class BloomMightContain(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects BIGINT digests, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object BloomKernel {
+  /** Column wrapper: does `digest` possibly belong to `bloom`? False means
+    * definitely absent; true means "confirm with an exact check". */
+  def mightContain(digest: Column, bloom: BloomFilter): Column =
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(digest), bloom))
+}

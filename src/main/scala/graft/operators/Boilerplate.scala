@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level boilerplate removal: a line of text that recurs across many
+  * distinct documents (nav bars, cookie banners, license headers) carries
+  * no training signal and is stripped before the document ships. The
+  * standard web-corpus cleaning step (C4/RefinedWeb-style), applied at
+  * line granularity. Part of the LLM-pipeline operator family.
+  *
+  * Scale posture (100 TB): one explode + one aggregation keyed by line
+  * hash to find the recurring lines — the boilerplate set is tiny (it is
+  * by definition the heavy hitters), so it broadcasts back and the
+  * reassembly pass groups only by doc id. Two shuffles total, both on
+  * narrow keys; the wide text column never shuffles twice because the
+  * reassembly groups the exploded lines, not the documents.
+  */
+object Boilerplate {
+
+  /** Strip lines that occur in at least `minDocs` distinct documents.
+    * Returns (idCol, n_lines, n_kept, clean_text) — clean_text is the
+    * surviving lines re-joined with '\n' in original order; documents
+    * whose every line is boilerplate come back with empty text rather
+    * than dropping out.
+    */
+  def stripRecurringLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val bp = lines.groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__n"))
+      .where(col("__n") >= minDocs)
+      .select(col("__line"))
+    lines.join(broadcast(bp.withColumn("__bp", lit(true))), Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__bp").isNull, 1)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(
+                col("__pos"),
+                when(col("__bp").isNull, col("__line")).as("__keep")))),
+              s => s.getField("__keep").isNotNull),
+            s => s.getField("__keep")),
+          "\n").as("clean_text"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.BloomKernel
 
 /** Benchmark-contamination detection for training corpora: for every
   * training document, how much of its distinct n-gram set also appears in
@@ -44,5 +45,40 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(coalesce(col("n_shared"), lit(0L)).cast("double") /
           col("n_total").cast("double"), 6).as("contamination"))
+  }
+
+  /** Exact-text decontamination with a Bloom prefilter: drop every corpus
+    * row whose text appears verbatim in `benchmark`. The result is EXACT —
+    * the Bloom filter only routes rows. A row whose digest the filter
+    * rejects is provably absent from the benchmark and skips the join; only
+    * the candidate sliver (true matches + false positives, ~fpp of the
+    * corpus) reaches the exact confirm, which kills the false positives.
+    *
+    * Scale posture: the benchmark is bounded (human-curated evals), so its
+    * filter is a few MB built in one aggregation pass and shipped as a
+    * reference object into codegen ([[BloomKernel.mightContain]]); the
+    * 100-TB corpus side does one codegen'd probe per row and only the
+    * sliver shuffles into the anti-join. This is Spark's own runtime-filter
+    * pattern applied where the optimizer can't see the semantics.
+    */
+  def bloomClean(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val benchDigests = benchmark
+      .select(xxhash64(col(textCol)).as("__digest")).distinct()
+    val nBench = math.max(1L, benchDigests.count())  // filter sizing: one scalar
+    val bloom = benchDigests.stat.bloomFilter("__digest", nBench, fpp)
+    val digested = corpus.withColumn("__digest", xxhash64(col(textCol)))
+    val definitelyClean = digested
+      .where(!BloomKernel.mightContain(col("__digest"), bloom))
+    val candidates = digested
+      .where(BloomKernel.mightContain(col("__digest"), bloom))
+    val confirmedClean = candidates
+      .join(broadcast(benchmark.select(col(textCol)).distinct()),
+        Seq(textCol), "left_anti")
+    definitelyClean.unionByName(confirmedClean).drop("__digest")
   }
 }

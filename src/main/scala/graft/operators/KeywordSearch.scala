@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Keyword retrieval over a document corpus: BM25 scoring for a fixed
+  * query-term set, and reciprocal-rank fusion to combine the lexical
+  * ranking with a vector (cosine) ranking — the hybrid-search shape every
+  * retrieval stack runs. The reference scores only vectors
+  * (src/memory.rs:154-158 cosine); lexical + hybrid is part of the
+  * LLM-pipeline extension surface.
+  *
+  * Scale posture (100 TB): corpus statistics (N, avgdl, one df per query
+  * term) reduce to a single broadcast row, so scoring is one map-side
+  * pass over the scan — no shuffle touches the text column; the final
+  * top-k is a TakeOrderedAndProject, k rows per partition to the driver.
+  */
+object KeywordSearch {
+
+  /** One aggregated row of corpus stats: doc count, average document
+    * length (DECIMAL-summed so the mean is partitioning-proof), and one
+    * document frequency per term. */
+  private def corpusStats(toks: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      (sum(size(col("__toks")).cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("__avgdl")) ++
+      terms.map(t => sum(when(array_contains(col("__toks"), t), 1L)
+        .otherwise(0L)).as(s"__df_$t"))
+    toks.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BM25 contribution of one term given the stats row's columns. */
+  private def termScore(t: String, k1: Double, b: Double): Column = {
+    val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+    val dl = size(col("__toks")).cast("double")
+    val idf = log(
+      (col("__n").cast("double") - col(s"__df_$t") + lit(0.5)) /
+        (col(s"__df_$t") + lit(0.5)) + lit(1.0))
+    idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("__avgdl")))
+  }
+
+  /** Per-document BM25 score for `terms` (Okapi k1/b defaults). Returns
+    * (idCol, score) for every document; compose with a top-k for
+    * retrieval. */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol), TextHash.tokens(col(textCol)).as("__toks"))
+    val stats = corpusStats(toks, terms)
+    toks.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        terms.map(termScore(_, k1, b)).reduce(_ + _).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two (id, rank) lists: rrf = Σ 1/(c+rank),
+    * an id absent from one list contributes nothing for it. Ranks are
+    * integers, so the fused score is deterministic double arithmetic. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, c: Int = 60): DataFrame =
+    a.select(col(idCol), col("rank").as("__ra"))
+      .join(b.select(col(idCol), col("rank").as("__rb")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(c) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rb")), lit(0.0))).as("rrf"))
+}
+
+/** DuckDB mirrors of [[KeywordSearch.bm25]] — same stats CTE, same score
+  * expression, over the shared token mirror. */
+object KeywordSearchSql {
+  import graft.functions.TextHashSql
+
+  def toksCte(idCol: String, table: String = "documents",
+      textCol: String = "text"): String =
+    s"SELECT $idCol, ${TextHashSql.tokens(textCol)} AS toks FROM $table"
+
+  def statsCte(terms: Seq[String]): String = {
+    val dfs = terms.map(t =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+    (Seq(
+      "COUNT(*) AS n",
+      "CAST(SUM(CAST(len(toks) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avgdl")
+      ++ dfs).mkString("SELECT ", ", ", " FROM toks")
+  }
+
+  def scoreExpr(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String =
+    terms.map { t =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      val dl = "CAST(len(toks) AS DOUBLE)"
+      val idf = s"ln((CAST(n AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5) + 1.0)"
+      s"$idf * ($tf * ${k1 + 1.0}) / ($tf + $k1 * (1.0 - $b + $b * $dl / avgdl))"
+    }.mkString("(", " + ", ")")
+}

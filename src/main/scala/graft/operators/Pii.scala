@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training corpora: emails, IPv4
+  * addresses, and international phone numbers found and masked before any
+  * text ships to a training run. Beyond the reference's own surface (its
+  * text handling stops at the non-empty check, src/routes.rs:141-145);
+  * part of the LLM-pipeline operator family ([[TextAnalysis]], [[Dedup]]).
+  *
+  * All pure column expressions over Java regexes — codegen'd, no UDFs, no
+  * shuffles; at 100 TB this runs map-side at scan speed. The patterns
+  * deliberately use only syntax with identical semantics in Java regex and
+  * RE2 (no backrefs, no lookaround), so the DuckDB oracle can mirror them
+  * verbatim ([[PiiSql]]).
+  */
+object Pii {
+
+  /** Pattern table — id -> (regex, replacement tag). Redaction applies in
+    * this order; email first so its digits can't be half-eaten by the
+    * phone pattern, phone last because it requires a leading '+' that
+    * neither other pattern produces. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{9,14}", "[PHONE]"))
+
+  /** How many matches of pattern `id` appear in `text`. */
+  def piiCount(text: Column, id: String): Column = {
+    val re = patterns.find(_._1 == id).get._2
+    regexp_count(text, lit(re)).cast("long")
+  }
+
+  /** `text` with every match of every pattern masked by its tag. */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (t, (_, re, tag)) =>
+      regexp_replace(t, re, tag)
+    }
+
+  /** Total PII hits across all patterns. */
+  def piiTotal(text: Column): Column =
+    patterns.map(p => piiCount(text, p._1)).reduce(_ + _)
+}
+
+/** DuckDB mirrors of [[Pii]]. DuckDB's regexp_replace is first-match-only
+  * by default — the 'g' flag makes it global like Spark's. */
+object PiiSql {
+  import Pii.patterns
+
+  def piiCount(text: String, id: String): String = {
+    val re = patterns.find(_._1 == id).get._2
+    s"CAST(len(regexp_extract_all($text, '$re')) AS BIGINT)"
+  }
+
+  def redact(text: String): String =
+    patterns.foldLeft(text) { case (t, (_, re, tag)) =>
+      s"regexp_replace($t, '$re', '$tag', 'g')"
+    }
+
+  def piiTotal(text: String): String =
+    patterns.map(p => piiCount(text, p._1)).mkString("(", " + ", ")")
+}

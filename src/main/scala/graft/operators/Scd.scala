@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build: turn a change stream
+  * (one row per observed value of a key) into versioned validity
+  * intervals — `valid_from` = the change's own timestamp, `valid_to` =
+  * the next change's timestamp (NULL while current). The standard
+  * warehouse shape for "what did this record look like at time T",
+  * and the batch analog of the reference's LWW upsert ([[MemoryOps]])
+  * when history must be kept instead of overwritten.
+  *
+  * Scale posture (100 TB): a single window over (key, order) — one
+  * shuffle on the key, then per-partition sorted scans; no self-join,
+  * no driver state. Interval columns are the input's own timestamps, so
+  * the output is exactly as wide as the input.
+  */
+object Scd {
+
+  /** Build the type-2 history for `df` keyed by `keyCol`, ordered by
+    * (`tsCol`, `tieCol`). Adds version (1-based per key), valid_to and
+    * is_current. */
+  def buildHistory(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(
+      Seq(
+        col(keyCol),
+        row_number().over(w).as("version"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        lead(col(tsCol), 1).over(w).isNull.as("is_current")) ++
+        valueCols.map(col): _*)
+  }
+}

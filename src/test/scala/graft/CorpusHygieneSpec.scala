@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Boilerplate, Decontaminate, KeywordSearch, Pii, Scd}
+
+/** Specs for the round-3 corpus-hygiene operators: PII redaction,
+  * boilerplate line removal, BM25/RRF retrieval, bloom-prefiltered
+  * decontamination, SCD2 history. */
+class CorpusHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii: counts and redaction cover emails, IPs, phones") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or root@h.co thanks"),
+      (2L, "server 192.168.0.1 and 10.0.255.3 are up"),
+      (3L, "call +4915123456789 today"),
+      (4L, "clean text with no pii at all"))
+      .toDF("id", "text")
+      .select(col("id"),
+        Pii.piiCount(col("text"), "email").as("e"),
+        Pii.piiCount(col("text"), "ip").as("i"),
+        Pii.piiCount(col("text"), "phone").as("p"),
+        Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(df(1L).getLong(1) == 2 && df(1L).getString(4) ==
+      "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(df(2L).getLong(2) == 2 && df(2L).getString(4) ==
+      "server [IP] and [IP] are up")
+    assert(df(3L).getLong(3) == 1 && df(3L).getString(4) ==
+      "call [PHONE] today")
+    assert(df(4L).getString(4) == "clean text with no pii at all")
+  }
+
+  test("pii: redaction is idempotent") {
+    val once = Queries7.pii1Redact(spark, sf0001)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = once.select(col("doc_id"),
+      Pii.piiTotal(col("text")).as("n"),
+      (Pii.redact(col("text")) === col("text")).as("same"))
+    assert(twice.where(col("n") =!= 0 || !col("same")).isEmpty)
+  }
+
+  test("boilerplate: recurring lines stripped, order kept, empty docs survive") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nCOPYRIGHT"),
+      (2L, "COOKIE BANNER\nreal content two\nCOPYRIGHT"),
+      (3L, "COOKIE BANNER\nalpha\nbeta\nCOPYRIGHT"),
+      (4L, "COOKIE BANNER\nCOPYRIGHT")).toDF("id", "text")
+    val out = Boilerplate.stripRecurringLines(docs, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(3) == "real content one")
+    assert(out(3L).getString(3) == "alpha\nbeta")
+    assert(out(3L).getLong(1) == 4 && out(3L).getLong(2) == 2)
+    // every line boilerplate -> row kept with empty text, not dropped
+    assert(out(4L).getString(3) == "" && out(4L).getLong(2) == 0)
+  }
+
+  test("bm25: an extra occurrence of a query term raises the score") {
+    val docs = Seq(
+      (1L, "spark spark filler words here"),
+      (2L, "spark other filler words here"),
+      (3L, "other stuff filler words here")).toDF("id", "text")
+    val s = KeywordSearch.bm25(docs, "id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L) && s(3L) == 0.0)
+  }
+
+  test("rrf: fusion rewards presence in both lists") {
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    val b = Seq((11L, 1), (12L, 2)).toDF("id", "rank")
+    val f = KeywordSearch.rrfFuse(a, b, "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f(11L) > f(10L) && f(10L) > f(12L))
+    assert(math.abs(f(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+  }
+
+  test("bloom clean: equals the exact anti-join on the fixture corpus") {
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val got = Decontaminate.bloomClean(corpus, bench, "doc_id", "text")
+      .select("doc_id")
+    val want = corpus.join(bench.select("text").distinct(),
+      Seq("text"), "left_anti").select("doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and it actually drops something (the fixture has cross-split dupes)
+    assert(got.count() < corpus.count())
+  }
+
+  test("bloom kernel: no false negatives, and probes stay in codegen") {
+    import graft.functions.BloomKernel
+    val bench = Tables.documents(spark, sf001).where(col("doc_id") % 10 === 0)
+    val digests = bench.select(xxhash64(col("text")).as("d"))
+    val bloom = digests.stat.bloomFilter("d", 100, 0.01)
+    // every true member must probe true
+    assert(digests.where(!BloomKernel.mightContain(col("d"), bloom)).isEmpty)
+    // the probe compiles into whole-stage codegen: its Filter carries the
+    // codegen-stage star marker instead of falling back to interpretation
+    val plan = digests.where(BloomKernel.mightContain(col("d"), bloom))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("*(")))
+  }
+
+  test("scd2: intervals chain per key and exactly one current version") {
+    val h = Scd.buildHistory(Tables.events(spark, sf0001),
+      "user_id", "ts", "event_id", Seq("value"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    // valid_to of version k == valid_from of version k+1
+    val broken = h.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .where(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(broken.isEmpty)
+    val multiCurrent = h.where(col("is_current"))
+      .groupBy(col("user_id")).count().where(col("count") =!= 1)
+    assert(multiCurrent.isEmpty)
+    // version numbering is dense from 1
+    val counts = h.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("version")).as("mx"))
+      .where(col("n") =!= col("mx"))
+    assert(counts.isEmpty)
+  }
+}
