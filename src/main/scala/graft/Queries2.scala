@@ -267,7 +267,11 @@ object Queries2 {
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("__approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000))
+        // accuracy 1000 (the Spark default): rank error <= 0.1% of rows,
+        // two orders of magnitude tighter than the exact 45-55% band the
+        // bound check asserts — 10x cheaper than accuracy 10000 with no
+        // change in what the oracle verifies
+        percentile_approx(col("value"), lit(0.5), lit(1000))
           .as("__approx_median"),
         countDistinct(col("user_id")).as("exact_users"),
         percentile(col("value"), array(lit(0.45), lit(0.5), lit(0.55)))

@@ -280,7 +280,76 @@ object Queries7 {
       |  abs((dist - mean) / std) > 2.0 AS is_outlier
       |FROM d, st""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T13: canonical text normalization — the pass every dedup key and
+  // tokenizer input goes through. The fixture augments docs with mixed
+  // case and punctuation deterministically (both engines) so the operator
+  // has real work; map-side regex only.
+  // ---------------------------------------------------------------------
+  def t13Normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val messy = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      concat(upper(substring(col("text"), 1, 20)),
+        substring(col("text"), 21, 1000000),
+        lit("  -- (C) 2024, ALL rights RESERVED!!  ")).as("text"))
+    messy.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_before"),
+      operators.TextAnalysis.normalize(col("text")).as("norm_text"))
+      .withColumn("n_after", length(col("norm_text")).cast("long"))
+  }
+
+  val t13NormalizeSql: String = {
+    val norm = operators.TextAnalysisSql.normalize("text")
+    s"""SELECT doc_id, length(text) AS n_before, $norm AS norm_text,
+       |  length($norm) AS n_after
+       |FROM (SELECT doc_id,
+       |        upper(substr(text, 1, 20)) || substr(text, 21)
+       |          || '  -- (C) 2024, ALL rights RESERVED!!  ' AS text
+       |      FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Z1: Z-order (Morton) layout keys over (user bucket, hour bucket) —
+  // the write-path clustering key that makes user+time predicates prune
+  // row groups at 100 TB. Pure bit arithmetic per row; the derived
+  // "file" assignment is the top 4 bits, i.e. the range partition a
+  // zorder-sorted writer would produce.
+  // ---------------------------------------------------------------------
+  def z1ZorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      (col("user_id") % 1024).as("__ub"),
+      (floor(col("ts").cast("long") / 3600L) % 1024).cast("long").as("__hb"))
+    ev.select(col("event_id"),
+      operators.Layout.zOrderKey(col("__ub"), col("__hb"), bits = 10)
+        .as("zkey"))
+      .withColumn("file_bucket", shiftrightunsigned(col("zkey"), 16))
+  }
+
+  val z1ZorderKeySql: String = {
+    val z = operators.LayoutSql.zOrderKey("ub", "hb", 10)
+    s"""SELECT event_id, $z AS zkey,
+       |  CAST($z >> 16 AS BIGINT) AS file_bucket
+       |FROM (SELECT event_id, user_id % 1024 AS ub,
+       |        CAST(floor(epoch(ts) / 3600) AS BIGINT) % 1024 AS hb
+       |      FROM events)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // E9: streaming funnel replay — events as real micro-batches through the
+  // per-user state machine; final state must equal the batch funnel, so
+  // the oracle is f1's SQL verbatim (the e8 pattern for the funnel).
+  // ---------------------------------------------------------------------
+  def e9StreamFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayFunnel(Tables.events(spark, sfDir))
+
+  val e9StreamFunnelSql: String = Queries6.f1FunnelSql
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_stream_funnel" -> (e9StreamFunnel _),
+    "t13_normalize"    -> (t13Normalize _),
+    "z1_zorder_key"    -> (z1ZorderKey _),
     "pii1_redact"      -> (pii1Redact _),
     "l1_boilerplate"   -> (l1Boilerplate _),
     "t12_bm25"         -> (t12Bm25 _),
@@ -290,6 +359,9 @@ object Queries7 {
     "o1_embed_outliers" -> (o1EmbedOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "e9_stream_funnel" -> e9StreamFunnelSql,
+    "t13_normalize"    -> t13NormalizeSql,
+    "z1_zorder_key"    -> z1ZorderKeySql,
     "pii1_redact"      -> pii1RedactSql,
     "l1_boilerplate"   -> l1BoilerplateSql,
     "t12_bm25"         -> t12Bm25Sql,

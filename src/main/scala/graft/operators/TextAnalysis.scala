@@ -73,6 +73,14 @@ object TextAnalysis {
 
   /** Document fingerprint: polynomial rolling hash of the raw text. */
   def fingerprint(text: Column): Column = TextHash.rollingHash(text)
+
+  /** Canonical text normalization for dedup keys and tokenizers:
+    * lowercase, non-alphanumerics to spaces, runs of spaces collapsed,
+    * edges trimmed. Regex subset chosen to behave identically in Java
+    * regex and RE2 so the oracle mirrors it verbatim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }
 
 /** DuckDB mirrors of [[TextAnalysis]]. */
@@ -119,4 +127,7 @@ object TextAnalysisSql {
   }
 
   def fingerprint(text: String): String = TextHashSql.rollingHash(text)
+
+  def normalize(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 }

@@ -336,4 +336,51 @@ object EventStream {
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
   }
+
+  /** File-stream replay of the funnel (the [[replaySessionize]] harness
+    * pointed at [[funnelStreaming]]): the events table split into
+    * time-range chunks, replayed as real micro-batches, final per-user
+    * state compared against the batch funnel — so stream-equals-batch is
+    * an ORACLE row (f1's SQL verbatim), not only a spec assertion.
+    *
+    * Chunks split on whole seconds, so same-second events (which the µs
+    * sort inside [[funnelStreaming]] orders) never straddle a batch, and
+    * cross-batch arrival is in event-time order by construction. The
+    * funnel stage is monotone non-decreasing per user, so the final state
+    * is the per-user max over the append sink.
+    */
+  def replayFunnel(events: DataFrame, chunks: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_f")
+    val dir = root.resolve("in").toString
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("ts").cast("long").as("__sec"))
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val t0 = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    (0 until chunks).foreach { i =>
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      src.where(col("__sec") >= cLo && col("__sec") < cHi)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sink = "graft_e9_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = funnelStreaming(stream.as[FunnelEvent])
+      .toDF().writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink).groupBy(col("user_id"))
+      .agg(max(col("funnel_stage")).as("funnel_stage"))
+  }
 }

@@ -102,6 +102,38 @@ class CorpusHygieneSpec extends SparkSpec {
       l.contains("Filter") && l.contains("*(")))
   }
 
+  test("normalize: idempotent and handles case/punct/whitespace") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "  Hello,   WORLD!! (c) 2024  "),
+      (2L, "already clean text"),
+      (3L, "___")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.normalize(col("text")).as("n"))
+      .withColumn("again", TextAnalysis.normalize(col("n")))
+    val got = rows.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "hello world c 2024")
+    assert(got(2L).getString(1) == "already clean text")
+    assert(got(3L).getString(1) == "")
+    assert(rows.where(col("n") =!= col("again")).isEmpty)
+  }
+
+  test("zorder: keys deinterleave back to their inputs") {
+    import graft.operators.Layout
+    val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zOrderKey(col("x"), col("y"), 5).as("z"))
+    // recover x (even bit positions) and y (odd) from the key
+    def gather(z: org.apache.spark.sql.Column, off: Int) =
+      (0 until 5).map(i =>
+        shiftleft(shiftrightunsigned(z, 2 * i + off).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _)
+    val bad = pts.where(gather(col("z"), 0) =!= col("x") ||
+      gather(col("z"), 1) =!= col("y"))
+    assert(bad.isEmpty)
+    // distinct inputs -> distinct keys (bijection on the masked domain)
+    assert(pts.select("z").distinct().count() == 32 * 32)
+  }
+
   test("scd2: intervals chain per key and exactly one current version") {
     val h = Scd.buildHistory(Tables.events(spark, sf0001),
       "user_id", "ts", "event_id", Seq("value"))
