@@ -346,7 +346,183 @@ object Queries7 {
 
   val e9StreamFunnelSql: String = Queries6.f1FunnelSql
 
+  // ---------------------------------------------------------------------
+  // SCD2-ASOF: time-travel read — the per-user state at the midpoint of
+  // the event range, one map-side filter over the history table. The
+  // as-of instant derives from the data identically on both engines
+  // (integer second arithmetic).
+  // ---------------------------------------------------------------------
+  def scd2Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val h = Scd.buildHistory(ev, "user_id", "ts", "event_id", Seq("value"))
+    val b = ev.agg(min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+    val atSec = (b.getLong(0) + b.getLong(1)) / 2  // snapshot instant: one scalar
+    Scd.asOf(h, timestamp_seconds(lit(atSec)))
+      .select(col("user_id"), col("version"), col("valid_from"),
+        round(col("value"), 6).as("value"))
+  }
+
+  val scd2AsofSql: String =
+    """WITH h AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+      |    ts AS valid_from, lead(ts, 1) OVER w AS valid_to, value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |a AS (
+      |  SELECT make_timestamp(((CAST(floor(epoch(MIN(ts))) AS BIGINT)
+      |    + CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 2) * 1000000) AS at
+      |  FROM events)
+      |SELECT user_id, version, valid_from, round(value, 6) AS value
+      |FROM h, a
+      |WHERE valid_from <= at AND (valid_to IS NULL OR at < valid_to)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // I1: incremental aggregate maintenance — a materialized per-(type,
+  // week) summary of the first 80% of the stream merged with the delta
+  // aggregate of the last 20%, proven equal to a full recompute by the
+  // oracle. Counts merge by addition; value sums merge exactly because
+  // they accumulate in DECIMAL (associative). At 100 TB this is the
+  // pattern that avoids rescanning history on every refresh: the merge
+  // touches only summary rows + the delta partition.
+  // ---------------------------------------------------------------------
+  def i1IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      floor(col("ts").cast("long") / 604800L).cast("long").as("week"),
+      col("value"),
+      col("ts").cast("long").as("__sec"))
+    val b = ev.agg(min(col("__sec")), max(col("__sec"))).head()
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 8 / 10
+    def summarize(df: DataFrame) = df.groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("__sv"))
+    val history = summarize(ev.where(col("__sec") < cut))
+    val delta = summarize(ev.where(col("__sec") >= cut))
+    history.unionByName(delta)
+      .groupBy(col("event_type"), col("week"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("__sv")).cast("double").as("sum_value"))
+  }
+
+  val i1IncrementalAggSql: String =
+    """SELECT event_type,
+      |  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // V13: MMR diversified retrieval — greedy maximal-marginal-relevance
+  // over the distributed top-16 pool (lambda 0.7, k 8). The greedy is
+  // driver-side rerank metadata; the oracle replays the identical greedy
+  // as a recursive CTE with the same 6-dp rounding and id tie-breaks.
+  // ---------------------------------------------------------------------
+  def v13MmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.mmrRerank(Tables.embeddings(spark, sfDir), q,
+        poolSize = 16, k = 8, lambda = 0.7)
+      .select(col("mmr_rank"), col("id"), round(col("mmr"), 6).as("mmr"))
+  }
+
+  val v13MmrRerankSql: String = {
+    def c(a: String, b: String) = Queries.sqlCosine(a, b)
+    s"""WITH RECURSIVE pool AS (
+       |  SELECT e.vec_id AS id, round(${c("e.embedding", "qv.q")}, 6) AS rel,
+       |    e.embedding AS emb
+       |  FROM embeddings e,
+       |    (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qv
+       |  ORDER BY rel DESC, id LIMIT 16),
+       |sel(step, ids, id, mmr) AS (
+       |  (SELECT 1, [p.id], p.id, p.rel FROM pool p
+       |   ORDER BY p.rel DESC, p.id LIMIT 1)
+       |  UNION ALL
+       |  SELECT s.step + 1, list_append(s.ids, pick.id), pick.id, pick.val
+       |  FROM sel s, LATERAL (
+       |    SELECT p.id AS id,
+       |      round(0.7 * p.rel - (1.0 - 0.7) * (
+       |        SELECT MAX(round(${c("p.emb", "q.emb")}, 6)) FROM pool q
+       |        WHERE list_contains(s.ids, q.id)), 6) AS val
+       |    FROM pool p WHERE NOT list_contains(s.ids, p.id)
+       |    ORDER BY val DESC, id LIMIT 1) pick
+       |  WHERE s.step < 8)
+       |SELECT CAST(step AS INT) AS mmr_rank, id, round(mmr, 6) AS mmr
+       |FROM sel""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // SMP3: importance-weighted sampling — each document survives with
+  // probability equal to its quality score, hash-deterministic by id.
+  // Map-side only; at 100 TB this is the quality-curriculum downsampler.
+  // ---------------------------------------------------------------------
+  def smp3WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.{Sampling, TextAnalysis}
+    Tables.documents(spark, sfDir)
+      .where(Sampling.weightedKeep(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"))))
+      .select(col("doc_id"))
+  }
+
+  val smp3WeightedSampleSql: String = {
+    import operators.{SamplingSql, TextAnalysisSql}
+    s"""SELECT doc_id FROM documents
+       |WHERE ${SamplingSql.weightedKeep("doc_id", TextAnalysisSql.qualityScore("text"))}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Q16: group-wise least squares — slope/intercept of value over time
+  // per event type, from one aggregation pass of DECIMAL-exact moments
+  // (n, Σx, Σy, Σxy, Σx²) with x offset from the stream start to keep
+  // magnitudes inside the decimals. The trend-detection shape every
+  // monitoring pipeline runs; moments merge associatively, so this is
+  // also what an incremental refresh would maintain.
+  // ---------------------------------------------------------------------
+  def q16Regression(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev0 = Tables.events(spark, sfDir)
+    val m = ev0.agg(min(col("ts").cast("long"))).head().getLong(0)
+    val ev = ev0.select(col("event_type"),
+      (col("ts").cast("long") - lit(m)).cast("double").as("x"),
+      col("value").as("y"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("__sx"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("__sy"),
+        sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double").as("__sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("__sxx"))
+      .select(col("event_type"),
+        col("__n").cast("long").as("n"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6).as("slope_per_sec"),
+        round((col("__sy") - ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+          col("__n"), 6).as("intercept"))
+  }
+
+  val q16RegressionSql: String =
+    """WITH m AS (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS m0 FROM events),
+      |e AS (SELECT event_type,
+      |        CAST(CAST(floor(epoch(ts)) AS BIGINT) - m0 AS DOUBLE) AS x,
+      |        value AS y
+      |      FROM events, m),
+      |s AS (SELECT event_type,
+      |        CAST(COUNT(*) AS DOUBLE) AS n,
+      |        CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |        CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+      |        CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      |      FROM e GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_sec,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept
+      |FROM s""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp3_weighted_sample" -> (smp3WeightedSample _),
+    "q16_regression"   -> (q16Regression _),
+    "v13_mmr_rerank"   -> (v13MmrRerank _),
+    "scd2_asof"        -> (scd2Asof _),
+    "i1_incremental_agg" -> (i1IncrementalAgg _),
     "e9_stream_funnel" -> (e9StreamFunnel _),
     "t13_normalize"    -> (t13Normalize _),
     "z1_zorder_key"    -> (z1ZorderKey _),
@@ -359,6 +535,11 @@ object Queries7 {
     "o1_embed_outliers" -> (o1EmbedOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "smp3_weighted_sample" -> smp3WeightedSampleSql,
+    "q16_regression"   -> q16RegressionSql,
+    "v13_mmr_rerank"   -> v13MmrRerankSql,
+    "scd2_asof"        -> scd2AsofSql,
+    "i1_incremental_agg" -> i1IncrementalAggSql,
     "e9_stream_funnel" -> e9StreamFunnelSql,
     "t13_normalize"    -> t13NormalizeSql,
     "z1_zorder_key"    -> z1ZorderKeySql,

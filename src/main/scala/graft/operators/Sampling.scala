@@ -33,6 +33,13 @@ object Sampling {
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** Importance-weighted keep: a row survives with probability equal to
+    * its own `weight` column (clamped [0,1] by the caller) — high-quality
+    * documents kept preferentially, low-quality downsampled, still fully
+    * deterministic by key hash. */
+  def weightedKeep(key: Column, weight: Column, granularity: Int = 10000): Column =
+    hashBucket(key, granularity).cast("double") < weight * granularity
 }
 
 /** DuckDB mirrors of [[Sampling]]. */
@@ -45,4 +52,7 @@ object SamplingSql {
     s"CASE WHEN $b < $trainPct THEN 'train' " +
       s"WHEN $b < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
   }
+
+  def weightedKeep(key: String, weight: String, granularity: Int = 10000): String =
+    s"(CAST(${hashBucket(key, granularity)} AS DOUBLE) < $weight * $granularity)"
 }

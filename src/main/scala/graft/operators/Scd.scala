@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,4 +38,13 @@ object Scd {
         lead(col(tsCol), 1).over(w).isNull.as("is_current")) ++
         valueCols.map(col): _*)
   }
+
+  /** Time-travel read over a [[buildHistory]] table: the one version per
+    * key whose validity interval contains `at` (keys created after `at`
+    * drop out). A map-side filter — no window, no join — so an as-of
+    * snapshot costs one scan of the history table.
+    */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.where(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
 }

@@ -56,4 +56,63 @@ object VectorSearch {
     // for oracle reproducibility).
     t.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
   }
+
+  /** Maximal-marginal-relevance rerank: from the top-`poolSize` candidates
+    * by relevance, greedily select `k` maximizing
+    * `lambda*rel - (1-lambda)*max_sim_to_already_selected` — the standard
+    * diversification pass on a retrieval result.
+    *
+    * Scale posture: candidate retrieval is the distributed [[topK]]; the
+    * greedy runs on the collected pool — poolSize*(dim+2) values, rerank
+    * METADATA like the IVF codebook, not a data-path collect (every real
+    * retrieval stack reranks a bounded pool on one node). All comparisons
+    * use 6-dp HALF_UP rounding with id tie-breaks so the selection is
+    * bit-reproducible (and oracle-mirrored by a recursive CTE).
+    */
+  def mmrRerank(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      poolSize: Int,
+      k: Int,
+      lambda: Double,
+      idCol: String = "vec_id",
+      embeddingCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pool = topK(df, queryVec, poolSize, idCol, embeddingCol = embeddingCol)
+      .select(col(idCol), round(col("score"), 6).as("rel"), col(embeddingCol))
+      .orderBy(col("rel").desc, col(idCol))
+      .collect()
+      .map(row => (row.getLong(0), row.getDouble(1),
+        row.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; sa += x * x; sb += y * y; i += 1
+      }
+      dot / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val embOf = pool.map(p => p._1 -> p._3).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p._2): _*)
+    (1 to math.min(k, pool.length)).foreach { step =>
+      val best = remaining.map { case (id, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else {
+            val maxSim =
+              selected.map(s => r6(cos(embOf(id), embOf(s._2)))).max
+            r6(lambda * rel - (1 - lambda) * maxSim)
+          }
+        (id, score)
+      }.minBy { case (id, s) => (-s, id) }
+      selected += ((step, best._1, best._2))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("mmr_rank", "id", "mmr")
+  }
 }

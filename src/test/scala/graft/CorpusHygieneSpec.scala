@@ -134,6 +134,24 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(pts.select("z").distinct().count() == 32 * 32)
   }
 
+  test("mmr: picks the most relevant first, then diversifies away from it") {
+    import graft.operators.VectorSearch
+    // query q = (1,0); a and a2 are near-duplicates close to q; b is
+    // orthogonal-ish but still relevant. Pure top-3 = (a, a2, b); MMR must
+    // demote the duplicate a2 below b.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.01f)),   // a
+      (2L, Seq(1.0f, 0.011f)),  // a2 ~ duplicate of a
+      (3L, Seq(0.6f, 0.8f)))    // b: diverse
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.mmrRerank(rows, Seq(1.0f, 0.0f),
+        poolSize = 3, k = 3, lambda = 0.5)
+      .orderBy(col("mmr_rank")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // ranks dense from 1, ids unique
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("scd2: intervals chain per key and exactly one current version") {
     val h = Scd.buildHistory(Tables.events(spark, sf0001),
       "user_id", "ts", "event_id", Seq("value"))
