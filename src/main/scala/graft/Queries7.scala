@@ -517,7 +517,38 @@ object Queries7 {
       |    AS intercept
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T14: heavy-hitter tokens via a mergeable Misra-Gries sketch. The MG
+  // pass keeps <= 33 counters per map task (partial agg), its candidate
+  // set (sketch metadata, <= 32 tokens) routes a second exact-count pass
+  // restricted to candidates, and the n/(k+1) guarantee makes the final
+  // integer-compared set EXACTLY the true heavy hitters — so the oracle
+  // is the plain exact GROUP BY/HAVING. At 100 TB the candidate filter is
+  // what spares the full-token shuffle.
+  // ---------------------------------------------------------------------
+  def t14HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{MgFrequent, TextHash}
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextHash.tokens(col("text"))).as("tok"))
+    val row = toks.agg(MgFrequent(col("tok"), 32).as("cands"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val cands = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(_.getString(0)).toSeq
+    toks.where(col("tok").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") * 33 > lit(n))  // integer-exact threshold n/(k+1)
+  }
+
+  val t14HeavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(${graft.functions.TextHashSql.tokens("text")}) AS tok
+       |  FROM documents)
+       |SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok
+       |HAVING COUNT(*) * 33 > (SELECT COUNT(*) FROM t)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_heavy_hitters" -> (t14HeavyHitters _),
     "smp3_weighted_sample" -> (smp3WeightedSample _),
     "q16_regression"   -> (q16Regression _),
     "v13_mmr_rerank"   -> (v13MmrRerank _),
@@ -535,6 +566,7 @@ object Queries7 {
     "o1_embed_outliers" -> (o1EmbedOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "t14_heavy_hitters" -> t14HeavyHittersSql,
     "smp3_weighted_sample" -> smp3WeightedSampleSql,
     "q16_regression"   -> q16RegressionSql,
     "v13_mmr_rerank"   -> v13MmrRerankSql,

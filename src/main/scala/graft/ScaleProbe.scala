@@ -21,7 +21,11 @@ object ScaleProbe {
     "q1_agg", "q3_join", "q4_count_distinct", "q14_profile",
     "e3_event_window", "e4_sessionize", "e5_props_extract", "f1_funnel",
     "w4_lag_delta", "t1_langid", "t3_tokencount", "t7_tfidf",
-    "d1_exact_dedup", "c1_contamination", "a7_ivf_trained", "v2_knn_topk")
+    "d1_exact_dedup", "c1_contamination", "a7_ivf_trained", "v2_knn_topk",
+    // round-3 additions: explode-heavy, bloom-routed, window-heavy,
+    // broadcast-stats, and merge shapes
+    "l1_boilerplate", "t12_bm25", "c2_bloom_clean", "pii1_redact",
+    "scd1_history", "i1_incremental_agg", "q16_regression", "z1_zorder_key")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

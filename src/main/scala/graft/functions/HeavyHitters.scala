@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries frequent-items summary with capacity `k`: at most k
+  * counters survive; every decrement round subtracts the (k+1)-th largest
+  * count from all counters and drops the non-positive ones. Mergeable
+  * (sum counters, shrink once), which is what makes it a real PARTIAL
+  * aggregate: each map task keeps <= k counters, only k (token, count)
+  * pairs per group cross the shuffle, and the guarantee survives merging
+  * (Agarwal et al., "Mergeable Summaries", PODS'12): any token with true
+  * frequency > n/(k+1) is present in the final summary, and its counter
+  * undercounts by at most n/(k+1).
+  */
+final class MgBuffer(val k: Int) {
+  val counts = new java.util.HashMap[String, Long]()
+
+  def add(t: String, c: Long): Unit = {
+    counts.merge(t, c, (a, b) => a + b)
+    if (counts.size > k) shrink()
+  }
+
+  def mergeFrom(other: MgBuffer): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (counts.size > k) shrink()
+  }
+
+  /** Subtract the (k+1)-th largest count from every counter and evict the
+    * non-positive — at most k survive (only counters strictly above the
+    * pivot do). */
+  private def shrink(): Unit = {
+    val vals = new Array[Long](counts.size)
+    val vit = counts.values().iterator()
+    var i = 0
+    while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val pivot = vals(vals.length - (k + 1)) // (k+1)-th largest
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - pivot
+      if (nv <= 0) it.remove() else e.setValue(nv)
+    }
+  }
+}
+
+/** Aggregate form: `mg_frequent(token, k)` -> ARRAY<STRUCT<token, lb>>
+  * sorted (lb DESC, token ASC). `lb` is the surviving counter value — a
+  * lower bound on the true count within n/(k+1). Null tokens skipped.
+  */
+case class MgFrequent(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("lb", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_frequent expects STRING and k > 0, got ${child.dataType}, k=$k")
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+
+  override def update(b: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String].toString, 1L)
+    b
+  }
+
+  override def merge(b: MgBuffer, other: MgBuffer): MgBuffer = {
+    b.mergeFrom(other); b
+  }
+
+  override def eval(b: MgBuffer): Any = {
+    val entries = new Array[(String, Long)](b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val sorted = entries.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    })
+  }
+
+  override def serialize(b: MgBuffer): Array[Byte] = {
+    var size = 8
+    val it0 = b.counts.entrySet().iterator()
+    while (it0.hasNext) {
+      size += 12 + it0.next().getKey.getBytes(StandardCharsets.UTF_8).length
+    }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(b.k).putInt(b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes(StandardCharsets.UTF_8)
+      bb.putInt(bytes.length).put(bytes).putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MgBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.counts.put(new String(arr, StandardCharsets.UTF_8), bb.getLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MgFrequent =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgFrequent =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MgFrequent =
+    copy(child = cs(0))
+  override def prettyName: String = "mg_frequent"
+}
+
+object MgFrequent {
+  def apply(token: Column, k: Int): Column =
+    GraftBridge.column(
+      MgFrequent(GraftBridge.expression(token), k).toAggregateExpression())
+}

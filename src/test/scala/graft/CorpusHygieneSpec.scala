@@ -140,9 +140,9 @@ class CorpusHygieneSpec extends SparkSpec {
     // orthogonal-ish but still relevant. Pure top-3 = (a, a2, b); MMR must
     // demote the duplicate a2 below b.
     val rows = Seq(
-      (1L, Seq(1.0f, 0.01f)),   // a
-      (2L, Seq(1.0f, 0.011f)),  // a2 ~ duplicate of a
-      (3L, Seq(0.6f, 0.8f)))    // b: diverse
+      (1L, Seq(1.0f, 0.01f)),    // a
+      (2L, Seq(1.0f, 0.011f)),   // a2 ~ duplicate of a
+      (3L, Seq(0.5f, -0.86f)))   // b: diverse (sim-to-a < own relevance)
       .toDF("vec_id", "embedding")
     val out = VectorSearch.mmrRerank(rows, Seq(1.0f, 0.0f),
         poolSize = 3, k = 3, lambda = 0.5)
@@ -150,6 +150,36 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
     // ranks dense from 1, ids unique
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("misra-gries: guarantee holds and survives repartitioning") {
+    import graft.functions.MgFrequent
+    val rnd = new scala.util.Random(42)
+    // skewed stream: token i appears ~ n/(i+1) times (zipf-ish)
+    val stream = (0 until 4000).map { _ =>
+      val r = rnd.nextDouble()
+      val i = math.min((1.0 / (r + 0.02)).toInt, 60)
+      s"tok$i"
+    }
+    val naive = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = stream.size.toLong
+    for (k <- Seq(4, 16); parts <- Seq(1, 7)) {
+      val df = stream.toDF("tok").repartition(parts)
+      val cands = df.agg(MgFrequent(col("tok"), k).as("c")).head()
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+        .map(_.getString(0)).toSet
+      val trueHH = naive.filter { case (_, c) => c * (k + 1) > n }.keySet
+      assert(trueHH.subsetOf(cands),
+        s"k=$k parts=$parts missing ${trueHH -- cands}")
+      assert(cands.size <= k)
+      // lower bounds undercount by at most n/(k+1)
+      val lbs = df.agg(MgFrequent(col("tok"), k).as("c")).head()
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+      lbs.foreach { case (t, lb) =>
+        assert(lb <= naive(t) && naive(t) - lb <= n / (k + 1) + 1)
+      }
+    }
   }
 
   test("scd2: intervals chain per key and exactly one current version") {
