@@ -547,7 +547,127 @@ object Queries7 {
        |SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok
        |HAVING COUNT(*) * 33 > (SELECT COUNT(*) FROM t)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // T15: bigram language-model quality score (the CCNet-style perplexity
+  // proxy): corpus bigram/prefix counts with add-one smoothing, per-doc
+  // mean log-probability. Count tables are tiny next to the corpus (they
+  // are the model) and broadcast; per-term log-probs go through
+  // DECIMAL(28,14) so the per-doc sum is order-proof, and engine ln
+  // differences (<= 1 ulp per term) vanish under the 6-dp output
+  // rounding. Docs with < 2 tokens have no bigrams and drop out.
+  // ---------------------------------------------------------------------
+  def t15LmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHash
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("t"))
+    val bi = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val vocab = toks.select(explode(col("t")).as("w")).distinct().count()
+    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bi.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .select(col("doc_id"),
+        log((col("cb") + lit(1.0)) / (col("cu") + lit(vocab.toDouble)))
+          .cast("decimal(28,14)").as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
+
+  val t15LmScoreSql: String = {
+    val tk = graft.functions.TextHashSql.tokens("text")
+    s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(t[1:len(t) - 1]) AS w1,
+       |    unnest(t[2:len(t)]) AS w2
+       |  FROM tk WHERE len(t) >= 2),
+       |v AS (SELECT COUNT(DISTINCT w) AS vocab
+       |      FROM (SELECT unnest(t) AS w FROM tk)),
+       |uni AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY w1),
+       |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(CAST(SUM(CAST(ln((cb + 1.0) / (cu + CAST(vocab AS DOUBLE)))
+       |    AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+       |FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1), v
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // E10: stream-stream interval join replay — purchase/click streams from
+  // replayed micro-batches joined within 300 s, appended matches == the
+  // batch interval join (the oracle). The hardest streaming shape under
+  // hash-compare instead of spec assertion.
+  // ---------------------------------------------------------------------
+  def e10StreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayFollows(Tables.events(spark, sfDir),
+      windowSec = 14400)
+
+  val e10StreamJoinSql: String =
+    """SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+      |  p.ts AS p_ts, e.ts AS e_ts
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND p.event_type = 'purchase' AND e.event_type = 'click'
+      | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '14400 seconds'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q17: Pearson correlation matrix over lineitem numerics from one
+  // DECIMAL-moment pass per pair (q14/q16 machinery): corr = (nΣxy −
+  // ΣxΣy) / sqrt(nΣx² − (Σx)²) / sqrt(nΣy² − (Σy)²).
+  // ---------------------------------------------------------------------
+  def q17Corr(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    pairs.map { case (a, b) =>
+      val (x, y) = (col(a), col(b))
+      li.agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(x.cast("decimal(28,10)")).cast("double").as("__sx"),
+        sum(y.cast("decimal(28,10)")).cast("double").as("__sy"),
+        sum((x * y).cast("decimal(28,8)")).cast("double").as("__sxy"),
+        sum((x * x).cast("decimal(28,8)")).cast("double").as("__sxx"),
+        sum((y * y).cast("decimal(28,8)")).cast("double").as("__syy"))
+        .select(lit(a).as("col_x"), lit(b).as("col_y"),
+          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+              sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+            .as("corr"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val q17CorrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    pairs.map { case (a, b) =>
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  round((n * sxy - sx * sy)
+         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+         |FROM (SELECT
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(${d(a)} AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(${d(b)} AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(${d(a)} * ${d(b)} AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(${d(a)} * ${d(a)} AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(${d(b)} * ${d(b)} AS DECIMAL(28,8))) AS DOUBLE) AS syy
+         |  FROM lineitem)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_lm_score"     -> (t15LmScore _),
+    "e10_stream_join"  -> (e10StreamJoin _),
+    "q17_corr"         -> (q17Corr _),
     "t14_heavy_hitters" -> (t14HeavyHitters _),
     "smp3_weighted_sample" -> (smp3WeightedSample _),
     "q16_regression"   -> (q16Regression _),
@@ -566,6 +686,9 @@ object Queries7 {
     "o1_embed_outliers" -> (o1EmbedOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "t15_lm_score"     -> t15LmScoreSql,
+    "e10_stream_join"  -> e10StreamJoinSql,
+    "q17_corr"         -> q17CorrSql,
     "t14_heavy_hitters" -> t14HeavyHittersSql,
     "smp3_weighted_sample" -> smp3WeightedSampleSql,
     "q16_regression"   -> q16RegressionSql,

@@ -349,6 +349,51 @@ object EventStream {
     * funnel stage is monotone non-decreasing per user, so the final state
     * is the per-user max over the append sink.
     */
+  /** File-stream replay of the stream-stream interval join
+    * ([[followsWithin]]): purchase and click streams read from the same
+    * replayed chunk files, joined within `windowSec`, and the appended
+    * match set must equal the batch interval join — the oracle form of
+    * the hardest streaming shape. Watermark (1 h) far exceeds the join
+    * window, and replay is in event-time order, so no match is evicted
+    * early and none arrives late. */
+  def replayFollows(
+      events: DataFrame,
+      chunks: Int = 6,
+      windowSec: Long = 300): DataFrame = {
+    val spark = events.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_j")
+    val dir = root.resolve("in").toString
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("ts").cast("long").as("__sec"))
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val t0 = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    (0 until chunks).foreach { i =>
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      src.where(col("__sec") >= cLo && col("__sec") < cHi)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    }
+    def side(tpe: String) = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .where(col("event_type") === tpe)
+    val sink = "graft_e10_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = followsWithin(side("purchase"), side("click"), windowSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+      .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
+  }
+
   def replayFunnel(events: DataFrame, chunks: Int = 8): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
