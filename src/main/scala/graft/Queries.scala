@@ -150,7 +150,7 @@ object Queries {
   // S1-S4: session catalog over the orders table
   // (id = o_orderkey, created_at = o_orderdate)
   // ---------------------------------------------------------------------
-  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss"
+  private[graft] val tsFmtSpark = "yyyy-MM-dd HH:mm:ss"
   private val tsFmtDuck = "%Y-%m-%d %H:%M:%S"
 
   def s1SessionCreate(spark: SparkSession, sfDir: String): DataFrame = {

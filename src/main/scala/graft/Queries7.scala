@@ -347,6 +347,20 @@ object Queries7 {
   val e9StreamFunnelSql: String = Queries6.f1FunnelSql
 
   // ---------------------------------------------------------------------
+  // E11: windowed-aggregation replay in APPEND mode — windows emit only
+  // when the watermark passes them (the production contract; e3 ran the
+  // same plan in batch). A filtered-out sentinel flushes the tail. Oracle
+  // is e3's SQL verbatim.
+  // ---------------------------------------------------------------------
+  def e11StreamWindow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayWindowed(Tables.events(spark, sfDir))
+      .select(
+        date_format(col("window_start"), Queries.tsFmtSpark).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e11StreamWindowSql: String = Queries.e3EventWindowSql
+
+  // ---------------------------------------------------------------------
   // SCD2-ASOF: time-travel read — the per-user state at the midpoint of
   // the event range, one map-side filter over the history table. The
   // as-of instant derives from the data identically on both engines
@@ -675,6 +689,7 @@ object Queries7 {
     "scd2_asof"        -> (scd2Asof _),
     "i1_incremental_agg" -> (i1IncrementalAgg _),
     "e9_stream_funnel" -> (e9StreamFunnel _),
+    "e11_stream_window" -> (e11StreamWindow _),
     "t13_normalize"    -> (t13Normalize _),
     "z1_zorder_key"    -> (z1ZorderKey _),
     "pii1_redact"      -> (pii1Redact _),
@@ -696,6 +711,7 @@ object Queries7 {
     "scd2_asof"        -> scd2AsofSql,
     "i1_incremental_agg" -> i1IncrementalAggSql,
     "e9_stream_funnel" -> e9StreamFunnelSql,
+    "e11_stream_window" -> e11StreamWindowSql,
     "t13_normalize"    -> t13NormalizeSql,
     "z1_zorder_key"    -> z1ZorderKeySql,
     "pii1_redact"      -> pii1RedactSql,

@@ -274,15 +274,62 @@ object EventStream {
       }
   }
 
+  /** Shared replay-chunk writer: split `src` into `chunks` time-range
+    * parquet files (by its `__sec` column, which is NOT written) with
+    * staggered modification times, so the file source
+    * (maxFilesPerTrigger=1, oldest-first) delivers them as real
+    * micro-batches in event-time order. An optional `sentinel` frame is
+    * written last — a far-future row that advances the watermark past
+    * every real window so append-mode aggregations flush. Returns the
+    * directory. */
+  private def chunkedReplayDir(
+      src: DataFrame,
+      outCols: Seq[String],
+      chunks: Int,
+      sentinel: Option[DataFrame] = None): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    val dir = root.resolve("in").toString
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val t0 = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    def stamp(i: Int): Unit =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    (0 until chunks).foreach { i =>
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      src.where(col("__sec") >= cLo && col("__sec") < cHi)
+        .select(outCols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamp(i)
+    }
+    sentinel.foreach { sf =>
+      sf.select(outCols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamp(chunks)
+    }
+    dir
+  }
+
+  private def withSec(events: DataFrame): DataFrame =
+    events.withColumn("__sec", col("ts").cast("long"))
+
+  private def memorySink(df: DataFrame, prefix: String,
+      mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+  }
+
   /** E8 — deterministic FILE-STREAM REPLAY of a batch event table through
     * the stateful streaming sessionizer, returning the FINAL per-user
     * state for oracle comparison against the batch mirror (e4's SQL).
-    *
-    * Replay mechanics: the events are split into `chunks` time-range
-    * parquet files whose modification times are staggered per chunk, so
-    * the file source (maxFilesPerTrigger=1, oldest-first) delivers them
-    * as `chunks` micro-batches in event-time order — per-user state
-    * crosses real micro-batch boundaries instead of arriving in one go.
     *
     * Timestamps are truncated to whole seconds before replay: the
     * streaming state diffs milliseconds while the batch mirror and the
@@ -303,38 +350,43 @@ object EventStream {
       gapMinutes: Int = 30): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_replay")
-    val dir = root.resolve("in").toString
-    val src = events.select(col("user_id"),
-        date_trunc("second", col("ts")).as("ts"),
-        col("ts").cast("long").as("__sec"))
-    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1)
-    val t0 = System.currentTimeMillis()
-    val seen = scala.collection.mutable.Set[String]()
-    (0 until chunks).foreach { i =>
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
-      src.where(col("__sec") >= cLo && col("__sec") < cHi)
-        .select(col("user_id"), col("ts"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      // stagger mtimes so the file source replays chunks in time order
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
-    }
+    val dir = chunkedReplayDir(
+      withSec(events.select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))),
+      Seq("user_id", "ts"), chunks)
     val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val sink = "graft_e8_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionizeStreaming(stream.as[SessionEvent], gapMinutes)
-      .toDF().writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(sink).groupBy(col("user_id"))
+    memorySink(sessionizeStreaming(stream.as[SessionEvent], gapMinutes).toDF(),
+        "graft_e8_", OutputMode.Append())
+      .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
+  }
+
+  private val replaySchema =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+  private val replayCols = Seq("event_id", "ts", "user_id", "event_type")
+
+  /** File-stream replay of the stream-stream interval join
+    * ([[followsWithin]]): purchase and click streams read from the same
+    * replayed chunk files, joined within `windowSec`, and the appended
+    * match set must equal the batch interval join — the oracle form of
+    * the hardest streaming shape. Watermark (1 h) far exceeds the join
+    * window, and replay is in event-time order, so no match is evicted
+    * early and none arrives late. */
+  def replayFollows(
+      events: DataFrame,
+      chunks: Int = 6,
+      windowSec: Long = 300): DataFrame = {
+    val spark = events.sparkSession
+    val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
+      replayCols, chunks)
+    def side(tpe: String) = spark.readStream.schema(replaySchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .where(col("event_type") === tpe)
+    memorySink(followsWithin(side("purchase"), side("click"), windowSec),
+        "graft_e10_", OutputMode.Append())
+      .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
 
   /** File-stream replay of the funnel (the [[replaySessionize]] harness
@@ -349,83 +401,45 @@ object EventStream {
     * funnel stage is monotone non-decreasing per user, so the final state
     * is the per-user max over the append sink.
     */
-  /** File-stream replay of the stream-stream interval join
-    * ([[followsWithin]]): purchase and click streams read from the same
-    * replayed chunk files, joined within `windowSec`, and the appended
-    * match set must equal the batch interval join — the oracle form of
-    * the hardest streaming shape. Watermark (1 h) far exceeds the join
-    * window, and replay is in event-time order, so no match is evicted
-    * early and none arrives late. */
-  def replayFollows(
-      events: DataFrame,
-      chunks: Int = 6,
-      windowSec: Long = 300): DataFrame = {
-    val spark = events.sparkSession
-    val root = java.nio.file.Files.createTempDirectory("graft_replay_j")
-    val dir = root.resolve("in").toString
-    val src = events.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("ts").cast("long").as("__sec"))
-    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1)
-    val t0 = System.currentTimeMillis()
-    val seen = scala.collection.mutable.Set[String]()
-    (0 until chunks).foreach { i =>
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
-      src.where(col("__sec") >= cLo && col("__sec") < cHi)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
-    }
-    def side(tpe: String) = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-      .where(col("event_type") === tpe)
-    val sink = "graft_e10_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = followsWithin(side("purchase"), side("click"), windowSec)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(sink)
-      .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
-  }
-
   def replayFunnel(events: DataFrame, chunks: Int = 8): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_replay_f")
-    val dir = root.resolve("in").toString
-    val src = events.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("ts").cast("long").as("__sec"))
-    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, hi - lo + 1)
-    val t0 = System.currentTimeMillis()
-    val seen = scala.collection.mutable.Set[String]()
-    (0 until chunks).foreach { i =>
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
-      src.where(col("__sec") >= cLo && col("__sec") < cHi)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
-    }
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+    val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
+      replayCols, chunks)
+    val stream = spark.readStream.schema(replaySchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val sink = "graft_e9_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = funnelStreaming(stream.as[FunnelEvent])
-      .toDF().writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Update()).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(sink).groupBy(col("user_id"))
+    memorySink(funnelStreaming(stream.as[FunnelEvent]).toDF(),
+        "graft_e9_", OutputMode.Update())
+      .groupBy(col("user_id"))
       .agg(max(col("funnel_stage")).as("funnel_stage"))
+  }
+
+  /** File-stream replay of the watermarked tumbling-window aggregation:
+    * real micro-batches through [[windowedAgg]] in APPEND mode — windows
+    * only emit once the watermark passes them, which is the production
+    * streaming contract. A far-future sentinel event (3 h past the end,
+    * filtered back out of the result) advances the watermark so the last
+    * real windows flush. Final emitted windows == the batch mirror (e3's
+    * oracle SQL verbatim). */
+  def replayWindowed(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val bounds = src.agg(max(col("ts").cast("long"))).head()
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_seconds(lit(bounds.getLong(0) + 10800L)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__flush").as("event_type"),
+      lit(0.0).as("value"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val dir = chunkedReplayDir(withSec(src), cols, chunks,
+      sentinel = Some(sentinel))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    memorySink(windowedAgg(stream), "graft_e11_", OutputMode.Append())
+      .where(col("event_type") =!= "__flush")
   }
 }
