@@ -678,7 +678,42 @@ object Queries7 {
     }.mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------------
+  // T16: token-entropy quality signal — Shannon entropy of each doc's
+  // token distribution, H = ln(n) − (Σ c·ln c)/n over per-doc token
+  // counts. Low entropy = repetitive/templated text (drop candidate).
+  // Two keyed aggregations; ln terms go through DECIMAL(28,14) so the
+  // per-doc sum is order-proof.
+  // ---------------------------------------------------------------------
+  def t16Entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHash
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum((col("c") * log(col("c"))).cast("decimal(28,14)")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__s").cast("double") / col("n_tokens"), 6).as("entropy"))
+  }
+
+  val t16EntropySql: String = {
+    val tk = graft.functions.TextHashSql.tokens("text")
+    s"""WITH c AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM (SELECT doc_id, unnest($tk) AS tok FROM documents)
+       |  GROUP BY doc_id, tok)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  round(ln(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+       |    - CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,14))) AS DOUBLE)
+       |      / CAST(SUM(c) AS BIGINT), 6) AS entropy
+       |FROM c GROUP BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_entropy"      -> (t16Entropy _),
     "t15_lm_score"     -> (t15LmScore _),
     "e10_stream_join"  -> (e10StreamJoin _),
     "q17_corr"         -> (q17Corr _),
@@ -701,6 +736,7 @@ object Queries7 {
     "o1_embed_outliers" -> (o1EmbedOutliers _))
 
   val oracles: Map[String, String] = Map(
+    "t16_entropy"      -> t16EntropySql,
     "t15_lm_score"     -> t15LmScoreSql,
     "e10_stream_join"  -> e10StreamJoinSql,
     "q17_corr"         -> q17CorrSql,
