@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextHash, TextHashSql}
+import graft.operators.{Chunker, ChunkerSql, ContextPack}
+
+/** Round-3 continuation: prompt/RAG plumbing and sequence analytics —
+  * context packing under a token budget, overlapping document chunking,
+  * and an event-transition (Markov) matrix. Same contract as [[Queries]]:
+  * each Spark dataflow paired with DuckDB SQL computing the identical
+  * result.
+  */
+object Queries8 {
+
+  // ---------------------------------------------------------------------
+  // CTX1: context assembly — for each of 5 query vectors, rank the rest
+  // of the corpus by cosine, price each hit at its document's token
+  // count, and keep the score-ordered prefix that fits a 500-token
+  // budget. This is the step between "search returned hits" and "prompt
+  // goes to the model" in an agent-memory runtime.
+  // ---------------------------------------------------------------------
+  def ctx1ContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val docTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+    val cands = emb.where(col("vec_id") >= 5)
+      .join(docTokens, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(queries))
+      .withColumn("score", Similarity.cosine(col("embedding"), col("qvec")))
+      .where(col("score").isNotNull)
+    ContextPack.pack(cands, "qid", "vec_id", "score", "n_tokens", budget = 500L)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("score"), 6).as("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  val ctx1ContextPackSql: String = {
+    val c = Queries.sqlCosine("v.embedding", "q.qvec")
+    val tk = TextHashSql.tokens("text")
+    s"""WITH dt AS (SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens FROM documents),
+       |cand AS (
+       |  SELECT q.qid AS qid, v.vec_id AS vec_id, $c AS score_raw, dt.n_tokens AS n_tokens
+       |  FROM embeddings v
+       |  JOIN dt ON dt.doc_id = v.vec_id,
+       |       (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |        WHERE vec_id < 5) q
+       |  WHERE v.vec_id >= 5 AND $c IS NOT NULL),
+       |ranked AS (
+       |  SELECT qid, vec_id, score_raw, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY score_raw DESC, vec_id ASC) AS rank,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY qid
+       |      ORDER BY score_raw DESC, vec_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM cand)
+       |SELECT qid, vec_id, rank, round(score_raw, 6) AS score, n_tokens, cum_tokens
+       |FROM ranked WHERE cum_tokens <= 500""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // CHUNK1: overlapping token-window chunking (window 32, stride 24) —
+  // RAG ingestion granularity. Pure map-side; the oracle re-derives the
+  // identical slices with 1-based list_slice.
+  // ---------------------------------------------------------------------
+  def chunk1Chunks(spark: SparkSession, sfDir: String): DataFrame =
+    Chunker.chunk(Tables.documents(spark, sfDir), "doc_id", "text",
+      window = 32, stride = 24)
+
+  val chunk1ChunksSql: String =
+    ChunkerSql.chunkFrom("documents", "doc_id", "text", window = 32, stride = 24)
+
+  // ---------------------------------------------------------------------
+  // MK1: first-order Markov transition matrix over per-user event
+  // sequences — P(next event type | current), the standard sequence
+  // model for behavioral analytics and synthetic-trace generation.
+  // One window pass + one keyed aggregation.
+  // ---------------------------------------------------------------------
+  def mk1Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("cur"))), 6))
+  }
+
+  val mk1TransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts ASC, event_id ASC) AS next
+      |  FROM events),
+      |t AS (SELECT cur, next, count(*) AS n FROM seq
+      |      WHERE next IS NOT NULL GROUP BY cur, next)
+      |SELECT cur, next, n,
+      |  round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+      |FROM t""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ctx1_context_pack" -> (ctx1ContextPack _),
+    "chunk1_chunks"     -> (chunk1Chunks _),
+    "mk1_transitions"   -> (mk1Transitions _))
+
+  val oracles: Map[String, String] = Map(
+    "ctx1_context_pack" -> ctx1ContextPackSql,
+    "chunk1_chunks"     -> chunk1ChunksSql,
+    "mk1_transitions"   -> mk1TransitionsSql)
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Overlapping token-window chunking — the RAG ingestion step that turns
+  * a document into embedding-sized pieces before vectorization (the
+  * reference stores one embedding per memory; corpus documents must be
+  * chunked to that granularity first).
+  *
+  * Windows of `window` tokens advance by `stride` (< window ⇒ overlap, so
+  * no phrase is split across a boundary without also appearing intact in
+  * a neighbor). A document with n tokens yields
+  * 1 + ⌈max(n − window, 0) / stride⌉ chunks; the last chunk may be short.
+  *
+  * Scale shape: pure map-side — tokenization, chunk-count arithmetic and
+  * the explode all happen in the scan stage; no shuffle, no state. At
+  * 100 TB this is the ideal operator: it widens rows but never moves them.
+  */
+object Chunker {
+
+  /** Explode `textCol` into (chunk_id, n_tokens, chunk_text) rows.
+    * Zero-token documents yield one empty chunk (chunk_id 0) so ingest
+    * accounting still sees every input row. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks: Column = TextHash.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // ceil((n-window)/stride) via floor((n-window+stride-1)/stride);
+      // `/` on longs is double division in Spark SQL — exact below 2^53
+      .withColumn("__n_chunks",
+        when(col("__n") <= window, lit(1L)).otherwise(
+          lit(1L) + floor((col("__n") - window + (stride - 1)) / stride)))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__n_chunks") - 1)).as("chunk_id"),
+        col("__toks"))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+}
+
+/** DuckDB mirror of [[Chunker]] (1-based inclusive list_slice). */
+object ChunkerSql {
+  def chunkFrom(table: String, idCol: String, textCol: String,
+                window: Int, stride: Int): String = {
+    val tk = graft.functions.TextHashSql.tokens(textCol)
+    s"""SELECT $idCol, chunk_id,
+       |  CAST(len(list_slice(toks, CAST(chunk_id * $stride + 1 AS INT),
+       |    CAST(chunk_id * $stride + $window AS INT))) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(toks, CAST(chunk_id * $stride + 1 AS INT),
+       |    CAST(chunk_id * $stride + $window AS INT)), ' ') AS chunk_text
+       |FROM (
+       |  SELECT $idCol, toks,
+       |    unnest(range(0, CASE WHEN n <= $window THEN 1
+       |      ELSE 1 + CAST(floor((n - $window + ${stride - 1}) / $stride.0) AS BIGINT)
+       |      END)) AS chunk_id
+       |  FROM (SELECT $idCol, $tk AS toks,
+       |          CAST(len($tk) AS BIGINT) AS n FROM $table))""".stripMargin
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context assembly for agent-memory retrieval.
+  *
+  * The reference service retrieves scored memories so a caller can
+  * concatenate them into a model prompt (reference: search result flow in
+  * src/routes.rs and src/store/qdrant.rs — score-ordered hit lists). The
+  * assembly step itself — "take hits in score order until the token budget
+  * is full" — is what every agent runtime does with that list, so the
+  * engine provides it as an operator.
+  *
+  * Semantics: prefix-fill. Candidates are ordered per query by
+  * (score DESC, id ASC); a row survives iff its inclusive running token
+  * total still fits the budget. Costs are strictly positive, so the kept
+  * set is the contiguous prefix a sequential prompt assembler would take
+  * (no skip-and-backfill — hit order is meaning-bearing in a prompt).
+  *
+  * Scale shape: one keyed window per query id. The per-query candidate
+  * list is the output of a top-k search (bounded, small); the window sort
+  * never sees the full corpus. No driver-side work.
+  */
+object ContextPack {
+
+  /** Keep the score-ordered prefix of each query's candidates whose
+    * running `costCol` total fits `budget`. Adds `rank` (1-based position
+    * in score order) and `cum_tokens` (inclusive running cost). */
+  def pack(cands: DataFrame, qidCol: String, idCol: String,
+           scoreCol: String, costCol: String, budget: Long): DataFrame = {
+    val order = Window.partitionBy(col(qidCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cands
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_tokens", sum(col(costCol)).over(running))
+      .where(col("cum_tokens") <= budget)
+  }
+}
