@@ -289,6 +289,9 @@ object EventStream {
       sentinel: Option[DataFrame] = None): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_replay")
     val dir = root.resolve("in").toString
+    // One scan feeds the bounds probe plus every chunk filter — without
+    // the cache each chunk re-reads the source parquet.
+    src.persist()
     val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
@@ -311,6 +314,9 @@ object EventStream {
         .coalesce(1).write.mode("append").parquet(dir)
       stamp(chunks)
     }
+    src.unpersist()
+    if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+      println(s"[replay] chunk-write phase: ${(System.currentTimeMillis() - t0) / 1000.0} s")
     dir
   }
 
@@ -321,9 +327,26 @@ object EventStream {
       mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
-    try { q.processAllAvailable() } finally q.stop()
+    // Replay state is tiny but per-batch cost scales with state
+    // partitions (a stream-stream join commits 4 stores per partition
+    // per batch): 8 partitions instead of the session's 32 cuts the
+    // commit count 4x, and a tmpfs checkpoint keeps offset-log and
+    // state-delta fsyncs off disk. The conf is restored after the
+    // drain; the state partition count is pinned into the query's
+    // offset log at the first batch, so the restore cannot re-shape a
+    // running query. Real deployments size this to their key space.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
+      else java.nio.file.Files.createTempDirectory("graft_ckpt")).toString
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode).start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sink)
   }
 
