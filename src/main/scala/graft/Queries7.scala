@@ -642,21 +642,25 @@ object Queries7 {
     val li = Tables.lineitem(spark, sfDir)
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
-    pairs.map { case (a, b) =>
-      val (x, y) = (col(a), col(b))
-      li.agg(
-        count(lit(1)).cast("double").as("__n"),
-        sum(x.cast("decimal(28,10)")).cast("double").as("__sx"),
-        sum(y.cast("decimal(28,10)")).cast("double").as("__sy"),
-        sum((x * y).cast("decimal(28,8)")).cast("double").as("__sxy"),
-        sum((x * x).cast("decimal(28,8)")).cast("double").as("__sxx"),
-        sum((y * y).cast("decimal(28,8)")).cast("double").as("__syy"))
-        .select(lit(a).as("col_x"), lit(b).as("col_y"),
-          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-            (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-              sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
-            .as("corr"))
-    }.reduce(_.unionByName(_))
+    // ONE scan: every first/second moment (3 sums, 3 squares, 3 cross
+    // products) in a single aggregation; the 1-row result is then
+    // exploded into the pair rows — no per-pair rescan of lineitem.
+    def s1(c: String) = sum(col(c).cast("decimal(28,10)")).cast("double").as(s"__s_$c")
+    def s2(a: String, b: String) =
+      sum((col(a) * col(b)).cast("decimal(28,8)")).cast("double").as(s"__s_${a}_$b")
+    val momentAggs = cols.map(s1) ++
+      (for (a <- cols; b <- cols if a <= b) yield s2(a, b))
+    val m = li.agg(count(lit(1)).cast("double").as("__n"),
+      momentAggs: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      val (n, sx, sy) = (col("__n"), col(s"__s_$a"), col(s"__s_$b"))
+      val (sxy, sxx, syy) =
+        (col(s"__s_${a}_$b"), col(s"__s_${a}_$a"), col(s"__s_${b}_$b"))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("__r")).select(col("__r.*"))
   }
 
   val q17CorrSql: String = {
