@@ -103,12 +103,91 @@ object Queries8 {
       |  round(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // PQ1: product-quantization ANN — per-subspace k-means codebooks
+  // (4 subspaces × 16 dims, 8 centroids, 1 Lloyd iteration, same
+  // deterministic init as a7), vectors encoded as 4 codes, queries
+  // answered by asymmetric distance computation. The oracle re-derives
+  // the whole pipeline — training, encoding, distance tables, top-10 —
+  // in SQL, exactly as a7 does for IVF.
+  // ---------------------------------------------------------------------
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 8
+
+  def pq1PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ann
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val books = Ann.pqTrain(embs, m = PqM, subDim = PqSub, k = PqK, iters = 1)
+    Ann.pqAdcTopK(embs, queries, books, subDim = PqSub, k = 10)
+      .select(col("qid"), col("vec_id"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+  }
+
+  val pq1PqAdcSql: String = {
+    import graft.operators.AnnSql
+    def off(s: Int) = s * PqSub
+    def sliceOf(v: String, s: Int) =
+      s"list_slice($v, ${off(s) + 1}, ${off(s) + PqSub})"
+    def assign(cb: String, s: Int) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${AnnSql.sqDist(sliceOf("v.embedding", s), "c.cvec")} ASC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings v, $cb c) WHERE rn = 1""".stripMargin
+    def subspace(s: Int) =
+      s"""cb0_$s AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(${sliceOf("embedding", s)}, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id < $PqK),
+         |asg_$s AS (${assign(s"cb0_$s", s)}),
+         |m_$s AS (
+         |  SELECT a.cid, i AS dim,
+         |    CAST(SUM(CAST(CAST(v.embedding[CAST(${off(s)} + i AS INT) + 1] AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM asg_$s a JOIN embeddings v USING (vec_id), range(0, $PqSub) t(i)
+         |  GROUP BY a.cid, i),
+         |cb1_$s AS (
+         |  SELECT c0.cid, COALESCE(c1.cvec, c0.cvec) AS cvec
+         |  FROM cb0_$s c0 LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS cvec FROM m_$s GROUP BY cid
+         |  ) c1 USING (cid)),
+         |code_$s AS (${assign(s"cb1_$s", s)}),
+         |qt_$s AS (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |    ${AnnSql.sqDist(sliceOf("q.embedding", s), "c.cvec")} AS d
+         |  FROM embeddings q, cb1_$s c WHERE q.vec_id < 5)""".stripMargin
+    val subs = (0 until PqM).map(subspace).mkString(",\n")
+    val codeJoins = (1 until PqM)
+      .map(s => s"JOIN code_$s c$s USING (vec_id)").mkString("\n  ")
+    val qtJoins = (0 until PqM).map { s =>
+      if (s == 0) s"JOIN qt_0 d0 ON d0.cid = c0.cid"
+      else s"JOIN qt_$s d$s ON d$s.cid = c$s.cid AND d$s.qid = d0.qid"
+    }.mkString("\n  ")
+    val dsum = (0 until PqM).map(s => s"d$s.d").mkString(" + ")
+    s"""WITH $subs
+       |SELECT qid, vec_id, approx_dist FROM (
+       |  SELECT d0.qid AS qid, c0.vec_id AS vec_id,
+       |    round($dsum, 6) AS approx_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY d0.qid
+       |                       ORDER BY $dsum ASC, c0.vec_id ASC) AS rn
+       |  FROM code_0 c0
+       |  $codeJoins
+       |  $qtJoins)
+       |WHERE rn <= 10""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq1_pq_adc"        -> (pq1PqAdc _),
     "ctx1_context_pack" -> (ctx1ContextPack _),
     "chunk1_chunks"     -> (chunk1Chunks _),
     "mk1_transitions"   -> (mk1Transitions _))
 
   val oracles: Map[String, String] = Map(
+    "pq1_pq_adc"        -> pq1PqAdcSql,
     "ctx1_context_pack" -> ctx1ContextPackSql,
     "chunk1_chunks"     -> chunk1ChunksSql,
     "mk1_transitions"   -> mk1TransitionsSql)

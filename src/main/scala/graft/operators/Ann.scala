@@ -227,6 +227,69 @@ object Ann {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  // --- product quantization (PQ) -----------------------------------------
+
+  /** Train PQ codebooks: Lloyd's k-means independently on each of `m`
+    * contiguous `subDim`-dim slices of the vector. Returns m codebooks of
+    * k sub-centroids each — index metadata (m·k·subDim doubles), same
+    * driver-resident footprint class as [[kmeans]]'s output.
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
+    (0 until m).map { s =>
+      kmeans(vectors.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as(embCol)), k, iters,
+        idCol, embCol)
+    }
+
+  /** PQ search by asymmetric distance computation (ADC). Vectors are
+    * encoded once as m small codes (nearest sub-centroid per slice —
+    * map-side, no shuffle); each query precomputes an m×k distance table,
+    * and a candidate's approximate distance is the sum of m table
+    * lookups. The float vectors are never touched at query time — at
+    * 100 TB the scan reads an m-byte code tuple instead of a
+    * subDim·m-float vector (~64× less I/O for 64-dim floats with m=4),
+    * which is the reason PQ is the standard billion-vector layout.
+    * Smaller distance (squared L2) = better; ties break on id.
+    */
+  def pqAdcTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      subDim: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qidCol: String = "qid",
+      qVecCol: String = "qvec"): DataFrame = {
+    val m = books.length
+    val coded = (0 until m).foldLeft(vectors) { (df, s) =>
+      df.withColumn(s"__code_$s",
+        graft.functions.Native.codebookAssign(
+          slice(col(embCol), s * subDim + 1, subDim), books(s)))
+    }.select(col(idCol) +: (0 until m).map(s => col(s"__code_$s")): _*)
+    val qt = (0 until m).foldLeft(queries) { (df, s) =>
+      df.withColumn(s"__qt_$s",
+        graft.functions.Native.codebookDists(
+          slice(col(qVecCol), s * subDim + 1, subDim), books(s)))
+    }.drop(qVecCol)
+    val approx = coded.crossJoin(broadcast(qt))
+      .withColumn("approx_dist",
+        (0 until m).map(s =>
+          element_at(col(s"__qt_$s"), col(s"__code_$s") + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("approx_dist").asc, col(idCol).asc)
+    approx.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("approx_dist"))
+  }
 }
 
 /** DuckDB mirrors of [[Ann]] fragments. */
