@@ -180,14 +180,59 @@ object Queries8 {
        |WHERE rn <= 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // D10: embedding near-dup mining via signed-random-projection LSH —
+  // the bucketed scale path for cosine near-dup (d5 keeps the blocked
+  // exact baseline). 16 deterministic LCG hyperplanes → 16-bit sign
+  // signature → 4 bands × 4 bits → band-key equi-join → exact cosine
+  // verify at 0.4. The oracle mirrors the identical planes, signatures,
+  // bands, and verify, so LSH's false negatives cancel exactly.
+  // ---------------------------------------------------------------------
+  def d10SrpNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.srpNearDups(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 16, bands = 4)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+
+  val d10SrpNearDupSql: String = {
+    val c = Queries.sqlCosine("x.embedding", "y.embedding")
+    s"""WITH planes AS (
+       |  SELECT j, list((((1103515245 * (j * 64 + d) + 12345) % 2147483648)
+       |                  % 1000 - 500) / 500.0 ORDER BY d) AS h
+       |  FROM range(0, 16) tj(j), range(0, 64) td(d) GROUP BY j),
+       |dots AS (
+       |  SELECT e.vec_id, p.j,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.h[i])) AS dot
+       |  FROM embeddings e, planes p),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS key
+       |  FROM sig, range(0, 4) tb(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+       |  FROM banded a JOIN banded c
+       |    ON a.b = c.b AND a.key = c.key AND a.vec_id < c.vec_id)
+       |SELECT id1, id2, round($c, 6) AS cosine
+       |FROM cands
+       |JOIN embeddings x ON x.vec_id = id1
+       |JOIN embeddings y ON y.vec_id = id2
+       |WHERE $c IS NOT NULL AND $c >= 0.4""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq1_pq_adc"        -> (pq1PqAdc _),
+    "d10_srp_neardup"   -> (d10SrpNearDup _),
     "ctx1_context_pack" -> (ctx1ContextPack _),
     "chunk1_chunks"     -> (chunk1Chunks _),
     "mk1_transitions"   -> (mk1Transitions _))
 
   val oracles: Map[String, String] = Map(
     "pq1_pq_adc"        -> pq1PqAdcSql,
+    "d10_srp_neardup"   -> d10SrpNearDupSql,
     "ctx1_context_pack" -> ctx1ContextPackSql,
     "chunk1_chunks"     -> chunk1ChunksSql,
     "mk1_transitions"   -> mk1TransitionsSql)

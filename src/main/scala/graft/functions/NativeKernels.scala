@@ -529,6 +529,45 @@ case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Dot products against a literal row matrix (projection metadata — SRP
+  * hyperplanes, random-projection bases). Same shape and fold order as
+  * [[CodebookDists]]: per row of the matrix, a left-to-right per-dimension
+  * sum of x_i * h_i with floats widened to double, matching the
+  * list_sum(list_transform(...)) form the DuckDB oracle mirrors. */
+case class CodebookDots(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val mx: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"codebook_dots expects ARRAY<FLOAT|DOUBLE>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](mx.length)
+    var r = 0
+    while (r < mx.length) {
+      val h = mx(r)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), h.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        s += xi * h(i)
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Deflate-compressibility stats per string: (raw_bytes, deflate_bytes).
   * Compression ratio is a standard corpus-quality signal (repetitive
   * boilerplate compresses far better than natural prose). zlib level 6,
@@ -588,6 +627,8 @@ object Native {
     col(CodebookDists(ex(vec), codebook))
   def codebookAssign(vec: Column, codebook: Seq[Seq[Double]]): Column =
     col(CodebookAssign(ex(vec), codebook))
+  def codebookDots(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    col(CodebookDots(ex(vec), matrix))
   def shingleStrings(text: Column, n: Int): Column =
     col(ShingleStrings(ex(text), n))
   def quantizeStats(vec: Column): Column = col(QuantizeStats(ex(vec)))

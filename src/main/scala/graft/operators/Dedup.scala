@@ -454,6 +454,66 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs — exact baseline behind a blocking
     * predicate; the scale path is the bucketed ANN join in [[Ann]]. */
+  /** Deterministic SRP hyperplanes: component (j,d) from an LCG over the
+    * flat index, scaled to [-1, 1) — integer arithmetic a SQL mirror can
+    * reproduce exactly (no RNG state). Driver-side metadata, like the
+    * k-means codebooks. */
+  def srpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { d =>
+        val x = (1103515245L * (j * dim + d) + 12345L) % 2147483648L
+        (x % 1000L - 500L) / 500.0
+      }
+    }
+
+  /** Embedding near-dup pair mining by signed-random-projection LSH —
+    * the cosine analog of [[minhashNearDups]]'s banded join, and the
+    * scale path behind [[embeddingNearDups]]'s exact baseline. Each
+    * vector gets an `nPlanes`-bit sign signature (one native dot-product
+    * eval, map-side); signatures band into `bands` groups of `r` bits;
+    * candidates are the band-key equi-join (never all pairs); the exact
+    * cosine verify runs only on candidates. Collision probability per
+    * plane is 1 − θ/π, so near-identical vectors (θ→0) collide in every
+    * band while unrelated ones survive ~(1/2)^r per band — the standard
+    * recall/cost dial. False negatives are inherent to LSH; callers
+    * needing exact results at a low threshold use the blocked exact scan.
+    */
+  def srpNearDups(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, s"bands must divide nPlanes")
+    val r = nPlanes / bands
+    val mask = (1 << r) - 1
+    val dim = 64
+    val planes = srpPlanes(nPlanes, dim)
+    val sig = df.select(col(idCol).as("__id"), col(embCol).as("__e"),
+        graft.functions.Native.codebookDots(col(embCol), planes).as("__dots"))
+      .withColumn("__sig", (0 until nPlanes).map(j =>
+        when(element_at(col("__dots"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _))
+    val banded = sig.select(col("__id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("__sig"), b * r).bitwiseAND(mask)).as("key"))): _*))
+          .as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2")).distinct()
+    val v = sig.select(col("__id"), col("__e"))
+    cands
+      .join(v.as("x"), col("id1") === col("x.__id"))
+      .join(v.as("y"), col("id2") === col("y.__id"))
+      .select(col("id1"), col("id2"),
+        graft.functions.Similarity.cosine(col("x.__e"), col("y.__e")).as("cosine"))
+      .where(col("cosine").isNotNull && col("cosine") >= threshold)
+  }
+
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,

@@ -194,4 +194,24 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: $got vs $expected")
     }
   }
+
+  test("srpNearDups: verified subset of the exact pairs, repartition-invariant") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val exact = graft.operators.Dedup
+      .embeddingNearDups(vecs, "vec_id", "embedding", threshold = 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val srp = graft.operators.Dedup
+      .srpNearDups(vecs, "vec_id", "embedding", threshold = 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // every surviving pair passed the exact verify -> subset of exact;
+    // banding must find a real fraction of them (not degenerate-empty)
+    assert(srp.subsetOf(exact))
+    assert(exact.isEmpty || srp.nonEmpty,
+      s"banding found 0 of ${exact.size} exact pairs")
+    // signatures are per-row maps: partitioning cannot change the result
+    val srp2 = graft.operators.Dedup
+      .srpNearDups(vecs.repartition(7), "vec_id", "embedding", threshold = 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(srp2 == srp)
+  }
 }
