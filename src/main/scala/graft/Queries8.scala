@@ -223,9 +223,91 @@ object Queries8 {
        |WHERE $c IS NOT NULL AND $c >= 0.4""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // E12: hopping (sliding) windows — 1 h windows advancing every 30 min,
+  // so each event lands in exactly two. The overlap factor is the state/
+  // cost multiplier that distinguishes hopping from tumbling (e3) at
+  // scale; the oracle derives both window starts per event explicitly.
+  // ---------------------------------------------------------------------
+  def e12HoppingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e12HoppingWindowSql: String =
+    """SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+      |            CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800]) AS s
+      |  FROM events)
+      |GROUP BY s, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // PATH1: most common 3-step event paths per user sequence — the
+  // sequence-mining staple behind funnel discovery. Two leads over one
+  // keyed window, then a count; top-20 with a total tie-break order.
+  // ---------------------------------------------------------------------
+  def path1EventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("__e2", lead(col("event_type"), 1).over(seq))
+      .withColumn("__e3", lead(col("event_type"), 2).over(seq))
+      .where(col("__e2").isNotNull && col("__e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val path1EventPathsSql: String =
+    """SELECT path, COUNT(*) AS n FROM (
+      |  SELECT event_type || '>' ||
+      |    LEAD(event_type, 1) OVER w || '>' ||
+      |    LEAD(event_type, 2) OVER w AS path
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |WHERE path IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W6: time-range window frame — each event's trailing-1h per-user value
+  // sum (RANGE frame on epoch seconds, peer-inclusive so same-second
+  // events agree regardless of intra-second order; DECIMAL sums for
+  // order-proof totals). Complements w5's rows-frame moving average.
+  // ---------------------------------------------------------------------
+  def w6RangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("__sec")).rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("__sec", col("ts").cast("long"))
+      .withColumn("trail_sum",
+        sum(col("value").cast("decimal(18,2)")).over(frame).cast("double"))
+      .withColumn("trail_n", count(lit(1)).over(frame))
+      .select(col("user_id"), col("event_id"), col("trail_sum"), col("trail_n"))
+  }
+
+  val w6RangeWindowSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,
+      |  COUNT(*) OVER w AS trail_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq1_pq_adc"        -> (pq1PqAdc _),
     "d10_srp_neardup"   -> (d10SrpNearDup _),
+    "e12_hopping_window" -> (e12HoppingWindow _),
+    "path1_event_paths" -> (path1EventPaths _),
+    "w6_range_window"   -> (w6RangeWindow _),
     "ctx1_context_pack" -> (ctx1ContextPack _),
     "chunk1_chunks"     -> (chunk1Chunks _),
     "mk1_transitions"   -> (mk1Transitions _))
@@ -233,6 +315,9 @@ object Queries8 {
   val oracles: Map[String, String] = Map(
     "pq1_pq_adc"        -> pq1PqAdcSql,
     "d10_srp_neardup"   -> d10SrpNearDupSql,
+    "e12_hopping_window" -> e12HoppingWindowSql,
+    "path1_event_paths" -> path1EventPathsSql,
+    "w6_range_window"   -> w6RangeWindowSql,
     "ctx1_context_pack" -> ctx1ContextPackSql,
     "chunk1_chunks"     -> chunk1ChunksSql,
     "mk1_transitions"   -> mk1TransitionsSql)

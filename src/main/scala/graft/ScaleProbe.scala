@@ -25,7 +25,15 @@ object ScaleProbe {
     // round-3 additions: explode-heavy, bloom-routed, window-heavy,
     // broadcast-stats, and merge shapes
     "l1_boilerplate", "t12_bm25", "c2_bloom_clean", "pii1_redact",
-    "scd1_history", "i1_incremental_agg", "q16_regression", "z1_zorder_key")
+    "scd1_history", "i1_incremental_agg", "q16_regression", "z1_zorder_key",
+    // later round-3 additions: PQ train+encode+ADC, prefix-fill packing,
+    // map-side chunk explode, sequence window+agg, entropy double-agg,
+    // LM broadcast scoring, single-pass moment matrix. (d10 SRP pairs are
+    // excluded like the other dedup pair queries: replicas are exact
+    // copies, so duplicate-pair candidates grow quadratically in the
+    // replication factor by construction, not by plan shape.)
+    "pq1_pq_adc", "ctx1_context_pack", "chunk1_chunks", "mk1_transitions",
+    "t16_entropy", "t15_lm_score", "q17_corr")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
