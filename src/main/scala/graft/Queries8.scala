@@ -302,12 +302,103 @@ object Queries8 {
       |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // AN1: event-rate anomaly days — flag (user, day) cells whose count
+  // exceeds that user's mean by 2 population std-devs. The comparison is
+  // algebraically cleared of sqrt and division — (n·D − S)² > 4(D·SS − S²)
+  // over pure integer counts — so both engines compare exact longs and
+  // no float rounding can flip a flag.
+  // ---------------------------------------------------------------------
+  def an1RateAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    daily.join(stats, "user_id")
+      .where(col("n") * col("d") > col("s") &&
+        (col("n") * col("d") - col("s")) * (col("n") * col("d") - col("s")) >
+          lit(4L) * (col("d") * col("ss") - col("s") * col("s")))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("s").cast("double") / col("d"), 6).as("day_mean"))
+  }
+
+  val an1RateAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT user_id, COUNT(*) AS d, SUM(n) AS s, SUM(n * n) AS ss
+      |  FROM daily GROUP BY user_id)
+      |SELECT daily.user_id AS user_id, strftime(day, '%Y-%m-%d') AS day, n,
+      |  round(CAST(s AS DOUBLE) / d, 6) AS day_mean
+      |FROM daily JOIN stats ON daily.user_id = stats.user_id
+      |WHERE n * d > s
+      |  AND (n * d - s) * (n * d - s) > 4 * (d * ss - s * s)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TT1: leave-last-out temporal split — each user's latest event (ties
+  // broken by event_id) becomes the eval row, everything earlier trains;
+  // the standard recommender/eval holdout. One keyed window; summary
+  // counts per split.
+  // ---------------------------------------------------------------------
+  def tt1TemporalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("__rn", row_number().over(seq))
+      .withColumn("split", when(col("__rn") === 1, "test").otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val tt1TemporalSplitSql: String =
+    """SELECT CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM (
+      |  SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TOK1: adjacent-token pair counts — the statistic BPE tokenizer
+  // training merges on. Map-side pair explode (no shuffle until the
+  // count), top-50 with a total order.
+  // ---------------------------------------------------------------------
+  def tok1BpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("__toks", TextHash.tokens(col("text")))
+      .where(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), " +
+          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
+
+  val tok1BpePairsSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""SELECT pair, COUNT(*) AS n FROM (
+       |  SELECT toks[i] || ' ' || toks[i + 1] AS pair FROM (
+       |    SELECT toks, unnest(range(1, len(toks))) AS i
+       |    FROM (SELECT $tk AS toks FROM documents)
+       |    WHERE len(toks) >= 2))
+       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq1_pq_adc"        -> (pq1PqAdc _),
     "d10_srp_neardup"   -> (d10SrpNearDup _),
     "e12_hopping_window" -> (e12HoppingWindow _),
     "path1_event_paths" -> (path1EventPaths _),
     "w6_range_window"   -> (w6RangeWindow _),
+    "an1_rate_anomaly"  -> (an1RateAnomaly _),
+    "tt1_temporal_split" -> (tt1TemporalSplit _),
+    "tok1_bpe_pairs"    -> (tok1BpePairs _),
     "ctx1_context_pack" -> (ctx1ContextPack _),
     "chunk1_chunks"     -> (chunk1Chunks _),
     "mk1_transitions"   -> (mk1Transitions _))
@@ -318,6 +409,9 @@ object Queries8 {
     "e12_hopping_window" -> e12HoppingWindowSql,
     "path1_event_paths" -> path1EventPathsSql,
     "w6_range_window"   -> w6RangeWindowSql,
+    "an1_rate_anomaly"  -> an1RateAnomalySql,
+    "tt1_temporal_split" -> tt1TemporalSplitSql,
+    "tok1_bpe_pairs"    -> tok1BpePairsSql,
     "ctx1_context_pack" -> ctx1ContextPackSql,
     "chunk1_chunks"     -> chunk1ChunksSql,
     "mk1_transitions"   -> mk1TransitionsSql)
