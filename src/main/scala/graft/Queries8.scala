@@ -390,7 +390,75 @@ object Queries8 {
        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // DP1: k-anonymity suppression — quasi-identifier cells (nation,
+  // segment) in groups smaller than k are suppressed before release; the
+  // release-gating primitive for sharing curated data. One keyed count
+  // broadcast back over the scan.
+  // ---------------------------------------------------------------------
+  def dp1KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8L
+    val cust = Tables.customer(spark, sfDir)
+    val groups = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("__gn"))
+    cust.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("__gn") >= k, col("c_nationkey").cast("string"))
+          .otherwise(lit("*")).as("nation_out"),
+        when(col("__gn") >= k, col("c_mktsegment"))
+          .otherwise(lit("*")).as("segment_out"),
+        (col("__gn") >= k).as("released"))
+  }
+
+  val dp1KAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_custkey,
+      |  CASE WHEN gn >= 8 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS nation_out,
+      |  CASE WHEN gn >= 8 THEN c.c_mktsegment ELSE '*' END AS segment_out,
+      |  gn >= 8 AS released
+      |FROM customer c JOIN g
+      |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // IMP1: per-group mean imputation — nulls (synthesized deterministically:
+  // every 13th event loses its value) are filled with the event-type mean
+  // computed over the surviving values in DECIMAL. Group means are a tiny
+  // broadcast; the fill is map-side.
+  // ---------------------------------------------------------------------
+  def imp1Imputation(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("__v",
+        when(col("event_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    val means = ev.where(col("__v").isNotNull)
+      .groupBy(col("event_type"))
+      .agg((sum(col("__v").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("__mean"))
+    ev.where(col("__v").isNull)
+      .join(broadcast(means), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("__mean"), 6).as("imputed"))
+  }
+
+  val imp1ImputationSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean
+      |  FROM ev WHERE v IS NOT NULL GROUP BY event_type)
+      |SELECT ev.event_id AS event_id, ev.event_type AS event_type,
+      |  round(m.mean, 6) AS imputed
+      |FROM ev JOIN m ON ev.event_type = m.event_type
+      |WHERE ev.v IS NULL""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dp1_k_anonymity"   -> (dp1KAnonymity _),
+    "imp1_imputation"   -> (imp1Imputation _),
     "pq1_pq_adc"        -> (pq1PqAdc _),
     "d10_srp_neardup"   -> (d10SrpNearDup _),
     "e12_hopping_window" -> (e12HoppingWindow _),
@@ -404,6 +472,8 @@ object Queries8 {
     "mk1_transitions"   -> (mk1Transitions _))
 
   val oracles: Map[String, String] = Map(
+    "dp1_k_anonymity"   -> dp1KAnonymitySql,
+    "imp1_imputation"   -> imp1ImputationSql,
     "pq1_pq_adc"        -> pq1PqAdcSql,
     "d10_srp_neardup"   -> d10SrpNearDupSql,
     "e12_hopping_window" -> e12HoppingWindowSql,

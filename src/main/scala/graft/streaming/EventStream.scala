@@ -346,7 +346,12 @@ object EventStream {
         .option("checkpointLocation", ckpt)
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // the replay is done with its checkpoint the moment the drain ends —
+      // reclaim the tmpfs space instead of accumulating a dir per replay
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(sink)
   }
 

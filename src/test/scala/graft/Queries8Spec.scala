@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunker, ContextPack}
+
+/** Operator-level properties for the late round-3 additions — the oracle
+  * rows prove engine equality; these pin the semantic invariants a user
+  * relies on. */
+class Queries8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("ContextPack: budget never exceeded, kept set is a score-ordered prefix") {
+    val cands = Seq(
+      // qid, id, score, cost
+      (1L, 10L, 0.9, 200L), (1L, 11L, 0.8, 200L), (1L, 12L, 0.7, 200L),
+      (1L, 13L, 0.6, 50L), // would fit alone, but the prefix stops before it
+      (2L, 20L, 0.5, 600L) // first candidate already over budget -> empty
+    ).toDF("qid", "id", "score", "cost")
+    val packed = ContextPack.pack(cands, "qid", "id", "score", "cost", budget = 500L)
+      .select($"qid", $"id", $"rank", $"cum_tokens")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    // q1: exactly the top-2 by score (400 tokens); 12 would overflow and
+    // prefix-fill does not skip-and-backfill 13. q2: nothing fits.
+    assert(packed.toSeq == Seq((1L, 10L, 1L, 200L), (1L, 11L, 2L, 400L)))
+    // rank order == score order: rank is dense 1..n per query
+    assert(packed.map(_._3).toSeq == Seq(1L, 2L))
+  }
+
+  test("Chunker: chunk count formula, stride coverage, short-tail lengths") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 5).map(i => s"t$i").mkString(" ")),   // short doc
+      (4L, "")                                          // empty -> 1 empty chunk
+    ).toDF("doc_id", "text")
+    val chunks = Chunker.chunk(docs, "doc_id", "text", window = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 100 tokens: 1 + ceil((100-32)/24) = 4 chunks; tail = 100 - 3*24 = 28
+    assert(chunks(1L).map(_._3).toSeq == Seq(32L, 32L, 32L, 28L))
+    // every token index is covered: chunk i starts at i*stride
+    assert(chunks(1L).zipWithIndex.forall { case ((_, cid, _, txt), i) =>
+      cid == i && txt.startsWith(s"t${i * 24 + 1} ") })
+    assert(chunks(2L).map(_._3).toSeq == Seq(32L))
+    assert(chunks(3L).map(_._3).toSeq == Seq(5L))
+    assert(chunks(4L).map(t => (t._3, t._4)).toSeq == Seq((0L, "")))
+  }
+
+  test("mk1 transitions: probabilities sum to 1 per source state") {
+    val byCur = Queries8.mk1Transitions(spark, sf0001)
+      .groupBy($"cur").agg(sum($"p").as("tot"), sum($"n").as("n"))
+      .as[(String, Double, Long)].collect()
+    assert(byCur.nonEmpty)
+    // per-transition rounding to 6dp can drift the sum by at most
+    // (#targets)*5e-7; the fixture has <= 5 event types
+    byCur.foreach { case (cur, tot, _) =>
+      assert(math.abs(tot - 1.0) < 5e-6, s"$cur rows sum to $tot") }
+  }
+
+  test("tok1 BPE pairs: counts match a direct recount on the raw corpus") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"text").as[String].collect()
+    val expected = docs.iterator
+      .map(_.split(" ").filter(_.nonEmpty))
+      .flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .foldLeft(Map.empty[String, Long]) { (m, p) =>
+        m.updated(p, m.getOrElse(p, 0L) + 1L) }
+    val got = Queries8.tok1BpePairs(spark, sf0001)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.forall { case (p, n) => expected(p) == n })
+    // top-1 really is the corpus argmax
+    val maxN = expected.values.max
+    assert(got.head._2 == maxN)
+  }
+}
