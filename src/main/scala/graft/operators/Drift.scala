@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics between two samples of one column — the
+  * monitoring primitives a training-data pipeline runs between ingestion
+  * batches (is today's corpus shaped like yesterday's?). The reference has
+  * no analytics surface (SURVEY.md §2.5 — aggregations absent); these are
+  * part of the LLM-pipeline extension alongside dedup and curation.
+  *
+  * Both statistics reduce to keyed integer counts first, so the heavy input
+  * is aggregated map-side before any sort or join, and every derived ratio
+  * is a deterministic function of exact longs — the engine-equality
+  * contract the oracles check.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic: max |ECDF_a(v) − ECDF_b(v)|.
+    *
+    * Shape: one groupBy on the value (shuffle keyed on value — the raw
+    * scan collapses to the distinct-value table map-side), one running-sum
+    * window over that *distinct-value* table, one 1-row total broadcast.
+    * The unpartitioned window is over distinct values only — at 100 TB of
+    * events with bounded-cardinality measures that table is orders of
+    * magnitude smaller than the input; for genuinely continuous values at
+    * scale, pre-bin to a fixed grid first (same plan, bounded key space).
+    *
+    * ECDFs are ratios of exact longs; the max over |difference| compares
+    * IEEE doubles derived identically in any engine.
+    */
+  def ksStatistic(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val g = df.select(value.as("__v"), isA.cast("boolean").as("__a"))
+      .groupBy(col("__v"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
+    val cdf = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(
+      sum(col("__ca")).over(cdf).as("__cca"),
+      sum(col("__cb")).over(cdf).as("__ccb"))
+    val tot = g.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(round(max(abs(
+        col("__cca").cast("double") / col("__na") -
+          col("__ccb").cast("double") / col("__nb"))), 6).as("ks"))
+  }
+
+  /** Population stability index over fixed equal-width bins:
+    * Σ (p_i − q_i)·ln(p_i/q_i), reported per bin (the total is the sum of
+    * the rows). Bins with either side empty are excluded, the standard
+    * guard against infinite terms. `width`/`nBins` fix the grid so the
+    * result is partitioning- and data-order-independent; one keyed count
+    * per (bin, side) then a 1-row total broadcast — no sort at all.
+    */
+  def psi(df: DataFrame, value: Column, isA: Column,
+          width: Double, nBins: Int): DataFrame = {
+    val g = df.select(
+        least(floor(value / lit(width)), lit(nBins - 1.0)).cast("long").as("bin"),
+        isA.cast("boolean").as("__a"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val tot = g.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta")
+    val q = col("n_b").cast("double") / col("__tb")
+    g.crossJoin(broadcast(tot))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
+}

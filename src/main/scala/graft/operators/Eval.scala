@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation for scores produced by the engine's own
+  * retrieval/quality operators (quality filters, similarity search).
+  * Extension surface — the reference exposes raw scores but no evaluation
+  * (SURVEY.md §2.5).
+  */
+object Eval {
+
+  /** ROC AUC via the tied-rank Mann–Whitney identity:
+    *
+    *   AUC = (R⁺ − P(P+1)/2) / (P·N)
+    *
+    * with R⁺ the sum of average ascending ranks of the positives. Ties get
+    * the average rank of their run, so the result is exactly the
+    * probability a random positive outranks a random negative (ties count
+    * half) — no sampling, no pair enumeration.
+    *
+    * Everything up to the final division stays in integer arithmetic:
+    * grouping by score makes each run's doubled rank-sum
+    * cp·(2·base + c + 1) a long, so partitioning and accumulation order
+    * cannot perturb the result — the oracle compares a single exact
+    * rational. The unpartitioned running-count window runs over the
+    * distinct-score table (bounded when scores are rounded, as callers
+    * should for cross-engine rank parity); the raw scan collapses into the
+    * groupBy map-side, so nothing driver-sized ever materializes.
+    */
+  def aucRankSum(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val g = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"))
+    val asc = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("__base", sum(col("__c")).over(asc) - col("__c"))
+    ranked.agg(
+        sum(col("__cp")).as("__P"),
+        sum(col("__c") - col("__cp")).as("__N"),
+        sum(col("__cp") * (lit(2L) * col("__base") + col("__c") + lit(1L)))
+          .as("__S2"))
+      .select(col("__P").as("n_pos"), col("__N").as("n_neg"),
+        round((col("__S2") - col("__P") * (col("__P") + lit(1L))).cast("double")
+          / (lit(2.0) * col("__P") * col("__N")), 6).as("auc"))
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, Eval}
+
+/** Semantic pins for the monitoring/eval additions — the oracle rows prove
+  * engine equality; these pin the statistical definitions against
+  * first-principles recomputations. */
+class Queries9Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS statistic equals the brute-force ECDF sup-difference") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 7.0)
+    val b = Seq(2.0, 4.0, 4.0, 5.0)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+    val got = Drift.ksStatistic(df, $"v", $"isa")
+      .as[(Long, Long, Double)].head()
+    // brute force: evaluate |F_a - F_b| at every observed point
+    val pts = (a ++ b).distinct
+    val expect = pts.map { t =>
+      math.abs(a.count(_ <= t).toDouble / a.size - b.count(_ <= t).toDouble / b.size)
+    }.max
+    assert(got._1 == a.size && got._2 == b.size)
+    assert(math.abs(got._3 - expect) < 1e-9)
+    // identical distributions -> KS = 0
+    val same = (a.map((_, true)) ++ a.map((_, false))).toDF("v", "isa")
+    assert(Drift.ksStatistic(same, $"v", $"isa")
+      .as[(Long, Long, Double)].head()._3 == 0.0)
+  }
+
+  test("KS is partitioning-invariant") {
+    val ev = Tables.events(spark, sf0001)
+      .where($"event_type".isin("click", "view"))
+    val base = Drift.ksStatistic(ev, $"value", $"event_type" === "click")
+      .as[(Long, Long, Double)].head()
+    val shuffled = Drift.ksStatistic(ev.repartition(13, $"event_id"),
+      $"value", $"event_type" === "click").as[(Long, Long, Double)].head()
+    assert(base == shuffled)
+  }
+
+  test("AUC equals the direct pairwise win/tie probability") {
+    // deterministic scores with deliberate ties across classes
+    val rows = (1 to 200).map { i =>
+      val score = (i * 37 % 11).toDouble // 11 distinct values, many ties
+      val pos = i * 53 % 3 == 0
+      (score, pos)
+    }
+    val df = rows.toDF("s", "p")
+    val got = Eval.aucRankSum(df, $"s", $"p").as[(Long, Long, Double)].head()
+    val posS = rows.filter(_._2).map(_._1)
+    val negS = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- posS; n <- negS)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expect = wins / (posS.size.toDouble * negS.size)
+    assert(got._1 == posS.size && got._2 == negS.size)
+    assert(math.abs(got._3 - expect) < 1e-6) // got is rounded to 6
+    // perfect separation -> 1.0
+    val sep = ((1 to 10).map(i => (i + 100.0, true)) ++
+      (1 to 10).map(i => (i.toDouble, false))).toDF("s", "p")
+    assert(Eval.aucRankSum(sep, $"s", $"p").as[(Long, Long, Double)].head()._3 == 1.0)
+  }
+
+  test("PSI: fixed grid bins, both-sides-positive guard, sign structure") {
+    val df = Seq(
+      (10.0, true), (10.0, true), (60.0, true),       // a: bins 0,0,1
+      (10.0, false), (60.0, false), (60.0, false),    // b: bins 0,1,1
+      (9999.0, true)                                  // clamps to top bin, a only
+    ).toDF("v", "isa")
+    val rows = Drift.psi(df, $"v", $"isa", width = 50.0, nBins = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // top bin (9) has no b mass -> excluded; bins 0 and 1 survive
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    // bin 0: p=2/4 q=1/3 -> term > 0; bin 1: p=1/4 q=2/3 -> term > 0
+    // ((p-q) and ln(p/q) always share sign, so every PSI term is >= 0)
+    assert(rows.forall(_._4 >= 0.0))
+    val term0 = (2.0 / 4 - 1.0 / 3) * math.log((2.0 / 4) / (1.0 / 3))
+    assert(math.abs(rows.head._4 - term0) < 1e-6)
+  }
+
+  test("ed1: subset of unblocked all-pairs matches; bounds hold") {
+    val got = Queries9.ed1EditDistJoin(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.forall { case (i, j, d) => i < j && d >= 0 && d <= 10 })
+    // every reported pair really has prefix distance <= 10 (recompute
+    // without the blocking key via the unblocked predicate join)
+    val d = Tables.documents(spark, sf0001).where($"lang" === "en")
+      .select($"doc_id", substring($"text", 1, 24).as("p"))
+    val all = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          levenshtein(col("a.p"), col("b.p")) <= 10)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.p"), col("b.p")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.subsetOf(all))
+  }
+
+  test("cdc1: delete removes the key, n_changes counts all ops") {
+    val out = Queries9.cdc1Apply(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    // users whose chronologically-last event is a purchase must be absent
+    val lastOps = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+      .where($"rn" === 1)
+    val deleted = lastOps.where($"event_type" === "purchase")
+      .select("user_id").as[Long].collect().toSet
+    val kept = out.select("user_id").as[Long].collect().toSet
+    assert(deleted.nonEmpty && kept.intersect(deleted).isEmpty)
+    assert(kept.size + deleted.size ==
+      ev.select("user_id").distinct().count())
+    // n_changes sums back to the full event count over surviving keys
+    val perUser = ev.groupBy("user_id").count()
+    val joined = out.join(perUser, "user_id")
+      .where($"n_changes" =!= $"count").count()
+    assert(joined == 0)
+  }
+
+  test("pca1: exactly 8 selected dims, all variances non-negative") {
+    val rows = Queries9.pca1DimVariance(spark, sf0001)
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(rows.length == 64)
+    assert(rows.count(_._4) == 8)
+    assert(rows.forall(_._3 >= 0.0))
+    // selected dims are exactly the top-8 by (variance desc, dim asc)
+    val top8 = rows.sortBy(r => (-r._3, r._1)).take(8).map(_._1).toSet
+    assert(rows.filter(_._4).map(_._1).toSet == top8)
+  }
+
+  test("d11: known shared span is counted, fraction bounded") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " x1 x2 x3"),          // 4 shingles, 1 shared
+      (2L, "y0 " + shared),                // 2 shingles, 1 shared
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // 5 shingles, 0 shared
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    // run the operator body against the local frame via the same helpers
+    val sh = docs
+      .withColumn("__toks", graft.functions.TextHash.tokens($"text"))
+      .where(size($"__toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(__toks) - 7), " +
+          "i -> concat_ws(' ', slice(__toks, i, 8)))")).as("__sh"))
+    val perDoc = sh.groupBy($"doc_id", $"__sh").agg(count(lit(1)).as("__inst"))
+    val docsPer = perDoc.groupBy($"__sh").agg(count(lit(1)).as("__ndocs"))
+    val out = perDoc.join(docsPer, "__sh").groupBy($"doc_id")
+      .agg(sum($"__inst").as("n"),
+        sum(when($"__ndocs" >= 2, $"__inst").otherwise(0L)).as("d"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((4L, 1L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((5L, 0L)))
+    assert(!out.contains(4L))
+    // and on the fixture: fractions in [0,1], totals match token counts
+    val fix = Queries9.d11SpanDupFraction(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fix.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("phr1: occurrence counts match substring recount") {
+    val hits = Queries9.phr1PhraseMatch(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      id -> toks.sliding(2).count(_.sameElements(Array("data", "sort")))
+    }.filter(_._2 > 0).toMap
+    assert(hits == expect.map { case (k, v) => k -> v.toLong })
+  }
+}
