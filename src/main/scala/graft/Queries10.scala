@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupSql, Sampling, SamplingSql}
+
+/** Round-3 continuation: asymmetric containment dedup and deterministic
+  * A/B experiment analysis. Same contract as [[Queries]]: each Spark
+  * dataflow paired with DuckDB SQL computing the identical result.
+  */
+object Queries10 {
+
+  // ---------------------------------------------------------------------
+  // CNT1: shingle-containment pairs — the subset-duplicate detector
+  // (quotation/inclusion dups that symmetric Jaccard misses). Directed
+  // pairs at C(src→dst) ≥ 0.6 from one posting-list co-occurrence join;
+  // the oracle recomputes every containment brute-force on the full sets.
+  // ---------------------------------------------------------------------
+  def cnt1Containment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.containmentPairs(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.6, shingleN = 2)
+      .select(col("src"), col("dst"), round(col("containment"), 6).as("containment"))
+
+  val cnt1ContainmentSql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    s"""WITH sets AS (
+       |  SELECT * FROM (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 1000)
+       |  WHERE len(sh) > 0)
+       |SELECT src, dst, round(containment, 6) AS containment FROM (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |      AS containment
+       |  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+       |WHERE containment >= 0.6""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // AB1: deterministic A/B experiment readout — users assigned to arms by
+  // the engine-portable content hash (no seed, no partitioning
+  // dependence), then per-arm conversion and DECIMAL revenue folded into
+  // one row with the relative lift. Two keyed aggregations; the per-user
+  // table is the only shuffle.
+  // ---------------------------------------------------------------------
+  def ab1ExperimentLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__conv"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("__rev"))
+      .withColumn("__arm", Sampling.hashBucket(col("user_id"), 2))
+    val rateA = col("conv_a").cast("double") / col("users_a")
+    val rateB = col("conv_b").cast("double") / col("users_b")
+    perUser.agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("users_b"),
+        sum(when(col("__arm") === 0, col("__conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__arm") === 1, col("__conv")).otherwise(0L)).as("conv_b"),
+        sum(when(col("__arm") === 0, col("__rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("rev_a"),
+        sum(when(col("__arm") === 1, col("__rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("rev_b"))
+      .select(col("users_a"), col("users_b"), col("conv_a"), col("conv_b"),
+        round(rateA, 6).as("rate_a"), round(rateB, 6).as("rate_b"),
+        round(rateB / rateA - 1.0, 6).as("lift"),
+        col("rev_a"), col("rev_b"))
+  }
+
+  val ab1ExperimentLiftSql: String = {
+    val arm = SamplingSql.hashBucket("user_id", 2)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev
+       |  FROM events GROUP BY user_id),
+       |armed AS (SELECT *, $arm AS arm FROM pu),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN rev
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN rev
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_b
+       |  FROM armed)
+       |SELECT users_a, users_b, conv_a, conv_b,
+       |  round(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+       |  round(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+       |  round(CAST(conv_b AS DOUBLE) / users_b
+       |      / (CAST(conv_a AS DOUBLE) / users_a) - 1.0, 6) AS lift,
+       |  rev_a, rev_b
+       |FROM agg""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cnt1_containment"   -> (cnt1Containment _),
+    "ab1_experiment_lift" -> (ab1ExperimentLift _))
+
+  val oracles: Map[String, String] = Map(
+    "cnt1_containment"   -> cnt1ContainmentSql,
+    "ab1_experiment_lift" -> ab1ExperimentLiftSql)
+}

@@ -379,6 +379,43 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |A∩B| / |A| — the subset-
+    * duplicate detector (a short doc quoted whole inside a longer one has
+    * low Jaccard but containment ≈ 1 from the short side). Same posting-
+    * list inverted-index join as [[jaccardPairsIndexed]] — one unordered
+    * co-occurrence count per pair, then both directions emitted from that
+    * single row, so the asymmetric result costs exactly the symmetric
+    * join. Cost ∝ co-occurrence, never N².
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 2): DataFrame = {
+    require(threshold > 0.0, "containment join needs a positive threshold " +
+      "(zero-overlap pairs are never enumerated)")
+    val sets = df.select(
+        col(idCol).as("__id"),
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    val posting = sets.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__h"))
+    posting.as("a").join(posting.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("__id1"), col("b.__id").as("__id2"))
+      .agg(count(lit(1)).as("__c"),
+        first(col("a.__n")).as("__n1"), first(col("b.__n")).as("__n2"))
+      .select(explode(array(
+        struct(col("__id1").as("src"), col("__id2").as("dst"),
+          (col("__c").cast("double") / col("__n1")).as("containment")),
+        struct(col("__id2").as("src"), col("__id1").as("dst"),
+          (col("__c").cast("double") / col("__n2")).as("containment"))))
+        .as("__r"))
+      .select(col("__r.*"))
+      .where(col("containment") >= threshold)
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over distinct word-n-gram shingle hashes: bit i is set

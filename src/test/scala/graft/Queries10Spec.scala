@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+class Queries10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment: subset doc scores 1.0 from its side, asymmetric") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // every shingle of the short doc is inside the long one
+    assert(out((1L, 2L)) == 1.0)
+    // the reverse direction is the small intersection over the big set
+    assert(out((2L, 1L)) < 0.2 && out((2L, 1L)) > 0.0)
+    // no overlap with doc 3 in either direction
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("containment: posting join equals brute-force on the fixture") {
+    val docs = Tables.documents(spark, sf0001).where($"doc_id" < 200)
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.6)
+      .select($"src", $"dst", round($"containment", 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = docs.select($"doc_id",
+        graft.functions.Native.shingleHashes($"text", 2).as("sh"))
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSet)
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.6
+    } yield (a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)).toSet
+    assert(got == brute)
+  }
+
+  test("ab1: arms partition the users and are repartition-invariant") {
+    val out = Queries10.ab1ExperimentLift(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(out._1 + out._2 == nUsers)
+    assert(out._3 <= out._1 && out._4 <= out._2)
+    // hash assignment is a pure function of the key: recomputing the arm
+    // after an arbitrary repartition moves no user
+    val ev = Tables.events(spark, sf0001)
+    val a1 = ev.select($"user_id", Sampling.hashBucket($"user_id", 2).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val a2 = ev.repartition(17, $"event_id")
+      .select($"user_id", Sampling.hashBucket($"user_id", 2).as("arm"))
+      .distinct().as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+  }
+}
