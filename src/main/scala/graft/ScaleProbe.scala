@@ -33,7 +33,16 @@ object ScaleProbe {
     // copies, so duplicate-pair candidates grow quadratically in the
     // replication factor by construction, not by plan shape.)
     "pq1_pq_adc", "ctx1_context_pack", "chunk1_chunks", "mk1_transitions",
-    "t16_entropy", "t15_lm_score", "q17_corr")
+    "t16_entropy", "t15_lm_score", "q17_corr",
+    // monitoring/eval additions: keyed-count reductions (KS/PSI/AUC),
+    // keyed window fold (CDC), explode+keyed moments (PCA dims), pair
+    // explode (phrase), stacked shingle aggregations (span dup), per-user
+    // experiment fold. (ed1/cnt1 are excluded like the other pair
+    // queries: replicas share prefixes/shingles by construction, so
+    // their pair output grows quadratically in the replication factor.)
+    "ks1_ks_drift", "psi1_psi_drift", "auc1_sim_auc", "cdc1_apply",
+    "pca1_dim_variance", "phr1_phrase_match", "d11_span_dup",
+    "ab1_experiment_lift")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
