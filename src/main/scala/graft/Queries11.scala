@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Expectations
+
+/** Round-3 continuation: declarative data-quality expectations — the
+  * pipeline-gate rule suite. Same contract as [[Queries]]: Spark dataflow
+  * paired with DuckDB SQL computing the identical result.
+  */
+object Queries11 {
+
+  // ---------------------------------------------------------------------
+  // DQ1: expectation suite over lineitem — five predicate rules counted
+  // in ONE shared scan (conditional sums, not one job per rule) plus a
+  // referential rule as a counted anti-join. One row per rule:
+  // (rule, n_violations, pass) — the table a deployment gate consumes.
+  // The discount-policy rule fires by design; the rest hold.
+  // ---------------------------------------------------------------------
+  def dq1Expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val inScan = Expectations.check(li, Seq(
+      "quantity_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "price_positive" -> (col("l_extendedprice") <= 0),
+      "discount_unit_interval" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+      "discount_policy_5pct" -> (col("l_discount") > 0.05),
+      "shipdate_nonnull" -> col("l_shipdate").isNull))
+    val fk = Expectations.fkCheck("orderkey_fk",
+      li, col("l_orderkey"),
+      Tables.orders(spark, sfDir), col("o_orderkey"))
+    inScan.unionByName(fk)
+  }
+
+  val dq1ExpectationsSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+      |    CAST(SUM(CASE WHEN l_extendedprice <= 0
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(SUM(CASE WHEN l_discount > 0.05
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_policy,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+      |  FROM lineitem),
+      |fk AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+      |SELECT 'quantity_in_range' AS rule, v_range AS n_violations,
+      |       v_range = 0 AS pass FROM c
+      |UNION ALL SELECT 'price_positive', v_price, v_price = 0 FROM c
+      |UNION ALL SELECT 'discount_unit_interval', v_disc, v_disc = 0 FROM c
+      |UNION ALL SELECT 'discount_policy_5pct', v_policy, v_policy = 0 FROM c
+      |UNION ALL SELECT 'shipdate_nonnull', v_ship, v_ship = 0 FROM c
+      |UNION ALL SELECT 'orderkey_fk', v, v = 0 FROM fk""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_expectations" -> (dq1Expectations _))
+
+  val oracles: Map[String, String] = Map(
+    "dq1_expectations" -> dq1ExpectationsSql)
+}

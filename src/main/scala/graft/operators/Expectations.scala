@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Deequ/Great-Expectations
+  * shape): each rule is a named predicate counted over the table in ONE
+  * shared scan — a rule suite of any size costs a single pass of
+  * conditional sums, not one job per rule. Referential rules are the
+  * exception: they need the dimension side, and run as a broadcast-able
+  * anti-join counted into the same result schema.
+  *
+  * Output contract: one row per rule — (rule, n_violations, pass) — the
+  * table a pipeline gate consumes. Extension surface; the reference's
+  * validation ops (A1/A2, SURVEY.md §2.4) are the per-row analogs and
+  * keep their reject-row semantics in MemoryOps.
+  */
+object Expectations {
+
+  /** One row per (name, violation-predicate) counted in a single scan. */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val counts = df.agg(
+      count(lit(1)).as("__total"),
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"__v_$name")
+      }: _*)
+    val rows = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"),
+        (col(s"__v_$name") === 0L).as("pass"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Referential-integrity rule: fact keys with no match in the dimension
+    * (NULL keys excluded — nullability is its own rule). Same output
+    * schema as [[check]] so suites union cleanly. */
+  def fkCheck(name: String, fact: DataFrame, factKey: Column,
+              dim: DataFrame, dimKey: Column): DataFrame = {
+    val orphans = fact.where(factKey.isNotNull)
+      .join(dim, factKey === dimKey, "left_anti")
+    orphans.agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+}

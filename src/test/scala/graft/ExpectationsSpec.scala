@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Expectations
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("check: one row per rule, counts match per-rule recounts, one scan") {
+    val df = Seq(
+      (1L, 10.0, "a"), (2L, -5.0, "b"), (3L, 0.0, null.asInstanceOf[String]),
+      (4L, 200.0, "d"), (5L, -1.0, null.asInstanceOf[String])
+    ).toDF("id", "amount", "tag")
+    val out = Expectations.check(df, Seq(
+        "amount_positive" -> ($"amount" <= 0),
+        "amount_below_100" -> ($"amount" > 100),
+        "tag_nonnull" -> $"tag".isNull))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("amount_positive") == ((3L, false)))
+    assert(out("amount_below_100") == ((1L, false)))
+    assert(out("tag_nonnull") == ((2L, false)))
+    // the whole suite is one aggregation over one scan: exactly one
+    // Exchange/agg pair, no union of per-rule jobs
+    val plan = Expectations.check(df, Seq(
+      "a" -> ($"amount" <= 0), "b" -> $"tag".isNull))
+      .queryExecution.executedPlan.toString
+    assert("Scan ".r.findAllIn(plan).size <= 1)
+  }
+
+  test("fkCheck: orphans counted, nulls excluded, passing suite unions") {
+    val fact = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("id", "dim_id")
+    val dim = Seq(10L, 11L).toDF("k")
+    val row = Expectations.fkCheck("fk", fact, $"dim_id", dim, $"k")
+      .as[(String, Long, Boolean)].head()
+    // only id=2 is an orphan; the NULL key is nullability's concern
+    assert(row == (("fk", 1L, false)))
+  }
+
+  test("dq1 on the fixture: policy rule fires, integrity rules hold") {
+    val rows = Queries11.dq1Expectations(spark, sf0001)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 6)
+    assert(!rows("discount_policy_5pct")._3 &&
+      rows("discount_policy_5pct")._2 > 0)
+    for (r <- Seq("quantity_in_range", "price_positive",
+        "discount_unit_interval", "shipdate_nonnull", "orderkey_fk"))
+      assert(rows(r)._3 && rows(r)._2 == 0L, s"rule $r should pass")
+  }
+}
