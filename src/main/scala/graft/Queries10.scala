@@ -99,11 +99,85 @@ object Queries10 {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // AB2: CUPED variance-reduced experiment readout — each user's
+  // pre-period activity (days 1-15) is the covariate for their post-
+  // period metric (days 16+): adjusted = mean(y) − θ·(mean(x)−mean_all(x))
+  // with θ = cov(x,y)/var(x) pooled over all users. Every moment is a
+  // DECIMAL-exact sum (q17's pattern), so θ and the adjusted means are
+  // identical doubles in any engine. Two keyed aggregations + a 1-row
+  // broadcast; the standard trick for tightening experiment CIs without
+  // more traffic.
+  // ---------------------------------------------------------------------
+  def ab2Cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15,
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("__x"),
+        sum(when(dayofmonth(col("ts")) > 15,
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("__y"))
+      .withColumn("__arm", Sampling.hashBucket(col("user_id"), 2))
+    val pooled = perUser.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(28,10)")).cast("double").as("__sx"),
+      sum(col("__y").cast("decimal(28,10)")).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(28,8)")).cast("double").as("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(28,8)")).cast("double").as("__sxy"))
+    val theta = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    val perArm = perUser.groupBy(col("__arm").as("arm"))
+      .agg(count(lit(1)).as("users"),
+        sum(col("__x").cast("decimal(28,10)")).cast("double").as("__ax"),
+        sum(col("__y").cast("decimal(28,10)")).cast("double").as("__ay"))
+    perArm.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("users"),
+        round(col("__ay") / col("users"), 6).as("mean_post"),
+        round(col("__ay") / col("users") -
+          theta * (col("__ax") / col("users") - col("__sx") / col("__n")), 6)
+          .as("mean_adjusted"),
+        round(theta, 6).as("theta"))
+  }
+
+  val ab2CupedSql: String = {
+    val arm = SamplingSql.hashBucket("user_id", 2)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN day(ts) <= 15 THEN CAST(value AS DECIMAL(18,2))
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+       |    CAST(SUM(CASE WHEN day(ts) > 15 THEN CAST(value AS DECIMAL(18,2))
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+       |  FROM events GROUP BY user_id),
+       |armed AS (SELECT *, $arm AS arm FROM pu),
+       |pooled AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+       |  FROM armed),
+       |pa AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS users,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS ax,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS ay
+       |  FROM armed GROUP BY arm)
+       |SELECT arm, users,
+       |  round(ay / users, 6) AS mean_post,
+       |  round(ay / users - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+       |    * (ax / users - sx / n), 6) AS mean_adjusted,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
+       |FROM pa, pooled""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cnt1_containment"   -> (cnt1Containment _),
-    "ab1_experiment_lift" -> (ab1ExperimentLift _))
+    "ab1_experiment_lift" -> (ab1ExperimentLift _),
+    "ab2_cuped"          -> (ab2Cuped _))
 
   val oracles: Map[String, String] = Map(
     "cnt1_containment"   -> cnt1ContainmentSql,
-    "ab1_experiment_lift" -> ab1ExperimentLiftSql)
+    "ab1_experiment_lift" -> ab1ExperimentLiftSql,
+    "ab2_cuped"          -> ab2CupedSql)
 }

@@ -41,6 +41,36 @@ class Queries10Spec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("ab2: CUPED removes a covariate-determined metric entirely") {
+    // y = 2x exactly -> theta = 2 and every arm's adjusted mean collapses
+    // to theta * global mean(x): arms become indistinguishable
+    val rows = Queries10.ab2Cuped(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 2)
+    // theta identical on both rows (pooled) and finite
+    assert(rows.map(_._5).distinct.length == 1 && !rows.head._5.isNaN)
+    // synthetic check of the collapse property
+    import org.apache.spark.sql.functions.{col => c}
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts",
+        (($"user_id" % 7) + 1).cast("double").as("value"))
+    // recompute via the same operator body on a frame where post == 2*pre
+    val pu = ev.groupBy($"user_id").agg(
+      sum(when(dayofmonth($"ts") <= 15, $"value").otherwise(0.0)).as("x"))
+      .withColumn("y", $"x" * 2.0)
+      .withColumn("arm", graft.operators.Sampling.hashBucket($"user_id", 2))
+    val n = pu.count().toDouble
+    val m = pu.agg(sum($"x"), sum($"y"), sum($"x" * $"x"), sum($"x" * $"y"))
+      .as[(Double, Double, Double, Double)].head()
+    val theta = (n * m._4 - m._1 * m._2) / (n * m._3 - m._1 * m._1)
+    assert(math.abs(theta - 2.0) < 1e-9)
+    val adj = pu.groupBy($"arm").agg(
+        (sum($"y") / count(lit(1)) -
+          lit(theta) * (sum($"x") / count(lit(1)) - lit(m._1 / n))).as("a"))
+      .select($"a").as[Double].collect()
+    assert(math.abs(adj(0) - adj(1)) < 1e-9)
+  }
+
   test("ab1: arms partition the users and are repartition-invariant") {
     val out = Queries10.ab1ExperimentLift(spark, sf0001)
       .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
