@@ -58,9 +58,24 @@ object Queries11 {
       |UNION ALL SELECT 'shipdate_nonnull', v_ship, v_ship = 0 FROM c
       |UNION ALL SELECT 'orderkey_fk', v, v = 0 FROM fk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E13: streaming exactly-once dedup replay — every third event is
+  // re-delivered 30 min late (same event_id), the stream drops retries
+  // with watermark-bounded dedup state, and the emitted rows must equal
+  // the clean base table exactly: at-least-once delivery in, exactly-once
+  // table out. See EventStream.replayDedup for the state-bound argument.
+  // ---------------------------------------------------------------------
+  def e13StreamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayDedup(Tables.events(spark, sfDir))
+
+  val e13StreamDedupSql: String =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq1_expectations" -> (dq1Expectations _))
+    "dq1_expectations" -> (dq1Expectations _),
+    "e13_stream_dedup" -> (e13StreamDedup _))
 
   val oracles: Map[String, String] = Map(
-    "dq1_expectations" -> dq1ExpectationsSql)
+    "dq1_expectations" -> dq1ExpectationsSql,
+    "e13_stream_dedup" -> e13StreamDedupSql)
 }

@@ -442,6 +442,39 @@ object EventStream {
       .agg(max(col("funnel_stage")).as("funnel_stage"))
   }
 
+  /** E13 — streaming exactly-once ingestion dedup under at-least-once
+    * delivery: every third event is re-delivered 30 minutes late (same
+    * event_id — the retry shape), and the stream drops the duplicates
+    * with `dropDuplicatesWithinWatermark` keyed on event_id. The 2 h
+    * watermark bounds the dedup state: a key's fingerprint is held only
+    * until the watermark passes it, so state is O(events per 2 h window),
+    * not O(stream) — the property that makes streaming dedup viable at
+    * 100 TB/day. Output is each event exactly once; duplicates differ
+    * only in ts and ts is not emitted, so which physical copy survives a
+    * same-batch race is unobservable and the oracle is simply the clean
+    * base table. Re-deliveries land at most 30 min after their original
+    * while the watermark trails 2 h, so no retry can arrive behind the
+    * watermark and leak through as a fresh row.
+    */
+  def replayDedup(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val retries = src.where(col("event_id") % 3 === 0)
+      .withColumn("ts", timestamp_seconds(col("ts").cast("long") + 1800L))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val dir = chunkedReplayDir(withSec(src.unionByName(retries)), cols, chunks)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val deduped = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    memorySink(deduped, "graft_e13_", OutputMode.Append())
+  }
+
   /** File-stream replay of the watermarked tumbling-window aggregation:
     * real micro-batches through [[windowedAgg]] in APPEND mode — windows
     * only emit once the watermark passes them, which is the production
