@@ -61,6 +61,36 @@ class Queries9Spec extends SparkSpec {
     assert(Eval.aucRankSum(sep, $"s", $"p").as[(Long, Long, Double)].head()._3 == 1.0)
   }
 
+  test("AUC and KS match brute force on randomized datasets") {
+    val rng = new scala.util.Random(20260812L)
+    for (round <- 1 to 8) {
+      val n = 30 + rng.nextInt(120)
+      val nVals = 2 + rng.nextInt(12) // few distinct values -> many ties
+      val rows = (1 to n).map { _ =>
+        (rng.nextInt(nVals).toDouble, rng.nextBoolean())
+      }
+      // guarantee both classes present
+      val data = (rows :+ ((0.0, true)) :+ ((1.0, false))).toSeq
+      val df = data.toDF("s", "p")
+
+      val auc = Eval.aucRankSum(df, $"s", $"p").as[(Long, Long, Double)].head()
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      val wins = (for (a <- pos; b <- neg)
+        yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+      assert(math.abs(auc._3 - wins / (pos.size.toDouble * neg.size)) < 1e-6,
+        s"AUC mismatch in round $round")
+
+      val ks = Drift.ksStatistic(df, $"s", $"p").as[(Long, Long, Double)].head()
+      val pts = data.map(_._1).distinct
+      val brute = pts.map { t =>
+        math.abs(pos.count(_ <= t).toDouble / pos.size -
+          neg.count(_ <= t).toDouble / neg.size)
+      }.max
+      assert(math.abs(ks._3 - brute) < 1e-6, s"KS mismatch in round $round")
+    }
+  }
+
   test("PSI: fixed grid bins, both-sides-positive guard, sign structure") {
     val df = Seq(
       (10.0, true), (10.0, true), (60.0, true),       // a: bins 0,0,1
