@@ -71,11 +71,38 @@ object Queries11 {
   val e13StreamDedupSql: String =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  // ---------------------------------------------------------------------
+  // MLT1: unpivot/melt — wide measure columns to long (measure, value)
+  // rows, then per-measure DECIMAL profiles. The inverse of q8's pivot;
+  // melt is map-side (each row emits k rows, no shuffle until the agg).
+  // ---------------------------------------------------------------------
+  def mlt1Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+  val mlt1UnpivotSql: String = {
+    def arm(c: String) =
+      s"""SELECT '$c' AS measure, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  MIN($c) AS vmin, MAX($c) AS vmax FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_discount", "l_tax").map(arm)
+      .mkString("\nUNION ALL\n")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_expectations" -> (dq1Expectations _),
-    "e13_stream_dedup" -> (e13StreamDedup _))
+    "e13_stream_dedup" -> (e13StreamDedup _),
+    "mlt1_unpivot"     -> (mlt1Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "dq1_expectations" -> dq1ExpectationsSql,
-    "e13_stream_dedup" -> e13StreamDedupSql)
+    "e13_stream_dedup" -> e13StreamDedupSql,
+    "mlt1_unpivot"     -> mlt1UnpivotSql)
 }
