@@ -96,13 +96,36 @@ object Queries11 {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------------
+  // TRI1: triangles in the near-dup graph — clique evidence that tells a
+  // curation pipeline a duplicate cluster is dense (mutual near-dups)
+  // rather than a chain of borderline pairs. Node-iterator shape: wedge
+  // join (b matches) + closing-edge join — the classic distributed
+  // triangle enumeration, two equi-joins over the (small) edge list,
+  // never touching the document table again. Edges are d3's banded
+  // SimHash pairs, so the whole path is bucketed end-to-end.
+  // ---------------------------------------------------------------------
+  def tri1DupTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.GraphOps.triangles(
+      graft.operators.Dedup.simhashPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", maxDist = 3))
+
+  val tri1DupTrianglesSql: String =
+    s"""WITH e AS (${Queries.d3SimhashPairsSql})
+       |SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c
+       |FROM e x
+       |JOIN e y ON x.id2 = y.id1
+       |JOIN e z ON z.id1 = x.id1 AND z.id2 = y.id2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_expectations" -> (dq1Expectations _),
     "e13_stream_dedup" -> (e13StreamDedup _),
-    "mlt1_unpivot"     -> (mlt1Unpivot _))
+    "mlt1_unpivot"     -> (mlt1Unpivot _),
+    "tri1_dup_triangles" -> (tri1DupTriangles _))
 
   val oracles: Map[String, String] = Map(
     "dq1_expectations" -> dq1ExpectationsSql,
     "e13_stream_dedup" -> e13StreamDedupSql,
-    "mlt1_unpivot"     -> mlt1UnpivotSql)
+    "mlt1_unpivot"     -> mlt1UnpivotSql,
+    "tri1_dup_triangles" -> tri1DupTrianglesSql)
 }

@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small distributed graph primitives over edge lists (id1 < id2 rows) —
+  * companions to the connected-components clustering in [[Dedup]].
+  */
+object GraphOps {
+
+  /** Triangle enumeration, node-iterator form: wedge join on the shared
+    * middle vertex + closing-edge join. Two equi-joins over the edge
+    * list; with edges canonically ordered (id1 < id2) each triangle
+    * (a<b<c) is produced exactly once. At scale both joins shuffle on
+    * vertex ids — the standard distributed triangle count; a high-degree
+    * vertex inflates only its own wedge list, which the canonical
+    * ordering already halves.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id1"), col("id2"))
+    e.as("x").join(e.as("y"), col("x.id2") === col("y.id1"))
+      .select(col("x.id1").as("a"), col("x.id2").as("b"), col("y.id2").as("c"))
+      .join(e.as("z"),
+        col("a") === col("z.id1") && col("c") === col("z.id2"))
+      .select(col("a"), col("b"), col("c"))
+  }
+}

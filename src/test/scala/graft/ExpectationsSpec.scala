@@ -39,6 +39,17 @@ class ExpectationsSpec extends SparkSpec {
     assert(row == (("fk", 1L, false)))
   }
 
+  test("triangles: 4-clique yields exactly its 4 triangles, chains none") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6 (no new triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id1", "id2")
+    val tris = graft.operators.GraphOps.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // each triangle appears exactly once (canonical a<b<c ordering)
+    assert(tris.forall { case (a, b, c) => a < b && b < c })
+  }
+
   test("dq1 on the fixture: policy rule fires, integrity rules hold") {
     val rows = Queries11.dq1Expectations(spark, sf0001)
       .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
