@@ -117,15 +117,92 @@ object Queries11 {
        |JOIN e y ON x.id2 = y.id1
        |JOIN e z ON z.id1 = x.id1 AND z.id2 = y.id2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // DRF2: embedding-space drift — per-label centroid shift between two
+  // deterministic halves of the corpus (vec_id parity stands in for
+  // batch-over-batch). Per-dim means accumulate in DECIMAL so both
+  // engines derive identical centroids; the L2 shift then compares
+  // identical doubles. Completes the drift family: ks1/psi1 watch scalar
+  // metrics, this watches the embedding space itself.
+  // ---------------------------------------------------------------------
+  def drf2EmbeddingShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.embeddings(spark, sfDir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("__a"),
+        posexplode(col("embedding")).as(Seq("dim", "__x")))
+      .select(col("label"), col("__a"), col("dim"),
+        col("__x").cast("double").as("__x"))
+    val cent = x.groupBy(col("label"), col("__a"), col("dim"))
+      .agg((sum(col("__x").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("__m"))
+    val a = cent.where(col("__a")).select(col("label"), col("dim"), col("__m").as("__ma"))
+    val b = cent.where(!col("__a")).select(col("label"), col("dim"), col("__m").as("__mb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum((col("__ma") - col("__mb")) *
+        (col("__ma") - col("__mb")))), 6).as("centroid_shift"))
+  }
+
+  val drf2EmbeddingShiftSql: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 = 0 AS a, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, range(1, 65) t(i)),
+      |cent AS (
+      |  SELECT label, a, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM x GROUP BY label, a, dim)
+      |SELECT ca.label AS label,
+      |  round(sqrt(SUM((ca.m - cb.m) * (ca.m - cb.m))), 6) AS centroid_shift
+      |FROM cent ca JOIN cent cb
+      |  ON ca.label = cb.label AND ca.dim = cb.dim AND ca.a AND NOT cb.a
+      |GROUP BY ca.label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SKW1: key-skew diagnosis — the report that tells you whether a join
+  // or aggregation key needs salting before you burn a cluster on it:
+  // per candidate key, rows, distinct keys, the hottest key's share, and
+  // the max/mean skew factor. Two-level aggregation per key column, all
+  // exact integer ratios.
+  // ---------------------------------------------------------------------
+  def skw1KeySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, table: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).as("rows"), count(lit(1)).as("n_keys"),
+          max(col("__n")).as("max_key_rows"))
+        .select(lit(s"$table.$key").as("key"), col("rows"), col("n_keys"),
+          col("max_key_rows"),
+          round(col("max_key_rows") * col("n_keys") /
+            col("rows").cast("double"), 6).as("skew_factor"))
+    profile(Tables.lineitem(spark, sfDir), "l_orderkey", "lineitem")
+      .unionByName(profile(Tables.events(spark, sfDir), "user_id", "events"))
+      .unionByName(profile(Tables.events(spark, sfDir), "event_type", "events"))
+  }
+
+  val skw1KeySkewSql: String = {
+    def arm(table: String, key: String) =
+      s"""SELECT '$table.$key' AS key, CAST(SUM(n) AS BIGINT) AS rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(n) AS BIGINT) AS max_key_rows,
+         |  round(MAX(n) * COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS skew_factor
+         |FROM (SELECT $key, COUNT(*) AS n FROM $table GROUP BY $key)""".stripMargin
+    Seq(("lineitem", "l_orderkey"), ("events", "user_id"),
+      ("events", "event_type")).map { case (t, k) => arm(t, k) }
+      .mkString("\nUNION ALL\n")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_expectations" -> (dq1Expectations _),
     "e13_stream_dedup" -> (e13StreamDedup _),
     "mlt1_unpivot"     -> (mlt1Unpivot _),
-    "tri1_dup_triangles" -> (tri1DupTriangles _))
+    "tri1_dup_triangles" -> (tri1DupTriangles _),
+    "drf2_embedding_shift" -> (drf2EmbeddingShift _),
+    "skw1_key_skew"    -> (skw1KeySkew _))
 
   val oracles: Map[String, String] = Map(
     "dq1_expectations" -> dq1ExpectationsSql,
     "e13_stream_dedup" -> e13StreamDedupSql,
     "mlt1_unpivot"     -> mlt1UnpivotSql,
-    "tri1_dup_triangles" -> tri1DupTrianglesSql)
+    "tri1_dup_triangles" -> tri1DupTrianglesSql,
+    "drf2_embedding_shift" -> drf2EmbeddingShiftSql,
+    "skw1_key_skew"    -> skw1KeySkewSql)
 }
