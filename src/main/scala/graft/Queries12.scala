@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-3 continuation: record linkage end-to-end and time-series
+  * smoothing. Same contract as [[Queries]]: each Spark dataflow paired
+  * with DuckDB SQL computing the identical result.
+  */
+object Queries12 {
+
+  // ---------------------------------------------------------------------
+  // ER1: entity resolution end-to-end — the blocked edit-distance pairs
+  // (ed1) are not transitive, so matching records are clustered by
+  // connected components and each cluster elects its minimum id as the
+  // canonical entity: the complete record-linkage pipeline (block →
+  // match → cluster → survivorship) in one dataflow. Oracle: recursive
+  // transitive closure over the identical pair SQL.
+  // ---------------------------------------------------------------------
+  def er1EntityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Queries9.ed1EditDistJoin(spark, sfDir)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("entity_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("entity_id"))
+  }
+
+  val er1EntityResolutionSql: String =
+    s"""WITH RECURSIVE pairs AS (${Queries9.ed1EditDistJoinSql}),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS entity_id FROM reach GROUP BY id)
+       |SELECT doc_id, entity_id,
+       |  COUNT(*) OVER (PARTITION BY entity_id) AS n_members,
+       |  doc_id = entity_id AS is_canonical
+       |FROM comp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // EWMA1: per-user exponentially weighted moving average of event value
+  // (α = 0.1) at the sequence end — the classic smoothed-rate feature.
+  // The recursion s_t = αx_t + (1−α)s_{t−1} unrolls into one closed-form
+  // weighted sum per event, so one keyed window pass replaces the
+  // sequential scan; each term is quantized to DECIMAL(28,12) before the
+  // sum, which makes the accumulation order-proof AND absorbs any
+  // last-ulp pow() divergence between engines.
+  // ---------------------------------------------------------------------
+  private val Alpha = 0.1
+
+  def ewma1UserSmoothing(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byUser = Window.partitionBy(col("user_id"))
+    val coef = when(col("__rn") === 1,
+      pow(lit(1.0 - Alpha), col("__n") - 1))
+      .otherwise(lit(Alpha) * pow(lit(1.0 - Alpha), col("__n") - col("__rn")))
+    Tables.events(spark, sfDir)
+      .withColumn("__rn", row_number().over(seq))
+      .withColumn("__n", count(lit(1)).over(byUser))
+      .withColumn("__term", (col("value") * coef).cast("decimal(28,12)"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__n")).as("n_events"),
+        round(sum(col("__term")).cast("double"), 6).as("ewma"))
+  }
+
+  val ewma1UserSmoothingSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, value,
+       |    ROW_NUMBER() OVER w AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  round(CAST(SUM(CAST(value * (CASE WHEN rn = 1
+       |      THEN power(0.9, n - 1)
+       |      ELSE 0.1 * power(0.9, n - rn) END) AS DECIMAL(28,12)))
+       |    AS DOUBLE), 6) AS ewma
+       |FROM seq GROUP BY user_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er1_entity_resolution" -> (er1EntityResolution _),
+    "ewma1_user_smoothing"  -> (ewma1UserSmoothing _))
+
+  val oracles: Map[String, String] = Map(
+    "er1_entity_resolution" -> er1EntityResolutionSql,
+    "ewma1_user_smoothing"  -> ewma1UserSmoothingSql)
+}

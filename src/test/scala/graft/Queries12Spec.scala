@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Queries12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("er1: canonical = min member, one canonical per entity, pairs covered") {
+    val rows = Queries12.er1EntityResolution(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byEntity = rows.groupBy(_._2)
+    // exactly one canonical per entity, and it is the minimum doc_id
+    for ((eid, members) <- byEntity) {
+      assert(members.count(_._4) == 1)
+      assert(members.filter(_._4).head._1 == members.map(_._1).min)
+      assert(eid == members.map(_._1).min)
+      assert(members.forall(_._3 == members.size))
+      assert(members.size >= 2) // components come from pairs
+    }
+    // every matched pair landed in one entity
+    val pairs = Queries9.ed1EditDistJoin(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val entityOf = rows.map(r => r._1 -> r._2).toMap
+    assert(pairs.forall { case (a, b, _) => entityOf(a) == entityOf(b) })
+  }
+
+  test("ewma1: closed form equals the sequential recursion") {
+    val got = Queries12.ewma1UserSmoothing(spark, sf0001)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    for ((uid, rows) <- ev.take(20)) {
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val s = xs.tail.foldLeft(xs.head)((acc, x) => 0.1 * x + 0.9 * acc)
+      assert(got(uid)._2 == xs.length)
+      assert(math.abs(got(uid)._3 - s) < 1e-6,
+        s"user $uid: got ${got(uid)._3}, sequential $s")
+    }
+  }
+}
