@@ -84,11 +84,47 @@ object Queries12 {
        |    AS DOUBLE), 6) AS ewma
        |FROM seq GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // NV1: vocabulary novelty per ingestion batch — the fraction of token
+  // instances in each batch (doc_id order, 100 docs per batch) whose
+  // token first appears in that batch. The corpus-growth monitor: a
+  // healthy crawl keeps finding new vocabulary, a looping one doesn't.
+  // Token first-batch is one keyed min; the novelty join shuffles on the
+  // token — both scale-safe. Integer division (`div`/`//`) on both sides
+  // because Spark CAST truncates but DuckDB CAST rounds.
+  // ---------------------------------------------------------------------
+  def nv1VocabNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(expr("doc_id div 100").as("batch"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+    val firstB = tok.groupBy(col("tok")).agg(min(col("batch")).as("__fb"))
+    tok.join(firstB, "tok")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__fb") === col("batch"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_tokens"), 6))
+  }
+
+  val nv1VocabNoveltySql: String = {
+    val tk = graft.functions.TextHashSql.tokens("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id // 100 AS batch, unnest($tk) AS tok FROM documents),
+       |fb AS (SELECT tok, MIN(batch) AS fb FROM tok GROUP BY tok)
+       |SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS novelty
+       |FROM tok JOIN fb USING (tok) GROUP BY batch""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
-    "ewma1_user_smoothing"  -> (ewma1UserSmoothing _))
+    "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
+    "nv1_vocab_novelty"     -> (nv1VocabNovelty _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
-    "ewma1_user_smoothing"  -> ewma1UserSmoothingSql)
+    "ewma1_user_smoothing"  -> ewma1UserSmoothingSql,
+    "nv1_vocab_novelty"     -> nv1VocabNoveltySql)
 }

@@ -24,6 +24,18 @@ class Queries12Spec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => entityOf(a) == entityOf(b) })
   }
 
+  test("nv1: batch 0 is fully novel, novelty bounded, totals conserve") {
+    val rows = Queries12.nv1VocabNovelty(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // the first batch introduces every one of its tokens by definition
+    assert(rows.head._1 == 0L && rows.head._4 == 1.0)
+    assert(rows.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+    // token instances across batches sum to the corpus token count
+    val total = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextHash.tokens($"text"))).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("ewma1: closed form equals the sequential recursion") {
     val got = Queries12.ewma1UserSmoothing(spark, sf0001)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
