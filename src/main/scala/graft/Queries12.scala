@@ -118,13 +118,43 @@ object Queries12 {
        |FROM tok JOIN fb USING (tok) GROUP BY batch""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // SQL1: the SQL API surface under oracle — the query is pure SQL text
+  // through the registered native kernels (GraftFunctions/GraftExtensions),
+  // proving a SQL-only user gets the same engine: simhash, shingle
+  // cardinality, and the raw feature-hash embedding's first coordinate
+  // (exact signed token counts — no float in play) through the SQL path.
+  // ---------------------------------------------------------------------
+  def sql1SqlApi(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("g_documents")
+    spark.sql(
+      """SELECT doc_id,
+        |  simhash(text) AS sim,
+        |  CAST(size(shingle_hashes(text, 2)) AS BIGINT) AS n_shingles,
+        |  element_at(embed_text(text, 8, false), 1) AS emb0
+        |FROM g_documents WHERE doc_id < 100""".stripMargin)
+  }
+
+  val sql1SqlApiSql: String = {
+    import graft.operators.DedupSql
+    import graft.functions.EmbedSql
+    val sh = DedupSql.shingleSet("text", 2)
+    s"""SELECT doc_id, ${DedupSql.simhash("text")} AS sim,
+       |  CAST(len($sh) AS BIGINT) AS n_shingles,
+       |  (${EmbedSql.embedRaw("text", 8)})[1] AS emb0
+       |FROM documents WHERE doc_id < 100""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
     "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
-    "nv1_vocab_novelty"     -> (nv1VocabNovelty _))
+    "nv1_vocab_novelty"     -> (nv1VocabNovelty _),
+    "sql1_sql_api"          -> (sql1SqlApi _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
     "ewma1_user_smoothing"  -> ewma1UserSmoothingSql,
-    "nv1_vocab_novelty"     -> nv1VocabNoveltySql)
+    "nv1_vocab_novelty"     -> nv1VocabNoveltySql,
+    "sql1_sql_api"          -> sql1SqlApiSql)
 }
