@@ -146,15 +146,54 @@ object Queries12 {
        |FROM documents WHERE doc_id < 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // GR1: user growth curve — per day: active users, first-seen (new)
+  // users, and the running cumulative of known users. Running distinct
+  // count without windowed-distinct: each user collapses to a first-day
+  // row (keyed min), days aggregate map-side, and the cumulative is a
+  // running sum over the tiny per-day table.
+  // ---------------------------------------------------------------------
+  def gr1UserGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("__day"))
+    val active = ev.distinct()
+      .groupBy(col("__day")).agg(count(lit(1)).as("active_users"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("__day")).as("__day"))
+      .groupBy(col("__day")).agg(count(lit(1)).as("new_users"))
+    val run = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstDay, Seq("__day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(run))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("active_users"), col("new_users"), col("cum_users"))
+  }
+
+  val gr1UserGrowthSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |act AS (SELECT day, COUNT(*) AS active_users FROM ev GROUP BY day),
+      |fd AS (
+      |  SELECT day, COUNT(*) AS new_users FROM (
+      |    SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT strftime(act.day, '%Y-%m-%d') AS day, active_users,
+      |  COALESCE(new_users, 0) AS new_users,
+      |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY act.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM act LEFT JOIN fd ON act.day = fd.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
     "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
     "nv1_vocab_novelty"     -> (nv1VocabNovelty _),
-    "sql1_sql_api"          -> (sql1SqlApi _))
+    "sql1_sql_api"          -> (sql1SqlApi _),
+    "gr1_user_growth"       -> (gr1UserGrowth _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
     "ewma1_user_smoothing"  -> ewma1UserSmoothingSql,
     "nv1_vocab_novelty"     -> nv1VocabNoveltySql,
-    "sql1_sql_api"          -> sql1SqlApiSql)
+    "sql1_sql_api"          -> sql1SqlApiSql,
+    "gr1_user_growth"       -> gr1UserGrowthSql)
 }

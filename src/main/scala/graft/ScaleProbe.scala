@@ -42,7 +42,13 @@ object ScaleProbe {
     // their pair output grows quadratically in the replication factor.)
     "ks1_ks_drift", "psi1_psi_drift", "auc1_sim_auc", "cdc1_apply",
     "pca1_dim_variance", "phr1_phrase_match", "d11_span_dup",
-    "ab1_experiment_lift")
+    "ab1_experiment_lift",
+    // governance / time-series / SQL-surface additions (ed1/cnt1/tri1/er1
+    // stay excluded as pair-growth-by-construction queries; e13 is a
+    // streaming replay, benched separately)
+    "ab2_cuped", "dq1_expectations", "mlt1_unpivot", "drf2_embedding_shift",
+    "skw1_key_skew", "ewma1_user_smoothing", "nv1_vocab_novelty",
+    "sql1_sql_api")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
