@@ -183,17 +183,63 @@ object Queries12 {
       |    AS cum_users
       |FROM act LEFT JOIN fd ON act.day = fd.day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E14: hopping-window streaming replay — e12's sliding aggregation run
+  // as real micro-batches in append mode: every event lives in two
+  // overlapping windows, so this proves the 2× state bookkeeping emits
+  // each (window, type) exactly once when the watermark passes it. The
+  // oracle is e12's batch SQL verbatim.
+  // ---------------------------------------------------------------------
+  def e14StreamHopping(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayHopping(Tables.events(spark, sfDir))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e14StreamHoppingSql: String = Queries8.e12HoppingWindowSql
+
+  // ---------------------------------------------------------------------
+  // CM1: language-ID confusion matrix — the heuristic classifier (t1)
+  // evaluated against the corpus ground-truth lang column: (true, pred, n,
+  // row share). Eval-of-operator, one keyed count + a per-truth window.
+  // ---------------------------------------------------------------------
+  def cm1LangidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTruth = Window.partitionBy(col("true_lang"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang").as("true_lang"),
+        graft.operators.TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(byTruth), 6))
+  }
+
+  val cm1LangidConfusionSql: String = {
+    val lid = graft.operators.TextAnalysisSql.langId("text")
+    s"""WITH p AS (SELECT lang AS true_lang, $lid AS pred_lang FROM documents),
+       |c AS (SELECT true_lang, pred_lang, COUNT(*) AS n
+       |      FROM p GROUP BY true_lang, pred_lang)
+       |SELECT true_lang, pred_lang, n,
+       |  round(n / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+       |    AS share
+       |FROM c""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
     "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
     "nv1_vocab_novelty"     -> (nv1VocabNovelty _),
     "sql1_sql_api"          -> (sql1SqlApi _),
-    "gr1_user_growth"       -> (gr1UserGrowth _))
+    "gr1_user_growth"       -> (gr1UserGrowth _),
+    "e14_stream_hopping"    -> (e14StreamHopping _),
+    "cm1_langid_confusion"  -> (cm1LangidConfusion _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
     "ewma1_user_smoothing"  -> ewma1UserSmoothingSql,
     "nv1_vocab_novelty"     -> nv1VocabNoveltySql,
     "sql1_sql_api"          -> sql1SqlApiSql,
-    "gr1_user_growth"       -> gr1UserGrowthSql)
+    "gr1_user_growth"       -> gr1UserGrowthSql,
+    "e14_stream_hopping"    -> e14StreamHoppingSql,
+    "cm1_langid_confusion"  -> cm1LangidConfusionSql)
 }

@@ -42,6 +42,20 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) windows — 2× state overlap vs tumbling; same
+    * batch/stream duality as [[windowedAgg]]. */
+  def hoppingAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Open a file-based stream over a parquet events directory. */
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     graft.Tables.normalizeEventTs(
@@ -482,7 +496,19 @@ object EventStream {
     * filtered back out of the result) advances the watermark so the last
     * real windows flush. Final emitted windows == the batch mirror (e3's
     * oracle SQL verbatim). */
-  def replayWindowed(events: DataFrame, chunks: Int = 6): DataFrame = {
+  def replayWindowed(events: DataFrame, chunks: Int = 6): DataFrame =
+    replayAggregated(events, chunks, windowedAgg(_), "graft_e11_")
+
+  /** E14 — the hopping-window form of [[replayWindowed]]: same append-mode
+    * watermark-gated emission contract, but every event feeds two
+    * overlapping windows, so the replay proves the 2× state bookkeeping
+    * flushes exactly once per (window, type) with no duplicate or lost
+    * emissions across micro-batch boundaries. */
+  def replayHopping(events: DataFrame, chunks: Int = 6): DataFrame =
+    replayAggregated(events, chunks, hoppingAgg(_), "graft_e14_")
+
+  private def replayAggregated(events: DataFrame, chunks: Int,
+      agg: DataFrame => DataFrame, sinkPrefix: String): DataFrame = {
     val spark = events.sparkSession
     val src = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
@@ -500,7 +526,7 @@ object EventStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    memorySink(windowedAgg(stream), "graft_e11_", OutputMode.Append())
+    memorySink(agg(stream), sinkPrefix, OutputMode.Append())
       .where(col("event_type") =!= "__flush")
   }
 }
