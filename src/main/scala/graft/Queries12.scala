@@ -225,6 +225,48 @@ object Queries12 {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // BP1: daily value quartile bands + IQR outlier counts — the box-plot
+  // series a monitoring dashboard draws. Exact interpolated percentiles
+  // (q10's pattern) per day, then each day's IQR fences count their own
+  // day's outliers in a second conditional pass over the same groups.
+  // ---------------------------------------------------------------------
+  def bp1DailyQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("__day"), col("value"))
+    val bands = daily.groupBy(col("__day"))
+      .agg(percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("__p"))
+      .select(col("__day"),
+        element_at(col("__p"), 1).as("__q1"),
+        element_at(col("__p"), 2).as("__q2"),
+        element_at(col("__p"), 3).as("__q3"))
+    daily.join(bands, "__day")
+      .groupBy(col("__day"), col("__q1"), col("__q2"), col("__q3"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > col("__q3") +
+          lit(1.5) * (col("__q3") - col("__q1")), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("__q1"), 6).as("q1"),
+        round(col("__q2"), 6).as("median"), round(col("__q3"), 6).as("q3"),
+        col("n_outliers"))
+  }
+
+  val bp1DailyQuartilesSql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+      |b AS (
+      |  SELECT day, quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.50) AS q2, quantile_cont(value, 0.75) AS q3
+      |  FROM d GROUP BY day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(b.q1, 6) AS q1, round(b.q2, 6) AS median, round(b.q3, 6) AS q3,
+      |  CAST(SUM(CASE WHEN value > b.q3 + 1.5 * (b.q3 - b.q1)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN b ON d.day = b.day
+      |GROUP BY d.day, b.q1, b.q2, b.q3""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
     "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
@@ -232,7 +274,8 @@ object Queries12 {
     "sql1_sql_api"          -> (sql1SqlApi _),
     "gr1_user_growth"       -> (gr1UserGrowth _),
     "e14_stream_hopping"    -> (e14StreamHopping _),
-    "cm1_langid_confusion"  -> (cm1LangidConfusion _))
+    "cm1_langid_confusion"  -> (cm1LangidConfusion _),
+    "bp1_daily_quartiles"   -> (bp1DailyQuartiles _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
@@ -241,5 +284,6 @@ object Queries12 {
     "sql1_sql_api"          -> sql1SqlApiSql,
     "gr1_user_growth"       -> gr1UserGrowthSql,
     "e14_stream_hopping"    -> e14StreamHoppingSql,
-    "cm1_langid_confusion"  -> cm1LangidConfusionSql)
+    "cm1_langid_confusion"  -> cm1LangidConfusionSql,
+    "bp1_daily_quartiles"   -> bp1DailyQuartilesSql)
 }
