@@ -267,6 +267,60 @@ object Queries12 {
       |FROM d JOIN b ON d.day = b.day
       |GROUP BY d.day, b.q1, b.q2, b.q3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A8: ANN recall-vs-probes tuning curve — mean recall@5 of sign-bucket
+  // multiprobe against brute force as the probe count grows (1, 3, 5
+  // buckets = 0, 2, 4 bit flips). The curve a user reads to pick the
+  // recall/cost point; must be monotone non-decreasing by construction
+  // (probe sets are nested). Recall is exact integer hits / 25.
+  // ---------------------------------------------------------------------
+  private val A8Flips = Seq(0, 2, 4)
+
+  def a8RecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .select(col("qid"), col("vec_id"))
+    A8Flips.map { flips =>
+      val approx = Ann.multiProbeTopK(emb, queries, k = 5, m = 4, flips = flips)
+        .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .agg(round(sum(coalesce(col("__hit"), lit(0L))) / 25.0d, 6).as("recall"))
+        .select(lit(flips + 1L).as("n_probes"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  val a8RecallCurveSql: String = {
+    import graft.operators.AnnSql
+    val c = Queries.sqlCosine("v.embedding", "q.qvec")
+    val vb = AnnSql.signBucket("v.embedding", 4)
+    val qb = AnnSql.signBucket("q.qvec", 4)
+    def approx(flips: Int) =
+      s"""SELECT qid, vec_id FROM (
+         |  SELECT q.qid AS qid, v.vec_id AS vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid
+         |                            ORDER BY $c DESC, v.vec_id ASC) AS rn
+         |  FROM embeddings v,
+         |       (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |        WHERE vec_id < 5) q
+         |  WHERE ${AnnSql.multiProbePredicate(vb, qb, 4, flips)}
+         |    AND $c IS NOT NULL
+         |) WHERE rn <= 5""".stripMargin
+    val arms = A8Flips.map { flips =>
+      s"""SELECT CAST(${flips + 1} AS BIGINT) AS n_probes,
+         |  round(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / 25.0, 6) AS recall
+         |FROM exact e LEFT JOIN ap_$flips a
+         |  ON a.qid = e.qid AND a.vec_id = e.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = A8Flips.map(f => s"ap_$f AS (${approx(f)})").mkString(",\n")
+    s"""WITH exact AS (${Queries.a1AnnBruteforceSql}),
+       |$ctes
+       |$arms""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> (er1EntityResolution _),
     "ewma1_user_smoothing"  -> (ewma1UserSmoothing _),
@@ -275,7 +329,8 @@ object Queries12 {
     "gr1_user_growth"       -> (gr1UserGrowth _),
     "e14_stream_hopping"    -> (e14StreamHopping _),
     "cm1_langid_confusion"  -> (cm1LangidConfusion _),
-    "bp1_daily_quartiles"   -> (bp1DailyQuartiles _))
+    "bp1_daily_quartiles"   -> (bp1DailyQuartiles _),
+    "a8_recall_curve"       -> (a8RecallCurve _))
 
   val oracles: Map[String, String] = Map(
     "er1_entity_resolution" -> er1EntityResolutionSql,
@@ -285,5 +340,6 @@ object Queries12 {
     "gr1_user_growth"       -> gr1UserGrowthSql,
     "e14_stream_hopping"    -> e14StreamHoppingSql,
     "cm1_langid_confusion"  -> cm1LangidConfusionSql,
-    "bp1_daily_quartiles"   -> bp1DailyQuartilesSql)
+    "bp1_daily_quartiles"   -> bp1DailyQuartilesSql,
+    "a8_recall_curve"       -> a8RecallCurveSql)
 }

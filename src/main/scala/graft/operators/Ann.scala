@@ -112,14 +112,18 @@ object Ann {
       queries: DataFrame,
       k: Int,
       m: Int = 4,
+      flips: Int = -1,
       idCol: String = "vec_id",
       embCol: String = "embedding",
       qidCol: String = "qid",
       qVecCol: String = "qvec",
       metric: String = "cosine"): DataFrame = {
+    // flips = number of single-bit neighbor buckets probed beyond the
+    // query's own (the recall/cost knob); default probes all m bits
+    val nf = if (flips < 0) m else flips
     val v = vectors.withColumn("__bucket", signBucket(col(embCol), m))
     val own = signBucket(col(qVecCol), m)
-    val probeList = array((own +: (0 until m).map(i => own.bitwiseXOR(lit(1L << i)))): _*)
+    val probeList = array((own +: (0 until nf).map(i => own.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.withColumn("__bucket", explode(probeList))
     val scored = v.join(broadcast(q), Seq("__bucket"))
       .select(col(qidCol), col(idCol),
@@ -300,9 +304,12 @@ object AnnSql {
       .mkString("(", " + ", ")")
 
   /** Probe-set membership: own bucket or any single sign flip. */
-  def multiProbePredicate(vb: String, qb: String, m: Int = 4): String =
-    (Seq(s"$vb = $qb") ++ (0 until m).map(i => s"$vb = xor($qb, ${1L << i})"))
+  def multiProbePredicate(vb: String, qb: String, m: Int = 4,
+      flips: Int = -1): String = {
+    val nf = if (flips < 0) m else flips
+    (Seq(s"$vb = $qb") ++ (0 until nf).map(i => s"$vb = xor($qb, ${1L << i})"))
       .mkString("(", " OR ", ")")
+  }
 
   /** Squared L2 distance between two list expressions, cast-then-fold. */
   def sqDist(a: String, b: String): String =

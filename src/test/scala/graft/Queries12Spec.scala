@@ -36,6 +36,15 @@ class Queries12Spec extends SparkSpec {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("a8: recall curve is monotone non-decreasing in probes, ends at a3's recall") {
+    val curve = Queries12.a8RecallCurve(spark, sf0001)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 3L, 5L))
+    // nested probe sets -> recall can only grow with more probes
+    assert(curve.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    assert(curve.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
   test("ewma1: closed form equals the sequential recursion") {
     val got = Queries12.ewma1UserSmoothing(spark, sf0001)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
