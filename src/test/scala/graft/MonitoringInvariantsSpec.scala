@@ -1,0 +1,56 @@
+package graft
+
+/** Invariant pins for the monitoring/reporting queries whose primary check
+  * is the DuckDB oracle row — cheap structural properties a refactor must
+  * not break. */
+class MonitoringInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drf2: centroid shifts are non-negative, one row per label") {
+    val rows = Queries11.drf2EmbeddingShift(spark, sf0001)
+      .as[(Int, Double)].collect()
+    assert(rows.length == rows.map(_._1).distinct.length)
+    assert(rows.forall(_._2 >= 0.0))
+  }
+
+  test("skw1: skew factor >= 1 (hottest key is at least the mean)") {
+    val rows = Queries11.skw1KeySkew(spark, sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_._5 >= 1.0))
+    assert(rows.forall(r => r._4 <= r._2 && r._3 <= r._2))
+  }
+
+  test("gr1: cumulative ends at total users; active >= new each day") {
+    val rows = Queries12.gr1UserGrowth(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val total = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.last._4 == total)
+    assert(rows.forall(r => r._2 >= r._3))
+    assert(rows.map(_._3).sum == total)
+  }
+
+  test("bp1: quartiles ordered, outliers bounded by day count") {
+    val rows = Queries12.bp1DailyQuartiles(spark, sf0001)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(rows.forall(r => r._3 <= r._4 && r._4 <= r._5))
+    assert(rows.forall(r => r._6 <= r._2))
+  }
+
+  test("cm1: per-truth shares sum to 1 within rounding") {
+    val rows = Queries12.cm1LangidConfusion(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("mlt1: each measure row counts every lineitem exactly once") {
+    val n = Tables.lineitem(spark, sf0001).count()
+    val rows = Queries11.mlt1Unpivot(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_._2 == n))
+  }
+}
