@@ -23,7 +23,8 @@ object SparkEntry {
     Queries.registry ++ Queries2.registry ++ Queries3.registry ++
       Queries4.registry ++ Queries5.registry ++ Queries6.registry ++
       Queries7.registry ++ Queries8.registry ++ Queries9.registry ++
-      Queries10.registry ++ Queries11.registry ++ Queries12.registry
+      Queries10.registry ++ Queries11.registry ++ Queries12.registry ++
+      Queries13.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Queries.oracles ++ Queries2.oracles ++ Queries3.oracles ++
       Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++
       Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++
-      Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles
+      Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++
+      Queries13.oracles
 }

@@ -46,6 +46,30 @@ class MonitoringInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("lk1: pair counts conserve the miner's total, pairs canonically ordered") {
+    val rows = Queries13.lk1SplitLeakage(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    val labels = Set("train", "val", "test")
+    assert(rows.forall(r => labels(r._1) && labels(r._2) && r._1 <= r._2))
+    val minerTotal = graft.operators.Dedup.minhashNearDups(
+      Tables.documents(spark, sf0001), "doc_id", "text",
+      threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2).count()
+    assert(rows.map(_._3).sum == minerTotal)
+  }
+
+  test("rec1: counts nest (mismatched <= with-items <= orders)") {
+    val r = Queries13.rec1OrderReconciliation(spark, sf0001)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._3 <= r._2 && r._2 <= r._1 && r._1 > 0)
+  }
+
+  test("gc1: coefficients in [0,1], triangles imply degree >= 2") {
+    val rows = Queries13.gc1ClusteringCoeff(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rows.filter(_._3 > 0).forall(_._2 >= 2))
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
