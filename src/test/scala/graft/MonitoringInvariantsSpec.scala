@@ -70,6 +70,30 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(rows.filter(_._3 > 0).forall(_._2 >= 2))
   }
 
+  test("km1: survival monotone non-increasing from 1, risk sets shrink") {
+    val rows = Queries14.km1Survival(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._4 <= a._4 && b._2 <= a._2
+      case _ => true
+    })
+    // first event row: survival = 1 - d/n exactly (single factor)
+    val h = rows.head
+    assert(math.abs(h._4 - (1.0 - h._3.toDouble / h._2)) < 1e-6)
+    // events never exceed the risk set
+    assert(rows.forall(r => r._3 <= r._2))
+  }
+
+  test("cv1: folds partition the table, every fold near-balanced") {
+    val rows = Queries14.cv1KfoldBalance(spark, sf0001)
+      .as[(Long, Int, Long)].collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_._3).sum == total)
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
