@@ -94,6 +94,35 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("tmp1: temperature flattens the mixture toward small sources") {
+    val rows = Queries15.tmp1TemperatureMix(spark, sf0001)
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.forall(r => r._4 <= r._2 && r._4 >= 0))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // α < 1 ⇒ small sources gain share, large ones lose (strict only for
+    // a skewed mixture; the sf0.001 fixture is uniform, so >= / <=)
+    val ntot = rows.map(_._2).sum.toDouble
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    assert(smallest._3 >= smallest._2 / ntot - 1e-6)
+    assert(largest._3 <= largest._2 / ntot + 1e-6)
+    // and the flattening direction itself, on a skewed example of the
+    // same formula: counts (10, 1000) at α = 0.7
+    val (wS, wL) = (math.pow(10, 0.7), math.pow(1000, 0.7))
+    assert(wS / (wS + wL) > 10.0 / 1010.0)
+    assert(wL / (wS + wL) < 1000.0 / 1010.0)
+  }
+
+  test("bf1: nine digits, observed shares sum to 1, chi terms non-negative") {
+    val rows = Queries15.bf1BenfordAudit(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(rows.forall(_._5 >= 0.0))
+    // Benford expectation is itself a distribution
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
