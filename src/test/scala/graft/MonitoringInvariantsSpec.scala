@@ -123,6 +123,35 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
   }
 
+  test("rfm1: segments cover all users, quartile digits in 1-4") {
+    val rows = Queries16.rfm1Segmentation(spark, sf0001)
+      .as[(Long, Long, Long, Double, String)].collect()
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.length == users)
+    assert(rows.forall(r => r._5.length == 3 &&
+      r._5.forall(c => c >= '1' && c <= '4')))
+    assert(rows.forall(_._2 >= 0))
+    // quartiles are near-balanced: each R digit holds ~users/4
+    val rCounts = rows.groupBy(_._5.charAt(0)).view.mapValues(_.size)
+    assert(rCounts.values.max - rCounts.values.min <= 1)
+  }
+
+  test("tok2: ranks dense 1..k per prefix, probabilities bounded") {
+    val rows = Queries16.tok2NextTokenTopk(spark, sf0001)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.size))
+      // counts non-increasing in rank
+      assert(g.sortBy(_._4).map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => b <= a
+        case _ => true
+      })
+    }
+    assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
