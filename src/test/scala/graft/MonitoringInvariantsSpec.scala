@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Invariant pins for the monitoring/reporting queries whose primary check
   * is the DuckDB oracle row — cheap structural properties a refactor must
   * not break. */
@@ -150,6 +152,42 @@ class MonitoringInvariantsSpec extends SparkSpec {
       })
     }
     assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+  }
+
+  test("stk1: streak bounds hold and a hand-built gap splits islands") {
+    val rows = Queries18.stk1Streaks(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(r => r._2 >= 1 && r._3 >= 1))
+    // hand corpus through the same island arithmetic: days 1,2,3, 7,8 ->
+    // longest 3, two streaks
+    val days = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L))
+      .toDF("user_id", "__day")
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"__day")
+    val got = days
+      .withColumn("__island", $"__day" - row_number().over(seq))
+      .groupBy($"user_id", $"__island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 3L, 2L)))
+  }
+
+  test("chk1: checksum is order-proof and detects a single-row change") {
+    val base = Queries18.chk1TableChecksum(spark, sf0001)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // repartition must not change the commutative checksum
+    val docs = Tables.documents(spark, sf0001)
+    def sum1(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(graft.functions.TextHash.rollingHash(
+          md5(concat_ws("|", $"doc_id", $"lang", $"source", $"n_chars", $"text")))
+          .cast("decimal(28,0)").as("h"))
+        .agg(sum($"h").cast("double")).as[Double].head()
+    assert(sum1(docs.repartition(13)) == base("documents")._3)
+    // flipping one row's content moves the checksum
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 0, concat($"text", lit("X"))).otherwise($"text"))
+    assert(sum1(mutated) != base("documents")._3)
   }
 
   test("mlt1: each measure row counts every lineitem exactly once") {
