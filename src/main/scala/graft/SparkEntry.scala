@@ -25,7 +25,8 @@ object SparkEntry {
       Queries7.registry ++ Queries8.registry ++ Queries9.registry ++
       Queries10.registry ++ Queries11.registry ++ Queries12.registry ++
       Queries13.registry ++ Queries14.registry ++ Queries15.registry ++
-      Queries16.registry ++ Queries17.registry ++ Queries18.registry
+      Queries16.registry ++ Queries17.registry ++ Queries18.registry ++
+      Queries19.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++
       Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++
       Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++
-      Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles
+      Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++
+      Queries19.oracles
 }

@@ -190,6 +190,36 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(sum1(mutated) != base("documents")._3)
   }
 
+  test("pop1/ucb1: decayed score below raw count, ucb above mean") {
+    val pop = Queries19.pop1DecayedPopularity(spark, sf0001)
+      .as[(String, Long, Double)].collect()
+    assert(pop.forall(r => r._3 > 0.0 && r._3 <= r._2.toDouble))
+    val ucb = Queries19.ucb1BanditScores(spark, sf0001)
+      .as[(String, Long, Double, Double)].collect()
+    assert(ucb.forall(r => r._4 > r._3))
+  }
+
+  test("pmi1: PMI recomputes from raw counts, descending order held") {
+    val rows = Queries19.pmi1Collocations(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3 >= 10))
+    assert(rows.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    })
+    // recompute one row's PMI from scratch over the raw pair list
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").as[String].collect()
+    val pairs = docs.flatMap(_.split(" ").filter(_.nonEmpty).sliding(2)
+      .collect { case Array(a, b) => (a, b) })
+    val h = rows.head
+    val n = pairs.count(_ == ((h._1, h._2)))
+    val nl = pairs.count(_._1 == h._1)
+    val nr = pairs.count(_._2 == h._2)
+    val pmi = math.log(n.toDouble * pairs.length / (nl.toDouble * nr))
+    assert(n == h._3 && math.abs(pmi - h._4) < 1e-6)
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
