@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, TextHashSql}
+
+/** Round-3 finale: a complete train → apply → evaluate ML loop in pure
+  * dataflow — multinomial naive Bayes language identification trained on
+  * half the corpus and scored on the other half, with the confusion
+  * matrix as the oracle-checked artifact. Same contract as [[Queries]].
+  */
+object Queries22 {
+
+  // ---------------------------------------------------------------------
+  // ML1: naive Bayes lang-ID — Laplace-smoothed multinomial model.
+  //
+  //   score(d, l) = ln P(l) + Σ_tok ln(cnt_l(tok)+1) − n_d·ln(tot_l + V)
+  //
+  // (the unseen-token term ln(0+1)=0 folds into the n_d·ln(tot_l+V)
+  // normalizer, so no out-of-vocabulary special case exists). Training
+  // is two keyed counts; application is one token-keyed join plus a
+  // per-(doc, lang) DECIMAL-quantized ln-sum, so accumulation order
+  // cannot flip an argmax; prediction rounds scores to 6 with a lang
+  // tie-break so both engines cut identical winners. Even doc_ids train,
+  // odd evaluate.
+  // ---------------------------------------------------------------------
+  def ml1NaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), TextHash.tokens(col("text")).as("__toks"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val test = docs.where(col("doc_id") % 2 === 1)
+
+    val trainTok = train.select(col("lang").as("__l"), explode(col("__toks")).as("tok"))
+    val counts = trainTok.groupBy(col("__l"), col("tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val langStats = trainTok.groupBy(col("__l")).agg(count(lit(1)).as("__tot"))
+    val vocab = trainTok.agg(countDistinct(col("tok")).as("__V"))
+    val priors = train.groupBy(col("lang").as("__l")).agg(count(lit(1)).as("__nd"))
+    val trainN = train.agg(count(lit(1)).as("__ndocs"))
+    val langSide = langStats.join(priors, "__l")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(trainN))
+      .select(col("__l"),
+        (log(col("__nd").cast("double")) - log(col("__ndocs").cast("double")))
+          .as("__prior"),
+        log((col("__tot") + col("__V")).cast("double")).as("__lnz"))
+
+    val testTok = test.select(col("doc_id"), explode(col("__toks")).as("tok"))
+    val matched = testTok.join(counts, "tok")
+      .select(col("doc_id"), col("__l"),
+        log(col("__cnt").cast("double") + 1.0d).cast("decimal(28,12)").as("__t"))
+      .groupBy(col("doc_id"), col("__l"))
+      .agg(sum(col("__t")).cast("double").as("__msum"))
+    val base = test.select(col("doc_id"), col("lang").as("true_lang"),
+        size(col("__toks")).cast("long").as("__n"))
+      .crossJoin(broadcast(langSide))
+    val scored = base.join(matched, Seq("doc_id", "__l"), "left")
+      .withColumn("__score", round(
+        col("__prior") + coalesce(col("__msum"), lit(0.0)) -
+          col("__n") * col("__lnz"), 6))
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__score").desc, col("__l").asc)
+    scored.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .groupBy(col("true_lang"), col("__l").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val ml1NaiveBayesSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, $tk AS toks FROM documents),
+       |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+       |test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+       |ttok AS (SELECT lang AS l, unnest(toks) AS tok FROM train),
+       |counts AS (SELECT l, tok, COUNT(*) AS cnt FROM ttok GROUP BY l, tok),
+       |ls AS (SELECT l, COUNT(*) AS tot FROM ttok GROUP BY l),
+       |v AS (SELECT COUNT(DISTINCT tok) AS V FROM ttok),
+       |pr AS (SELECT lang AS l, COUNT(*) AS nd FROM train GROUP BY lang),
+       |tn AS (SELECT COUNT(*) AS ndocs FROM train),
+       |side AS (
+       |  SELECT ls.l AS l,
+       |    ln(CAST(nd AS DOUBLE)) - ln(CAST(ndocs AS DOUBLE)) AS prior,
+       |    ln(CAST(tot + V AS DOUBLE)) AS lnz
+       |  FROM ls JOIN pr ON ls.l = pr.l, v, tn),
+       |stok AS (SELECT doc_id, unnest(toks) AS tok FROM test),
+       |m AS (
+       |  SELECT doc_id, l,
+       |    CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) + 1.0) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS msum
+       |  FROM stok JOIN counts USING (tok) GROUP BY doc_id, l),
+       |base AS (
+       |  SELECT t.doc_id, t.lang AS true_lang, len(t.toks) AS n, side.*
+       |  FROM test t, side),
+       |scored AS (
+       |  SELECT base.doc_id, true_lang, base.l AS l,
+       |    round(prior + COALESCE(msum, 0.0) - n * lnz, 6) AS score
+       |  FROM base LEFT JOIN m ON m.doc_id = base.doc_id AND m.l = base.l),
+       |picked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, l ASC) AS rn
+       |  FROM scored)
+       |SELECT true_lang, l AS pred_lang, COUNT(*) AS n
+       |FROM picked WHERE rn = 1 GROUP BY true_lang, l""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml1_naive_bayes" -> (ml1NaiveBayes _))
+
+  val oracles: Map[String, String] = Map(
+    "ml1_naive_bayes" -> ml1NaiveBayesSql)
+}

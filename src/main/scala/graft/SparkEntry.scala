@@ -26,7 +26,8 @@ object SparkEntry {
       Queries10.registry ++ Queries11.registry ++ Queries12.registry ++
       Queries13.registry ++ Queries14.registry ++ Queries15.registry ++
       Queries16.registry ++ Queries17.registry ++ Queries18.registry ++
-      Queries19.registry ++ Queries20.registry ++ Queries21.registry
+      Queries19.registry ++ Queries20.registry ++ Queries21.registry ++
+      Queries22.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++
       Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++
       Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++
-      Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles
+      Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++
+      Queries22.oracles
 }

@@ -220,6 +220,21 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(n == h._3 && math.abs(pmi - h._4) < 1e-6)
   }
 
+  test("ml1: confusion conserves the test split, beats uniform chance") {
+    val rows = Queries22.ml1NaiveBayes(spark, sf001)
+      .as[(String, String, Long)].collect()
+    val testN = Tables.documents(spark, sf001)
+      .where($"doc_id" % 2 === 1).count()
+    assert(rows.map(_._3).sum == testN)
+    val langs = Set("en", "de", "fr", "es", "zh")
+    assert(rows.forall(r => langs(r._1) && langs(r._2)))
+    // above uniform chance on 5 classes (the synthetic shared vocabulary
+    // caps separability well below a real corpus's)
+    val acc = rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble /
+      rows.map(_._3).sum
+    assert(acc > 0.2, s"accuracy $acc not above 5-class chance")
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
