@@ -235,6 +235,26 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(acc > 0.2, s"accuracy $acc not above 5-class chance")
   }
 
+  test("shr1: shares sum to 1 per region and overall") {
+    val rows = Queries23.shr1RevenueShare(spark, sf0001)
+      .as[(String, String, Double, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-4)
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+  }
+
+  test("neg1: 3 negatives per anchor, never the anchor's own label") {
+    val rows = Queries23.neg1NegativeSampling(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      assert(g.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(g.forall(r => labels(r._2) != labels(a)))
+    }
+  }
+
   test("mlt1: each measure row counts every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf0001).count()
     val rows = Queries11.mlt1Unpivot(spark, sf0001)
