@@ -78,7 +78,7 @@ object Queries20 {
   // never N².
   // ---------------------------------------------------------------------
   def sp1SparseCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 1000)
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 500)
     val tf = docs
       .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__cnt"))
@@ -108,7 +108,7 @@ object Queries20 {
 
   val sp1SparseCosinePairsSql: String = {
     val tk = TextHashSql.tokens("text")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
        |toks AS (SELECT doc_id, unnest($tk) AS tok FROM d),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
        |n AS (SELECT COUNT(*) AS n_docs FROM d),
