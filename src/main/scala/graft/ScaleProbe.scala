@@ -48,7 +48,16 @@ object ScaleProbe {
     // streaming replay, benched separately)
     "ab2_cuped", "dq1_expectations", "mlt1_unpivot", "drf2_embedding_shift",
     "skw1_key_skew", "ewma1_user_smoothing", "nv1_vocab_novelty",
-    "sql1_sql_api")
+    "sql1_sql_api",
+    // batches 10-17: session/sequence windows, checksum scans, survival
+    // running sums, NB train/apply, collocation marginals, growth/report
+    // aggregates. (at1/sp1/ed1-derived er1 and the pair miners stay
+    // excluded: replicated fixtures inflate their pair/interval
+    // co-occurrence quadratically by construction.)
+    "rfm1_segmentation", "tok2_next_token_topk", "stk1_streaks",
+    "chk1_table_checksum", "km1_survival", "ml1_naive_bayes",
+    "pmi1_collocations", "pop1_decayed_popularity", "gr1_user_growth",
+    "sig1_session_shapes", "mad1_robust_dispersion", "bp1_daily_quartiles")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
