@@ -92,11 +92,49 @@ object Queries23 {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // LAT1: inter-arrival percentiles — per event type, exact p50/p95/p99
+  // of the gap (seconds) between consecutive events of that type: the
+  // SLO/heartbeat metric that flags a stalling producer. One lag window
+  // keyed on the type, one exact-percentile aggregate.
+  // ---------------------------------------------------------------------
+  def lat1Interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("event_type"))
+      .orderBy(col("__sec").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("__sec", col("ts").cast("long"))
+      .withColumn("__gap", col("__sec") - lag(col("__sec"), 1).over(seq))
+      .where(col("__gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("__gap"), array(lit(0.5), lit(0.95), lit(0.99)))
+          .as("__p"))
+      .select(col("event_type"), col("n_gaps"),
+        round(element_at(col("__p"), 1), 6).as("p50"),
+        round(element_at(col("__p"), 2), 6).as("p95"),
+        round(element_at(col("__p"), 3), 6).as("p99"))
+  }
+
+  val lat1InterarrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    sec - LAG(sec, 1) OVER (PARTITION BY event_type
+      |      ORDER BY sec ASC, event_id ASC) AS gap
+      |  FROM (SELECT event_type, event_id,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events))
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  round(quantile_cont(gap, 0.50), 6) AS p50,
+      |  round(quantile_cont(gap, 0.95), 6) AS p95,
+      |  round(quantile_cont(gap, 0.99), 6) AS p99
+      |FROM g WHERE gap IS NOT NULL GROUP BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shr1_revenue_share"   -> (shr1RevenueShare _),
-    "neg1_negative_sampling" -> (neg1NegativeSampling _))
+    "neg1_negative_sampling" -> (neg1NegativeSampling _),
+    "lat1_interarrival"    -> (lat1Interarrival _))
 
   val oracles: Map[String, String] = Map(
     "shr1_revenue_share"   -> shr1RevenueShareSql,
-    "neg1_negative_sampling" -> neg1NegativeSamplingSql)
+    "neg1_negative_sampling" -> neg1NegativeSamplingSql,
+    "lat1_interarrival"    -> lat1InterarrivalSql)
 }
