@@ -62,7 +62,7 @@ object Queries9 {
 
   val psi1PsiDriftSql: String =
     """WITH g AS (
-      |  SELECT CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+      |  SELECT CAST(greatest(0.0, least(floor(value / 50.0), 9.0)) AS BIGINT) AS bin,
       |    SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS na,
       |    SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS nb
       |  FROM events GROUP BY 1),

@@ -59,7 +59,11 @@ object Drift {
   def psi(df: DataFrame, value: Column, isA: Column,
           width: Double, nBins: Int): DataFrame = {
     val g = df.select(
-        least(floor(value / lit(width)), lit(nBins - 1.0)).cast("long").as("bin"),
+        // clamp BOTH ends of the fixed grid: negative values would
+        // otherwise produce bin ids below 0, silently growing the grid
+        greatest(lit(0.0),
+          least(floor(value / lit(width)), lit(nBins - 1.0)))
+          .cast("long").as("bin"),
         isA.cast("boolean").as("__a"))
       .groupBy(col("bin"))
       .agg(

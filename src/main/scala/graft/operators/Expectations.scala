@@ -17,16 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
-  /** One row per (name, violation-predicate) counted in a single scan. */
+  /** One row per (name, violation-predicate) counted in a single scan.
+    * Internal aliases are by rule INDEX, not name — display names carry
+    * only inside the output struct, so duplicate rule names or names with
+    * dots/backticks can't break column resolution. */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     val counts = df.agg(
       count(lit(1)).as("__total"),
-      rules.map { case (name, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(s"__v_$name")
+      rules.zipWithIndex.map { case ((_, bad), i) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"__v_$i")
       }: _*)
-    val rows = rules.map { case (name, _) =>
-      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"),
-        (col(s"__v_$name") === 0L).as("pass"))
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"),
+        (col(s"__v_$i") === 0L).as("pass"))
     }
     counts.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }

@@ -3,25 +3,78 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Small distributed graph primitives over edge lists (id1 < id2 rows) —
+/** Small distributed graph primitives over edge lists (id1/id2 rows) —
   * companions to the connected-components clustering in [[Dedup]].
   */
 object GraphOps {
 
-  /** Triangle enumeration, node-iterator form: wedge join on the shared
-    * middle vertex + closing-edge join. Two equi-joins over the edge
-    * list; with edges canonically ordered (id1 < id2) each triangle
-    * (a<b<c) is produced exactly once. At scale both joins shuffle on
-    * vertex ids — the standard distributed triangle count; a high-degree
-    * vertex inflates only its own wedge list, which the canonical
-    * ordering already halves.
+  /** Defensive canonicalization: drop self-loops, order endpoints
+    * (id1 < id2), dedupe. Idempotent on already-canonical input; makes
+    * the triangle enumerations correct for ANY edge list instead of
+    * silently over/under-counting on unordered or duplicated edges.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id1"), col("id2"))
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
+      .where(col("id1") =!= col("id2"))
+      .select(
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+
+  /** Triangle enumeration, plain node-iterator form: wedge join on the
+    * shared middle vertex + closing-edge join over the canonicalized
+    * edge list. Each triangle (a < b < c) is produced exactly once.
+    * Kept as the reference form the degree-ordered variant is
+    * property-tested against; [[triangles]] is the production entry.
+    */
+  def trianglesNodeIterator(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
     e.as("x").join(e.as("y"), col("x.id2") === col("y.id1"))
       .select(col("x.id1").as("a"), col("x.id2").as("b"), col("y.id2").as("c"))
       .join(e.as("z"),
         col("a") === col("z.id1") && col("c") === col("z.id2"))
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Triangle enumeration, DEGREE-ORDERED node-iterator (node-iterator++):
+    * orient every edge from its lower-(degree, id) endpoint to the higher,
+    * build wedges only from each vertex's out-edges, close with an
+    * oriented edge. Output is identical to [[trianglesNodeIterator]] —
+    * each triangle once, endpoints sorted ascending.
+    *
+    * Why at scale: with plain ordering a high-degree vertex contributes
+    * O(deg²) wedges; orienting by degree bounds every out-degree by
+    * O(√m), so total wedge count is O(m^{3/2}) REGARDLESS of skew — the
+    * standard guard for power-law duplicate graphs. Costs one extra
+    * degree aggregate + two broadcast-able joins of degree onto edges.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    val deg = e.select(col("id1").as("v"))
+      .unionAll(e.select(col("id2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // canonical edges have id1 < id2, so (d,id)-order reduces to: keep
+    // id1→id2 when d1 <= d2 (tie broken by the id order already present)
+    val oriented = e
+      .join(deg.select(col("v").as("id1"), col("d").as("__d1")), Seq("id1"))
+      .join(deg.select(col("v").as("id2"), col("d").as("__d2")), Seq("id2"))
+      .select(
+        when(col("__d1") <= col("__d2"), col("id1")).otherwise(col("id2")).as("src"),
+        when(col("__d1") <= col("__d2"), col("id2")).otherwise(col("id1")).as("dst"),
+        when(col("__d1") <= col("__d2"), col("__d2")).otherwise(col("__d1")).as("__dd"))
+    // wedge (src; dst1, dst2) with dst1 before dst2 in (degree, id) order,
+    // closed by the oriented edge dst1→dst2
+    val wedges = oriented.as("p").join(oriented.as("q"),
+        col("p.src") === col("q.src") &&
+          (col("p.__dd") < col("q.__dd") ||
+            (col("p.__dd") === col("q.__dd") && col("p.dst") < col("q.dst"))))
+      .select(col("p.src").as("u"), col("p.dst").as("v"), col("q.dst").as("w"))
+    wedges.join(oriented.as("r"),
+        col("v") === col("r.src") && col("w") === col("r.dst"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("__t"))
+      .select(
+        element_at(col("__t"), 1).as("a"),
+        element_at(col("__t"), 2).as("b"),
+        element_at(col("__t"), 3).as("c"))
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }
+  }
+
+  test("degree-ordered triangles == plain node-iterator on random graphs") {
+    for (seed <- Seq(1, 7, 42, 99)) {
+      val edges = randomEdges(seed, n = 30, m = 120).toDF("id1", "id2")
+      val fast = GraphOps.triangles(edges)
+        .as[(Long, Long, Long)].collect().sorted
+      val ref = GraphOps.trianglesNodeIterator(edges)
+        .as[(Long, Long, Long)].collect().sorted
+      assert(fast.sameElements(ref), s"seed $seed: $fast vs $ref")
+      // no duplicates, all sorted ascending
+      assert(fast.distinct.length == fast.length)
+      assert(fast.forall { case (a, b, c) => a < b && b < c })
+    }
+  }
+
+  test("non-canonical input (reversed, duplicated, self-loop edges) is safe") {
+    // triangle {1,2,3} fed as a mess: reversed orders, dupes, a self-loop
+    val edges = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (4L, 4L), (3L, 4L)).toDF("id1", "id2")
+    val tris = GraphOps.triangles(edges).as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L)))
+    val ref = GraphOps.trianglesNodeIterator(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ref == tris)
+  }
+
+  test("skew guard: star graph (one hub) yields zero wedge-join blowup") {
+    // hub 0 connected to 1..40, plus one triangle 1-2 edge
+    val star = (1 to 40).map(i => (0L, i.toLong)) :+ ((1L, 2L))
+    val tris = GraphOps.triangles(star.toDF("id1", "id2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((0L, 1L, 2L)))
+  }
+}
