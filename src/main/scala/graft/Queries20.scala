@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextHash, TextHashSql}
+import graft.functions.TextHashSql
 
 /** Round-3 continuation: marketing attribution and sparse-vector
   * similarity. Same contract as [[Queries]].
@@ -79,31 +79,8 @@ object Queries20 {
   // ---------------------------------------------------------------------
   def sp1SparseCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 500)
-    val tf = docs
-      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__cnt"))
-    val withDf = tf.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy(col("tok"))))
-    val n = docs.agg(count(lit(1)).as("__n_docs"))
-    val w = withDf.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
-        (col("__cnt").cast("double") *
-          (log((col("__n_docs") + 1.0d) / (col("__df") + 1.0d)) + 1.0d))
-          .as("__w"))
-    val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(sum((col("__w") * col("__w")).cast("decimal(28,10)"))
-        .cast("double")).as("__norm"))
-    val dots = w.as("a").join(w.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(sum((col("a.__w") * col("b.__w")).cast("decimal(28,10)"))
-        .cast("double").as("__dot"))
-    dots
-      .join(norms.select(col("doc_id").as("id1"), col("__norm").as("__n1")), "id1")
-      .join(norms.select(col("doc_id").as("id2"), col("__norm").as("__n2")), "id2")
-      .withColumn("cosine", round(col("__dot") / (col("__n1") * col("__n2")), 6))
-      .where(col("cosine") >= 0.9)
-      .select(col("id1"), col("id2"), col("cosine"))
+    graft.operators.SparseSim.cosinePairsBrute(
+      graft.operators.SparseSim.tfidfWeights(docs, "doc_id", "text"), 0.9)
   }
 
   val sp1SparseCosinePairsSql: String = {
@@ -135,11 +112,57 @@ object Queries20 {
        |WHERE cosine >= 0.9""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // SP2: the PRODUCTION sparse-cosine path — threshold-aware prefix
+  // filtering (operators/SparseSim.cosinePairsPrefix), UNBLOCKED over the
+  // whole documents table. Returns exactly sp1's rows on sp1's corpus
+  // (the oracle below is the brute posting join without the block — the
+  // prefix filter is provably a superset generator + exact verify), but
+  // never joins on a stop-word posting: candidates track near-dup
+  // density, not vocabulary skew. This is the form that runs at 100 TB;
+  // sp1 stays as the blocked validation baseline (the d4→d9 / d5→d10
+  // pattern).
+  // ---------------------------------------------------------------------
+  def sp2SparseCosinePrefix(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.SparseSim.cosinePairsPrefixOverDocs(
+      Tables.documents(spark, sfDir), "doc_id", "text", 0.9)
+
+  val sp2SparseCosinePrefixSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |toks AS (SELECT doc_id, unnest($tk) AS tok FROM d),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       |n AS (SELECT COUNT(*) AS n_docs FROM d),
+       |w AS (
+       |  SELECT doc_id, tok,
+       |    CAST(cnt AS DOUBLE) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+       |  FROM (SELECT doc_id, tok, cnt,
+       |          COUNT(*) OVER (PARTITION BY tok) AS df FROM tf), n),
+       |norms AS (
+       |  SELECT doc_id,
+       |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS DOUBLE)) AS norm
+       |  FROM w GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,10))) AS DOUBLE) AS dot
+       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id1, id2, cosine FROM (
+       |  SELECT id1, id2,
+       |    round(dot / (n1.norm * n2.norm), 6) AS cosine
+       |  FROM dots
+       |  JOIN norms n1 ON n1.doc_id = id1
+       |  JOIN norms n2 ON n2.doc_id = id2)
+       |WHERE cosine >= 0.9""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "at1_linear_attribution" -> (at1LinearAttribution _),
-    "sp1_sparse_cosine"      -> (sp1SparseCosinePairs _))
+    "sp1_sparse_cosine"      -> (sp1SparseCosinePairs _),
+    "sp2_sparse_prefix"      -> (sp2SparseCosinePrefix _))
 
   val oracles: Map[String, String] = Map(
     "at1_linear_attribution" -> at1LinearAttributionSql,
-    "sp1_sparse_cosine"      -> sp1SparseCosinePairsSql)
+    "sp1_sparse_cosine"      -> sp1SparseCosinePairsSql,
+    "sp2_sparse_prefix"      -> sp2SparseCosinePrefixSql)
 }

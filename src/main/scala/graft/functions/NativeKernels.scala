@@ -152,6 +152,53 @@ object Kernels {
     else java.lang.Double.valueOf(common.toDouble / union.toDouble)
   }
 
+  /** HALF_UP-round to 10 decimal places, returned in 1e-10 units —
+    * bit-equal to Spark's `CAST(x AS DECIMAL(28,10))` (which rounds the
+    * SHORTEST-DECIMAL representation of the double, via
+    * BigDecimal.valueOf). The cheap binary round agrees with that
+    * everywhere except a few-ulp window around the .5 boundary (where
+    * the binary product rounding and the shortest-repr delta could flip
+    * the decision) — inside the window we pay the exact BigDecimal path.
+    * Throws on |x| ≥ ~9.2e8 (the scaled value would overflow a long) —
+    * fail-loud, matching DECIMAL overflow semantics rather than drifting.
+    */
+  def quant10(p: Double): Long = {
+    val scaled = p * 1e10
+    val fl = Math.floor(scaled)
+    val frac = scaled - fl
+    val tol = 4.0 * Math.ulp(scaled) + 1e-9
+    if (Math.abs(frac - 0.5) > tol && Math.abs(scaled) < 4.5e18) {
+      if (frac >= 0.5) fl.toLong + 1L else fl.toLong
+    } else {
+      java.math.BigDecimal.valueOf(p)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+  }
+
+  /** DECIMAL(28,10)-quantized sparse dot product over two tok-sorted
+    * `array<struct<tok:string, w:double>>` vectors — a merge scan, one
+    * quantized product per shared token, summed EXACTLY in scaled longs.
+    * Result equals `CAST(SUM(CAST(a.w*b.w AS DECIMAL(28,10))) AS DOUBLE)`
+    * of the posting-join form for the same pair, independent of order.
+    */
+  def sparseDotDec(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        acc = Math.addExact(acc, quant10(ra.getDouble(1) * rb.getDouble(1)))
+        i += 1; j += 1
+      }
+    }
+    java.math.BigDecimal.valueOf(acc, 10).doubleValue()
+  }
+
   /** Feature-hash embedding — mirrors [[Embed.embed]]: signed counts over
     * token hashes, then L2 normalize with zero-vector passthrough. The
     * normalization magnitude is a left-to-right fold like the HOF form. */
@@ -401,6 +448,39 @@ case class ShingleStrings(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** DECIMAL-quantized sparse dot product over tok-sorted
+  * `array<struct<tok,w>>` vectors (see [[Kernels.sparseDotDec]]) — the
+  * verify kernel of [[graft.operators.SparseSim.cosinePairsPrefix]]: one
+  * merge scan per candidate pair instead of a posting-join row per shared
+  * token. Codegen is a static kernel call inside the whole-stage loop.
+  */
+case class SparseDotDec(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StructType(Array(
+        StructField(_, StringType, _, _), StructField(_, DoubleType, _, _))), _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot_dec expects ARRAY<STRUCT<STRING, DOUBLE>>, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.sparseDotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.sparseDotDec($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Int8 quantization stats in one pass: (max_abs, sum_abs_q, mae) for the
   * symmetric max-abs scheme of [[graft.operators.Quantization]]. The HOF
   * form re-inlines the max-abs fold into the per-element lambda (the
@@ -615,6 +695,7 @@ object Native {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def ex(c: Column): Expression = GraftBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def sparseDotDec(a: Column, b: Column): Column = col(SparseDotDec(ex(a), ex(b)))
   def jaccardSim(a: Column, b: Column): Column = col(JaccardSim(ex(a), ex(b)))
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashes(ex(text), n))
   def minhashSig(text: Column, nPerm: Int, shingleN: Int): Column =

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-vector (TF-IDF) cosine pair mining over an inverted index, with
+  * a THRESHOLD-AWARE PREFIX FILTER as the scale path — the sparse
+  * complement of the dense SRP-banded join ([[Dedup.embeddingNearDupLsh]])
+  * and the Jaccard prefix filter ([[Dedup.jaccardPairsPrefix]]).
+  *
+  * The plain posting join ([[cosinePairsBrute]]) pairs documents on EVERY
+  * shared term: a stop-word's posting list is O(N), so candidates grow
+  * ~quadratically on natural language — fine as a blocked validation
+  * baseline, fatal at 100 TB. The prefix filter fixes exactly that:
+  *
+  * Each document indexes only its highest-weight terms — the minimal
+  * prefix (by descending normalized weight) whose REMAINING suffix has
+  * L2 norm < t. Probing with ALL terms against that index is exact for
+  * `cosine >= t`: a pair sharing no indexed term has every shared term
+  * in both suffixes, so by Cauchy-Schwarz
+  * `cos(x,y) <= ||suffix(x)|| * ||suffix(y)|| < t² <= t`.
+  * Stop-words carry the LOWEST TF-IDF weight, so they land in suffixes —
+  * the hot posting lists simply never materialize on the index side,
+  * and candidate count tracks true near-duplicate density, not
+  * vocabulary skew. (Bayardo et al., "Scaling Up All Pairs Similarity
+  * Search", WWW'07 — the all-pairs/prefix bound, residual-norm form.)
+  *
+  * Candidate pairs are then verified EXACTLY on the full term vectors
+  * with the same DECIMAL-quantized arithmetic as the brute join, so both
+  * forms return bit-identical rows and share one DuckDB oracle.
+  */
+object SparseSim {
+
+  /** Smooth-IDF TF-IDF term weights (the t7 weighting, and sp1's):
+    * w = tf * (ln((N+1)/(df+1)) + 1) over whitespace tokens.
+    * Output: (doc_id, tok, w) — one posting row per distinct doc term.
+    */
+  def tfidfWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHash.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__cnt"))
+    val withDf = tf.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val n = docs.agg(count(lit(1)).as("__n_docs"))
+    withDf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("__cnt").cast("double") *
+          (log((col("__n_docs") + 1.0d) / (col("__df") + 1.0d)) + 1.0d))
+          .as("w"))
+  }
+
+  /** Per-doc L2 norms, DECIMAL-quantized (order-proof). */
+  private def normsOf(w: DataFrame): DataFrame =
+    w.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,10)"))
+        .cast("double")).as("__norm"))
+
+  /** Exact cosine over candidate id pairs, verified with the merge-scan
+    * DECIMAL dot kernel over per-doc tok-sorted sparse vectors: ONE row
+    * per candidate pair instead of a posting-join row per shared token.
+    * [[graft.functions.SparseDotDec]] reproduces the posting join's
+    * `SUM(CAST(wa*wb AS DECIMAL(28,10)))` bit-for-bit, so this returns
+    * exactly the brute join's rows. The vector table is one row per doc
+    * (norm included) — joined twice onto the pair list; at fixture scale
+    * AQE broadcasts it, at 100 TB it hash-joins on the pair ids.
+    */
+  private def verifyPairs(cand: DataFrame, w: DataFrame, norms: DataFrame,
+                          threshold: Double): DataFrame = {
+    val vecs = w.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("__vec"))
+      .join(norms, Seq("doc_id"))
+    cand
+      .join(vecs.select(col("doc_id").as("id1"),
+        col("__vec").as("__va"), col("__norm").as("__n1")), Seq("id1"))
+      .join(vecs.select(col("doc_id").as("id2"),
+        col("__vec").as("__vb"), col("__norm").as("__n2")), Seq("id2"))
+      .withColumn("__dot",
+        graft.functions.Native.sparseDotDec(col("__va"), col("__vb")))
+      .withColumn("cosine", round(col("__dot") / (col("__n1") * col("__n2")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Baseline: posting join on EVERY shared term (sp1's shape). Correct
+    * for any threshold > 0 but joins on stop-word postings — keep it
+    * blocked to validation corpora; [[cosinePairsPrefix]] is the
+    * production path. */
+  def cosinePairsBrute(w: DataFrame, threshold: Double): DataFrame = {
+    val norms = normsOf(w)
+    val dots = w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(28,10)"))
+        .cast("double").as("__dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id1"), col("__norm").as("__n1")), Seq("id1"))
+      .join(norms.select(col("doc_id").as("id2"), col("__norm").as("__n2")), Seq("id2"))
+      .withColumn("cosine", round(col("__dot") / (col("__n1") * col("__n2")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Prefix-filtered exact cosine pairs (see object doc for the proof).
+    *
+    * Plan: one vocabulary-sized DF aggregate + a per-doc rank window to
+    * derive the prefix index, then a probe(all) ⋈ index(prefix) posting
+    * join for candidates and an exact verify on the full vectors. Every
+    * stage shuffles posting-sized data on term or pair keys — nothing
+    * driver-sized, nothing all-pairs, no stop-word posting ever joined
+    * on the index side.
+    */
+  def cosinePairsPrefix(w0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefix-filtered cosine needs a threshold in (0, 1]")
+    // w feeds the norms, the prefix index, the probe side, and both
+    // verify sides: pin once (Catalyst recomputes multi-consumer
+    // subtrees otherwise)
+    val w = w0.select(col("doc_id"), col("tok"), col("w")).localCheckpoint(true)
+    val norms = normsOf(w)
+    // normalized weight — prefix selection only; the verify arithmetic
+    // stays on raw weights so results are bit-identical to the brute join
+    val wn = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("tok"),
+        (col("w") / col("__norm")).as("__wn"))
+    val byWeight = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__wn").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // suffixSq(i) = 1 - Σ_{j<i} wn_j²: the squared norm of the suffix
+    // STARTING at row i. Keep row i in the index prefix while that suffix
+    // could still reach the threshold alone; the 1e-9 slack absorbs
+    // double rounding (the proof's margin is t vs t², orders larger).
+    val prefix = wn
+      .withColumn("__suffix_sq",
+        lit(1.0) - coalesce(sum(col("__wn") * col("__wn")).over(byWeight), lit(0.0)))
+      .where(col("__suffix_sq") >= lit(threshold * threshold - 1e-9))
+      .select(col("doc_id").as("__pid"), col("tok"))
+    // probe ALL terms against the prefix index; either orientation of a
+    // qualifying pair hits (shared term in x's prefix OR y's prefix)
+    val cand = w.select(col("doc_id").as("__qid"), col("tok"))
+      .join(prefix, Seq("tok"))
+      .where(col("__qid") =!= col("__pid"))
+      .select(
+        least(col("__qid"), col("__pid")).as("id1"),
+        greatest(col("__qid"), col("__pid")).as("id2"))
+      .distinct()
+    verifyPairs(cand, w, norms, threshold)
+  }
+
+  /** End-to-end: documents table -> exact cosine pairs via the prefix
+    * filter. */
+  def cosinePairsPrefixOverDocs(docs: DataFrame, idCol: String,
+                                textCol: String, threshold: Double): DataFrame =
+    cosinePairsPrefix(tfidfWeights(docs, idCol, textCol), threshold)
+}
