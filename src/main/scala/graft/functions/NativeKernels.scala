@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -197,6 +196,112 @@ object Kernels {
       }
     }
     java.math.BigDecimal.valueOf(acc, 10).doubleValue()
+  }
+
+  /** Int8 max-abs quantization stats — see [[QuantizeStats]]. */
+  def quantizeStatsRow(x: ArrayData, isFloat: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    @inline def at(i: Int): Double =
+      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+    var maxAbs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) { val a = math.abs(at(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = maxAbs / 127.0
+    var sumAbsQ = 0L
+    var errSum = 0.0
+    var j = 0
+    while (j < n) {
+      val xj = at(j)
+      if (scale == 0.0) {
+        errSum += math.abs(0.0 - xj)
+      } else {
+        val q = math.floor(xj / scale + 0.5)
+        sumAbsQ += math.abs(q).toLong
+        errSum += math.abs(q * scale - xj)
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(maxAbs, sumAbsQ, errSum / n.toDouble)
+  }
+
+  /** Squared L2 distances to every row of a codebook — see [[CodebookDists]]. */
+  def codebookDistsArr(x: ArrayData, cb: Array[Array[Double]],
+                       isFloat: Boolean): GenericArrayData = {
+    val out = new Array[Double](cb.length)
+    var c = 0
+    while (c < cb.length) {
+      val cen = cb(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), cen.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - cen(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Nearest-centroid index (argmin, first on ties) — see [[CodebookAssign]]. */
+  def codebookAssignIdx(x: ArrayData, cb: Array[Array[Double]],
+                        isFloat: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val cen = cb(c)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), cen.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - cen(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Dot products against a literal row matrix — see [[CodebookDots]]. */
+  def codebookDotsArr(x: ArrayData, mx: Array[Array[Double]],
+                      isFloat: Boolean): GenericArrayData = {
+    val out = new Array[Double](mx.length)
+    var r = 0
+    while (r < mx.length) {
+      val h = mx(r)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.numElements(), h.length)
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        s += xi * h(i)
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Deflate-compressibility stats — see [[DeflateStats]]. */
+  def deflateStatsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val d = DeflateStats.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var z = 0L
+    val buf = DeflateStats.buf.get()
+    while (!d.finished()) z += d.deflate(buf)
+    org.apache.spark.sql.catalyst.InternalRow(bytes.length.toLong, z)
   }
 
   /** Feature-hash embedding — mirrors [[Embed.embed]]: signed counts over
@@ -489,7 +594,7 @@ case class SparseDotDec(left: Expression, right: Expression)
   * q = floor(x/scale + 0.5), error summed in index order.
   */
 case class QuantizeStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
@@ -501,33 +606,14 @@ case class QuantizeStats(child: Expression)
     StructField("mae", DoubleType, nullable = false)))
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    @inline def at(i: Int): Double =
-      if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-    var maxAbs = Double.NegativeInfinity
-    var i = 0
-    while (i < n) { val a = math.abs(at(i)); if (a > maxAbs) maxAbs = a; i += 1 }
-    val scale = maxAbs / 127.0
-    var sumAbsQ = 0L
-    var errSum = 0.0
-    var j = 0
-    while (j < n) {
-      val xj = at(j)
-      if (scale == 0.0) {
-        // q = 0, reconstruction 0.0 - x
-        errSum += math.abs(0.0 - xj)
-      } else {
-        val q = math.floor(xj / scale + 0.5)
-        sumAbsQ += math.abs(q).toLong
-        errSum += math.abs(q * scale - xj)
-      }
-      j += 1
-    }
-    org.apache.spark.sql.catalyst.InternalRow(
-      maxAbs, sumAbsQ, errSum / n.toDouble)
-  }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.quantizeStatsRow(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Kernels.quantizeStatsRow($in, $isFloat);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -537,7 +623,7 @@ case class QuantizeStats(child: Expression)
   * DuckDB oracle mirrors. One native eval replaces k HOF folds, and the
   * plan stops carrying k 64-element literal arrays. */
 case class CodebookDists(child: Expression, codebook: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.toArray).toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -548,25 +634,17 @@ case class CodebookDists(child: Expression, codebook: Seq[Seq[Double]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val out = new Array[Double](cb.length)
-    var c = 0
-    while (c < cb.length) {
-      val cen = cb(c)
-      var s = 0.0
-      var i = 0
-      val n = math.min(x.numElements(), cen.length)
-      while (i < n) {
-        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        val d = xi - cen(i)
-        s += d * d
-        i += 1
-      }
-      out(c) = s
-      c += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.codebookDistsArr(v.asInstanceOf[ArrayData], cb, isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // the codebook rides along as a referenced object (k x dim metadata,
+    // one instance per task), not as inlined source
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[][]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Kernels.codebookDistsArr($in, $cbRef, $isFloat);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -574,7 +652,7 @@ case class CodebookDists(child: Expression, codebook: Seq[Seq[Double]])
 /** Nearest-centroid index (argmin of [[CodebookDists]], first occurrence
   * on ties — the array_position(array_min) contract). */
 case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.toArray).toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -585,26 +663,16 @@ case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
   override def dataType: DataType = IntegerType
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cb.length) {
-      val cen = cb(c)
-      var s = 0.0
-      var i = 0
-      val n = math.min(x.numElements(), cen.length)
-      while (i < n) {
-        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        val d = xi - cen(i)
-        s += d * d
-        i += 1
-      }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
-    java.lang.Integer.valueOf(best)
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(
+      Kernels.codebookAssignIdx(v.asInstanceOf[ArrayData], cb, isFloat))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[][]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Kernels.codebookAssignIdx($in, $cbRef, $isFloat);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -615,7 +683,7 @@ case class CodebookAssign(child: Expression, codebook: Seq[Seq[Double]])
   * sum of x_i * h_i with floats widened to double, matching the
   * list_sum(list_transform(...)) form the DuckDB oracle mirrors. */
 case class CodebookDots(child: Expression, matrix: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val mx: Array[Array[Double]] =
     matrix.map(_.toArray).toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -626,24 +694,15 @@ case class CodebookDots(child: Expression, matrix: Seq[Seq[Double]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val out = new Array[Double](mx.length)
-    var r = 0
-    while (r < mx.length) {
-      val h = mx(r)
-      var s = 0.0
-      var i = 0
-      val n = math.min(x.numElements(), h.length)
-      while (i < n) {
-        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        s += xi * h(i)
-        i += 1
-      }
-      out(r) = s
-      r += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.codebookDotsArr(v.asInstanceOf[ArrayData], mx, isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val mxRef = ctx.addReferenceObj("mx", mx, "double[][]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Kernels.codebookDotsArr($in, $mxRef, $isFloat);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -656,30 +715,27 @@ case class CodebookDots(child: Expression, matrix: Seq[Seq[Double]])
   * rows-only check (like the sketches).
   */
 case class DeflateStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     StringInput.check(child, "deflate_stats")
   override def dataType: DataType = StructType(Seq(
     StructField("raw_bytes", LongType, nullable = false),
     StructField("deflate_bytes", LongType, nullable = false)))
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    val d = DeflateStats.local.get()
-    d.reset()
-    d.setInput(bytes)
-    d.finish()
-    var z = 0L
-    val buf = DeflateStats.buf.get()
-    while (!d.finished()) z += d.deflate(buf)
-    org.apache.spark.sql.catalyst.InternalRow(bytes.length.toLong, z)
-  }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.deflateStatsRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Kernels.deflateStatsRow($in);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 object DeflateStats {
-  private val local = new ThreadLocal[java.util.zip.Deflater] {
+  private[functions] val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue() = new java.util.zip.Deflater(6, false)
   }
-  private val buf = new ThreadLocal[Array[Byte]] {
+  private[functions] val buf = new ThreadLocal[Array[Byte]] {
     override def initialValue() = new Array[Byte](8192)
   }
 }
