@@ -266,6 +266,27 @@ object Queries5 {
        |        FROM documents))""".stripMargin
 
   // ---------------------------------------------------------------------
+  // M5: REAL image decode under oracle — deterministic real PNGs (dims +
+  // fill color are pure functions of doc_id) encoded by the JDK PNG
+  // writer in one distributed map, decoded back by javax.imageio in
+  // another. The oracle states the generation formulas; matching them
+  // proves the codec round trip, not formula mirroring — the decode
+  // reads the raster. Audio/video remain the only stubbed codecs.
+  // ---------------------------------------------------------------------
+  def m5PngDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Multimodal.decodePng(
+      graft.operators.Multimodal.pngTable(
+        Tables.documents(spark, sfDir))).toDF()
+  val m5PngDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 24 AS INT) AS width,
+      |  CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
+      |  CAST(doc_id % 256 AS INT) AS red,
+      |  CAST((doc_id * 7) % 256 AS INT) AS green,
+      |  CAST((doc_id * 13) % 256 AS INT) AS blue
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X3: full-outer join — per-user event totals against a customer
   // account slice with unmatched rows on BOTH sides (users without
   // accounts, accounts without events). Completes the join-family
@@ -350,6 +371,7 @@ object Queries5 {
     "a7_ivf_trained"       -> (a7IvfTrained _),
     "t10_compression"      -> (t10Compression _),
     "m4_resize_plan"       -> (m4ResizePlan _),
+    "m5_png_decode"        -> (m5PngDecode _),
     "x3_full_outer"        -> (x3FullOuter _),
     "smp2_balanced_sample" -> (smp2BalancedSample _),
     "t11_length_outliers"  -> (t11LengthOutliers _))
@@ -362,6 +384,7 @@ object Queries5 {
     "a7_ivf_trained"       -> a7IvfTrainedSql,
     "t10_compression"      -> t10CompressionSql,
     "m4_resize_plan"       -> m4ResizePlanSql,
+    "m5_png_decode"        -> m5PngDecodeSql,
     "x3_full_outer"        -> x3FullOuterSql,
     "smp2_balanced_sample" -> smp2BalancedSampleSql,
     "t11_length_outliers"  -> t11LengthOutliersSql)

@@ -13,16 +13,27 @@ case class MediaFeatures(
     n_frames: Int,
     duration_ms: Long)
 
+/** One decoded PNG row produced by [[Multimodal.decodePng]]. */
+case class PngFeatures(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    red: Int,
+    green: Int,
+    blue: Int)
+
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
   * The Spark-side mechanics are real — binary columns, checksums, typed
   * Dataset mapPartitions with explicit micro-batching (the Scala analog of
-  * arrow-batched decode UDFs), schema, and partition parallelism. The codec
-  * itself is STUBBED: this container has no image/audio libraries, so
-  * [[Multimodal.stubDecode]] derives deterministic pseudo-features from the
-  * byte stream. Swapping in a real decoder changes one function, nothing
-  * about the dataflow.
+  * arrow-batched decode UDFs), schema, and partition parallelism. The IMAGE
+  * codec is real too: [[Multimodal.decodeFeatures]] decodes image payloads
+  * with the JDK's `javax.imageio` (PNG/JPEG), and [[Multimodal.pngTable]] /
+  * [[Multimodal.decodePng]] round-trip deterministic real PNGs under the
+  * DuckDB oracle. Only AUDIO/VIDEO stay stubbed ([[Multimodal.stubDecode]]
+  * — no codec libraries in this container); swapping one in changes one
+  * function, nothing about the dataflow.
   *
   * At 100 TB: payloads live in their own column chunk, so metadata-only
   * queries never read the bytes (parquet column pruning); decode is
@@ -49,9 +60,74 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"))
 
-  /** STUB decoder — deterministic pseudo-features from the byte stream.
-    * A real implementation decodes the payload with an image/audio codec
-    * here; the signature (bytes in, features out) is the real contract. */
+  /** Deterministic REAL-PNG payloads from doc ids: a (8 + id % 24) x
+    * (8 + 3·id % 24) image solid-filled with rgb(id % 256, 7·id % 256,
+    * 13·id % 256), encoded by the JDK PNG writer. Dimensions and fill are
+    * pure functions of the id, so the DuckDB oracle can state what a real
+    * codec must recover — the decode is honest, the fixture reproducible. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id * 3) % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real PNG payloads (kind = image for every row). One
+    * encoder per partition worth of rows — the same distributed map shape
+    * a real ingest (fetch + transcode) stage has. */
+  def pngTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, "image", encodePng(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL image decode: `javax.imageio` reads the payload; dimensions and
+    * the top-left pixel come from the decoded raster, not from metadata.
+    * Fails loud on undecodable bytes — this path is for actual images. */
+  def decodePng(media: DataFrame): Dataset[PngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable image payload for media_id=$id")
+        val rgb = img.getRGB(0, 0)
+        PngFeatures(id, img.getWidth, img.getHeight,
+          (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      })
+  }
+
+  /** Real-codec attempt for image payloads: None when the bytes aren't a
+    * recognized image format (ImageIO's null), letting the caller fall
+    * back to the stub — text-byte fixtures keep their stub features. */
+  def tryDecodeImage(id: Long, kind: String,
+                     payload: Array[Byte]): Option[MediaFeatures] =
+    Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      .map(img => MediaFeatures(
+        media_id = id, kind = kind, n_bytes = payload.length.toLong,
+        width = img.getWidth, height = img.getHeight,
+        n_frames = 1, duration_ms = 0L))
+
+  /** STUB decoder for AUDIO/VIDEO (and undecodable image bytes) —
+    * deterministic pseudo-features from the byte stream. The container
+    * has no audio/video codec libraries; the signature (bytes in,
+    * features out) is the real contract and the image path above shows
+    * the slot a real codec drops into. */
   def stubDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val n = payload.length.toLong
     MediaFeatures(
@@ -95,7 +171,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (codec init, model load)
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, kind, payload) => stubDecode(id, kind, payload) }
+          batch.map { case (id, kind, payload) =>
+            // images go through the REAL codec; audio/video (and image
+            // rows whose bytes aren't a recognized format) use the stub
+            val real =
+              if (kind == "image") tryDecodeImage(id, kind, payload) else None
+            real.getOrElse(stubDecode(id, kind, payload))
+          }
         }
       }
   }

@@ -27,6 +27,39 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) > 0)
   }
 
+  test("encodePng/decodePng: real codec round trip recovers dims and fill color") {
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decodePng(Multimodal.pngTable(docs))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 30)
+    out.foreach { f =>
+      val id = f.media_id
+      assert(f.width == (8 + id % 24).toInt, s"width of $id")
+      assert(f.height == (8 + (id * 3) % 24).toInt, s"height of $id")
+      assert(f.red == (id % 256).toInt && f.green == ((id * 7) % 256).toInt &&
+        f.blue == ((id * 13) % 256).toInt, s"fill of $id")
+    }
+    // the payload really is a PNG container, not a formula carrier
+    val magic = Multimodal.pngTable(docs).select("payload")
+      .as[Array[Byte]].head()
+    assert(magic.take(8).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
+  }
+
+  test("decodeFeatures: real image payloads take the imageio path, text bytes fall back") {
+    // a REAL png under kind=image gets raster dims (not the stub formula)
+    val real = Multimodal.decodeFeatures(
+        Multimodal.pngTable(Seq((5L, "x")).toDF("doc_id", "text")))
+      .collect().head
+    assert(real.width == (8 + 5 % 24) && real.height == (8 + 15 % 24))
+    assert(real.n_frames == 1 && real.duration_ms == 0L)
+    // text bytes under kind=image are not decodable -> stub fallback
+    val stub = Multimodal.decodeFeatures(
+        Multimodal.mediaTable(Seq((0L, "hello")).toDF("doc_id", "text")))
+      .collect().head
+    assert(stub.kind == "image" && stub.width == (16 + (5 * 7) % 240))
+  }
+
   test("decodeFeatures: mapPartitions stub is deterministic and batch-shaped") {
     val docs = Seq((0L, "hello"), (2L, "spark streaming")).toDF("doc_id", "text")
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(docs), batchSize = 1)
