@@ -1,0 +1,384 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read path for the bucketed memory layout
+  * ([[graft.operators.MemoryOps.writeBucketed]]: parquet files under
+  * `__bucket=k/` dirs, bucket = pmod(xxhash64(id), nBuckets)) that
+  * DELEGATES work to the store, the way the reference's Qdrant scan does
+  * (score threshold + limit + session filter evaluated store-side,
+  * src/vector_store.rs:277-293):
+  *
+  *  - `SupportsPushDownFilters`: predicates become parquet
+  *    `FilterPredicate`s evaluated by the parquet reader (row-group
+  *    stats pruning + record-level assembly skips) — accepted filters
+  *    are handled EXACTLY store-side, so Spark drops its own copy.
+  *  - id-equality filters additionally prune whole BUCKET DIRECTORIES
+  *    (the same arithmetic as the writer: pmod(xxhash64(id), n)) — the
+  *    point-lookup never opens 15 of 16 buckets.
+  *  - `SupportsPushDownLimit`: the per-partition reader stops after
+  *    `limit` rows (partial pushdown; Spark keeps the global limit).
+  *  - `SupportsPushDownRequiredColumns`: the parquet read schema carries
+  *    only requested columns.
+  *
+  * Usage: `spark.read.format("graft.sources.MemoryBucketSource")
+  * .option("path", dir).option("nBuckets", 16).load()`.
+  * Local-filesystem listing (java.io) — the fixture store; a cluster
+  * deployment swaps in the Hadoop FileSystem listing, nothing else.
+  */
+class MemoryBucketSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemoryBucketSource.inferSchema(MemoryBucketSource.firstFile(options.get("path")))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new MemoryBucketTable(
+      properties.get("path"),
+      schema,
+      Option(properties.get("nBuckets")).map(_.toInt),
+      Option(properties.get("idCol")).getOrElse("id"))
+}
+
+object MemoryBucketSource {
+  /** All data files of the layout, optionally restricted to a bucket set. */
+  def listFiles(root: String, buckets: Option[Set[Long]]): Seq[String] = {
+    val dir = new java.io.File(root)
+    val bucketDirs = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    val selected =
+      if (bucketDirs.isEmpty) Seq(dir) // unbucketed fallback: flat files
+      else bucketDirs.filter { d =>
+        buckets.forall(_.contains(d.getName.stripPrefix("__bucket=").toLong))
+      }
+    selected.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  def firstFile(root: String): String =
+    listFiles(root, None).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no parquet files under $root"))
+
+  def inferSchema(file: String): StructType = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try toSpark(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
+  private[sources] def toSpark(m: MessageType): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(m.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, toSparkType(f), f.getRepetition != PType.Repetition.REQUIRED)))
+  }
+
+  private def toSparkType(f: PType): DataType = f match {
+    case p: PrimitiveType => p.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT64 => LongType
+      case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveType.PrimitiveTypeName.BINARY
+        if p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() => StringType
+      case PrimitiveType.PrimitiveTypeName.BINARY => BinaryType
+      case other => throw new UnsupportedOperationException(s"parquet type $other")
+    }
+    case g: GroupType if g.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() =>
+      // Spark 3-level list: group (LIST) { repeated group list { <element> } }
+      val elem = g.getType(0).asGroupType().getType(0)
+      ArrayType(toSparkType(elem), containsNull = elem.getRepetition != PType.Repetition.REQUIRED)
+    case other => throw new UnsupportedOperationException(s"parquet group $other")
+  }
+
+  /** Projection of the file schema to the requested columns PLUS any
+    * column the pushed predicate references: parquet's record-level
+    * filter evaluates against the ASSEMBLED record, so a filter column
+    * missing from the read schema would silently compare as null and
+    * drop every row (Spark prunes fully-claimed filter columns from the
+    * required output, so they must be re-added here). Output rows still
+    * carry only the required fields. */
+  private[sources] def project(file: String, required: StructType,
+                               filterCols: Seq[String]): MessageType = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    val full = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    val names0 = (required.fields.toSeq.map(_.name) ++
+      filterCols.filter(full.containsField)).distinct
+    val names =
+      if (names0.isEmpty) Seq(full.getFieldName(0)) // bare count(*): 1 col
+      else names0
+    new MessageType(full.getName,
+      names.map(n => full.getType(full.getFieldIndex(n))): _*)
+  }
+
+  /** Exact parquet translation of a (supported) source filter. Strings
+    * push equality/nullness only — parquet's unsigned byte order is not
+    * Spark's string order for ranges; numerics push the full range set. */
+  private[sources] def toPredicate(f: Filter, schema: StructType): Option[FilterPredicate] = {
+    def dt(col: String): Option[DataType] =
+      schema.fields.find(_.name == col).map(_.dataType)
+    def eqP(col: String, v: Any): Option[FilterPredicate] = dt(col).flatMap {
+      case LongType => Some(FilterApi.eq(FilterApi.longColumn(col),
+        java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())))
+      case IntegerType => Some(FilterApi.eq(FilterApi.intColumn(col),
+        java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())))
+      case DoubleType => Some(FilterApi.eq(FilterApi.doubleColumn(col),
+        java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())))
+      case FloatType => Some(FilterApi.eq(FilterApi.floatColumn(col),
+        java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())))
+      case StringType => Some(FilterApi.eq(FilterApi.binaryColumn(col),
+        Binary.fromString(v.asInstanceOf[String])))
+      case BooleanType => Some(FilterApi.eq(FilterApi.booleanColumn(col),
+        java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])))
+      case _ => None
+    }
+    def cmp(col: String, v: Any,
+            lng: (org.apache.parquet.filter2.predicate.Operators.LongColumn, java.lang.Long) => FilterPredicate,
+            int: (org.apache.parquet.filter2.predicate.Operators.IntColumn, java.lang.Integer) => FilterPredicate,
+            dbl: (org.apache.parquet.filter2.predicate.Operators.DoubleColumn, java.lang.Double) => FilterPredicate)
+        : Option[FilterPredicate] = dt(col).flatMap {
+      case LongType => Some(lng(FilterApi.longColumn(col),
+        java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())))
+      case IntegerType => Some(int(FilterApi.intColumn(col),
+        java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())))
+      case DoubleType => Some(dbl(FilterApi.doubleColumn(col),
+        java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())))
+      case _ => None
+    }
+    def notNull(col: String): Option[FilterPredicate] = dt(col).flatMap {
+      case LongType => Some(FilterApi.notEq(FilterApi.longColumn(col), null: java.lang.Long))
+      case IntegerType => Some(FilterApi.notEq(FilterApi.intColumn(col), null: java.lang.Integer))
+      case DoubleType => Some(FilterApi.notEq(FilterApi.doubleColumn(col), null: java.lang.Double))
+      case FloatType => Some(FilterApi.notEq(FilterApi.floatColumn(col), null: java.lang.Float))
+      case StringType => Some(FilterApi.notEq(FilterApi.binaryColumn(col), null: Binary))
+      case BooleanType => Some(FilterApi.notEq(FilterApi.booleanColumn(col), null: java.lang.Boolean))
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(c, v) if v != null => eqP(c, v)
+      case sources.GreaterThan(c, v) =>
+        cmp(c, v, FilterApi.gt(_, _), FilterApi.gt(_, _), FilterApi.gt(_, _))
+      case sources.GreaterThanOrEqual(c, v) =>
+        cmp(c, v, FilterApi.gtEq(_, _), FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
+      case sources.LessThan(c, v) =>
+        cmp(c, v, FilterApi.lt(_, _), FilterApi.lt(_, _), FilterApi.lt(_, _))
+      case sources.LessThanOrEqual(c, v) =>
+        cmp(c, v, FilterApi.ltEq(_, _), FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case sources.IsNotNull(c) => notNull(c)
+      case sources.IsNull(c) => notNull(c).map(FilterApi.not)
+      case sources.In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        val parts = vs.toSeq.map(v => eqP(c, v))
+        if (parts.forall(_.isDefined)) parts.flatten.reduceOption(FilterApi.or) else None
+      case sources.And(l, r) =>
+        for (lp <- toPredicate(l, schema); rp <- toPredicate(r, schema))
+          yield FilterApi.and(lp, rp)
+      case sources.Or(l, r) =>
+        for (lp <- toPredicate(l, schema); rp <- toPredicate(r, schema))
+          yield FilterApi.or(lp, rp)
+      case _ => None
+    }
+  }
+
+  /** Bucket ids a filter restricts the id column to — the writer's
+    * pmod(xxhash64(id), n) arithmetic, applied driver-side. */
+  private[sources] def bucketsFor(f: Filter, idCol: String, n: Int): Option[Set[Long]] = {
+    def bucketOf(id: Long): Long = {
+      val h = XXH64.hashLong(id, 42L)
+      ((h % n) + n) % n
+    }
+    f match {
+      case sources.EqualTo(c, v: Number) if c == idCol =>
+        Some(Set(bucketOf(v.longValue())))
+      case sources.In(c, vs) if c == idCol && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        Some(vs.map(v => bucketOf(v.asInstanceOf[Number].longValue())).toSet)
+      case sources.And(l, r) =>
+        (bucketsFor(l, idCol, n), bucketsFor(r, idCol, n)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }
+      case sources.Or(l, r) =>
+        for (a <- bucketsFor(l, idCol, n); b <- bucketsFor(r, idCol, n)) yield a union b
+      case _ => None
+    }
+  }
+}
+
+private[sources] class MemoryBucketTable(
+    path: String, tableSchema: StructType,
+    nBuckets: Option[Int], idCol: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_memory($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemoryScanBuilder(path, tableSchema, nBuckets, idCol)
+}
+
+private[sources] class MemoryScanBuilder(
+    path: String, tableSchema: StructType,
+    nBuckets: Option[Int], idCol: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var predicate: Option[FilterPredicate] = None
+  private var buckets: Option[Set[Long]] = None
+  private var limit: Option[Int] = None
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f =>
+      MemoryBucketSource.toPredicate(f, tableSchema).isDefined)
+    pushed = ok
+    predicate = ok.flatMap(MemoryBucketSource.toPredicate(_, tableSchema))
+      .reduceOption(FilterApi.and)
+    buckets = nBuckets.flatMap { n =>
+      val sets = ok.flatMap(MemoryBucketSource.bucketsFor(_, idCol, n))
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+    rest // post-scan filters; accepted ones are evaluated exactly store-side
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // partial: per-partition cut-off, Spark keeps the global limit
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new MemoryScan(path, required, predicate, buckets, limit, pushed)
+}
+
+private[sources] case class FileInputPartition(file: String) extends InputPartition
+
+private[sources] class MemoryScan(
+    path: String, required: StructType,
+    predicate: Option[FilterPredicate], buckets: Option[Set[Long]],
+    limit: Option[Int], pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val b = buckets.fold("all")(s => s.toSeq.sorted.mkString("{", ",", "}"))
+    s"GraftMemoryBucketScan path=$path, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${limit.getOrElse(-1)}, Buckets: $b"
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    MemoryBucketSource.listFiles(path, buckets)
+      .map(FileInputPartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemoryReaderFactory(required, predicate, limit,
+      pushed.flatMap(_.references).distinct.toSeq)
+}
+
+private[sources] class MemoryReaderFactory(
+    required: StructType, predicate: Option[FilterPredicate],
+    limit: Option[Int], filterCols: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GroupRowReader(p.asInstanceOf[FileInputPartition].file,
+      required, predicate, limit, filterCols)
+}
+
+/** Row-by-row parquet reader over the example Group API — the pushed
+  * predicate runs INSIDE parquet (row-group pruning + record skipping),
+  * the projection narrows the read schema, and the limit stops the
+  * partition early. Fixture-scale read path; the pushdown CONTRACT is
+  * what the plan tests pin. */
+private[sources] class GroupRowReader(
+    file: String, required: StructType,
+    predicate: Option[FilterPredicate], limit: Option[Int],
+    filterCols: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      MemoryBucketSource.project(file, required, filterCols).toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+  private var current: Group = _
+  private var served = 0
+
+  override def next(): Boolean = {
+    if (limit.exists(served >= _)) return false
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    served += 1
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      val gi = current.getType.getFieldIndex(f.name)
+      if (current.getFieldRepetitionCount(gi) == 0) row.update(i, null)
+      else f.dataType match {
+        case LongType => row.update(i, current.getLong(gi, 0))
+        case IntegerType => row.update(i, current.getInteger(gi, 0))
+        case DoubleType => row.update(i, current.getDouble(gi, 0))
+        case FloatType => row.update(i, current.getFloat(gi, 0))
+        case BooleanType => row.update(i, current.getBoolean(gi, 0))
+        case StringType =>
+          row.update(i, UTF8String.fromBytes(current.getBinary(gi, 0).getBytes))
+        case BinaryType => row.update(i, current.getBinary(gi, 0).getBytes)
+        case ArrayType(et, _) =>
+          val lst = current.getGroup(gi, 0)
+          val n = lst.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val el = lst.getGroup(0, j)
+            out(j) =
+              if (el.getFieldRepetitionCount(0) == 0) null
+              else et match {
+                case FloatType => el.getFloat(0, 0)
+                case DoubleType => el.getDouble(0, 0)
+                case LongType => el.getLong(0, 0)
+                case IntegerType => el.getInteger(0, 0)
+                case StringType => UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
+                case other => throw new UnsupportedOperationException(s"list of $other")
+              }
+            j += 1
+          }
+          row.update(i, new GenericArrayData(out))
+        case other => throw new UnsupportedOperationException(s"type $other")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

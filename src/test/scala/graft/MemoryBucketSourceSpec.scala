@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MemoryOps, VectorSearch}
+
+class MemoryBucketSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nBuckets = 8
+  private lazy val storeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
+    MemoryOps.writeBucketed(
+      Tables.memories(spark, sf0001), dir, "id", nBuckets)
+    dir
+  }
+  private def source =
+    spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", storeDir).option("nBuckets", nBuckets.toString)
+      .option("idCol", "id").load()
+
+  test("source read == parquet read of the same layout (schema and rows)") {
+    val viaSource = source
+      .select($"id", $"text", $"lang", $"source", $"label", $"embedding")
+      .orderBy($"id")
+      .as[(Long, String, String, String, Int, Array[Float])].collect().toSeq
+    val viaParquet = MemoryOps.readBucketed(spark, storeDir)
+      .select($"id", $"text", $"lang", $"source", $"label", $"embedding")
+      .orderBy($"id")
+      .as[(Long, String, String, String, Int, Array[Float])].collect().toSeq
+    assert(viaSource.size == viaParquet.size && viaSource.nonEmpty)
+    viaSource.zip(viaParquet).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && a._5 == b._5)
+      assert(a._6.toSeq == b._6.toSeq)
+    }
+  }
+
+  test("v2/v5-shaped query through the source: filters reach the scan description") {
+    val q = Tables.queryVector(spark, sf0001, 0L)
+    val df = VectorSearch.topK(source, q, k = 10, idCol = "id",
+      predicate = Some($"label" === 2), threshold = Some(0.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMemoryBucketScan"))
+    assert(plan.contains("PushedFilters: ") && plan.contains("EqualTo(label,2)"),
+      s"missing pushed label filter in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+    // and the result matches the same query over the plain parquet read
+    val expected = VectorSearch.topK(
+        MemoryOps.readBucketed(spark, storeDir), q, k = 10, idCol = "id",
+        predicate = Some($"label" === 2), threshold = Some(0.0))
+      .select($"id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toSeq
+    val got = df.select($"id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("point lookup: id equality prunes to ONE bucket and pushes the limit") {
+    val df = source.where($"id" === 7L).limit(1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(id,7)"))
+    assert(plan.contains("PushedLimit: 1"), s"limit not pushed in:\n$plan")
+    assert(plan.contains("Buckets: {"), s"no bucket pruning in:\n$plan")
+    // partitions = files of exactly one bucket, not the whole store
+    val scanned = df.rdd.getNumPartitions
+    val allFiles = graft.sources.MemoryBucketSource.listFiles(storeDir, None).size
+    assert(scanned < allFiles, s"scanned $scanned of $allFiles files")
+    assert(df.select($"id").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("pushed range + IsNotNull filters are evaluated store-side, exactly") {
+    val got = source.where($"label" >= 2 && $"label" < 4 && $"id" < 100L)
+      .select($"id", $"label").orderBy($"id")
+      .as[(Long, Int)].collect().toSeq
+    val expected = MemoryOps.readBucketed(spark, storeDir)
+      .where($"label" >= 2 && $"label" < 4 && $"id" < 100L)
+      .select($"id", $"label").orderBy($"id")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    val plan = source.where($"label" >= 2 && $"label" < 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(label,2)") &&
+      plan.contains("LessThan(label,4)"))
+  }
+
+  test("column pruning narrows the parquet read schema") {
+    val df = source.select($"id", $"label")
+    assert(df.queryExecution.executedPlan.toString.contains("GraftMemoryBucketScan"))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(df.count() == source.count())
+  }
+}
