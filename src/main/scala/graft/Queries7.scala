@@ -464,6 +464,22 @@ object Queries7 {
   }
 
   // ---------------------------------------------------------------------
+  // V14: the DISTRIBUTED MMR greedy — same selection as v13 but the pool
+  // is never collected: each round broadcasts the ≤ k selected vectors
+  // and takes the arg-max with a limit-1 TakeOrderedAndProject. The
+  // pool-too-big-for-driver form; shares v13's recursive-CTE oracle
+  // because the arithmetic is pinned identical.
+  // ---------------------------------------------------------------------
+  def v14MmrDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    VectorSearch.mmrRerankDistributed(Tables.embeddings(spark, sfDir), q,
+        poolSize = 16, k = 8, lambda = 0.7)
+      .select(col("mmr_rank"), col("id"), round(col("mmr"), 6).as("mmr"))
+  }
+
+  val v14MmrDistributedSql: String = v13MmrRerankSql
+
+  // ---------------------------------------------------------------------
   // SMP3: importance-weighted sampling — each document survives with
   // probability equal to its quality score, hash-deterministic by id.
   // Map-side only; at 100 TB this is the quality-curriculum downsampler.
@@ -725,6 +741,7 @@ object Queries7 {
     "smp3_weighted_sample" -> (smp3WeightedSample _),
     "q16_regression"   -> (q16Regression _),
     "v13_mmr_rerank"   -> (v13MmrRerank _),
+    "v14_mmr_distributed" -> (v14MmrDistributed _),
     "scd2_asof"        -> (scd2Asof _),
     "i1_incremental_agg" -> (i1IncrementalAgg _),
     "e9_stream_funnel" -> (e9StreamFunnel _),
@@ -748,6 +765,7 @@ object Queries7 {
     "smp3_weighted_sample" -> smp3WeightedSampleSql,
     "q16_regression"   -> q16RegressionSql,
     "v13_mmr_rerank"   -> v13MmrRerankSql,
+    "v14_mmr_distributed" -> v14MmrDistributedSql,
     "scd2_asof"        -> scd2AsofSql,
     "i1_incremental_agg" -> i1IncrementalAggSql,
     "e9_stream_funnel" -> e9StreamFunnelSql,

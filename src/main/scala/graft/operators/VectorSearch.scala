@@ -69,6 +69,61 @@ object VectorSearch {
     * use 6-dp HALF_UP rounding with id tie-breaks so the selection is
     * bit-reproducible (and oracle-mirrored by a recursive CTE).
     */
+  /** Distributed MMR for pools too big to collect: the candidate pool
+    * stays a DataFrame; each of the k greedy rounds scores every
+    * remaining row against the (≤ k, driver-held) SELECTED embeddings —
+    * broadcast as literals — and takes the arg-max with one
+    * TakeOrderedAndProject(limit=1). Driver state is k vectors (selection
+    * metadata); the pool itself is never collected, so poolSize can be
+    * millions. Identical arithmetic to [[mmrRerank]] (round-6 HALF_UP,
+    * id tie-breaks, same cosine fold order) — the spec pins equality.
+    */
+  def mmrRerankDistributed(
+      df: DataFrame,
+      queryVec: Seq[Float],
+      poolSize: Int,
+      k: Int,
+      lambda: Double,
+      idCol: String = "vec_id",
+      embeddingCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    // pinned: re-scored k times; localCheckpoint cuts the topK lineage so
+    // round r doesn't re-run the retrieval r times
+    val pool = topK(df, queryVec, poolSize, idCol, embeddingCol = embeddingCol)
+      .select(col(idCol).as("__id"), round(col("score"), 6).as("__rel"),
+        col(embeddingCol).as("__emb"))
+      .localCheckpoint(true)
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Seq[Float])]
+    var remaining = pool
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val scoreCol =
+        if (selected.isEmpty) col("__rel")
+        else {
+          val sims = selected.toSeq.map(s =>
+            round(graft.functions.Native.cosineSim(
+              col("__emb"), typedlit(s._4)), 6))
+          val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+          round(lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim, 6)
+        }
+      val win = remaining.withColumn("__mmr", scoreCol)
+        .orderBy(col("__mmr").desc, col("__id").asc).limit(1)
+        .select(col("__id"), col("__mmr"), col("__emb"))
+        .collect() // ONE winner row per round — selection metadata
+      if (win.isEmpty) exhausted = true
+      else {
+        val w = win.head
+        selected += ((step, w.getLong(0), w.getDouble(1), w.getSeq[Float](2)))
+        remaining = remaining.where(col("__id") =!= lit(w.getLong(0)))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.map(s => (s._1, s._2, s._3)).toDF("mmr_rank", "id", "mmr")
+  }
+
   def mmrRerank(
       df: DataFrame,
       queryVec: Seq[Float],

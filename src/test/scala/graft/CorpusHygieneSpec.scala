@@ -152,6 +152,33 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("mmr distributed == collected greedy on random pools (equality property)") {
+    import graft.operators.VectorSearch
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val rows = (0L until 40L).map { i =>
+        (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val q = Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      for (lambda <- Seq(0.5, 0.7)) {
+        def canon(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("mmr_rank"), col("id"), round(col("mmr"), 6).as("m"))
+            .orderBy("mmr_rank").as[(Int, Long, Double)].collect().toSeq
+        val collected = canon(
+          VectorSearch.mmrRerank(rows, q, poolSize = 30, k = 10, lambda = lambda))
+        val distributed = canon(
+          VectorSearch.mmrRerankDistributed(rows, q, poolSize = 30, k = 10, lambda = lambda))
+        assert(distributed == collected, s"trial $trial lambda $lambda")
+        assert(collected.size == 10)
+      }
+    }
+    // k > pool: both stop at pool exhaustion
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(VectorSearch.mmrRerankDistributed(tiny, Seq(1.0f, 0.0f),
+      poolSize = 5, k = 7, lambda = 0.5).count() == 2)
+  }
+
   test("misra-gries: guarantee holds and survives repartitioning") {
     import graft.functions.MgFrequent
     val rnd = new scala.util.Random(42)
