@@ -190,8 +190,41 @@ object Queries11 {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------------
+  // SLT1: skew-ROUTED join — skw1's measurement wired into the plan
+  // decision. events.event_type is a classic hot key (a handful of types
+  // over millions of rows): autoSaltedJoin measures the hottest-key
+  // share and picks the salted shuffle shape; results are identical to
+  // the plain join the oracle states. The per-type above-average counter
+  // is the usual fact ⋈ small-aggregate enrichment this pattern guards.
+  // ---------------------------------------------------------------------
+  def slt1AutoSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_v"))
+    graft.operators.Joins.autoSaltedJoin(ev, dim, "event_type",
+        saltExpr = xxhash64(col("value")))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("value") > col("avg_v"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val slt1AutoSaltedSql: String =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type AS event_type,
+      |  CAST(SUM(CASE WHEN e.value > d.avg_v THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  COUNT(*) AS n_rows
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_expectations" -> (dq1Expectations _),
+    "slt1_auto_salted" -> (slt1AutoSalted _),
     "e13_stream_dedup" -> (e13StreamDedup _),
     "mlt1_unpivot"     -> (mlt1Unpivot _),
     "tri1_dup_triangles" -> (tri1DupTriangles _),
@@ -200,6 +233,7 @@ object Queries11 {
 
   val oracles: Map[String, String] = Map(
     "dq1_expectations" -> dq1ExpectationsSql,
+    "slt1_auto_salted" -> slt1AutoSaltedSql,
     "e13_stream_dedup" -> e13StreamDedupSql,
     "mlt1_unpivot"     -> mlt1UnpivotSql,
     "tri1_dup_triangles" -> tri1DupTrianglesSql,

@@ -35,6 +35,43 @@ object Joins {
     f.join(d, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hottest-key share of a join key: max group size / total rows — the
+    * skw1 monitoring profile reduced to the one routing number. ONE
+    * aggregate over the fact's key column (runs on the pruned scan), and
+    * the result is a scalar: a planning statistic, exactly the kind of
+    * runtime stat AQE gathers, not a data-path collect.
+    */
+  def hottestKeyShare(fact: DataFrame, key: String): Double = {
+    val r = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).cast("double").as("__mx"),
+        sum(col("__n")).cast("double").as("__tot"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Skew-routed equi-join: measure the fact's hottest-key share first,
+    * then either the plain shuffled join (uniform keys — no salt tax) or
+    * [[saltedJoin]] (one key dominates — spread it over `salts`
+    * reducers). Results are identical either way; only the shuffle shape
+    * changes. This wires the skw1 measurement into the plan decision —
+    * the manual analog of AQE's skewedJoin, for when the skew is in the
+    * JOIN KEY distribution itself and known before runtime.
+    */
+  def autoSaltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltExpr: Column,
+      salts: Int = 8,
+      hotShareThreshold: Double = 0.2): DataFrame = {
+    require(hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
+      "hotShareThreshold must be in (0, 1]")
+    if (hottestKeyShare(fact, key) > hotShareThreshold)
+      saltedJoin(fact, dim, key, salts, saltExpr)
+    else fact.join(dim, Seq(key))
+  }
+
   /** Bucketized interval join: pairs (l, r) sharing `keyCol` with
     * r.sec in (l.sec, l.sec + windowSec]. Instead of a theta join
     * (broadcast nested loop — quadratic per key), both sides are bucketed

@@ -24,6 +24,32 @@ class JoinsSpec extends SparkSpec {
     assert(s.toSeq == p.toSeq)
   }
 
+  test("autoSaltedJoin: salts on the skewed fixture, stays plain on uniform keys — same rows") {
+    // skewed: key 1 carries 96% of the fact
+    val skewed = ((1 to 96).map(i => (1L, i.toDouble, i)) ++
+      (2 to 5).map(i => (i.toLong, 1.0, i))).toDF("k", "v", "line")
+    // uniform: every key once
+    val uniform = (1 to 5).map(i => (i.toLong, i.toDouble, i)).toDF("k", "v", "line")
+    val dim = (1 to 5).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+
+    assert(Joins.hottestKeyShare(skewed, "k") > 0.9)
+    assert(Joins.hottestKeyShare(uniform, "k") < 0.21)
+
+    val saltedPlan = Joins.autoSaltedJoin(skewed, dim, "k", saltExpr = col("line"))
+      .queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("__salt"), s"expected salted plan:\n$saltedPlan")
+    val plainPlan = Joins.autoSaltedJoin(uniform, dim, "k", saltExpr = col("line"))
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("__salt"), s"expected plain plan:\n$plainPlan")
+
+    // identical results to the plain join on the skewed input
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k", $"v", $"line", $"name")
+        .as[(Long, Double, Int, String)].collect().toSeq.sorted
+    assert(canon(Joins.autoSaltedJoin(skewed, dim, "k", saltExpr = col("line"))) ==
+      canon(skewed.join(dim, Seq("k"))))
+  }
+
   test("saltedJoin drops fact rows with no dimension match (inner join)") {
     val fact = Seq((1L, 1.0, 0), (9L, 2.0, 1)).toDF("k", "v", "line")
     val dim = Seq((1L, "a")).toDF("k", "name")
