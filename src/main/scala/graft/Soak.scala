@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: 100× soak of the heaviest PRODUCTION-PATH queries (d2
+  * minhash-LSH pairs, d10 SRP pairs, a7 trained IVF, sp2 prefix-filtered
+  * sparse cosine) — one more decade past ScaleProbe's 10×.
+  *
+  * Replica construction differs from ScaleProbe on purpose: pair miners
+  * measure WORK, so replicas must be mutually independent, not mutual
+  * near-dups (which would grow the true answer — and any exact
+  * algorithm's cost — quadratically in the factor, by construction):
+  *  - documents: replica i > 0 suffixes EVERY token with `_r<i>` — zero
+  *    cross-replica shingle/token overlap, intra-replica dup structure
+  *    identical to the base corpus;
+  *  - embeddings: replica i > 0 flips component signs by a per-(replica,
+  *    dim) hash — cosines WITHIN a replica are exactly preserved
+  *    (s_j² = 1), cross-replica cosines of identical base vectors land
+  *    near 0 with high probability.
+  *
+  * d10's LSH band bits are RIGHT-SIZED per scale (log₂ growth: 16/28/40
+  * planes at 1×/10×/100×, 4 bands) — operating an LSH index at 100× the
+  * data with 1× the bits makes bucket size, hence candidate count, grow
+  * linearly with N and the join quadratically; sizing bits to N is what
+  * a production deployment does, and is itself part of the scale story.
+  *
+  * Usage: runMain graft.Soak [factors...] (default: 10 100)
+  */
+object Soak {
+
+  def buildSoak(spark: SparkSession, baseDir: String, outDir: String,
+                factor: Int): Unit = {
+    val out = new java.io.File(outDir)
+    if (out.exists()) return
+    out.mkdirs()
+    val docs = Tables.documents(spark, baseDir)
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      val tagged =
+        if (i == 0) docs
+        else docs.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$i"))), " "))
+      tagged.withColumn("doc_id", col("doc_id") + lit(i * docMax))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      val flipped =
+        if (i == 0) emb
+        else emb.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(pmod(xxhash64(lit(i.toLong * 8191L) + j.cast("long")), lit(2L)) === 0,
+              x).otherwise(-x)))
+      flipped.withColumn("vec_id", col("vec_id") + lit(i * embMax))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** d10's plane count right-sized to the data: band bits must grow a
+    * little FASTER than log2(N) so bucket size shrinks — constant bucket
+    * size means candidates (buckets x C(size,2)) grow linearly, growing
+    * bucket size means super-linearly (the first soak run measured 261 s
+    * at 100x with 10-bit bands, bucket ~490). 4/8/12 bits per band at
+    * 1x/10x/100x keeps candidate growth sub-linear per decade; the
+    * recall-vs-bits tradeoff is the a8 curve's knob. */
+  def planesFor(factor: Int): Int = factor match {
+    case f if f >= 100 => 48
+    case f if f >= 10 => 32
+    case _ => 16
+  }
+
+  def soakQueries(factor: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "d2_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+      operators.Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+    // threshold 0.6 (vs the fixture query's 0.4): at 0.4 the sign-flip
+    // replica construction itself leaks borderline cross-replica pairs
+    // (an artifact of the corpus generator, not the plan); 0.6 keeps the
+    // output linear in the factor while the banding + verify join still
+    // chew real candidates.
+    "d10_srp_neardup" -> ((s: SparkSession, dir: String) =>
+      operators.Dedup.srpNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.6, nPlanes = planesFor(factor), bands = 4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))),
+    "a7_ivf_trained" -> SparkEntry.queries("a7_ivf_trained"),
+    "sp2_sparse_prefix" -> SparkEntry.queries("sp2_sparse_prefix"))
+
+  def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+           dir: String, runs: Int): (Double, Long) = {
+    var rows = 0L
+    val t = (1 to runs).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      rows = df.count() // count forces full evaluation AND records output size
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (t, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
+    val baseDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(16 * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dirs: Seq[(Int, String)] = (1, baseDir) +: factors.map { f =>
+      val d = s"/root/repo/tmp/soak$f"
+      buildSoak(spark, baseDir, d, f)
+      (f, d)
+    }
+    spark.read.parquet(s"$baseDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    val names = soakQueries(1).map(_._1)
+    // sp2 verifies one merge-dot per candidate pair and this corpus is
+    // the degenerate 31-token-vocabulary case where candidates ≈ all
+    // intra-replica pairs — linear in the factor but ~35 s/decade of
+    // fixture, so its soak stops at 10x (still a full decade past the
+    // bench scale; the 100x decade is covered by the three cheap paths)
+    val maxFactor = Map("sp2_sparse_prefix" -> 10).withDefaultValue(Int.MaxValue)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = names.filter(n => only.forall(_.exists(n.startsWith))).map { name =>
+      val perScale = dirs.filter(_._1 <= maxFactor(name)).map { case (f, dir) =>
+        val fn = soakQueries(f).find(_._1 == name).get._2
+        val runs = if (f >= 100) 1 else 2
+        val (t, n) = time(spark, fn, dir, runs)
+        println(f"[soak] $name%-20s x$f%-4d $t%8.2f s  ($n rows)")
+        (f, t, n)
+      }
+      name -> perScale
+    }
+    val js = results.map { case (name, xs) =>
+      val inner = xs.map { case (f, t, n) =>
+        f""""x$f":{"sec":$t%.2f,"rows":$n}"""
+      }.mkString(",")
+      s""""$name":{$inner}"""
+    }.mkString(",")
+    println(s"""{"metric":"soak","queries":{$js}}""")
+    spark.stop()
+  }
+}

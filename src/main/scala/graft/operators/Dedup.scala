@@ -524,13 +524,15 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(nPlanes % bands == 0, s"bands must divide nPlanes")
     val r = nPlanes / bands
-    val mask = (1 << r) - 1
+    require(nPlanes <= 63, "long signature: at most 63 planes")
+    val mask = (1L << r) - 1L
     val dim = 64
     val planes = srpPlanes(nPlanes, dim)
     val sig = df.select(col(idCol).as("__id"), col(embCol).as("__e"),
         graft.functions.Native.codebookDots(col(embCol), planes).as("__dots"))
       .withColumn("__sig", (0 until nPlanes).map(j =>
-        when(element_at(col("__dots"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+        // LONG bit ops: an Int signature silently overflows past 31 planes
+        when(element_at(col("__dots"), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _))
     val banded = sig.select(col("__id"),
         explode(array((0 until bands).map(b =>
