@@ -66,15 +66,25 @@ object SparseSim {
     * (norm included) — joined twice onto the pair list; at fixture scale
     * AQE broadcasts it, at 100 TB it hash-joins on the pair ids.
     */
+  /** Doc-count bound under which the per-doc vector table is broadcast
+    * in the verify joins: a checkpointed subtree reports no size stats,
+    * so the planner would sort-merge the (candidate-pair)-sized stream
+    * against a table of a few MB. Measured once (one aggregate — an
+    * AQE-style planning statistic, the autoSaltedJoin pattern); above
+    * the bound the joins stay shuffled hash joins, the 100 TB shape. */
+  private val BroadcastMaxDocs = 100000L
+
   private def verifyPairs(cand: DataFrame, w: DataFrame, norms: DataFrame,
                           threshold: Double): DataFrame = {
     val vecs = w.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("__vec"))
       .join(norms, Seq("doc_id"))
+    val nDocs = norms.count()
+    val side = if (nDocs <= BroadcastMaxDocs) broadcast(vecs) else vecs
     cand
-      .join(vecs.select(col("doc_id").as("id1"),
+      .join(side.select(col("doc_id").as("id1"),
         col("__vec").as("__va"), col("__norm").as("__n1")), Seq("id1"))
-      .join(vecs.select(col("doc_id").as("id2"),
+      .join(side.select(col("doc_id").as("id2"),
         col("__vec").as("__vb"), col("__norm").as("__n2")), Seq("id2"))
       .withColumn("__dot",
         graft.functions.Native.sparseDotDec(col("__va"), col("__vb")))
