@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, TextHashSql}
+import graft.operators.{Dedup, DedupSql}
+
+/** Round-4 continuation: dedup yield accounting, class-based TF-IDF
+  * topic terms, and incremental (batch-vs-corpus) near-dup. Same
+  * contract as [[Queries]].
+  */
+object Queries24 {
+
+  // ---------------------------------------------------------------------
+  // D12: dedup yield curve — what deduplication would actually SAVE.
+  // From d7's duplicate clusters: per cluster size, how many clusters,
+  // how many docs the lowest-id-survives policy removes, and how many
+  // tokens those removals reclaim. The capacity-planning report run
+  // before burning a cluster on the real dedup; composes the banded
+  // miner, connected components, and the token counter — all existing
+  // scale paths, plus one broadcast-able join against per-doc counts.
+  // ---------------------------------------------------------------------
+  def d12DedupYield(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    val toks = docs.select(col("doc_id"),
+      size(TextHash.tokens(col("text"))).cast("long").as("__ntok"))
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("__removed", (col("doc_id") =!= col("cluster_id")).cast("long"))
+      .groupBy(col("cluster_size"))
+      .agg(
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("__removed")).as("docs_removed"),
+        sum(col("__removed") * col("__ntok")).as("tokens_removed"))
+  }
+
+  val d12DedupYieldSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""WITH RECURSIVE pairs AS (${Queries.d2MinhashPairsSql}),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sized AS (
+       |  SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM comp),
+       |tk AS (SELECT doc_id, CAST(len($tk) AS BIGINT) AS ntok FROM documents)
+       |SELECT cluster_size,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN s.doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_removed,
+       |  CAST(SUM(CASE WHEN s.doc_id <> cluster_id THEN ntok ELSE 0 END) AS BIGINT)
+       |    AS tokens_removed
+       |FROM sized s JOIN tk ON tk.doc_id = s.doc_id
+       |GROUP BY cluster_size""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // CTF1: class-based TF-IDF (the BERTopic c-TF-IDF shape) — per source,
+  // the top-5 terms weighted by in-class term count x smooth class-IDF
+  // (rarity ACROSS classes, not documents): the per-class vocabulary
+  // fingerprint used to label corpus slices. Two keyed aggregates (term
+  // instances per class, class-df per term), one broadcast class count,
+  // one rank window over a vocabulary-sized table — nothing doc-pair-
+  // shaped anywhere.
+  // ---------------------------------------------------------------------
+  def ctf1ClassTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select(col("source"),
+        explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n"))
+    val classDf = terms.groupBy(col("tok"))
+      .agg(count(lit(1)).as("__cdf"))
+    val nClasses = docs.agg(countDistinct(col("source")).as("__nc"))
+    val weighted = terms.join(classDf, Seq("tok"))
+      .crossJoin(broadcast(nClasses))
+      .withColumn("weight",
+        round(col("__n").cast("double") *
+          (log((col("__nc") + 1.0d) / (col("__cdf") + 1.0d)) + 1.0d), 6))
+    val byClass = Window.partitionBy(col("source"))
+      .orderBy(col("weight").desc, col("tok"))
+    weighted
+      .withColumn("rank", row_number().over(byClass).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("tok"), col("weight"))
+  }
+
+  val ctf1ClassTfidfSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""WITH terms AS (
+       |  SELECT source, tok, COUNT(*) AS n FROM (
+       |    SELECT source, unnest($tk) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |cdf AS (SELECT tok, COUNT(*) AS cdf FROM terms GROUP BY tok),
+       |nc AS (SELECT COUNT(DISTINCT source) AS nc FROM documents),
+       |w AS (
+       |  SELECT source, t.tok AS tok,
+       |    round(CAST(n AS DOUBLE) * (ln((nc + 1.0) / (cdf + 1.0)) + 1.0), 6)
+       |      AS weight
+       |  FROM terms t JOIN cdf ON cdf.tok = t.tok, nc)
+       |SELECT source, rank, tok, weight FROM (
+       |  SELECT source, tok, weight,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY weight DESC, tok) AS rank
+       |  FROM w) WHERE rank <= 5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // D13: incremental near-dup — the ingest-time dedup shape: the newest
+  // slice (doc_id % 7 = 3 plays the incoming crawl batch) checked against
+  // the already-accepted corpus via the banded MinHash index, corpus
+  // never self-joined. Exact Jaccard verify on the candidates only.
+  // ---------------------------------------------------------------------
+  def d13IncrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.minhashNearDupsAgainst(
+        corpus = docs.where(col("doc_id") % 7 =!= 3),
+        batch = docs.where(col("doc_id") % 7 === 3),
+        idCol = "doc_id", textCol = "text",
+        threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val d13IncrementalNearDupSql: String = {
+    val sh = DedupSql.shingleSet("text", 2)
+    val sig = DedupSql.minhashSignature("text", 16, 2)
+    s"""WITH base AS (
+       |  SELECT * FROM (SELECT doc_id, doc_id % 7 = 3 AS is_batch,
+       |                        $sh AS sh, $sig AS sig FROM documents)
+       |  WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, is_batch, b, ${DedupSql.bandKey("sig", "b", 2)} AS key
+       |  FROM base, range(0, 8) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT p.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM banded p JOIN banded c
+       |    ON p.b = c.b AND p.key = c.key AND p.is_batch AND NOT c.is_batch)
+       |SELECT cd.batch_id, cd.corpus_id,
+       |  round(${DedupSql.jaccard("x.sh", "y.sh")}, 6) AS jaccard
+       |FROM cands cd JOIN base x ON x.doc_id = cd.batch_id
+       |              JOIN base y ON y.doc_id = cd.corpus_id
+       |WHERE ${DedupSql.jaccard("x.sh", "y.sh")} >= 0.5""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_dedup_yield"        -> (d12DedupYield _),
+    "ctf1_class_tfidf"       -> (ctf1ClassTfidf _),
+    "d13_incremental_neardup" -> (d13IncrementalNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d12_dedup_yield"        -> d12DedupYieldSql,
+    "ctf1_class_tfidf"       -> ctf1ClassTfidfSql,
+    "d13_incremental_neardup" -> d13IncrementalNearDupSql)
+}

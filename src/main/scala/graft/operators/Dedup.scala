@@ -129,6 +129,57 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** INCREMENTAL MinHash near-dup: verified pairs between a NEW BATCH and
+    * the existing CORPUS only — the production ingest-time shape (a new
+    * crawl slice dedups against everything already accepted; the corpus
+    * never self-joins again). Candidates come from the same band-key
+    * equi-join as [[minhashNearDups]], but across the two sides: the
+    * corpus's banded signatures are the INDEX (at warehouse scale a
+    * persisted table, written once per ingest), the batch's the PROBE.
+    * Cost per ingest ∝ batch postings + co-occurring corpus postings —
+    * never corpus², never batch × corpus.
+    *
+    * Output: (batch_id, corpus_id, jaccard) for exact Jaccard ≥ t on the
+    * full shingle sets. Batch-internal duplicates are [[minhashNearDups]]
+    * on the (small) batch alone.
+    */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      nPerm: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 2): DataFrame = {
+    require(nPerm % bands == 0, "nPerm must divide into bands")
+    val r = nPerm / bands
+    def sigs(df: DataFrame) = df.select(
+        col(idCol).as("__id"),
+        graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"),
+        graft.functions.Native.minhashSig(col(textCol), nPerm, shingleN).as("__sig"))
+      .where(size(col("__sh")) > 0)
+      .localCheckpoint(true)
+    def banded(base: DataFrame) = base.select(col("__id"),
+        posexplode(bandKeys(col("__sig"), bands, r)))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__key"))
+    val corpusSigs = sigs(corpus)
+    val batchSigs = sigs(batch)
+    val cands = banded(batchSigs).as("b").join(banded(corpusSigs).as("c"),
+        col("b.__band") === col("c.__band") && col("b.__key") === col("c.__key"))
+      .select(col("b.__id").as("batch_id"), col("c.__id").as("corpus_id"))
+      .distinct()
+    cands
+      .join(batchSigs.select(col("__id").as("batch_id"), col("__sh").as("__shb")),
+        Seq("batch_id"))
+      .join(corpusSigs.select(col("__id").as("corpus_id"), col("__sh").as("__shc")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        graft.functions.Native.jaccardSim(col("__shb"), col("__shc")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Apply near-dup decisions to the corpus: remove every row that appears
     * as the higher-id member (`id2`) of a verified pair — the deterministic
     * lowest-id-survives policy. One anti-join against the (small) drop set.

@@ -56,6 +56,33 @@ class DedupSpec extends SparkSpec {
       Seq((100L, 101L)))
   }
 
+  test("incremental minhash == the straddling subset of the full self-join") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = (0L until 40L).map { i =>
+      val n = 4 + rnd.nextInt(14)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted CROSS-SPLIT dups (batch = id % 4 == 0): 100 (batch) copies
+    // doc 1 (corpus); 103 (corpus) copies doc 0 (batch)
+    val docs = (base ++ Seq((100L, base(1)._2), (103L, base(0)._2 + " zeta")))
+      .toDF("doc_id", "text")
+    val isBatch = (id: Long) => id % 4 == 0
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) } // both orientations
+      .filter { case (b, c, _) => isBatch(b) && !isBatch(c) }
+      .map { case (b, c, j) => (b, c, math.rint(j * 1e9) / 1e9) }.toSet
+    val inc = Dedup.minhashNearDupsAgainst(
+        corpus = docs.where(!($"doc_id" % 4 === 0)),
+        batch = docs.where($"doc_id" % 4 === 0),
+        idCol = "doc_id", textCol = "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (b, c, math.rint(j * 1e9) / 1e9) }.toSet
+    assert(inc == full, s"inc=$inc vs full=$full")
+    assert(inc.nonEmpty, "degenerate fixture: no cross-split dup found")
+  }
+
   test("prefix-filtered Jaccard == posting-list Jaccard on random corpora (exactness property)") {
     val rnd = new scala.util.Random(42)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
