@@ -154,12 +154,64 @@ object Queries24 {
        |WHERE ${DedupSql.jaccard("x.sh", "y.sh")} >= 0.5""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // TOK3: BPE-style merge TRAINING — k rounds of (count adjacent token
+  // pairs -> pick the most frequent, ties lexicographic -> apply the
+  // merge corpus-wide), the word-level shape of the tokenizer-training
+  // loop. Each round is one keyed count (map-side partial) plus a 1-row
+  // winner collect (merge-table METADATA, like a codebook); the merge
+  // itself is a map-side string replace.
+  //
+  // The greedy left-scan, non-overlapping merge semantics ("a a a" with
+  // merge (a,a) -> [a_a, a]) are encoded identically on BOTH engines by
+  // the doubled-separator trick: tokens joined with two spaces and the
+  // line padded, so replacing " A  B " with " A_B " consumes each token's
+  // inner separator exactly once and a chain merges left-to-right; the
+  // text is re-normalized (split on space runs, re-doubled) every round.
+  // Output: the merge table (round, lhs, rhs, n_before).
+  // ---------------------------------------------------------------------
+  private val BpeRounds = 3
+
+  def tok3BpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.train(
+      Tables.documents(spark, sfDir), "text", BpeRounds)
+
+  val tok3BpeTrainSql: String = {
+    def doubledSql(t: String) =
+      s"concat(' ', array_to_string(string_split_regex(trim($t), ' +'), '  '), ' ')"
+    def pairsOf(rel: String, p: String, w: String) =
+      s"""$p AS (
+         |  SELECT s[1] AS a, s[2] AS b FROM (
+         |    SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS s
+         |    FROM (SELECT string_split_regex(trim(txt), ' +') AS l FROM $rel))),
+         |$w AS (SELECT a, b, COUNT(*) AS n FROM $p GROUP BY a, b
+         |       ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    def nextRound(prev: String, w: String, next: String) =
+      s"""$next AS (
+         |  SELECT ${doubledSql(s"replace(txt, (SELECT concat(' ', a, '  ', b, ' ') FROM $w), (SELECT concat(' ', a, '_', b, ' ') FROM $w))")} AS txt
+         |  FROM $prev)""".stripMargin
+    val rounds = (1 to BpeRounds)
+    val ctes = Seq(
+      s"r0 AS (SELECT ${doubledSql("text")} AS txt FROM documents)") ++
+      rounds.flatMap { k =>
+        val pw = pairsOf(s"r${k - 1}", s"p$k", s"w$k")
+        if (k < BpeRounds) Seq(pw, nextRound(s"r${k - 1}", s"w$k", s"r$k"))
+        else Seq(pw)
+      }
+    val arms = rounds.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n_before FROM w$k")
+    s"""WITH ${ctes.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok3_bpe_train"         -> (tok3BpeTrain _),
     "d12_dedup_yield"        -> (d12DedupYield _),
     "ctf1_class_tfidf"       -> (ctf1ClassTfidf _),
     "d13_incremental_neardup" -> (d13IncrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "tok3_bpe_train"         -> tok3BpeTrainSql,
     "d12_dedup_yield"        -> d12DedupYieldSql,
     "ctf1_class_tfidf"       -> ctf1ClassTfidfSql,
     "d13_incremental_neardup" -> d13IncrementalNearDupSql)

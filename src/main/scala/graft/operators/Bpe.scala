@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE-style merge training at word level — the tokenizer-training loop
+  * as distributed dataflow. Each round: one keyed pair count (map-side
+  * partial aggregation over adjacent-token pairs), a 1-row winner collect
+  * (the merge table is driver METADATA, exactly like an IVF codebook),
+  * and a map-side corpus-wide merge. Rounds are inherently sequential
+  * (round r's pairs depend on round r-1's merges); per-round cost is one
+  * aggregate over the corpus regardless of size.
+  *
+  * Merge semantics are the standard greedy LEFT-SCAN, NON-OVERLAPPING
+  * application ("a a a" under merge (a,a) -> [a_a, a]), encoded as a
+  * plain string replace over DOUBLE-SPACE-joined, space-padded text:
+  * the pattern " A  B " consumes each token's inner separator exactly
+  * once, so a chain merges left-to-right; text is re-normalized (split
+  * on space runs, re-doubled) after every round. A SQL engine states the
+  * identical semantics with the same replace — the tok3 oracle does.
+  */
+object Bpe {
+
+  private def doubled(t: Column): Column =
+    concat(lit(" "), array_join(split(trim(t), " +"), "  "), lit(" "))
+
+  /** `rounds` merge decisions over `textCol`:
+    * (round, lhs, rhs, n_before) — n_before is the pair's corpus count
+    * at pick time. The merged token is "lhs_rhs". */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var txt = docs.select(doubled(col(textCol)).as("__txt"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { round =>
+      val toks = split(trim(col("__txt")), " +")
+      val pairs = txt
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val w = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].head()
+      txt = txt.select(doubled(replace(col("__txt"),
+          lit(s" ${w._1}  ${w._2} "), lit(s" ${w._1}_${w._2} "))).as("__txt"))
+        .localCheckpoint(true)
+      (round.toLong, w._1, w._2, w._3)
+    }
+    merges.toDF("round", "lhs", "rhs", "n_before")
+  }
+}

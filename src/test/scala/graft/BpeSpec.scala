@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy left-scan, non-overlapping merge: 'a a a' yields [a_a, a]") {
+    // corpus where (a,a) wins round 1; the chain must merge exactly once
+    val docs = Seq("a a a", "a a b").toDF("text")
+    val m = Bpe.train(docs, "text", 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // pairs: 'a a a' -> (a,a),(a,a); 'a a b' -> (a,a),(a,b); (a,a) n=3
+    assert(m == Seq((1L, "a", "a", 3L)))
+  }
+
+  test("later rounds merge tokens produced by earlier rounds") {
+    // round 1 merges (x,y) everywhere; round 2 must see x_y as ONE token
+    // and pick (x_y, z)
+    val docs = Seq("x y z", "x y z", "x y q").toDF("text")
+    val m = Bpe.train(docs, "text", 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) == ((1L, "x", "y", 3L)))
+    assert(m(1) == ((2L, "x_y", "z", 2L)))
+  }
+
+  test("ties break lexicographically, deterministic across reruns") {
+    val docs = Seq("b c", "a d").toDF("text")
+    // all pairs count 1: (a,d) and (b,c) tie -> (a,d) by (a, b) order
+    val m1 = Bpe.train(docs, "text", 1).as[(Long, String, String, Long)].head()
+    val m2 = Bpe.train(docs, "text", 1).as[(Long, String, String, Long)].head()
+    assert(m1 == ((1L, "a", "d", 1L)) && m2 == m1)
+  }
+}
