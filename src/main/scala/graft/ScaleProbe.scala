@@ -57,7 +57,14 @@ object ScaleProbe {
     "rfm1_segmentation", "tok2_next_token_topk", "stk1_streaks",
     "chk1_table_checksum", "km1_survival", "ml1_naive_bayes",
     "pmi1_collocations", "pop1_decayed_popularity", "gr1_user_growth",
-    "sig1_session_shapes", "mad1_robust_dispersion", "bp1_daily_quartiles")
+    "sig1_session_shapes", "mad1_robust_dispersion", "bp1_daily_quartiles",
+    // round-4 additions: class-TF-IDF aggregates, BPE training rounds,
+    // real PNG decode map, skew-routed join, distributed MMR rounds.
+    // (sp2/d12/d13 stay excluded with the other pair miners: replicated
+    // text inflates pair co-occurrence quadratically by construction —
+    // their scale evidence is graft.Soak's independent-replica 10x/100x.)
+    "ctf1_class_tfidf", "tok3_bpe_train", "m5_png_decode",
+    "slt1_auto_salted", "v14_mmr_distributed")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
@@ -127,7 +134,12 @@ object ScaleProbe {
     // warm the JIT/codegen caches off the timed path
     spark.read.parquet(s"$baseDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
-    val rows = ProbeQueries.map { q =>
+    // dev filter: SPARK_GRAFT_PROBE_ONLY=ctf1,tok3 probes only those
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val rows = ProbeQueries
+      .filter(q => only.forall(_.exists(p => q == p || q.startsWith(p))))
+      .map { q =>
       val base = timeQuery(spark, q, baseDir, runs)
       val scaled = timeQuery(spark, q, scaledDir, runs)
       val r = scaled / base
