@@ -204,14 +204,76 @@ object Queries24 {
        |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // CUR1: quality-decile curriculum report — the corpus sliced into 10
+  // exact quality deciles (ntile over (score, doc_id) — the id tie-break
+  // makes the cut deterministic), each reporting doc count, token volume,
+  // mean quality, and mean repetition. The table a curriculum scheduler
+  // consumes to decide per-decile sampling rates. One window over the
+  // scored corpus + one keyed aggregate; the scoring itself is the
+  // codegen'd map-side kernel set.
+  // ---------------------------------------------------------------------
+  def cur1QualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("__q"),
+      size(TextHash.tokens(col("text"))).cast("long").as("__ntok"),
+      graft.functions.Native.shingleStrings(col("text"), 2).as("__sh"))
+    val withRep = scored.withColumn("__rep",
+      round(when(size(col("__sh")) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+          size(col("__sh")).cast("double")), 6))
+    // exact NTILE via the distributed rank primitive — no single-partition
+    // global sort at any corpus size (Ranks.withNtile: range partition +
+    // per-partition window + offset metadata)
+    graft.operators.Ranks.withNtile(withRep, "decile", 10,
+        Seq(col("__q"), col("doc_id")))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        round(sum(col("__q").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"),
+        round(sum(col("__rep").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_repetition"))
+  }
+
+  val cur1QualityDecilesSql: String = {
+    import graft.operators.TextAnalysisSql
+    val tk = TextHashSql.tokens("text")
+    val sh = TextHashSql.shingles("text", 2)
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    round(${TextAnalysisSql.qualityScore("text")}, 6) AS q,
+       |    CAST(len($tk) AS BIGINT) AS ntok,
+       |    round(CASE WHEN len($sh) = 0 THEN 0.0
+       |      ELSE 1.0 - CAST(len(list_distinct($sh)) AS DOUBLE) /
+       |        CAST(len($sh) AS DOUBLE) END, 6) AS rep
+       |  FROM documents),
+       |tiled AS (
+       |  SELECT *, CAST(NTILE(10) OVER (ORDER BY q, doc_id) AS BIGINT)
+       |    AS decile
+       |  FROM scored)
+       |SELECT decile, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_quality,
+       |  round(CAST(SUM(CAST(rep AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_repetition
+       |FROM tiled GROUP BY decile""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok3_bpe_train"         -> (tok3BpeTrain _),
+    "cur1_quality_deciles"   -> (cur1QualityDeciles _),
     "d12_dedup_yield"        -> (d12DedupYield _),
     "ctf1_class_tfidf"       -> (ctf1ClassTfidf _),
     "d13_incremental_neardup" -> (d13IncrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
     "tok3_bpe_train"         -> tok3BpeTrainSql,
+    "cur1_quality_deciles"   -> cur1QualityDecilesSql,
     "d12_dedup_yield"        -> d12DedupYieldSql,
     "ctf1_class_tfidf"       -> ctf1ClassTfidfSql,
     "d13_incremental_neardup" -> d13IncrementalNearDupSql)

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking — the scale path for the
+  * single-partition `Window.orderBy(...)` global sort: range-partition on
+  * the sort key, rank WITHIN partitions (parallel), then add per-partition
+  * row-count offsets. The offsets are numPartitions small ints — planning
+  * metadata, collected once. Exactness needs a TOTAL order (callers pass
+  * an id tie-break), so no duplicate key can straddle a partition
+  * boundary ambiguously; the range partitioner's sampled boundaries can
+  * land anywhere without changing the computed rank.
+  */
+object Ranks {
+
+  /** Adds `rankCol` = exact 1-based global rank under `sortCols` (must be
+    * a total order). One range shuffle + one per-partition window; no
+    * single-partition stage at any size. */
+  def withGlobalRank(df: DataFrame, rankCol: String,
+                     sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // eager checkpoint: the range partitioner SAMPLES, so without pinning
+    // the offsets job and the final job could see different boundaries
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offDf = offsets.toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(sortCols.map(c => c): _*)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
+  /** Adds `tileCol` = exact NTILE(k) under `sortCols` (total order),
+    * reproducing SQL NTILE's uneven-split rule: with N = q·k + r, the
+    * first r tiles carry q+1 rows. N comes from the same offsets pass
+    * ranking already does — no extra job. */
+  def withNtile(df: DataFrame, tileCol: String, k: Int,
+                sortCols: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ranked = withGlobalRank(df, "__rank", sortCols)
+    // N via one aggregate over the ranked table would re-scan; the max
+    // rank IS N, but computing it distributedly again costs a job — use
+    // a scalar subquery-free trick: max over the broadcast offsets was
+    // dropped, so recount cheaply on the pinned table.
+    val n = ranked.agg(max(col("__rank"))).head().getLong(0)
+    val q = n / k
+    val r = n % k
+    val bigCut = (q + 1) * r // ranks 1..bigCut live in the r larger tiles
+    val tile = when(lit(r) > 0 && col("__rank") <= bigCut,
+        ((col("__rank") - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(lit(r) + ((col("__rank") - 1 - bigCut) / math.max(q, 1L))
+        .cast("long") + 1)
+    ranked.withColumn(tileCol, tile).drop("__rank")
+  }
+}

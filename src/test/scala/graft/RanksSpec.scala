@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalRank == single-partition window rank on random data") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 997).map(i => (i.toLong, rnd.nextInt(50).toDouble))
+      .toDF("id", "v").repartition(13)
+    val got = Ranks.withGlobalRank(df, "r", Seq($"v", $"id"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withNtile == window NTILE, including uneven splits (N % k != 0)") {
+    val rnd = new scala.util.Random(9)
+    for (n <- Seq(10, 97, 1000); k <- Seq(3, 10)) {
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(20).toDouble))
+        .toDF("id", "v").repartition(7)
+      val got = Ranks.withNtile(df, "t", k, Seq($"v", $"id"))
+        .select($"id", $"t").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy($"v", $"id")).cast("long"))
+        .select($"id", $"t").as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("N < k: each row is its own tile") {
+    val df = Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("id", "v")
+    val got = Ranks.withNtile(df, "t", 10, Seq($"v", $"id"))
+      .select($"id", $"t").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+}
