@@ -264,7 +264,65 @@ object Queries24 {
        |FROM tiled GROUP BY decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Q18: the TPC-H Q5 shape — six-way star join (region -> nation ->
+  // customer/supplier -> orders -> lineitem) with the local-supplier
+  // condition (c_nationkey = s_nationkey), a region filter that prunes
+  // through two broadcast dims, and a pushed orderdate range. Revenue per
+  // nation in DECIMAL. The relational stress test: the fact table joins
+  // once by shuffle (orders), everything else broadcasts, and the region/
+  // date predicates reach the scans.
+  // ---------------------------------------------------------------------
+  def q18Star5(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(18,2)"
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("decimal(38,4)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q18Star5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_star5"              -> (q18Star5 _),
     "tok3_bpe_train"         -> (tok3BpeTrain _),
     "cur1_quality_deciles"   -> (cur1QualityDeciles _),
     "d12_dedup_yield"        -> (d12DedupYield _),
@@ -272,6 +330,7 @@ object Queries24 {
     "d13_incremental_neardup" -> (d13IncrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q18_star5"              -> q18Star5Sql,
     "tok3_bpe_train"         -> tok3BpeTrainSql,
     "cur1_quality_deciles"   -> cur1QualityDecilesSql,
     "d12_dedup_yield"        -> d12DedupYieldSql,

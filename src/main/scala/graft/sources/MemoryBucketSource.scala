@@ -80,9 +80,13 @@ object MemoryBucketSource {
       .map(_.getAbsolutePath).sorted
   }
 
+  /** A store path that was never bootstrapped is an unavailable backing
+    * service, not a bad request — same taxonomy mapping as
+    * [[graft.operators.MemoryOps.openStore]] (reference src/error.rs:41,139). */
   def firstFile(root: String): String =
     listFiles(root, None).headOption.getOrElse(
-      throw new IllegalArgumentException(s"no parquet files under $root"))
+      throw new graft.UnavailableException(
+        s"memory store at '$root' is not bootstrapped (no parquet files)"))
 
   def inferSchema(file: String): StructType = {
     val reader = ParquetFileReader.open(

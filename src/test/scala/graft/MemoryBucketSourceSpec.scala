@@ -83,6 +83,15 @@ class MemoryBucketSourceSpec extends SparkSpec {
       plan.contains("LessThan(label,4)"))
   }
 
+  test("unbootstrapped store path maps to the 503 taxonomy error") {
+    val missing = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    val e = intercept[graft.UnavailableException] {
+      spark.read.format("graft.sources.MemoryBucketSource")
+        .option("path", missing).load()
+    }
+    assert(e.status == 503)
+  }
+
   test("column pruning narrows the parquet read schema") {
     val df = source.select($"id", $"label")
     assert(df.queryExecution.executedPlan.toString.contains("GraftMemoryBucketScan"))

@@ -117,4 +117,11 @@ class PlanSpec extends SparkSpec {
     val p = planN(Queries3.registry, "c1_contamination")
     assert(p.contains("LeftSemi") && p.contains("Broadcast"))
   }
+
+  test("q18_star5: dims broadcast, orderdate range pushed to the scan") {
+    val p = planN(Queries24.registry, "q18_star5")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
 }
