@@ -321,8 +321,23 @@ object Queries24 {
       |  AND o_orderdate < TIMESTAMP '1999-01-01'
       |GROUP BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E15: streaming replay of d13 — the new-crawl slice as real
+  // micro-batches, each deduped against the static corpus in
+  // foreachBatch; the accumulated pair table must equal the one-shot
+  // batch join, so the oracle is d13's SQL verbatim.
+  // ---------------------------------------------------------------------
+  def e15StreamNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayIncrementalDedup(
+        Tables.documents(spark, sfDir))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  val e15StreamNearDupSql: String = d13IncrementalNearDupSql
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_star5"              -> (q18Star5 _),
+    "e15_stream_neardup"     -> (e15StreamNearDup _),
     "tok3_bpe_train"         -> (tok3BpeTrain _),
     "cur1_quality_deciles"   -> (cur1QualityDeciles _),
     "d12_dedup_yield"        -> (d12DedupYield _),
@@ -331,6 +346,7 @@ object Queries24 {
 
   val oracles: Map[String, String] = Map(
     "q18_star5"              -> q18Star5Sql,
+    "e15_stream_neardup"     -> e15StreamNearDupSql,
     "tok3_bpe_train"         -> tok3BpeTrainSql,
     "cur1_quality_deciles"   -> cur1QualityDecilesSql,
     "d12_dedup_yield"        -> d12DedupYieldSql,

@@ -507,6 +507,63 @@ object EventStream {
   def replayHopping(events: DataFrame, chunks: Int = 6): DataFrame =
     replayAggregated(events, chunks, hoppingAgg(_), "graft_e14_")
 
+  /** E15 — STREAMING incremental near-dup: the ingest-time dedup pattern
+    * end to end. The "new crawl" slice (doc_id % 7 = 3) replays as real
+    * micro-batches; each batch runs the banded MinHash probe against the
+    * STATIC accepted corpus inside foreachBatch (exactly how a production
+    * ingest job composes a batch operator with a stream), and its
+    * verified pairs append to the accepted-pairs table. Batches cover
+    * disjoint id ranges, so the accumulated table must equal the one-shot
+    * batch form — d13's oracle SQL verbatim. State is the corpus index
+    * (static, shared across batches); the stream itself carries none.
+    */
+  def replayIncrementalDedup(docs: DataFrame, chunks: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val batchSide = docs.where(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val dir = chunkedReplayDir(
+      batchSide.withColumn("__sec", col("doc_id")),
+      Seq("doc_id", "text"), chunks)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_e15_out").toString
+    // seed the sink with the empty schema so an all-clean replay still reads
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("corpus_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      pairSchema).write.mode("append").parquet(outDir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
+      else java.nio.file.Files.createTempDirectory("graft_ckpt")).toString
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          graft.operators.Dedup.minhashNearDupsAgainst(
+              corpus, batch, "doc_id", "text", threshold)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    spark.read.parquet(outDir)
+  }
+
   private def replayAggregated(events: DataFrame, chunks: Int,
       agg: DataFrame => DataFrame, sinkPrefix: String): DataFrame = {
     val spark = events.sparkSession
