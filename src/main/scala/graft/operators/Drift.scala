@@ -36,11 +36,11 @@ object Drift {
       .agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__cb"))
-    val cdf = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(
-      sum(col("__ca")).over(cdf).as("__cca"),
-      sum(col("__cb")).over(cdf).as("__ccb"))
+    // distributed prefix sums over the distinct-value table — exact longs,
+    // no single-partition window at any cardinality (Ranks.withRunningSums)
+    val cum = Ranks.withRunningSums(g,
+        Seq("__ca" -> "__cca", "__cb" -> "__ccb"), Seq(col("__v")))
+      .select(col("__cca"), col("__ccb"))
     val tot = g.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     cum.crossJoin(broadcast(tot))
       .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))

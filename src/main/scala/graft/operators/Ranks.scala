@@ -43,6 +43,49 @@ object Ranks {
       .drop("__pid", "__offset")
   }
 
+  /** Adds exact running (prefix) sums of LONG columns under `sortCols`
+    * (total order) — the distributed scale path for
+    * `sum(...).over(Window.orderBy(...))` global cumulative windows: range
+    * partition, per-partition running sums, then add the preceding
+    * partitions' totals (numPartitions longs of planning metadata). Exact
+    * because the inputs are longs; a money variant would carry DECIMAL
+    * offsets the same way. `sums` maps value column -> output column. */
+  def withRunningSums(df: DataFrame, sums: Seq[(String, String)],
+                      sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggCols = sums.map { case (v, _) => sum(col(v)).as(s"__t_$v") }
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    val offsetRows = totals.zipWithIndex.map { case (row, i) =>
+      val prior = totals.take(i)
+      org.apache.spark.sql.Row.fromSeq(
+        row.getInt(0) +: sums.indices.map(j =>
+          prior.map(_.getLong(j + 1)).sum))
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        sums.map { case (v, _) =>
+          org.apache.spark.sql.types.StructField(s"__off_$v",
+            org.apache.spark.sql.types.LongType)
+        })
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toSeq, 1), offSchema)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(ranged.join(broadcast(offDf), Seq("__pid"))) {
+      case (acc, (v, out)) =>
+        acc.withColumn(out, sum(col(v)).over(w) + col(s"__off_$v"))
+    }.drop("__pid" +: sums.map { case (v, _) => s"__off_$v" }: _*)
+  }
+
   /** Adds `tileCol` = exact NTILE(k) under `sortCols` (total order),
     * reproducing SQL NTILE's uneven-split rule: with N = q·k + r, the
     * first r tiles carry q+1 rows. N comes from the same offsets pass

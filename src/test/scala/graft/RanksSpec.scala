@@ -34,6 +34,22 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSums == global cumulative window on random longs") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 800).map(i => (i.toLong, rnd.nextInt(9).toLong, rnd.nextInt(5).toLong))
+      .toDF("id", "x", "y").repartition(11)
+    val got = Ranks.withRunningSums(df,
+        Seq("x" -> "cx", "y" -> "cy"), Seq($"id"))
+      .select($"id", $"cx", $"cy").as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val w = Window.orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select($"id", sum($"x").over(w).as("cx"), sum($"y").over(w).as("cy"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got == want)
+  }
+
   test("N < k: each row is its own tile") {
     val df = Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("id", "v")
     val got = Ranks.withNtile(df, "t", 10, Seq($"v", $"id"))
