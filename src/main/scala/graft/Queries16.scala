@@ -15,9 +15,11 @@ object Queries16 {
   // RFM1: RFM segmentation — per-user Recency (days since last event),
   // Frequency (event count), Monetary (DECIMAL value sum) quartiled into
   // a 3-digit segment code. The classic base-personalization table: three
-  // exact per-user aggregates, three ntile windows over the user table.
-  // Quartile ties break on user_id via the window order, identically in
-  // both engines.
+  // exact per-user aggregates, three exact NTILE passes over the user
+  // table — each through operators/Ranks (range partition + per-partition
+  // window + offset metadata), so the user table never funnels through a
+  // single-partition global sort. Quartile ties break on user_id,
+  // identically in both engines.
   // ---------------------------------------------------------------------
   def rfm1Segmentation(spark: SparkSession, sfDir: String): DataFrame = {
     val perUser = Tables.events(spark, sfDir)
@@ -26,17 +28,17 @@ object Queries16 {
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
     val maxTs = perUser.agg(max(col("__last")).as("__maxts"))
-    def q(c: String, asc: Boolean) = ntile(4).over(
-      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id").asc))
-    perUser.crossJoin(broadcast(maxTs))
+    val base = perUser.crossJoin(broadcast(maxTs))
       .withColumn("recency_days", expr("(__maxts - __last) div 86400"))
-      // R: recent = best (asc recency); F/M: high = best (desc)
-      .withColumn("r", q("recency_days", asc = true).cast("long"))
-      .withColumn("f", q("frequency", asc = false).cast("long"))
-      .withColumn("m", q("monetary", asc = false).cast("long"))
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        round(col("monetary"), 2).as("monetary"),
-        concat(col("r"), col("f"), col("m")).as("segment"))
+    // R: recent = best (asc recency); F/M: high = best (desc)
+    val tiled = Seq(
+      ("r", col("recency_days").asc), ("f", col("frequency").desc),
+      ("m", col("monetary").desc)).foldLeft(base) { case (acc, (out, key)) =>
+      graft.operators.Ranks.withNtile(acc, out, 4, Seq(key, col("user_id").asc))
+    }
+    tiled.select(col("user_id"), col("recency_days"), col("frequency"),
+      round(col("monetary"), 2).as("monetary"),
+      concat(col("r"), col("f"), col("m")).as("segment"))
   }
 
   val rfm1SegmentationSql: String =

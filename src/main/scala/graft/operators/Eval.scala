@@ -24,19 +24,23 @@ object Eval {
     * grouping by score makes each run's doubled rank-sum
     * cp·(2·base + c + 1) a long, so partitioning and accumulation order
     * cannot perturb the result — the oracle compares a single exact
-    * rational. The unpartitioned running-count window runs over the
-    * distinct-score table (bounded when scores are rounded, as callers
-    * should for cross-engine rank parity); the raw scan collapses into the
-    * groupBy map-side, so nothing driver-sized ever materializes.
+    * rational. The running count over the distinct-score table goes
+    * through [[Ranks.withRunningSums]] (range partition + per-partition
+    * prefix sums + numPartitions offset longs), so even a CONTINUOUS
+    * score column — distinct-score table as big as the input — never
+    * funnels through a single-partition window; the raw scan collapses
+    * into the groupBy map-side, so nothing driver-sized ever
+    * materializes.
     */
   def aucRankSum(df: DataFrame, score: Column, positive: Column): DataFrame = {
     val g = df.select(score.as("__s"), positive.cast("boolean").as("__p"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"))
-    val asc = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = g.withColumn("__base", sum(col("__c")).over(asc) - col("__c"))
+    // grouped scores are distinct, so (__s) alone is the total order
+    // withRunningSums requires
+    val ranked = Ranks.withRunningSums(g, Seq("__c" -> "__cum"), Seq(col("__s")))
+      .withColumn("__base", col("__cum") - col("__c"))
     ranked.agg(
         sum(col("__cp")).as("__P"),
         sum(col("__c") - col("__cp")).as("__N"),

@@ -27,32 +27,61 @@ object GraphOps {
     * Kept as the reference form the degree-ordered variant is
     * property-tested against; [[triangles]] is the production entry.
     */
-  def trianglesNodeIterator(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
+  def trianglesNodeIterator(edges: DataFrame): DataFrame =
+    trianglesPlainOn(canonicalEdges(edges))
+
+  private def trianglesPlainOn(e: DataFrame): DataFrame =
     e.as("x").join(e.as("y"), col("x.id2") === col("y.id1"))
       .select(col("x.id1").as("a"), col("x.id2").as("b"), col("y.id2").as("c"))
       .join(e.as("z"),
         col("a") === col("z.id1") && col("c") === col("z.id2"))
       .select(col("a"), col("b"), col("c"))
-  }
 
-  /** Triangle enumeration, DEGREE-ORDERED node-iterator (node-iterator++):
-    * orient every edge from its lower-(degree, id) endpoint to the higher,
-    * build wedges only from each vertex's out-edges, close with an
-    * oriented edge. Output is identical to [[trianglesNodeIterator]] —
-    * each triangle once, endpoints sorted ascending.
+  /** Skew decision for [[triangles]]: pay the degree-orientation joins
+    * only when the hottest vertex would actually blow up the plain wedge
+    * join — maxDeg > 2·√(2m), i.e. the hub's O(maxDeg²) wedges exceed a
+    * constant multiple of the O(m) edge count everything else touches.
+    * Near-dup graphs are usually small tight clusters (unskewed → plain
+    * form, two joins, no degree table); power-law graphs trip the guard
+    * and take the O(m^{3/2})-bounded oriented form.
+    */
+  private[graft] def needsDegreeOrdering(maxDeg: Long, degSum: Long): Boolean =
+    maxDeg.toDouble * maxDeg.toDouble > 4.0 * degSum.toDouble
+
+  /** Triangle enumeration, ADAPTIVE: canonicalize and pin the edge list,
+    * measure (max degree, Σdegree) with one vertex-keyed aggregate — an
+    * AQE-style planning statistic, the [[graft.operators.Joins]]
+    * autoSaltedJoin pattern — and pick the plan:
     *
-    * Why at scale: with plain ordering a high-degree vertex contributes
-    * O(deg²) wedges; orienting by degree bounds every out-degree by
-    * O(√m), so total wedge count is O(m^{3/2}) REGARDLESS of skew — the
-    * standard guard for power-law duplicate graphs. Costs one extra
-    * degree aggregate + two broadcast-able joins of degree onto edges.
+    *  - unskewed (maxDeg ≤ 2·√(2m)): plain node-iterator — two joins
+    *    over the pinned edges, no degree table on the hot path;
+    *  - skewed: DEGREE-ORDERED node-iterator (node-iterator++) — orient
+    *    every edge from its lower-(degree, id) endpoint, build wedges
+    *    only from out-edges, close with an oriented edge. Orienting by
+    *    degree bounds every out-degree by O(√m), so total wedge count is
+    *    O(m^{3/2}) REGARDLESS of skew — the standard guard for power-law
+    *    duplicate graphs.
+    *
+    * Both plans return identical rows — each triangle once, endpoints
+    * ascending (property-pinned in GraphOpsSpec). The edge list is
+    * localCheckpoint-pinned, so a caller's expensive upstream (e.g. a
+    * near-dup pair join) runs ONCE for the decision statistic and the
+    * chosen plan together, never twice.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
+    val e = canonicalEdges(edges).localCheckpoint(true)
     val deg = e.select(col("id1").as("v"))
       .unionAll(e.select(col("id2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val stats = deg.agg(max(col("d")).as("mx"), sum(col("d")).as("sm")).head()
+    val skewed = !stats.isNullAt(0) &&
+      needsDegreeOrdering(stats.getLong(0), stats.getLong(1))
+    if (skewed) trianglesDegreeOrderedOn(e, deg) else trianglesPlainOn(e)
+  }
+
+  /** The degree-ordered plan on pre-canonicalized edges + their degree
+    * table (see [[triangles]]). */
+  private def trianglesDegreeOrderedOn(e: DataFrame, deg: DataFrame): DataFrame = {
     // canonical edges have id1 < id2, so (d,id)-order reduces to: keep
     // id1→id2 when d1 <= d2 (tie broken by the id order already present)
     val oriented = e

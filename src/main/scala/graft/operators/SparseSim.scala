@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions._
   * ~quadratically on natural language — fine as a blocked validation
   * baseline, fatal at 100 TB. The prefix filter fixes exactly that:
   *
-  * Each document indexes only its highest-weight terms — the minimal
-  * prefix (by descending normalized weight) whose REMAINING suffix has
-  * L2 norm < t. Probing with ALL terms against that index is exact for
-  * `cosine >= t`: a pair sharing no indexed term has every shared term
-  * in both suffixes, so by Cauchy-Schwarz
-  * `cos(x,y) <= ||suffix(x)|| * ||suffix(y)|| < t² <= t`.
-  * Stop-words carry the LOWEST TF-IDF weight, so they land in suffixes —
-  * the hot posting lists simply never materialize on the index side,
-  * and candidate count tracks true near-duplicate density, not
-  * vocabulary skew. (Bayardo et al., "Scaling Up All Pairs Similarity
-  * Search", WWW'07 — the all-pairs/prefix bound, residual-norm form.)
+  * Each document indexes only a residual-norm PREFIX of its terms —
+  * the minimal set whose excluded suffix has L2 norm < t — so a
+  * qualifying pair must share an indexed term and the hot stop-word
+  * posting lists (lowest TF-IDF weight → always in suffixes) never
+  * materialize on an index side; candidate count tracks true
+  * near-duplicate density, not vocabulary skew. Two exact generators
+  * exist — one-sided probe-all⋈prefix under per-doc weight order
+  * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07)
+  * and two-sided prefix⋈prefix under a global rarest-first order with a
+  * positional prune (the PPJoin refinement, Xiao et al., WWW'08) — and
+  * [[cosinePairsPrefix]] picks between them from a measured vocabulary
+  * statistic, since their costs flip between Zipfian and flat-df
+  * corpora.
   *
   * Candidate pairs are then verified EXACTLY on the full term vectors
   * with the same DECIMAL-quantized arithmetic as the brute join, so both
@@ -112,28 +114,16 @@ object SparseSim {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
-  /** Prefix-filtered exact cosine pairs (see object doc for the proof).
-    *
-    * Plan: one vocabulary-sized DF aggregate + a per-doc rank window to
-    * derive the prefix index, then a probe(all) ⋈ index(prefix) posting
-    * join for candidates and an exact verify on the full vectors. Every
-    * stage shuffles posting-sized data on term or pair keys — nothing
-    * driver-sized, nothing all-pairs, no stop-word posting ever joined
-    * on the index side.
-    */
-  def cosinePairsPrefix(w0: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      "prefix-filtered cosine needs a threshold in (0, 1]")
-    // w feeds the norms, the prefix index, the probe side, and both
-    // verify sides: pin once (Catalyst recomputes multi-consumer
-    // subtrees otherwise)
-    val w = w0.select(col("doc_id"), col("tok"), col("w")).localCheckpoint(true)
-    val norms = normsOf(w)
-    // normalized weight — prefix selection only; the verify arithmetic
-    // stays on raw weights so results are bit-identical to the brute join
-    val wn = w.join(norms, Seq("doc_id"))
-      .select(col("doc_id"), col("tok"),
-        (col("w") / col("__norm")).as("__wn"))
+  /** Candidate generation, ONE-SIDED form: probe ALL terms against a
+    * per-doc descending-weight prefix index. Exact for `cosine >= t`: a
+    * pair sharing no indexed term has every shared term in both pure
+    * suffixes, and each excluded suffix has norm < t, so
+    * `cos <= ||suffix(x)|| * ||y|| < t`. The per-doc weight order makes
+    * this index prefix the MINIMAL one — the right choice when the
+    * corpus-wide term order carries no signal (flat document
+    * frequencies, tiny vocabularies). */
+  private def candidatesProbeIndex(w: DataFrame, wn: DataFrame,
+                                   threshold: Double): DataFrame = {
     val byWeight = Window.partitionBy(col("doc_id"))
       .orderBy(col("__wn").desc, col("tok"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -148,13 +138,110 @@ object SparseSim {
       .select(col("doc_id").as("__pid"), col("tok"))
     // probe ALL terms against the prefix index; either orientation of a
     // qualifying pair hits (shared term in x's prefix OR y's prefix)
-    val cand = w.select(col("doc_id").as("__qid"), col("tok"))
+    w.select(col("doc_id").as("__qid"), col("tok"))
       .join(prefix, Seq("tok"))
       .where(col("__qid") =!= col("__pid"))
       .select(
         least(col("__qid"), col("__pid")).as("id1"),
         greatest(col("__qid"), col("__pid")).as("id2"))
       .distinct()
+  }
+
+  /** Candidate generation, TWO-SIDED form: prefix⋈prefix under one
+    * corpus-wide rarest-first term order (ascending document frequency,
+    * token tie-break), with a positional residual-norm prune — the
+    * PPJoin refinement. With `sfx(x, s)` the L2 norm of x's terms
+    * at-or-after s in the global order, a pair with `cos(x,y) >= t` has,
+    * at its globally-first shared term s1, ALL shared terms inside both
+    * inclusive suffixes, so by Cauchy-Schwarz
+    * `t <= dot <= sfx(x,s1) * sfx(y,s1)` — hence `sfx >= t` on BOTH
+    * sides (each factor is <= 1) and the product of squared suffixes is
+    * `>= t²`. Indexing only rows with `sfx² >= t²` on both join sides
+    * and pruning joined rows where `sfx_a² * sfx_b² < t²` therefore
+    * never drops a qualifying pair, while shrinking BOTH join sides to
+    * prefixes — quadratically fewer pre-distinct rows than the one-sided
+    * form whenever the global order tracks per-doc weight order, which
+    * is exactly the Zipfian regime [[cosinePairsPrefix]] dispatches it
+    * for. */
+  private def candidatesPrefixPrefix(w: DataFrame, wn: DataFrame,
+                                     dfByTok: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val byGlobal = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__tdf").asc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = wn.join(dfByTok, Seq("tok"))
+      .withColumn("__suffix_sq",
+        lit(1.0) - coalesce(sum(col("__wn") * col("__wn")).over(byGlobal), lit(0.0)))
+      .where(col("__suffix_sq") >= lit(threshold * threshold - 1e-9))
+      .select(col("doc_id"), col("tok"), col("__suffix_sq"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.__suffix_sq") * col("b.__suffix_sq") >=
+        lit(threshold * threshold - 1e-9))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Dispatch statistic for [[cosinePairsPrefix]]: relative dispersion
+    * (stddev/mean) of log(df+1) over the VOCABULARY — same stddev as
+    * smooth-idf (an affine transform), with a mean that anchors the
+    * scale. Near zero means
+    * document frequencies are flat — the global rarest-first order is
+    * noise w.r.t. per-doc weight order, global-order prefixes balloon
+    * toward whole documents, and the two-sided join degrades to the
+    * brute posting join; large means Zipfian frequencies, where the
+    * global and per-doc orders align and the two-sided join shrinks both
+    * sides. Threshold 0.25 splits the regimes with wide margin (flat
+    * fixtures measure < 0.05, natural-language Zipf > 1). */
+  private[graft] def preferTwoSided(idfDispersion: Double): Boolean =
+    idfDispersion > 0.25
+
+  /** Prefix-filtered exact cosine pairs (see object doc for the proof
+    * family). ADAPTIVE: both candidate generators are exact superset
+    * generators feeding the same exact verify, so the choice between
+    * them is pure cost — made from a measured vocabulary statistic
+    * (idf dispersion; one vocabulary-sized aggregate, the AQE-style
+    * planning pattern used by autoSaltedJoin and the adaptive triangle
+    * enumeration):
+    *
+    *  - Zipfian vocabularies → [[candidatesPrefixPrefix]] (two-sided,
+    *    both join sides prefix-only, stop-words on neither side);
+    *  - flat/tiny vocabularies → [[candidatesProbeIndex]] (one-sided,
+    *    minimal per-doc-weight prefixes — the global order carries no
+    *    signal there, so two-sided prefixes would approach whole
+    *    documents).
+    *
+    * Plan: one vocabulary-sized aggregate + a per-doc cumulative window
+    * to derive the prefix index, a posting join for candidates, then an
+    * exact verify on the full vectors. Every stage shuffles
+    * posting-sized data on term or pair keys — nothing driver-sized,
+    * nothing all-pairs, no stop-word posting ever joined on an index
+    * side.
+    */
+  def cosinePairsPrefix(w0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefix-filtered cosine needs a threshold in (0, 1]")
+    // w feeds the norms, the prefix index, and both verify sides: pin
+    // once (Catalyst recomputes multi-consumer subtrees otherwise)
+    val w = w0.select(col("doc_id"), col("tok"), col("w")).localCheckpoint(true)
+    val norms = normsOf(w)
+    // normalized weight — prefix selection only; the verify arithmetic
+    // stays on raw weights so results are bit-identical to the brute join
+    val wn = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("tok"),
+        (col("w") / col("__norm")).as("__wn"))
+    // the global term order key and the dispatch statistic both come
+    // from one vocabulary-sized df aggregate over the pinned postings
+    val dfByTok = w.groupBy(col("tok")).agg(count(lit(1)).as("__tdf"))
+    val stats = dfByTok.agg(
+        stddev_pop(log(col("__tdf") + 1.0)).as("sd"),
+        avg(log(col("__tdf") + 1.0)).as("mu")).head()
+    val dispersion =
+      if (stats.isNullAt(0) || stats.getDouble(1) == 0.0) 0.0
+      else stats.getDouble(0) / stats.getDouble(1)
+    val cand =
+      if (preferTwoSided(dispersion)) candidatesPrefixPrefix(w, wn, dfByTok, threshold)
+      else candidatesProbeIndex(w, wn, threshold)
     verifyPairs(cand, w, norms, threshold)
   }
 

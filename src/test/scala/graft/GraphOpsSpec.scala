@@ -37,6 +37,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(ref == tris)
   }
 
+  test("adaptive decision: orientation only when maxDeg > 2·sqrt(2m)") {
+    // unskewed: 100 edges (degSum 200), maxDeg 20 → 400 <= 800 → plain
+    assert(!GraphOps.needsDegreeOrdering(maxDeg = 20, degSum = 200))
+    // skewed: same edge count, one hub of degree 50 → 2500 > 800
+    assert(GraphOps.needsDegreeOrdering(maxDeg = 50, degSum = 200))
+    // boundary is exclusive
+    assert(!GraphOps.needsDegreeOrdering(maxDeg = 20, degSum = 100))
+  }
+
+  test("skewed graphs (hub + random tail) take the oriented plan and still match the reference") {
+    for (seed <- Seq(3, 11)) {
+      // a 45-degree hub over 30 vertices guarantees maxDeg² > 4·degSum,
+      // so triangles() provably runs the degree-ordered branch here
+      val hub = (1 to 45).map(i => (1000L, i.toLong))
+      val edges = (hub ++ randomEdges(seed, n = 30, m = 80)).toDF("id1", "id2")
+      val fast = GraphOps.triangles(edges)
+        .as[(Long, Long, Long)].collect().sorted
+      val ref = GraphOps.trianglesNodeIterator(edges)
+        .as[(Long, Long, Long)].collect().sorted
+      assert(fast.sameElements(ref), s"seed $seed")
+      assert(fast.distinct.length == fast.length)
+      assert(fast.forall { case (a, b, c) => a < b && b < c })
+    }
+  }
+
   test("skew guard: star graph (one hub) yields zero wedge-join blowup") {
     // hub 0 connected to 1..40, plus one triangle 1-2 edge
     val star = (1 to 40).map(i => (0L, i.toLong)) :+ ((1L, 2L))

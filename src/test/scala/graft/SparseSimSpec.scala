@@ -36,6 +36,47 @@ class SparseSimSpec extends SparkSpec {
     }
   }
 
+  test("Zipfian corpora dispatch to the two-sided generator and still match brute") {
+    // heavy head (3 stop-words in every doc) + long unique tail: the
+    // Zipf regime where log-df dispersion exceeds the 0.25 dispatch cut
+    val base = (0L until 40L).map { i =>
+      val tail = (1 to 6).map(k => s"rare${i}_$k").mkString(" ")
+      (i, s"the of and $tail unique$i")
+    }
+    val docs = (base ++ Seq(
+      (100L, base(0)._2), (101L, base(1)._2 + " extra"),
+      (102L, base(2)._2))).toDF("doc_id", "text")
+    val w = SparseSim.tfidfWeights(docs, "doc_id", "text")
+    // replicate the dispatch statistic: this corpus must land two-sided
+    val dfByTok = w.groupBy($"tok").agg(count(lit(1)).as("tdf"))
+    val s = dfByTok.agg(
+      stddev_pop(log($"tdf" + 1.0)), avg(log($"tdf" + 1.0))).head()
+    val dispersion = s.getDouble(0) / s.getDouble(1)
+    assert(dispersion > 0.25, s"fixture not Zipfian enough: $dispersion")
+    assert(graft.operators.SparseSim.preferTwoSided(dispersion))
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val brute = canon(SparseSim.cosinePairsBrute(w, t))
+      val prefixed = canon(SparseSim.cosinePairsPrefix(w, t))
+      assert(prefixed == brute, s"threshold $t")
+      assert(brute.nonEmpty, s"threshold $t: degenerate fixture")
+    }
+  }
+
+  test("flat-vocabulary corpora dispatch one-sided (dispersion below the cut)") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = SparseSim.tfidfWeights(docs, "doc_id", "text")
+    val dfByTok = w.groupBy($"tok").agg(count(lit(1)).as("tdf"))
+    val s = dfByTok.agg(
+      stddev_pop(log($"tdf" + 1.0)), avg(log($"tdf" + 1.0))).head()
+    val dispersion = s.getDouble(0) / s.getDouble(1)
+    assert(dispersion < 0.25, s"flat fixture measured Zipfian: $dispersion")
+    assert(!graft.operators.SparseSim.preferTwoSided(dispersion))
+  }
+
   test("universal stop-word never lands in a prefix index posting") {
     // every doc shares 'common' twice; distinctive tails dominate weight
     val docs = ((0L until 40L).map { i =>
