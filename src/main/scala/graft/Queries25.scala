@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 continuation: iterative graph analytics. Same contract as
+  * [[Queries]].
+  */
+object Queries25 {
+
+  // ---------------------------------------------------------------------
+  // PR1: PageRank over the purchase graph — customers and suppliers as
+  // nodes (disjoint bigint id spaces: even = customer, odd = supplier),
+  // one symmetric edge per distinct (customer, supplier) trade from
+  // lineitem ⋈ orders. Six power iterations, damping 0.85, DECIMAL-
+  // quantized contribution sums (operators/PageRank) — the "who anchors
+  // the trade network" centrality. Symmetrizing makes every node have
+  // out-edges, so no dangling-mass correction is needed and rank mass is
+  // conserved. The oracle unrolls the six iterations as chained CTEs
+  // with identical arithmetic.
+  // ---------------------------------------------------------------------
+  private val PrIters = 6
+
+  def pr1PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    graft.operators.PageRank.ranks(edges, PrIters)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  val pr1PageRankSql: String = {
+    def iter(k: Int): String =
+      s"""p$k AS (
+         |  SELECT nodes.node,
+         |    CAST(0.15 AS DOUBLE)/nn.n
+         |      + CAST(0.85 AS DOUBLE)*COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(p.rank/d.outd AS DECIMAL(28,10))) AS DOUBLE) AS s
+         |    FROM e JOIN d ON e.src = d.src JOIN p${k - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS c,
+       |    CAST(l_suppkey AS BIGINT)*2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM pairs
+       |      UNION ALL SELECT s, c FROM pairs),
+       |d AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |p0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT node, round(rank, 6) AS rank FROM p$PrIters""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_pagerank" -> (pr1PageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "pr1_pagerank" -> pr1PageRankSql)
+}

@@ -27,7 +27,8 @@ object SparkEntry {
       Queries13.registry ++ Queries14.registry ++ Queries15.registry ++
       Queries16.registry ++ Queries17.registry ++ Queries18.registry ++
       Queries19.registry ++ Queries20.registry ++ Queries21.registry ++
-      Queries22.registry ++ Queries23.registry ++ Queries24.registry
+      Queries22.registry ++ Queries23.registry ++ Queries24.registry ++
+      Queries25.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++
       Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++
       Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++
-      Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles
+      Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++
+      Queries25.oracles
 }

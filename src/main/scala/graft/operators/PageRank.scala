@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over a directed edge list — the classic
+  * iterative-dataflow graph operator (power iteration with damping),
+  * joining [[GraphOps]] (triangles) and [[Dedup]] (components) in the
+  * graph-analytics surface. Extension surface — the reference exposes no
+  * graph queries (SURVEY.md §2.5).
+  *
+  * Determinism: per-iteration contributions `rank/outDegree` are
+  * quantized to DECIMAL(28,10) BEFORE the per-node sum, so the
+  * accumulated in-flow is exact and accumulation/partition order cannot
+  * perturb the result — the same order-proof pattern as every money sum
+  * in the engine. All remaining arithmetic is single IEEE double ops
+  * (one divide, one multiply, one add per node per iteration), which the
+  * DuckDB oracle reproduces bit-for-bit from unrolled CTEs.
+  *
+  * Scale: each iteration is one edge-keyed join (edges ⋈ ranks on src,
+  * shuffles edge-sized data) + one node-keyed aggregate. Ranks are
+  * node-sized and localCheckpoint-pinned per iteration, so lineage stays
+  * bounded at any iteration count; nothing driver-sized moves (the node
+  * count is one scalar of planning metadata for the teleport term).
+  */
+object PageRank {
+
+  /** PageRank after exactly `iters` power iterations, damping 0.85,
+    * uniform init 1/N, teleport (1-0.85)/N. Input `edges` (src, dst) is
+    * deduplicated defensively; every node reachable in the edge list
+    * gets a row. Callers must ensure no dangling nodes (every node has
+    * at least one out-edge) — e.g. by symmetrizing a bipartite graph —
+    * or rank mass leaks, as in the textbook formulation.
+    * Output: (node, rank), unrounded.
+    */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iteration count must be non-negative")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outd"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count() // one scalar: the teleport denominator
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outDeg, Seq("src"))
+        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("__in"), lit(0.0)))
+            .as("rank"))
+      // pin every iteration: the checkpoint job itself is node-sized and
+      // cheap, while leaving iterations lazy chains the edge join k-deep
+      // into one action (measured slower than the per-iteration jobs at
+      // sf0.1, 4M edges: 9.4 s vs 7.4 s) and grows planning time
+      rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
+}

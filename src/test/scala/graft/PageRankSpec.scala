@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference: same arithmetic as the operator — contributions
+    * quantized via Kernels.quant10 (proven == Spark's decimal cast),
+    * unscaled-long accumulation (exact), decimal→double at the end. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val e = edges.distinct
+    val outd = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- e)
+        in(d) += graft.functions.Kernels.quant10(rank(s) / outd(s))
+      rank = nodes.map { v =>
+        v -> (0.15 / n + 0.85 *
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(in(v)), 10)
+            .doubleValue())
+      }.toMap
+    }
+    rank
+  }
+
+  test("spark ranks == local reference, bit-for-bit, on random digraphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // symmetrized random graph: no dangling nodes by construction
+      val raw = (1 to 60).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+      val sym = raw ++ raw.map(_.swap)
+      val got = PageRank.ranks(sym.toDF("src", "dst"), iters = 5)
+        .as[(Long, Double)].collect().toMap
+      val want = ref(sym, 5)
+      assert(got.keySet == want.keySet, s"trial $trial: node sets differ")
+      for ((k, v) <- want)
+        assert(got(k) == v, s"trial $trial node $k: ${got(k)} != $v")
+    }
+  }
+
+  test("rank mass is conserved on symmetric graphs; cycle is uniform") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val r = PageRank.ranks(cycle.toDF("src", "dst"), iters = 8)
+      .as[(Long, Double)].collect().toMap
+    // a directed 3-cycle is regular: uniform 1/3 at every iteration, up
+    // to the DECIMAL(28,10) contribution quantization (1e-10 per step)
+    assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+    val hub = (2L to 9L).flatMap(i => Seq((1L, i), (i, 1L)))
+    val h = PageRank.ranks(hub.toDF("src", "dst"), iters = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(h.values.sum - 1.0) < 1e-6)
+    // the hub out-ranks every spoke
+    assert(h(1L) > h(2L) && (2L to 9L).forall(i => math.abs(h(i) - h(2L)) < 1e-12))
+  }
+
+  test("zero iterations returns the uniform init; empty edges yield no rows") {
+    val r = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 0)
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 0.5, 2L -> 0.5))
+    val e = PageRank.ranks(
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst"), 3)
+    assert(e.count() == 0L)
+  }
+}
