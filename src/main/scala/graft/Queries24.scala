@@ -170,7 +170,7 @@ object Queries24 {
   // text is re-normalized (split on space runs, re-doubled) every round.
   // Output: the merge table (round, lhs, rhs, n_before).
   // ---------------------------------------------------------------------
-  private val BpeRounds = 3
+  private[graft] val BpeRounds = 3
 
   def tok3BpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Bpe.train(

@@ -61,9 +61,52 @@ object Queries25 {
        |SELECT node, round(rank, 6) AS rank FROM p$PrIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // TOK4: BPE ENCODE — the apply half of the tokenizer loop tok3 trains.
+  // The corpus is re-encoded under the trained merge table (which falls
+  // out of the train loop for free: each round applies its winner before
+  // the next count) and reduced to the post-merge token-frequency table —
+  // the vocabulary histogram a tokenizer ships with. Same doubled-
+  // separator left-scan merge semantics as tok3 on both engines; the
+  // oracle replays the training CTE chain one round further (the final
+  // apply) and counts tokens.
+  // ---------------------------------------------------------------------
+  def tok4BpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Bpe.encodedCounts(
+      Tables.documents(spark, sfDir), "text", Queries24.BpeRounds)
+
+  val tok4BpeEncodeSql: String = {
+    def doubledSql(t: String) =
+      s"concat(' ', array_to_string(string_split_regex(trim($t), ' +'), '  '), ' ')"
+    def pairsOf(rel: String, p: String, w: String) =
+      s"""$p AS (
+         |  SELECT s[1] AS a, s[2] AS b FROM (
+         |    SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS s
+         |    FROM (SELECT string_split_regex(trim(txt), ' +') AS l FROM $rel))),
+         |$w AS (SELECT a, b, COUNT(*) AS n FROM $p GROUP BY a, b
+         |       ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    def nextRound(prev: String, w: String, next: String) =
+      s"""$next AS (
+         |  SELECT ${doubledSql(s"replace(txt, (SELECT concat(' ', a, '  ', b, ' ') FROM $w), (SELECT concat(' ', a, '_', b, ' ') FROM $w))")} AS txt
+         |  FROM $prev)""".stripMargin
+    val r = Queries24.BpeRounds
+    val ctes = Seq(
+      s"r0 AS (SELECT ${doubledSql("text")} AS txt FROM documents)") ++
+      (1 to r).flatMap { k =>
+        Seq(pairsOf(s"r${k - 1}", s"p$k", s"w$k"),
+          nextRound(s"r${k - 1}", s"w$k", s"r$k"))
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split_regex(trim(txt), ' +')) AS token FROM r$r)
+       |WHERE token <> '' GROUP BY token""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pr1_pagerank" -> (pr1PageRank _))
+    "pr1_pagerank"    -> (pr1PageRank _),
+    "tok4_bpe_encode" -> (tok4BpeEncode _))
 
   val oracles: Map[String, String] = Map(
-    "pr1_pagerank" -> pr1PageRankSql)
+    "pr1_pagerank"    -> pr1PageRankSql,
+    "tok4_bpe_encode" -> tok4BpeEncodeSql)
 }

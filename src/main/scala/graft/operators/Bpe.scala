@@ -24,10 +24,12 @@ object Bpe {
   private def doubled(t: Column): Column =
     concat(lit(" "), array_join(split(trim(t), " +"), "  "), lit(" "))
 
-  /** `rounds` merge decisions over `textCol`:
-    * (round, lhs, rhs, n_before) — n_before is the pair's corpus count
-    * at pick time. The merged token is "lhs_rhs". */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** The shared train loop: k rounds of count-pick-merge. Returns the
+    * merge decisions AND the corpus text with every merge applied (the
+    * loop applies each round's winner before counting the next, so the
+    * final text IS the encoded corpus — encoding costs nothing extra). */
+  private def trainLoop(docs: DataFrame, textCol: String,
+                        rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var txt = docs.select(doubled(col(textCol)).as("__txt"))
@@ -48,6 +50,27 @@ object Bpe {
         .localCheckpoint(true)
       (round.toLong, w._1, w._2, w._3)
     }
-    merges.toDF("round", "lhs", "rhs", "n_before")
+    (merges, txt)
+  }
+
+  /** `rounds` merge decisions over `textCol`:
+    * (round, lhs, rhs, n_before) — n_before is the pair's corpus count
+    * at pick time. The merged token is "lhs_rhs". */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainLoop(docs, textCol, rounds)._1.toDF("round", "lhs", "rhs", "n_before")
+  }
+
+  /** Train `rounds` merges, ENCODE the corpus with them, and return the
+    * resulting token-frequency table (token, n) — the apply half of the
+    * tokenizer loop. The encoded text falls out of the train loop for
+    * free (see [[trainLoop]]); counting is one explode + keyed count,
+    * map-side partial as always. Empty documents contribute no tokens. */
+  def encodedCounts(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (_, txt) = trainLoop(docs, textCol, rounds)
+    txt.select(explode(split(trim(col("__txt")), " +")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 }

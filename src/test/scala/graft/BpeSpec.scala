@@ -24,6 +24,24 @@ class BpeSpec extends SparkSpec {
     assert(m(1) == ((2L, "x_y", "z", 2L)))
   }
 
+  test("encodedCounts applies every trained merge and conserves token mass") {
+    // round 1 merges (a,a) [n=3]; 'a a a' -> [a_a, a], 'a a b' -> [a_a, b]
+    val docs = Seq("a a a", "a a b", "").toDF("text")
+    val counts = Bpe.encodedCounts(docs, "text", 1)
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a_a" -> 2L, "a" -> 1L, "b" -> 1L))
+    // mass: 6 original tokens - 2 merge applications = 4; empty doc adds 0
+    assert(counts.values.sum == 4L)
+  }
+
+  test("encode after two rounds uses the chained merge token") {
+    val docs = Seq("x y z", "x y z", "x y q").toDF("text")
+    val counts = Bpe.encodedCounts(docs, "text", 2)
+      .as[(String, Long)].collect().toMap
+    // round 1: (x,y) everywhere; round 2: (x_y, z) twice
+    assert(counts == Map("x_y_z" -> 2L, "x_y" -> 1L, "q" -> 1L))
+  }
+
   test("ties break lexicographically, deterministic across reruns") {
     val docs = Seq("b c", "a d").toDF("text")
     // all pairs count 1: (a,d) and (b,c) tie -> (a,d) by (a, b) order
