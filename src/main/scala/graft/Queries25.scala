@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 continuation: iterative graph analytics. Same contract as
@@ -102,11 +103,88 @@ object Queries25 {
        |WHERE token <> '' GROUP BY token""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // SEM1: semantic dedup, SemDeDup-shaped (Abbas et al. 2023) — cluster
+  // the embedding space with the trained k-means codebook (a7's), then
+  // find near-duplicate pairs ONLY within clusters (exact cosine, the
+  // d5 threshold) and drop every vector that has a lower-id qualifying
+  // neighbor, reporting its keeper. The clustering turns the quadratic
+  // all-pairs scan into per-cluster blocks — the blocking IS the scale
+  // technique: at 100 TB, k grows with N to hold cluster sizes bounded,
+  // clusters are partition keys, and the codebook stays k×dim driver
+  // metadata. Output: (vec_id, keeper_id, cosine) per dropped vector,
+  // keeper = lowest-id qualifying neighbor (deterministic survivorship).
+  // ---------------------------------------------------------------------
+  def sem1SemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Ann
+    import graft.functions.Similarity
+    val embs = Tables.embeddings(spark, sfDir)
+    val codebook = Ann.kmeans(embs, k = 8, iters = 2)
+    val v = embs.select(col("vec_id"), col("embedding"),
+      Ann.assignToCodebook(col("embedding"), codebook).as("__c"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.__c") === col("b.__c") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.score("cosine", col("a.embedding"), col("b.embedding"))
+          .as("__cos"))
+      .where(col("__cos").isNotNull && col("__cos") >= 0.3)
+    val byDropped = Window.partitionBy(col("id2")).orderBy(col("id1").asc)
+    pairs.withColumn("__rn", row_number().over(byDropped))
+      .where(col("__rn") === 1)
+      .select(col("id2").as("vec_id"), col("id1").as("keeper_id"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
+  val sem1SemanticDedupSql: String = {
+    import graft.operators.AnnSql
+    val c = Queries.sqlCosine("a.embedding", "b.embedding")
+    def assign(cb: String) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${AnnSql.sqDist("v.embedding", "c.cvec")} ASC,
+         |        c.cid ASC) AS rn
+         |  FROM embeddings v, $cb c) WHERE rn = 1""".stripMargin
+    def step(prev: String, a: String, m: String, next: String) =
+      s"""$a AS (${assign(prev)}),
+         |$m AS (
+         |  SELECT a.cid, i AS dim,
+         |    CAST(SUM(CAST(CAST(v.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM $a a JOIN embeddings v USING (vec_id), range(0, 64) t(i)
+         |  GROUP BY a.cid, i),
+         |$next AS (
+         |  SELECT c0.cid, COALESCE(c1.cvec, c0.cvec) AS cvec
+         |  FROM $prev c0 LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS cvec FROM $m GROUP BY cid
+         |  ) c1 USING (cid))""".stripMargin
+    s"""WITH cb0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |${step("cb0", "asg1", "m1", "cb1")},
+       |${step("cb1", "asg2", "m2", "cb2")},
+       |av AS (${assign("cb2")}),
+       |vv AS (SELECT av.cid, v.vec_id, v.embedding
+       |       FROM av JOIN embeddings v USING (vec_id)),
+       |p AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2, $c AS cos
+       |  FROM vv a JOIN vv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE $c IS NOT NULL AND $c >= 0.3)
+       |SELECT id2 AS vec_id, id1 AS keeper_id, round(cos, 6) AS cosine
+       |FROM (SELECT id1, id2, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY id2 ORDER BY id1 ASC) AS rn
+       |      FROM p)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pr1_pagerank"    -> (pr1PageRank _),
-    "tok4_bpe_encode" -> (tok4BpeEncode _))
+    "pr1_pagerank"      -> (pr1PageRank _),
+    "tok4_bpe_encode"   -> (tok4BpeEncode _),
+    "sem1_semantic_dedup" -> (sem1SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
-    "pr1_pagerank"    -> pr1PageRankSql,
-    "tok4_bpe_encode" -> tok4BpeEncodeSql)
+    "pr1_pagerank"      -> pr1PageRankSql,
+    "tok4_bpe_encode"   -> tok4BpeEncodeSql,
+    "sem1_semantic_dedup" -> sem1SemanticDedupSql)
 }
