@@ -26,7 +26,10 @@ object Queries22 {
   // tie-break so both engines cut identical winners. Even doc_ids train,
   // odd evaluate.
   // ---------------------------------------------------------------------
-  def ml1NaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared NB scoring pipeline: one row per (test doc, lang) with
+    * the rounded log-score — ml1 reduces it to the confusion matrix,
+    * bri1 to calibration bins, kpa1 to inter-annotator agreement. */
+  private[graft] def ml1Scored(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), TextHash.tokens(col("text")).as("__toks"))
     val train = docs.where(col("doc_id") % 2 === 0)
@@ -55,21 +58,33 @@ object Queries22 {
     val base = test.select(col("doc_id"), col("lang").as("true_lang"),
         size(col("__toks")).cast("long").as("__n"))
       .crossJoin(broadcast(langSide))
-    val scored = base.join(matched, Seq("doc_id", "__l"), "left")
+    base.join(matched, Seq("doc_id", "__l"), "left")
       .withColumn("__score", round(
         col("__prior") + coalesce(col("__msum"), lit(0.0)) -
           col("__n") * col("__lnz"), 6))
-    val pick = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__score").desc, col("__l").asc)
-    scored.withColumn("__rn", row_number().over(pick))
-      .where(col("__rn") === 1)
-      .groupBy(col("true_lang"), col("__l").as("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("true_lang"), col("__l"), col("__score"))
   }
 
-  val ml1NaiveBayesSql: String = {
+  /** Argmax winner per test doc (score desc, lang tie-break). */
+  private[graft] def ml1Picked(spark: SparkSession, sfDir: String): DataFrame = {
+    val pick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__score").desc, col("__l").asc)
+    ml1Scored(spark, sfDir)
+      .withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("__l").as("pred_lang"))
+  }
+
+  def ml1NaiveBayes(spark: SparkSession, sfDir: String): DataFrame =
+    ml1Picked(spark, sfDir)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The shared CTE chain (through `scored` and `picked`) the three NB
+    * oracles build on. */
+  private[graft] val ml1SqlCtes: String = {
     val tk = TextHashSql.tokens("text")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, lang, $tk AS toks FROM documents),
        |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
        |test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
@@ -100,14 +115,128 @@ object Queries22 {
        |picked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
        |    ORDER BY score DESC, l ASC) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val ml1NaiveBayesSql: String =
+    s"""WITH $ml1SqlCtes
        |SELECT true_lang, l AS pred_lang, COUNT(*) AS n
        |FROM picked WHERE rn = 1 GROUP BY true_lang, l""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // BRI1: calibration report for the NB model — per-(doc, lang) softmax
+  // posteriors from the rounded log-scores (max-shifted exp, per-doc
+  // DECIMAL-quantized normalizer: order-proof), binned into 10 fixed
+  // probability deciles. Per bin: pair count, positives (lang == truth),
+  // mean predicted probability, and the Brier term (mean squared
+  // p-vs-outcome error) — the reliability diagram + Brier decomposition
+  // a model monitor consumes. Everything reduces map-side to 10 rows.
+  // ---------------------------------------------------------------------
+  def bri1Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val e = ml1Scored(spark, sfDir)
+      .withColumn("__e", exp(col("__score") - max(col("__score")).over(wDoc)))
+    val z = e.groupBy(col("doc_id"))
+      .agg(sum(col("__e").cast("decimal(28,12)")).cast("double").as("__z"))
+    val p = e.join(z, Seq("doc_id"))
+      .withColumn("__p", col("__e") / col("__z"))
+      .withColumn("__y", (col("__l") === col("true_lang")).cast("long"))
+      .withColumn("bin", least(floor(col("__p") * 10).cast("long"), lit(9L)))
+    p.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"),
+      round(sum(col("__p").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("mean_p"),
+      round(sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast("decimal(28,12)")).cast("double") / count(lit(1)), 6).as("brier"))
+  }
+
+  val bri1CalibrationSql: String =
+    s"""WITH $ml1SqlCtes,
+       |calib AS (
+       |  SELECT doc_id, true_lang, l,
+       |    exp(score - MAX(score) OVER (PARTITION BY doc_id)) AS e
+       |  FROM scored),
+       |z AS (SELECT doc_id, CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS z
+       |      FROM calib GROUP BY doc_id),
+       |p AS (
+       |  SELECT c.doc_id, e / z AS p,
+       |    CASE WHEN l = true_lang THEN 1 ELSE 0 END AS y,
+       |    least(CAST(floor(e / z * 10) AS BIGINT), 9) AS bin
+       |  FROM calib c JOIN z USING (doc_id))
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  round(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_p,
+       |  round(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS brier
+       |FROM p GROUP BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KPA1: inter-annotator agreement — Cohen's kappa between the TRAINED
+  // NB classifier and the RULE-BASED stopword langid heuristic (t1) on
+  // the shared test split: po from the exact agreement count, pe from the
+  // exact marginal products, kappa = (po-pe)/(1-pe). The standard check
+  // that two labelers (model vs heuristic) agree beyond chance; all
+  // inputs are exact integer counts, so the derived doubles are
+  // bit-deterministic. Guard: kappa defined 0 when pe = 1 (degenerate
+  // single-label case) on both engines.
+  // ---------------------------------------------------------------------
+  def kpa1Kappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = ml1Picked(spark, sfDir)
+    val heur = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.langId(col("text")).as("__h"))
+    val j = nb.join(heur, Seq("doc_id")).localCheckpoint(true)
+    val agree = j.agg(count(lit(1)).as("n"),
+      sum((col("pred_lang") === col("__h")).cast("long")).as("__agr"))
+    val peNum = j.groupBy(col("pred_lang").as("__l")).agg(count(lit(1)).as("__c1"))
+      .join(j.groupBy(col("__h").as("__l")).agg(count(lit(1)).as("__c2")), Seq("__l"))
+      .agg(coalesce(sum(col("__c1") * col("__c2")), lit(0L)).as("__pen"))
+    agree.crossJoin(peNum)
+      .withColumn("__po", col("__agr").cast("double") / col("n").cast("double"))
+      .withColumn("__pe", col("__pen").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+      .select(col("n"),
+        round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        round(when(col("__pe") === 1.0d, lit(0.0)).otherwise(
+          (col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))), 6).as("kappa"))
+  }
+
+  val kpa1KappaSql: String = {
+    import graft.operators.TextAnalysisSql
+    s"""WITH $ml1SqlCtes,
+       |j AS (
+       |  SELECT p.doc_id, p.l AS a, ${TextAnalysisSql.langId("d.text")} AS b
+       |  FROM picked p JOIN documents d ON d.doc_id = p.doc_id
+       |  WHERE p.rn = 1),
+       |ag AS (SELECT COUNT(*) AS n,
+       |         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agr FROM j),
+       |m1 AS (SELECT a AS l, COUNT(*) AS c1 FROM j GROUP BY a),
+       |m2 AS (SELECT b AS l, COUNT(*) AS c2 FROM j GROUP BY b),
+       |pe AS (SELECT COALESCE(SUM(c1 * c2), 0) AS pen FROM m1 JOIN m2 USING (l))
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round(CAST(agr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       |  round(CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+       |    AS pe,
+       |  round(CASE WHEN CAST(pen AS DOUBLE)
+       |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN 0.0
+       |        ELSE (CAST(agr AS DOUBLE) / CAST(n AS DOUBLE)
+       |               - CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |             / (1.0 - CAST(pen AS DOUBLE)
+       |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6) AS kappa
+       |FROM ag, pe""".stripMargin
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ml1_naive_bayes" -> (ml1NaiveBayes _))
+    "ml1_naive_bayes"  -> (ml1NaiveBayes _),
+    "bri1_calibration" -> (bri1Calibration _),
+    "kpa1_kappa"       -> (kpa1Kappa _))
 
   val oracles: Map[String, String] = Map(
-    "ml1_naive_bayes" -> ml1NaiveBayesSql)
+    "ml1_naive_bayes"  -> ml1NaiveBayesSql,
+    "bri1_calibration" -> bri1CalibrationSql,
+    "kpa1_kappa"       -> kpa1KappaSql)
 }

@@ -64,7 +64,15 @@ object ScaleProbe {
     // text inflates pair co-occurrence quadratically by construction —
     // their scale evidence is graft.Soak's independent-replica 10x/100x.)
     "ctf1_class_tfidf", "tok3_bpe_train", "m5_png_decode",
-    "slt1_auto_salted", "v14_mmr_distributed")
+    "slt1_auto_salted", "v14_mmr_distributed",
+    // round-4 continuation: BPE encode+count over the 10x corpus, and
+    // PageRank — 10x fact scan into the same-key dimension graph (the
+    // replicated orders keep 1x cust/supp keys, so the distinct-pair
+    // graph converges to the 1x graph: the probe exercises the scan,
+    // distinct, and iteration dataflow). (sem1 stays excluded with the
+    // pair miners: exact-copy embedding replicas give every vector nine
+    // twins, quadratic pair output by construction.)
+    "tok4_bpe_encode", "pr1_pagerank")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

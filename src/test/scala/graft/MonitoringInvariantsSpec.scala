@@ -220,6 +220,36 @@ class MonitoringInvariantsSpec extends SparkSpec {
     assert(n == h._3 && math.abs(pmi - h._4) < 1e-6)
   }
 
+  test("bri1: bins partition the (doc, lang) pairs; posteriors behave") {
+    val rows = Queries22.bri1Calibration(spark, sf001)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val testN = Tables.documents(spark, sf001)
+      .where($"doc_id" % 2 === 1).count()
+    val nLangs = Tables.documents(spark, sf001)
+      .where($"doc_id" % 2 === 0).select("lang").distinct().count()
+    assert(rows.map(_._2).sum == testN * nLangs) // every pair lands in a bin
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.forall(r => r._3 <= r._2))       // positives bounded by n
+    // mean posterior sits inside (or rounds onto) its decile
+    assert(rows.forall(r => r._4 >= r._1 / 10.0 - 1e-6 &&
+      r._4 <= (r._1 + 1) / 10.0 + 1e-6))
+    assert(rows.forall(r => r._5 >= 0.0 && r._5 <= 1.0)) // Brier term
+    // each doc's positives: exactly one true lang -> total positives = testN
+    assert(rows.map(_._3).sum == testN)
+  }
+
+  test("kpa1: agreement rates in [0,1], kappa below 1, exact-count consistency") {
+    val Array((n, po, pe, kappa)) = Queries22.kpa1Kappa(spark, sf001)
+      .as[(Long, Double, Double, Double)].collect()
+    val testN = Tables.documents(spark, sf001)
+      .where($"doc_id" % 2 === 1).count()
+    assert(n == testN)
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(kappa <= 1.0 + 1e-9)
+    // kappa recomputes from its own published po/pe within rounding
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-5)
+  }
+
   test("ml1: confusion conserves the test split, beats uniform chance") {
     val rows = Queries22.ml1NaiveBayes(spark, sf001)
       .as[(String, String, Long)].collect()
