@@ -178,13 +178,40 @@ object Queries25 {
        |WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // TRN1: deterministic training order — the epoch-shuffle every training
+  // pipeline needs, as a reproducible global permutation: order docs by
+  // md5(doc_id || ':' || seed) (uniform, seed-controlled, identical on
+  // any engine) and assign exact 1-based positions through the
+  // distributed rank primitive (operators/Ranks: range partition +
+  // per-partition window + offset metadata) — a shuffled epoch at any
+  // corpus size with no single-partition sort. doc_id breaks the
+  // (vanishingly unlikely) hash tie so the order is total.
+  // ---------------------------------------------------------------------
+  def trn1TrainingOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("__k"))
+    graft.operators.Ranks
+      .withGlobalRank(keyed, "position", Seq(col("__k").asc, col("doc_id").asc))
+      .select(col("position"), col("doc_id"))
+  }
+
+  val trn1TrainingOrderSql: String =
+    """SELECT ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+      |  AS position, doc_id
+      |FROM documents""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank"      -> (pr1PageRank _),
     "tok4_bpe_encode"   -> (tok4BpeEncode _),
-    "sem1_semantic_dedup" -> (sem1SemanticDedup _))
+    "sem1_semantic_dedup" -> (sem1SemanticDedup _),
+    "trn1_training_order" -> (trn1TrainingOrder _))
 
   val oracles: Map[String, String] = Map(
     "pr1_pagerank"      -> pr1PageRankSql,
     "tok4_bpe_encode"   -> tok4BpeEncodeSql,
-    "sem1_semantic_dedup" -> sem1SemanticDedupSql)
+    "sem1_semantic_dedup" -> sem1SemanticDedupSql,
+    "trn1_training_order" -> trn1TrainingOrderSql)
 }

@@ -41,10 +41,17 @@ object PageRank {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val n = nodes.count() // one scalar: the teleport denominator
+    // checkpointed subtrees carry no size stats, so the planner would
+    // sort-merge the edge stream against these NODE-sized tables; hint
+    // broadcast from the measured node count (the SparseSim/autoSaltedJoin
+    // pattern), falling back to shuffled hash joins past the bound
+    val BroadcastMaxNodes = 10000000L
+    def nodeSide(df: DataFrame) =
+      if (n <= BroadcastMaxNodes) broadcast(df) else df
     var rank = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = e.join(outDeg, Seq("src"))
-        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+      val contrib = e.join(nodeSide(outDeg), Seq("src"))
+        .join(nodeSide(rank.select(col("node").as("src"), col("rank"))), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
