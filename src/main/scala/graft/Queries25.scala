@@ -116,10 +116,18 @@ object Queries25 {
   // keeper = lowest-id qualifying neighbor (deterministic survivorship).
   // ---------------------------------------------------------------------
   def sem1SemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    semanticDedupWith(embs, graft.operators.Ann.kmeans(embs, k = 8, iters = 2))
+  }
+
+  /** The sem1 dataflow against a pre-trained codebook — Soak feeds it a
+    * sample-trained codebook with k scaled to the corpus (bounded cluster
+    * sizes are the whole technique; k, like d10's LSH bits, is the scale
+    * knob). */
+  private[graft] def semanticDedupWith(embs: DataFrame,
+                                       codebook: Seq[Seq[Double]]): DataFrame = {
     import graft.operators.Ann
     import graft.functions.Similarity
-    val embs = Tables.embeddings(spark, sfDir)
-    val codebook = Ann.kmeans(embs, k = 8, iters = 2)
     val v = embs.select(col("vec_id"), col("embedding"),
       Ann.assignToCodebook(col("embedding"), codebook).as("__c"))
     val pairs = v.as("a").join(v.as("b"),

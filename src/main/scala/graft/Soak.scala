@@ -31,33 +31,63 @@ object Soak {
 
   def buildSoak(spark: SparkSession, baseDir: String, outDir: String,
                 factor: Int): Unit = {
-    val out = new java.io.File(outDir)
-    if (out.exists()) return
-    out.mkdirs()
-    val docs = Tables.documents(spark, baseDir)
-    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until factor).map { i =>
-      val tagged =
-        if (i == 0) docs
-        else docs.withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"_r$i"))), " "))
-      tagged.withColumn("doc_id", col("doc_id") + lit(i * docMax))
-    }.reduce(_ unionByName _)
-      .repartition(32).write.parquet(s"$outDir/documents.parquet")
+    new java.io.File(outDir).mkdirs()
+    // per-table guards: later rounds add tables to soak dirs built by
+    // earlier runs without rebuilding what already exists
+    def missing(t: String) = !new java.io.File(s"$outDir/$t.parquet").exists()
 
-    val emb = Tables.embeddings(spark, baseDir)
-    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
-    (0 until factor).map { i =>
-      val flipped =
-        if (i == 0) emb
-        else emb.withColumn("embedding",
-          transform(col("embedding"), (x, j) =>
-            when(pmod(xxhash64(lit(i.toLong * 8191L) + j.cast("long")), lit(2L)) === 0,
-              x).otherwise(-x)))
-      flipped.withColumn("vec_id", col("vec_id") + lit(i * embMax))
-    }.reduce(_ unionByName _)
-      .repartition(32).write.parquet(s"$outDir/embeddings.parquet")
+    if (missing("documents")) {
+      val docs = Tables.documents(spark, baseDir)
+      val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until factor).map { i =>
+        val tagged =
+          if (i == 0) docs
+          else docs.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"_r$i"))), " "))
+        tagged.withColumn("doc_id", col("doc_id") + lit(i * docMax))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.parquet(s"$outDir/documents.parquet")
+    }
+
+    if (missing("embeddings")) {
+      val emb = Tables.embeddings(spark, baseDir)
+      val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until factor).map { i =>
+        val flipped =
+          if (i == 0) emb
+          else emb.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              when(pmod(xxhash64(lit(i.toLong * 8191L) + j.cast("long")), lit(2L)) === 0,
+                x).otherwise(-x)))
+        flipped.withColumn("vec_id", col("vec_id") + lit(i * embMax))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.parquet(s"$outDir/embeddings.parquet")
+    }
+
+    // the purchase graph, replicated with SHIFTED customer/supplier keys:
+    // replica i is a disjoint component, so the graph itself (nodes AND
+    // edges) grows by the factor — unlike ScaleProbe's 1x-dimension
+    // replication, this actually scales pr1's iteration subject
+    if (missing("orders") || missing("lineitem")) {
+      val ord = Tables.orders(spark, baseDir)
+      val ordMax = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+      val custMax = ord.agg(max("o_custkey").cast("long")).head().getLong(0) + 1
+      val li = Tables.lineitem(spark, baseDir)
+      val suppMax = li.agg(max("l_suppkey").cast("long")).head().getLong(0) + 1
+      (0 until factor).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordMax))
+          .withColumn("o_custkey",
+            col("o_custkey").cast("long") + lit(i * custMax))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.parquet(s"$outDir/orders.parquet")
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordMax))
+          .withColumn("l_suppkey",
+            col("l_suppkey").cast("long") + lit(i * suppMax))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.parquet(s"$outDir/lineitem.parquet")
+    }
   }
 
   /** d10's plane count right-sized to the data: band bits must grow a
@@ -88,7 +118,17 @@ object Soak {
           threshold = 0.6, nPlanes = planesFor(factor), bands = 4)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))),
     "a7_ivf_trained" -> SparkEntry.queries("a7_ivf_trained"),
-    "sp2_sparse_prefix" -> SparkEntry.queries("sp2_sparse_prefix"))
+    "sp2_sparse_prefix" -> SparkEntry.queries("sp2_sparse_prefix"),
+    // k scales with the corpus (bounded cluster size — the SemDeDup scale
+    // knob, like d10's LSH bits) and the codebook trains on a base-sized
+    // sample, the production posture for an index at any scale
+    "sem1_semantic_dedup" -> ((s: SparkSession, dir: String) => {
+      val embs = Tables.embeddings(s, dir)
+      val k = if (factor >= 10) 80 else 8
+      Queries25.semanticDedupWith(embs,
+        operators.Ann.kmeans(embs.where(col("vec_id") < 6000), k, iters = 2))
+    }),
+    "pr1_pagerank" -> SparkEntry.queries("pr1_pagerank"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
@@ -129,7 +169,13 @@ object Soak {
     // intra-replica pairs — linear in the factor but ~35 s/decade of
     // fixture, so its soak stops at 10x (still a full decade past the
     // bench scale; the 100x decade is covered by the three cheap paths)
-    val maxFactor = Map("sp2_sparse_prefix" -> 10).withDefaultValue(Int.MaxValue)
+    // sem1 and pr1 soak one decade: sem1's within-cluster verify and
+    // pr1's six edge-linear iterations are each ~linear-in-N map/join
+    // work whose 100x wall-clock adds nothing structural on one machine
+    // (the shapes do not change past 10x; d2/d10/a7 carry the second
+    // decade)
+    val maxFactor = Map("sp2_sparse_prefix" -> 10, "sem1_semantic_dedup" -> 10,
+      "pr1_pagerank" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = names.filter(n => only.forall(_.exists(n.startsWith))).map { name =>
