@@ -211,15 +211,65 @@ object Queries25 {
       |  AS position, doc_id
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // HITS1: hubs & authorities over the DIRECTED purchase bipartite graph
+  // (customer → supplier, one edge per distinct trade) — the companion
+  // centrality to pr1: hubs are broad buyers, authorities widely-bought-
+  // from suppliers. Three full rounds, L1-normalized each half-step with
+  // the normalizer as a broadcast 1-row aggregate (no per-iteration
+  // collect); every cross-row sum DECIMAL-quantized. The oracle unrolls
+  // the rounds as chained CTEs with scalar-subquery normalizers.
+  // ---------------------------------------------------------------------
+  private val HitsIters = 3
+
+  def hits1HubsAuthorities(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"))
+    graft.operators.Hits.ranks(edges, HitsIters)
+  }
+
+  val hits1HubsAuthoritiesSql: String = {
+    def round(k: Int): String =
+      s"""ar$k AS (
+         |  SELECT s, CAST(SUM(CAST(h AS DECIMAL(28,10))) AS DOUBLE) AS raw
+         |  FROM e JOIN h${k - 1} USING (c) GROUP BY s),
+         |a$k AS (
+         |  SELECT s, raw / (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,10)))
+         |                   AS DOUBLE) FROM ar$k) AS a
+         |  FROM ar$k),
+         |hr$k AS (
+         |  SELECT c, CAST(SUM(CAST(a AS DECIMAL(28,10))) AS DOUBLE) AS raw
+         |  FROM e JOIN a$k USING (s) GROUP BY c),
+         |h$k AS (
+         |  SELECT c, raw / (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,10)))
+         |                   AS DOUBLE) FROM hr$k) AS h
+         |  FROM hr$k)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(l_suppkey AS BIGINT) AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM e),
+       |${(1 to HitsIters).map(round).mkString(",\n")}
+       |SELECT 'hub' AS role, c AS node, round(h, 6) AS score FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'auth' AS role, s AS node, round(a, 6) AS score FROM a$HitsIters""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank"      -> (pr1PageRank _),
     "tok4_bpe_encode"   -> (tok4BpeEncode _),
     "sem1_semantic_dedup" -> (sem1SemanticDedup _),
-    "trn1_training_order" -> (trn1TrainingOrder _))
+    "trn1_training_order" -> (trn1TrainingOrder _),
+    "hits1_hubs_authorities" -> (hits1HubsAuthorities _))
 
   val oracles: Map[String, String] = Map(
     "pr1_pagerank"      -> pr1PageRankSql,
     "tok4_bpe_encode"   -> tok4BpeEncodeSql,
     "sem1_semantic_dedup" -> sem1SemanticDedupSql,
-    "trn1_training_order" -> trn1TrainingOrderSql)
+    "trn1_training_order" -> trn1TrainingOrderSql,
+    "hits1_hubs_authorities" -> hits1HubsAuthoritiesSql)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (hubs & authorities, Kleinberg) over a directed bipartite edge
+  * list — the companion centrality to [[PageRank]]: hubs score the
+  * pointing side (customers), authorities the pointed-to side
+  * (suppliers). Fixed iteration count, L1 normalization each half-step.
+  *
+  * Determinism: every cross-row sum (the in-flow aggregates AND the L1
+  * normalizers) quantizes its terms to DECIMAL(28,10) first, so
+  * accumulation order cannot perturb a result; the normalizer is a
+  * 1-row aggregate broadcast back over the scores — pure dataflow, no
+  * per-iteration driver collect at all (unlike the k-means codebook,
+  * nothing here is index metadata).
+  *
+  * Scale: each half-step is one edge-keyed join + one node-keyed
+  * aggregate + one scalar broadcast; scores are node-sized and pinned
+  * per iteration. The node-sized join sides carry explicit broadcast
+  * hints below a measured node-count bound (checkpointed subtrees
+  * report no stats), shuffled hash joins above it.
+  */
+object Hits {
+
+  private val BroadcastMaxNodes = 10000000L
+
+  /** (role, node, score) after `iters` full hub/authority rounds over
+    * `edges` (c → s, deduplicated defensively): role 'hub' rows carry
+    * every c, role 'auth' rows every s; scores L1-normalized per side.
+    * `iters` must be >= 1 (an un-iterated HITS has no authority side).
+    */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "HITS needs at least one iteration")
+    val e = edges.select(col("c"), col("s")).distinct().localCheckpoint(true)
+    val nNodes = e.select(col("c")).unionAll(e.select(col("s"))).distinct().count()
+    def side(df: DataFrame) =
+      if (nNodes <= BroadcastMaxNodes) broadcast(df) else df
+    def l1(df: DataFrame, v: String): DataFrame =
+      df.agg(sum(col(v).cast("decimal(28,10)")).cast("double").as("__z"))
+    var h = e.select(col("c")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e.join(side(h), Seq("c"))
+        .groupBy(col("s"))
+        .agg(sum(col("h").cast("decimal(28,10)")).cast("double").as("__raw"))
+      a = ar.crossJoin(broadcast(l1(ar, "__raw")))
+        .select(col("s"), (col("__raw") / col("__z")).as("a"))
+        .localCheckpoint(true)
+      val hr = e.join(side(a), Seq("s"))
+        .groupBy(col("c"))
+        .agg(sum(col("a").cast("decimal(28,10)")).cast("double").as("__raw"))
+      h = hr.crossJoin(broadcast(l1(hr, "__raw")))
+        .select(col("c"), (col("__raw") / col("__z")).as("h"))
+        .localCheckpoint(true)
+    }
+    h.select(lit("hub").as("role"), col("c").as("node"),
+        round(col("h"), 6).as("score"))
+      .unionAll(a.select(lit("auth").as("role"), col("s").as("node"),
+        round(col("a"), 6).as("score")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Hits
+
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference mirroring the operator's arithmetic: quant10
+    * contributions and normalizers, unscaled-long accumulation. */
+  private def ref(edges: Seq[(Long, Long)],
+                  iters: Int): (Map[Long, Double], Map[Long, Double]) = {
+    val e = edges.distinct
+    def dec(sum: Long): Double =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 10).doubleValue()
+    var h = e.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (s, es) =>
+        s -> dec(es.map(x => graft.functions.Kernels.quant10(h(x._1))).sum)
+      }
+      val az = dec(ar.values.map(graft.functions.Kernels.quant10).sum)
+      a = ar.map { case (s, v) => s -> v / az }
+      val hr = e.groupBy(_._1).map { case (c, es) =>
+        c -> dec(es.map(x => graft.functions.Kernels.quant10(a(x._2))).sum)
+      }
+      val hz = dec(hr.values.map(graft.functions.Kernels.quant10).sum)
+      h = hr.map { case (c, v) => c -> v / hz }
+    }
+    (h, a)
+  }
+
+  test("spark hubs/authorities == local reference, bit-for-bit, on random bipartite graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(15).toLong, 100L + rnd.nextInt(8).toLong))
+      val out = Hits.ranks(edges.toDF("c", "s"), iters = 3)
+        .as[(String, Long, Double)].collect()
+      val (h, a) = ref(edges, 3)
+      val gotH = out.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+      val gotA = out.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap
+      assert(gotH.keySet == h.keySet && gotA.keySet == a.keySet, s"trial $trial")
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      for ((k, v) <- h) assert(gotH(k) == r6(v), s"trial $trial hub $k")
+      for ((k, v) <- a) assert(gotA(k) == r6(v), s"trial $trial auth $k")
+    }
+  }
+
+  test("scores are L1-normalized per side; the popular supplier out-ranks the niche one") {
+    // suppliers 100 (every customer buys) and 101 (one customer)
+    val edges = (1L to 6L).map(c => (c, 100L)) :+ ((1L, 101L))
+    val out = Hits.ranks(edges.toDF("c", "s"), iters = 3)
+      .as[(String, Long, Double)].collect()
+    val hubs = out.filter(_._1 == "hub").map(_._3)
+    val auths = out.filter(_._1 == "auth")
+    assert(math.abs(hubs.sum - 1.0) < 1e-5)
+    assert(math.abs(auths.map(_._3).sum - 1.0) < 1e-5)
+    val byId = auths.map(r => r._2 -> r._3).toMap
+    assert(byId(100L) > byId(101L))
+    // customer 1 buys from both -> strictly the best hub
+    val h = out.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    assert((2L to 6L).forall(c => h(1L) > h(c)))
+  }
+}
