@@ -259,17 +259,107 @@ object Queries25 {
        |SELECT 'auth' AS role, s AS node, round(a, 6) AS score FROM a$HitsIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // NDCG1: retrieval-quality eval — NDCG@10 of the brute-force cosine
+  // ranking against label-match relevance (query's label == hit's label,
+  // self excluded), per query. DCG terms rel/log2(pos+1) are written in
+  // ln-form and DECIMAL-quantized before summing (10 doubles is already
+  // an accumulation-order hazard); IDCG places the query's min(R, 10)
+  // relevant docs in the top positions, R from one label-count
+  // aggregate. The ranking cut follows h1's convention: rounded score
+  // desc, id tie-break. Completes the retrieval eval family
+  // (h1 fusion, a5/a8 recall, now graded ranking quality).
+  // ---------------------------------------------------------------------
+  def ndcg1RetrievalQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Similarity
+    val mem = Tables.memories(spark, sfDir)
+      .select(col("id"), col("label"), col("embedding"))
+    val q = mem.where(col("id") < 5)
+      .select(col("id").as("qid"), col("label").as("__ql"),
+        col("embedding").as("__qv"))
+    val ln2 = log(lit(2.0))
+    val scored = mem.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("__ql"), col("id"), col("label"),
+        round(Similarity.score("cosine", col("embedding"), col("__qv")), 6)
+          .as("__s"))
+      .where(col("__s").isNotNull)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__s").desc, col("id").asc)
+    val dcg = scored.withColumn("__pos", row_number().over(w))
+      .where(col("__pos") <= 10)
+      .withColumn("__rel", (col("label") === col("__ql")).cast("long"))
+      .withColumn("__term", (col("__rel").cast("double") * ln2 /
+        log((col("__pos") + 1L).cast("double"))).cast("decimal(28,12)"))
+      .groupBy(col("qid"))
+      .agg(sum(col("__term")).cast("double").as("__dcg"),
+        sum(col("__rel")).as("n_rel_topk"))
+    val labCnt = mem.groupBy(col("label")).agg(count(lit(1)).as("__lc"))
+    val r = q.join(labCnt, col("label") === col("__ql"))
+      .select(col("qid"), (col("__lc") - 1L).as("__R"))
+    val ideal = r.where(col("__R") >= 1L)
+      .withColumn("__pos", explode(sequence(lit(1L), least(col("__R"), lit(10L)))))
+      .withColumn("__term",
+        (ln2 / log((col("__pos") + 1L).cast("double"))).cast("decimal(28,12)"))
+      .groupBy(col("qid")).agg(sum(col("__term")).cast("double").as("__idcg"))
+    dcg.join(ideal, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel_topk"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(coalesce(col("__idcg"), lit(0.0)), 6).as("idcg"),
+        round(when(coalesce(col("__idcg"), lit(0.0)) > 0.0,
+          col("__dcg") / col("__idcg")).otherwise(lit(0.0)), 6).as("ndcg"))
+  }
+
+  val ndcg1RetrievalQualitySql: String = {
+    val c = Queries.sqlCosine("m.embedding", "q.qv")
+    s"""WITH mem AS (
+       |  SELECT d.doc_id AS id, e.label, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |q AS (SELECT id AS qid, label AS ql, embedding AS qv
+       |      FROM mem WHERE id < 5),
+       |scored AS (
+       |  SELECT q.qid, q.ql, m.id, m.label, round($c, 6) AS s
+       |  FROM mem m, q WHERE m.id <> q.qid AND $c IS NOT NULL),
+       |top AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY s DESC, id ASC) AS pos
+       |  FROM scored),
+       |dcg AS (
+       |  SELECT qid,
+       |    CAST(SUM(CAST((CASE WHEN label = ql THEN 1.0 ELSE 0.0 END)
+       |      * ln(CAST(2 AS DOUBLE)) / ln(CAST(pos + 1 AS DOUBLE))
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS dcg_raw,
+       |    CAST(SUM(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_topk
+       |  FROM top WHERE pos <= 10 GROUP BY qid),
+       |lc AS (SELECT label, COUNT(*) AS c FROM mem GROUP BY label),
+       |r AS (SELECT qid, c - 1 AS nrel FROM q JOIN lc ON lc.label = q.ql),
+       |ideal AS (
+       |  SELECT qid,
+       |    CAST(SUM(CAST(ln(CAST(2 AS DOUBLE)) / ln(CAST(pos + 1 AS DOUBLE))
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS idcg_raw
+       |  FROM r, range(1, 11) t(pos)
+       |  WHERE nrel >= 1 AND pos <= least(nrel, 10) GROUP BY qid)
+       |SELECT dcg.qid AS qid, n_rel_topk,
+       |  round(dcg_raw, 6) AS dcg,
+       |  round(COALESCE(idcg_raw, CAST(0.0 AS DOUBLE)), 6) AS idcg,
+       |  round(CASE WHEN COALESCE(idcg_raw, CAST(0.0 AS DOUBLE)) > 0
+       |        THEN dcg_raw / idcg_raw ELSE CAST(0.0 AS DOUBLE) END, 6) AS ndcg
+       |FROM dcg LEFT JOIN ideal ON ideal.qid = dcg.qid""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank"      -> (pr1PageRank _),
     "tok4_bpe_encode"   -> (tok4BpeEncode _),
     "sem1_semantic_dedup" -> (sem1SemanticDedup _),
     "trn1_training_order" -> (trn1TrainingOrder _),
-    "hits1_hubs_authorities" -> (hits1HubsAuthorities _))
+    "hits1_hubs_authorities" -> (hits1HubsAuthorities _),
+    "ndcg1_retrieval_quality" -> (ndcg1RetrievalQuality _))
 
   val oracles: Map[String, String] = Map(
     "pr1_pagerank"      -> pr1PageRankSql,
     "tok4_bpe_encode"   -> tok4BpeEncodeSql,
     "sem1_semantic_dedup" -> sem1SemanticDedupSql,
     "trn1_training_order" -> trn1TrainingOrderSql,
-    "hits1_hubs_authorities" -> hits1HubsAuthoritiesSql)
+    "hits1_hubs_authorities" -> hits1HubsAuthoritiesSql,
+    "ndcg1_retrieval_quality" -> ndcg1RetrievalQualitySql)
 }
