@@ -347,13 +347,63 @@ object Queries25 {
        |FROM dcg LEFT JOIN ideal ON ideal.qid = dcg.qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // DEG1: degree distribution of the purchase graph — (degree, n_nodes,
+  // ccdf) per distinct degree, ccdf = fraction of nodes with degree ≥ d
+  // (the log-log power-law plot a graph engineer reads before choosing
+  // skew strategies — exactly the statistic the adaptive triangle guard
+  // and autoSaltedJoin consume). Node degrees are one keyed count; the
+  // CCDF window runs over the DISTINCT-DEGREE table only (bounded by
+  // max degree, not node count), so the global window is metadata-sized.
+  // ---------------------------------------------------------------------
+  def deg1DegreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+      .distinct()
+    val deg = pairs.select(col("c").as("node"))
+      .unionAll(pairs.select(col("s").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val total = deg.agg(count(lit(1)).as("__n"))
+    val fromHere = Window.orderBy(col("degree"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist.crossJoin(broadcast(total))
+      .withColumn("ccdf",
+        round(sum(col("n_nodes")).over(fromHere).cast("double") /
+          col("__n").cast("double"), 6))
+      .select(col("degree"), col("n_nodes"), col("ccdf"))
+  }
+
+  val deg1DegreeDistributionSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS c,
+      |    CAST(l_suppkey AS BIGINT)*2 + 1 AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT c AS node FROM pairs UNION ALL SELECT s FROM pairs)
+      |  GROUP BY node),
+      |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |         FROM deg GROUP BY degree),
+      |t AS (SELECT COUNT(*) AS n FROM deg)
+      |SELECT degree, n_nodes,
+      |  round(CAST(SUM(n_nodes) OVER (ORDER BY degree
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    / CAST(n AS DOUBLE), 6) AS ccdf
+      |FROM hist, t""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank"      -> (pr1PageRank _),
     "tok4_bpe_encode"   -> (tok4BpeEncode _),
     "sem1_semantic_dedup" -> (sem1SemanticDedup _),
     "trn1_training_order" -> (trn1TrainingOrder _),
     "hits1_hubs_authorities" -> (hits1HubsAuthorities _),
-    "ndcg1_retrieval_quality" -> (ndcg1RetrievalQuality _))
+    "ndcg1_retrieval_quality" -> (ndcg1RetrievalQuality _),
+    "deg1_degree_distribution" -> (deg1DegreeDistribution _))
 
   val oracles: Map[String, String] = Map(
     "pr1_pagerank"      -> pr1PageRankSql,
@@ -361,5 +411,6 @@ object Queries25 {
     "sem1_semantic_dedup" -> sem1SemanticDedupSql,
     "trn1_training_order" -> trn1TrainingOrderSql,
     "hits1_hubs_authorities" -> hits1HubsAuthoritiesSql,
-    "ndcg1_retrieval_quality" -> ndcg1RetrievalQualitySql)
+    "ndcg1_retrieval_quality" -> ndcg1RetrievalQualitySql,
+    "deg1_degree_distribution" -> deg1DegreeDistributionSql)
 }
