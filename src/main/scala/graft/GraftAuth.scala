@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** A3 — constant-time API-key authentication (reference:
+  * src/routes.rs:479-502 `constant_time_eq` / `validate_session_auth`,
+  * src/main.rs:82-89 SESSION_API_KEY wiring; gating sites at every
+  * /api/sessions route and at src/routes.rs:245-248 for memory writes
+  * that carry a `session_id`).
+  *
+  * The byte comparison is `java.security.MessageDigest.isEqual` — the
+  * JDK's public constant-time equality (comparison time independent of
+  * where the first mismatching byte occurs), the same contract as the
+  * reference's `subtle::ConstantTimeEq`. Both implementations return
+  * early only on a length mismatch, which leaks nothing secret here:
+  * key lengths are not confidential, key bytes are.
+  */
+final case class GraftAuth(expectedKey: Option[String]) {
+
+  /** `validate_session_auth`, exactly (src/routes.rs:488-502):
+    * no key configured → open access; configured and matching → ok;
+    * configured and wrong → 401 "Invalid API key"; configured and
+    * absent → 401 "Missing X-Api-Key header".
+    */
+  def authenticate(suppliedKey: Option[String]): Unit =
+    expectedKey.foreach { expected =>
+      suppliedKey match {
+        case Some(k) if GraftAuth.constantTimeEq(k, expected) => ()
+        case Some(_) =>
+          throw new AuthenticationException(
+            "Authentication failed: Invalid API key")
+        case None =>
+          throw new AuthenticationException(
+            "Authentication failed: Missing X-Api-Key header")
+      }
+    }
+
+  /** True iff a key is configured — mirrors the startup log branch
+    * (src/main.rs:85-89). */
+  def required: Boolean = expectedKey.isDefined
+
+  /** Gate an operation the way every session route does: authenticate,
+    * then run (src/routes.rs session handlers all open with
+    * `validate_session_auth(&headers, &state)?`). */
+  def gated[T](suppliedKey: Option[String])(op: => T): T = {
+    authenticate(suppliedKey)
+    op
+  }
+}
+
+object GraftAuth {
+
+  /** SESSION_API_KEY wiring — an empty value counts as unset
+    * (src/main.rs:82-84 `.filter(|k| !k.is_empty())`). */
+  def fromEnv(env: Map[String, String] = sys.env): GraftAuth =
+    GraftAuth(env.get("SESSION_API_KEY").filter(_.nonEmpty))
+
+  /** Open-access instance: no key configured, every call passes. */
+  val open: GraftAuth = GraftAuth(None)
+
+  /** Constant-time byte-wise equality (src/routes.rs:481-484). */
+  def constantTimeEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(a.getBytes(UTF_8), b.getBytes(UTF_8))
+}

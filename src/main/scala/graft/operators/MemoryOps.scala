@@ -22,6 +22,27 @@ object MemoryOps {
   def append(table: DataFrame, rows: DataFrame): DataFrame =
     table.unionByName(rows)
 
+  /** A3 — authenticated append: memory writes that carry a `session_id`
+    * require the same API-key auth as the session endpoints, writes
+    * without one do not (reference src/routes.rs:243-248 — "prevent
+    * unauthenticated callers from associating memory entries with
+    * arbitrary sessions"). The carries-session probe is a LIMIT 1 scan of
+    * the incoming batch only (never the store), so the precondition costs
+    * one bounded job before any write happens.
+    */
+  def appendAuthed(
+      auth: graft.GraftAuth,
+      suppliedKey: Option[String],
+      table: DataFrame,
+      rows: DataFrame,
+      sessionCol: String = "session_id"): DataFrame = {
+    val carriesSession = auth.required &&
+      rows.columns.contains(sessionCol) &&
+      rows.where(col(sessionCol).isNotNull).limit(1).head(1).nonEmpty
+    if (carriesSession) auth.authenticate(suppliedKey)
+    append(table, rows)
+  }
+
   /** V9 — last-write-wins upsert by id (Qdrant PUT points,
     * src/vector_store.rs:215-255). Incoming rows replace existing rows with
     * the same id; ids only in one side pass through. The window shuffles

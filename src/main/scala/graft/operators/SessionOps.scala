@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object SessionOps {
 
+  /** A3 — service-form session surface: every /api/sessions route in the
+    * reference opens with `validate_session_auth` before touching the
+    * store (src/routes.rs:488-502, wired per-route). The library analog
+    * gates any session operation behind [[graft.GraftAuth]]:
+    * {{{
+    * SessionOps.authed(auth, callerKey) { SessionOps.list(sessions) }
+    * }}}
+    * throws [[graft.AuthenticationException]] (401) on a missing or
+    * non-matching key when a key is configured, and is a no-op gate in
+    * open-access mode — exactly the reference's branch.
+    */
+  def authed[T](auth: graft.GraftAuth, suppliedKey: Option[String])(op: => T): T =
+    auth.gated(suppliedKey)(op)
+
   /** S1 — create: append a new session row with a server-generated UUIDv4
     * id and both timestamps = now (src/session_store.rs:82-104).
     * Non-deterministic by nature; oracle-checked queries use

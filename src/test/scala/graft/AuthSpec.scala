@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MemoryOps, SessionOps}
+
+/** A3 — constant-time API-key auth, pinned to the reference's gating
+  * semantics (src/routes.rs:479-502 validate_session_auth, 243-248 the
+  * session_id-carrying memory-write gate, src/main.rs:82-89 env wiring).
+  */
+class AuthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("constantTimeEq is plain equality on the value domain") {
+    assert(GraftAuth.constantTimeEq("secret-key", "secret-key"))
+    assert(!GraftAuth.constantTimeEq("secret-key", "secret-kez"))
+    assert(!GraftAuth.constantTimeEq("short", "a-much-longer-key"))
+    assert(GraftAuth.constantTimeEq("", ""))
+    // non-ASCII round-trips through UTF-8 identically on both sides
+    assert(GraftAuth.constantTimeEq("clé-ütf8-ключ", "clé-ütf8-ключ"))
+  }
+
+  test("validate_session_auth branches (src/routes.rs:488-502)") {
+    val auth = GraftAuth(Some("expected"))
+    auth.authenticate(Some("expected")) // ok
+    val wrong = intercept[AuthenticationException](
+      auth.authenticate(Some("nope")))
+    assert(wrong.status == 401 && wrong.getMessage.contains("Invalid API key"))
+    val missing = intercept[AuthenticationException](auth.authenticate(None))
+    assert(missing.status == 401 &&
+      missing.getMessage.contains("Missing X-Api-Key header"))
+    // no key configured -> open access, both forms pass
+    GraftAuth.open.authenticate(None)
+    GraftAuth.open.authenticate(Some("anything"))
+    assert(!GraftAuth.open.required && GraftAuth(Some("k")).required)
+  }
+
+  test("SESSION_API_KEY env wiring; empty value counts as unset (src/main.rs:82-84)") {
+    assert(GraftAuth.fromEnv(Map.empty).expectedKey.isEmpty)
+    assert(GraftAuth.fromEnv(Map("SESSION_API_KEY" -> "")).expectedKey.isEmpty)
+    assert(GraftAuth.fromEnv(Map("SESSION_API_KEY" -> "k1")).expectedKey
+      .contains("k1"))
+  }
+
+  test("session ops gate: authenticate-then-run, 401 short-circuits the op") {
+    val sessions = Seq(("s1", "t")).toDF("id", "tag")
+    val auth = GraftAuth(Some("k1"))
+    val ok = SessionOps.authed(auth, Some("k1")) {
+      SessionOps.get(sessions, "id", "s1").count()
+    }
+    assert(ok == 1L)
+    var ran = false
+    intercept[AuthenticationException] {
+      SessionOps.authed(auth, Some("bad")) { ran = true }
+    }
+    assert(!ran, "op must not run when auth fails")
+    // open access: gate is a no-op
+    assert(SessionOps.authed(GraftAuth.open, None)(42) == 42)
+  }
+
+  test("memory writes carrying a session_id require auth; others do not (src/routes.rs:243-248)") {
+    val table = Seq(("m1", "a", null: String)).toDF("id", "text", "session_id")
+    val linked = Seq(("m2", "b", "s1")).toDF("id", "text", "session_id")
+    val free = Seq(("m3", "c", null: String)).toDF("id", "text", "session_id")
+    val auth = GraftAuth(Some("k1"))
+    // linked rows + right key -> write goes through
+    assert(MemoryOps.appendAuthed(auth, Some("k1"), table, linked).count() == 2)
+    // linked rows + no/wrong key -> 401 before any write
+    intercept[AuthenticationException](
+      MemoryOps.appendAuthed(auth, None, table, linked))
+    intercept[AuthenticationException](
+      MemoryOps.appendAuthed(auth, Some("bad"), table, linked))
+    // rows with only null session_id need no key even when one is configured
+    assert(MemoryOps.appendAuthed(auth, None, table, free).count() == 2)
+    // schema without the column at all -> plain append semantics
+    val bare = Seq(("m4", "d")).toDF("id", "text")
+    assert(MemoryOps.appendAuthed(auth, None, bare, Seq(("m5", "e"))
+      .toDF("id", "text")).count() == 2)
+    // open access: linked rows pass with no key
+    assert(MemoryOps.appendAuthed(GraftAuth.open, None, table, linked)
+      .count() == 2)
+  }
+}
