@@ -79,8 +79,9 @@ object Queries20 {
   // ---------------------------------------------------------------------
   def sp1SparseCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 500)
-    graft.operators.SparseSim.cosinePairsBrute(
-      graft.operators.SparseSim.tfidfWeights(docs, "doc_id", "text"), 0.9)
+    graft.operators.SparseSim.cosinePairsBruteIndexed(
+      graft.operators.SparseSim.cachedIndex(
+        s"$sfDir#documents_lt500", docs, "doc_id", "text"), 0.9)
   }
 
   val sp1SparseCosinePairsSql: String = {
@@ -125,7 +126,8 @@ object Queries20 {
   // ---------------------------------------------------------------------
   def sp2SparseCosinePrefix(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.SparseSim.cosinePairsPrefixOverDocs(
-      Tables.documents(spark, sfDir), "doc_id", "text", 0.9)
+      Tables.documents(spark, sfDir), "doc_id", "text", 0.9,
+      cacheKey = Some(s"$sfDir#documents_full"))
 
   val sp2SparseCosinePrefixSql: String = {
     val tk = TextHashSql.tokens("text")

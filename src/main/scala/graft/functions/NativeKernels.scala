@@ -198,6 +198,44 @@ object Kernels {
     java.math.BigDecimal.valueOf(acc, 10).doubleValue()
   }
 
+  /** Plain-double sparse dot over the same tok-sorted vectors — the
+    * cheap first phase of the two-phase verify in
+    * [[graft.operators.SparseSim]]: no BigDecimal, no quantization, just
+    * the merge scan with a double accumulator. Differs from
+    * [[sparseDotDec]] by at most 5e-11 per shared token (quantization)
+    * plus double summation error, so a threshold prune with a 1e-6
+    * margin on the cosine never drops a pair the exact phase would keep.
+    */
+  def sparseDotDbl(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var acc = 0.0d
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        acc += ra.getDouble(1) * rb.getDouble(1)
+        i += 1; j += 1
+      }
+    }
+    acc
+  }
+
+  /** Plain-double dense dot over two equal-length `array<double>`
+    * vectors — primitive reads, no per-element allocation: the prune
+    * kernel for SparseSim's densified small-vocabulary regime, where the
+    * sparse merge scan's per-element struct views and string compares
+    * cost ~100x the multiply they guard. */
+  def denseDotDbl(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Int8 max-abs quantization stats — see [[QuantizeStats]]. */
   def quantizeStatsRow(x: ArrayData, isFloat: Boolean)
       : org.apache.spark.sql.catalyst.InternalRow = {
@@ -562,7 +600,11 @@ case class ShingleStrings(child: Expression, n: Int)
 case class SparseDotDec(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // BinaryExpression's nullSafeEval/nullSafeCodeGen return null on null
+  // input, so nullability must follow the children — declaring false
+  // would let the optimizer fold IsNull to false and codegen emit a
+  // wrong 0.0 for a null vector.
+  override def nullable: Boolean = left.nullable || right.nullable
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(StructType(Array(
@@ -582,6 +624,67 @@ case class SparseDotDec(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.Kernels.sparseDotDec($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Plain-double sparse dot over tok-sorted `array<struct<tok,w>>` vectors
+  * (see [[Kernels.sparseDotDbl]]) — the first phase of SparseSim's
+  * two-phase verify: prune the candidate flood with cheap double
+  * arithmetic, run the DECIMAL-exact [[SparseDotDec]] only on the
+  * near-threshold survivors.
+  */
+case class SparseDotDbl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StructType(Array(
+        StructField(_, StringType, _, _), StructField(_, DoubleType, _, _))), _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot_dbl expects ARRAY<STRUCT<STRING, DOUBLE>>, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.sparseDotDbl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.sparseDotDbl($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Plain-double dense dot over two `array<double>` vectors (see
+  * [[Kernels.denseDotDbl]]): primitive-loop arithmetic inside the
+  * whole-stage loop, fit for evaluation as a join predicate.
+  */
+case class DenseDotDbl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dense_dot_dbl expects ARRAY<DOUBLE>, got $l / $r")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      Kernels.denseDotDbl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.denseDotDbl($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -752,6 +855,8 @@ object Native {
   private def ex(c: Column): Expression = GraftBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def sparseDotDec(a: Column, b: Column): Column = col(SparseDotDec(ex(a), ex(b)))
+  def sparseDotDbl(a: Column, b: Column): Column = col(SparseDotDbl(ex(a), ex(b)))
+  def denseDotDbl(a: Column, b: Column): Column = col(DenseDotDbl(ex(a), ex(b)))
   def jaccardSim(a: Column, b: Column): Column = col(JaccardSim(ex(a), ex(b)))
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashes(ex(text), n))
   def minhashSig(text: Column, nPerm: Int, shingleN: Int): Column =

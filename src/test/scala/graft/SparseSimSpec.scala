@@ -107,6 +107,28 @@ class SparseSimSpec extends SparkSpec {
     assert(prefixToks == 0L)
   }
 
+  test("unfused one-sided path (beyond-broadcast fallback) still == brute") {
+    // the dense fused path handles every small flat corpus, so the
+    // shuffled candidate path would otherwise lose coverage: drive it
+    // directly through the debug taps on the same corpora the exactness
+    // property uses
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = (0L until 40L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (base ++ Seq((90L, base(0)._2), (91L, base(3)._2)))
+      .toDF("doc_id", "text")
+    val ix = SparseSim.buildIndex(docs, "doc_id", "text")
+    for (t <- Seq(0.5, 0.9)) {
+      val brute = canon(SparseSim.cosinePairsBruteIndexed(ix, t))
+      val unfused = canon(SparseSim.verifyForDebug(
+        SparseSim.probeCandidatesForDebug(ix, t), ix, t))
+      assert(unfused == brute, s"threshold $t")
+      assert(brute.nonEmpty, s"threshold $t: degenerate fixture")
+    }
+  }
+
   test("quant10 fast path == Spark's CAST(x AS DECIMAL(28,10)) rounding, all magnitudes") {
     def oracle(p: Double): Long =
       java.math.BigDecimal.valueOf(p)
