@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared planning constants for the iterative graph operators
+  * ([[PageRank]], [[Hits]]). */
+private[operators] object GraphPlanning {
+
+  /** Rough serialized bytes per (node, score) row in a broadcast hashed
+    * relation: an 8-16 byte key, an 8 byte double, UnsafeRow + relation
+    * overhead. Deliberately conservative — over-estimating the row keeps
+    * the hint inside the driver/executor memory the threshold protects. */
+  private val NodeRowBytes = 64L
+
+  /** Hint broadcast for node-sized join sides only while the byte
+    * ESTIMATE (measured node count × [[NodeRowBytes]]) fits the
+    * session's `autoBroadcastJoinThreshold` — the same budget Catalyst
+    * applies when it has stats; checkpointed subtrees report none, so
+    * the measured count substitutes. A disabled threshold (<= 0) means
+    * never hint. With the default 10 MB budget this is ~160k nodes;
+    * larger node tables fall back to shuffled hash joins — the shape a
+    * billion-node graph needs anyway, since re-broadcasting a
+    * hundreds-of-MB rank table every iteration would swamp driver and
+    * executor memory alike. */
+  def broadcastMaxNodes(spark: SparkSession): Long = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val bytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: IllegalArgumentException => 10485760L }
+    if (bytes <= 0) 0L else bytes / NodeRowBytes
+  }
+}

@@ -23,8 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  private val BroadcastMaxNodes = 10000000L
-
   /** (role, node, score) after `iters` full hub/authority rounds over
     * `edges` (c → s, deduplicated defensively): role 'hub' rows carry
     * every c, role 'auth' rows every s; scores L1-normalized per side.
@@ -34,8 +32,9 @@ object Hits {
     require(iters >= 1, "HITS needs at least one iteration")
     val e = edges.select(col("c"), col("s")).distinct().localCheckpoint(true)
     val nNodes = e.select(col("c")).unionAll(e.select(col("s"))).distinct().count()
+    val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
     def side(df: DataFrame) =
-      if (nNodes <= BroadcastMaxNodes) broadcast(df) else df
+      if (nNodes <= broadcastMax) broadcast(df) else df
     def l1(df: DataFrame, v: String): DataFrame =
       df.agg(sum(col(v).cast("decimal(28,10)")).cast("double").as("__z"))
     var h = e.select(col("c")).distinct()

@@ -28,9 +28,12 @@ object PageRank {
   /** PageRank after exactly `iters` power iterations, damping 0.85,
     * uniform init 1/N, teleport (1-0.85)/N. Input `edges` (src, dst) is
     * deduplicated defensively; every node reachable in the edge list
-    * gets a row. Callers must ensure no dangling nodes (every node has
-    * at least one out-edge) — e.g. by symmetrizing a bipartite graph —
-    * or rank mass leaks, as in the textbook formulation.
+    * gets a row. Dangling nodes (no out-edge) are handled with the
+    * standard uniform redistribution: their combined mass joins the
+    * teleport term each iteration, so total rank stays 1 for any input —
+    * no caller precondition. Graphs without dangling nodes skip the
+    * correction entirely (one upfront node-sized count decides), keeping
+    * their per-iteration plan and arithmetic unchanged.
     * Output: (node, rank), unrounded.
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
@@ -44,10 +47,17 @@ object PageRank {
     // checkpointed subtrees carry no size stats, so the planner would
     // sort-merge the edge stream against these NODE-sized tables; hint
     // broadcast from the measured node count (the SparseSim/autoSaltedJoin
-    // pattern), falling back to shuffled hash joins past the bound
-    val BroadcastMaxNodes = 10000000L
+    // pattern) within the session's broadcast byte budget, falling back
+    // to shuffled hash joins past the bound
+    val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
     def nodeSide(df: DataFrame) =
-      if (n <= BroadcastMaxNodes) broadcast(df) else df
+      if (n <= broadcastMax) broadcast(df) else df
+    // dangling = in the node set, source of no edge. Node-sized anti-join,
+    // computed once; the count gates the per-iteration correction.
+    val dangling = nodes
+      .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val nDangling = dangling.count()
     var rank = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contrib = e.join(nodeSide(outDeg), Seq("src"))
@@ -55,10 +65,27 @@ object PageRank {
         .select(col("dst").as("node"),
           (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(0.15 / n) + lit(0.85) * coalesce(col("__in"), lit(0.0)))
-            .as("rank"))
+      rank =
+        if (nDangling == 0L) {
+          nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("__in"), lit(0.0)))
+                .as("rank"))
+        } else {
+          // dangling mass this iteration: DECIMAL-quantized like the
+          // in-flow (order-proof), one node-sized semi-join aggregate
+          // broadcast back as a scalar — no driver collect
+          val dmass = rank
+            .join(nodeSide(dangling), Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank").cast("decimal(28,10)"))
+              .cast("double"), lit(0.0)).as("__dm"))
+          nodes.join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dmass))
+            .select(col("node"),
+              (lit(0.15 / n) + lit(0.85) *
+                (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
+                .as("rank"))
+        }
       // pin every iteration: the checkpoint job itself is node-sized and
       // cheap, while leaving iterations lazy chains the edge join k-deep
       // into one action (measured slower than the per-iteration jobs at

@@ -59,6 +59,59 @@ class PageRankSpec extends SparkSpec {
     assert(h(1L) > h(2L) && (2L to 9L).forall(i => math.abs(h(i) - h(2L)) < 1e-12))
   }
 
+  /** Local reference WITH the dangling-mass correction — the operator's
+    * arithmetic exactly: quantized in-flow, quantized dangling sum,
+    * uniform redistribution inside the damped term. */
+  private def refDangling(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val e = edges.distinct
+    val outd = e.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val dangling = nodes.filterNot(outd.contains)
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- e)
+        in(d) += graft.functions.Kernels.quant10(rank(s) / outd(s))
+      val dm = new java.math.BigDecimal(java.math.BigInteger.valueOf(
+          dangling.map(v => graft.functions.Kernels.quant10(rank(v))).sum), 10)
+        .doubleValue()
+      rank = nodes.map { v =>
+        v -> (0.15 / n + 0.85 *
+          (new java.math.BigDecimal(java.math.BigInteger.valueOf(in(v)), 10)
+            .doubleValue() + dm / n))
+      }.toMap
+    }
+    rank
+  }
+
+  test("dangling nodes: mass is redistributed, total rank stays 1") {
+    // star into a sink: node 9 has no out-edge at all
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 2L), (2L, 3L), (3L, 1L))
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iters = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"rank mass leaked: sum=${got.values.sum}")
+    // bit-for-bit against the local reference with the correction
+    val want = refDangling(edges, 7)
+    for ((k, v) <- want) assert(got(k) == v, s"node $k: ${got(k)} != $v")
+    // the sink accumulates the most rank
+    assert(got(9L) == got.values.max)
+    // random digraphs WITHOUT symmetrization (dangling nodes likely):
+    // conservation must hold on every one
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val raw = (1 to 40).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b }
+      val r = PageRank.ranks(raw.toDF("src", "dst"), iters = 5)
+        .as[(Long, Double)].collect()
+      assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9, s"trial $trial leaked")
+      val w = refDangling(raw, 5)
+      r.foreach { case (k, v) => assert(v == w(k), s"trial $trial node $k") }
+    }
+  }
+
   test("zero iterations returns the uniform init; empty edges yield no rows") {
     val r = PageRank.ranks(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 0)
       .as[(Long, Double)].collect().toMap
