@@ -34,7 +34,10 @@ object Bpe {
     import spark.implicits._
     var txt = docs.select(doubled(col(textCol)).as("__txt"))
       .localCheckpoint(true)
-    val merges = (1 to rounds).map { round =>
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val toks = split(trim(col("__txt")), " +")
       val pairs = txt
         .select(explode(zip_with(
@@ -43,14 +46,21 @@ object Bpe {
           (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(count(lit(1)).as("n"))
-      val w = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .as[(String, String, Long)].head()
-      txt = txt.select(doubled(replace(col("__txt"),
-          lit(s" ${w._1}  ${w._2} "), lit(s" ${w._1}_${w._2} "))).as("__txt"))
-        .localCheckpoint(true)
-      (round.toLong, w._1, w._2, w._3)
+      // no adjacent pair left (empty/one-token corpus, or every pair
+      // already merged): terminate with the merges made so far instead
+      // of throwing mid-job
+      pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect().headOption match {
+        case None => exhausted = true
+        case Some(w) =>
+          txt = txt.select(doubled(replace(col("__txt"),
+              lit(s" ${w._1}  ${w._2} "), lit(s" ${w._1}_${w._2} "))).as("__txt"))
+            .localCheckpoint(true)
+          merges += ((round.toLong, w._1, w._2, w._3))
+          round += 1
+      }
     }
-    (merges, txt)
+    (merges.result(), txt)
   }
 
   /** `rounds` merge decisions over `textCol`:

@@ -49,4 +49,21 @@ class BpeSpec extends SparkSpec {
     val m2 = Bpe.train(docs, "text", 1).as[(Long, String, String, Long)].head()
     assert(m1 == ((1L, "a", "d", 1L)) && m2 == m1)
   }
+
+  test("pair exhaustion terminates the loop early instead of throwing") {
+    // one-token docs: zero adjacent pairs at round 1
+    val one = Seq("solo", "word").toDF("text")
+    assert(Bpe.train(one, "text", rounds = 3).count() == 0L)
+    // two-token corpus: round 1 merges the only pair, round 2 finds none
+    val two = Seq("a b", "a b").toDF("text")
+    val m = Bpe.train(two, "text", rounds = 5)
+      .as[(Long, String, String, Long)].collect()
+    assert(m.toSeq == Seq((1L, "a", "b", 2L)))
+    // the encoded corpus reflects the merges that did happen
+    val enc = Bpe.encodedCounts(two, "text", rounds = 5)
+      .as[(String, Long)].collect().toMap
+    assert(enc == Map("a_b" -> 2L))
+    // empty corpus: no pairs, no merges, no throw
+    assert(Bpe.train(Seq.empty[String].toDF("text"), "text", 2).count() == 0L)
+  }
 }
