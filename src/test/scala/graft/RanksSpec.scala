@@ -34,6 +34,43 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("duplicate sort keys straddling range-partition boundaries rank exactly under the tie-break") {
+    // 3 distinct key values over ~900 rows and 32 range partitions: long
+    // duplicate runs MUST straddle partition boundaries, the case the
+    // documented total-order requirement exists for. With the id
+    // tie-break the order is total, so the sampled boundaries can cut a
+    // run anywhere without perturbing any rank; without it the
+    // per-partition window would number the straddling duplicates
+    // arbitrarily. Also covers empty partitions: ranging 3 key values
+    // cannot fill all 32.
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 900).map(i => (i.toLong, rnd.nextInt(3).toDouble))
+      .toDF("id", "v").repartition(17)
+    val got = Ranks.withGlobalRank(df, "r", Seq($"v", $"id"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // same adversarial layout through the cumulative-sum and NTILE
+    // primitives (they share the range+offset machinery)
+    val dfs = (1 to 640).map(i => (i.toLong, (i % 2).toDouble, rnd.nextInt(7).toLong))
+      .toDF("id", "v", "x").repartition(9)
+    val gotS = Ranks.withRunningSums(dfs, Seq("x" -> "cx"), Seq($"v", $"id"))
+      .select($"id", $"cx").as[(Long, Long)].collect().toMap
+    val wantS = dfs.withColumn("cx",
+        sum($"x").over(Window.orderBy($"v", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"cx").as[(Long, Long)].collect().toMap
+    assert(gotS == wantS)
+    val gotT = Ranks.withNtile(dfs, "t", 7, Seq($"v", $"id"))
+      .select($"id", $"t").as[(Long, Long)].collect().toMap
+    val wantT = dfs.withColumn("t",
+        ntile(7).over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"t").as[(Long, Long)].collect().toMap
+    assert(gotT == wantT)
+  }
+
   test("withRunningSums == global cumulative window on random longs") {
     val rnd = new scala.util.Random(13)
     val df = (1 to 800).map(i => (i.toLong, rnd.nextInt(9).toLong, rnd.nextInt(5).toLong))
