@@ -271,7 +271,7 @@ object Queries5 {
   // writer in one distributed map, decoded back by javax.imageio in
   // another. The oracle states the generation formulas; matching them
   // proves the codec round trip, not formula mirroring — the decode
-  // reads the raster. Audio/video remain the only stubbed codecs.
+  // reads the raster. Video remains the only stubbed codec (see M6).
   // ---------------------------------------------------------------------
   def m5PngDecode(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Multimodal.decodePng(
@@ -284,6 +284,29 @@ object Queries5 {
       |  CAST(doc_id % 256 AS INT) AS red,
       |  CAST((doc_id * 7) % 256 AS INT) AS green,
       |  CAST((doc_id * 13) % 256 AS INT) AS blue
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // M6: REAL WAV audio decode — deterministic 16-bit PCM WAVs encoded by
+  // the JDK's own javax.sound.sampled writer, decoded back by its reader;
+  // rate/channels/frames are pure functions of doc_id, so the oracle
+  // states what a real WAV header parse must recover (the m5 pattern for
+  // the audio kind; video remains the one honest stub).
+  // ---------------------------------------------------------------------
+  def m6AudioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Multimodal.decodeWav(
+      graft.operators.Multimodal.wavTable(
+        Tables.documents(spark, sfDir))).toDF()
+  val m6AudioDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(([8000,16000,22050,44100])[CAST(doc_id % 4 AS INT) + 1] AS INT)
+      |    AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(100 + (doc_id * 17) % 4000 AS BIGINT) AS n_frames,
+      |  (CAST(100 + (doc_id * 17) % 4000 AS BIGINT) * 1000)
+      |    // ([8000,16000,22050,44100])[CAST(doc_id % 4 AS INT) + 1]
+      |    AS duration_ms
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -372,6 +395,7 @@ object Queries5 {
     "t10_compression"      -> (t10Compression _),
     "m4_resize_plan"       -> (m4ResizePlan _),
     "m5_png_decode"        -> (m5PngDecode _),
+    "m6_audio_decode"      -> (m6AudioDecode _),
     "x3_full_outer"        -> (x3FullOuter _),
     "smp2_balanced_sample" -> (smp2BalancedSample _),
     "t11_length_outliers"  -> (t11LengthOutliers _))
@@ -385,6 +409,7 @@ object Queries5 {
     "t10_compression"      -> t10CompressionSql,
     "m4_resize_plan"       -> m4ResizePlanSql,
     "m5_png_decode"        -> m5PngDecodeSql,
+    "m6_audio_decode"      -> m6AudioDecodeSql,
     "x3_full_outer"        -> x3FullOuterSql,
     "smp2_balanced_sample" -> smp2BalancedSampleSql,
     "t11_length_outliers"  -> t11LengthOutliersSql)

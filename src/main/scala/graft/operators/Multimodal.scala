@@ -22,18 +22,28 @@ case class PngFeatures(
     green: Int,
     blue: Int)
 
+/** One decoded WAV row produced by [[Multimodal.decodeWav]]. */
+case class WavFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    duration_ms: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
   * The Spark-side mechanics are real — binary columns, checksums, typed
   * Dataset mapPartitions with explicit micro-batching (the Scala analog of
   * arrow-batched decode UDFs), schema, and partition parallelism. The IMAGE
-  * codec is real too: [[Multimodal.decodeFeatures]] decodes image payloads
-  * with the JDK's `javax.imageio` (PNG/JPEG), and [[Multimodal.pngTable]] /
-  * [[Multimodal.decodePng]] round-trip deterministic real PNGs under the
-  * DuckDB oracle. Only AUDIO/VIDEO stay stubbed ([[Multimodal.stubDecode]]
-  * — no codec libraries in this container); swapping one in changes one
-  * function, nothing about the dataflow.
+  * and AUDIO codecs are real too: [[Multimodal.decodeFeatures]] decodes
+  * image payloads with the JDK's `javax.imageio` (PNG/JPEG) and WAV audio
+  * with `javax.sound.sampled`; [[Multimodal.pngTable]]/[[Multimodal.decodePng]]
+  * and [[Multimodal.wavTable]]/[[Multimodal.decodeWav]] round-trip
+  * deterministic real payloads under the DuckDB oracle. Only VIDEO stays
+  * stubbed ([[Multimodal.stubDecode]] — the JDK ships no video codec);
+  * swapping one in changes one function, nothing about the dataflow.
   *
   * At 100 TB: payloads live in their own column chunk, so metadata-only
   * queries never read the bytes (parquet column pruning); decode is
@@ -111,6 +121,84 @@ object Multimodal {
       })
   }
 
+  /** Deterministic REAL-WAV payloads from doc ids: 16-bit PCM, sample
+    * rate/channels/frame count pure functions of the id, samples a fixed
+    * pseudo-waveform — encoded by the JDK's own `javax.sound.sampled`
+    * writer (no external codec), so the DuckDB oracle can state what a
+    * real WAV reader must recover from the header. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100)
+    val rate = rates((id % 4).toInt)
+    val channels = 1 + (id % 2).toInt
+    val frames = (100 + (id * 17) % 4000).toInt
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    var off = 0
+    while (i < frames * channels) {
+      val s = (((id * 31 + i * 7) % 65536) - 32768).toShort
+      data(off) = (s & 0xff).toByte
+      data(off + 1) = ((s >> 8) & 0xff).toByte
+      i += 1; off += 2
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of real WAV payloads (kind = audio for every row) —
+    * the audio counterpart of [[pngTable]], same distributed map shape. */
+  def wavTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, "audio", encodeWav(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the WAV
+    * header; rate, channels, sample width and frame count come from the
+    * decoded stream, and duration is integer frame arithmetic. Fails
+    * loud on undecodable bytes — this path is for actual audio. */
+  def decodeWav(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val rate = f.getSampleRate.toInt
+        WavFeatures(id, rate, f.getChannels, f.getSampleSizeInBits,
+          frames, frames * 1000L / rate)
+      })
+  }
+
+  /** Real-codec attempt for audio payloads: None when the bytes aren't a
+    * format `javax.sound.sampled` recognizes, letting the caller fall
+    * back to the stub — text-byte fixtures keep their stub features. */
+  def tryDecodeAudio(id: Long, kind: String,
+                     payload: Array[Byte]): Option[MediaFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      val frames = ais.getFrameLength
+      Some(MediaFeatures(
+        media_id = id, kind = kind, n_bytes = payload.length.toLong,
+        width = 0, height = 0, n_frames = frames.toInt,
+        duration_ms = frames * 1000L / f.getSampleRate.toInt))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Real-codec attempt for image payloads: None when the bytes aren't a
     * recognized image format (ImageIO's null), letting the caller fall
     * back to the stub — text-byte fixtures keep their stub features. */
@@ -123,11 +211,13 @@ object Multimodal {
         width = img.getWidth, height = img.getHeight,
         n_frames = 1, duration_ms = 0L))
 
-  /** STUB decoder for AUDIO/VIDEO (and undecodable image bytes) —
-    * deterministic pseudo-features from the byte stream. The container
-    * has no audio/video codec libraries; the signature (bytes in,
-    * features out) is the real contract and the image path above shows
-    * the slot a real codec drops into. */
+  /** STUB decoder for VIDEO (and image/audio bytes no JDK codec
+    * recognizes) — deterministic pseudo-features from the byte stream.
+    * Images decode via `javax.imageio` and WAV audio via
+    * `javax.sound.sampled`; video is the one kind with no JDK codec, so
+    * its stub is honest. The signature (bytes in, features out) is the
+    * real contract and the image/audio paths above show the slot a real
+    * codec drops into. */
   def stubDecode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val n = payload.length.toLong
     MediaFeatures(
@@ -172,10 +262,13 @@ object Multimodal {
         // per-partition decoder setup would go here (codec init, model load)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, kind, payload) =>
-            // images go through the REAL codec; audio/video (and image
-            // rows whose bytes aren't a recognized format) use the stub
-            val real =
-              if (kind == "image") tryDecodeImage(id, kind, payload) else None
+            // images and audio go through the REAL codecs; video (and
+            // rows whose bytes no codec recognizes) use the stub
+            val real = kind match {
+              case "image" => tryDecodeImage(id, kind, payload)
+              case "audio" => tryDecodeAudio(id, kind, payload)
+              case _ => None
+            }
             real.getOrElse(stubDecode(id, kind, payload))
           }
         }

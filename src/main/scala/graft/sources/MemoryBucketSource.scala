@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
@@ -43,6 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    point-lookup never opens 15 of 16 buckets.
   *  - `SupportsPushDownLimit`: the per-partition reader stops after
   *    `limit` rows (partial pushdown; Spark keeps the global limit).
+  *  - `SupportsPushDownTopN`: `ORDER BY <stored cols> LIMIT k` runs
+  *    store-side as a bounded per-partition heap — the analog of the
+  *    reference's scored-top-k delegation (limit + score order evaluated
+  *    by the store, src/vector_store.rs:277-293); partial pushdown,
+  *    Spark keeps the global cut.
   *  - `SupportsPushDownRequiredColumns`: the parquet read schema carries
   *    only requested columns.
   *
@@ -210,25 +215,79 @@ object MemoryBucketSource {
   }
 
   /** Bucket ids a filter restricts the id column to — the writer's
-    * pmod(xxhash64(id), n) arithmetic, applied driver-side. */
-  private[sources] def bucketsFor(f: Filter, idCol: String, n: Int): Option[Set[Long]] = {
-    def bucketOf(id: Long): Long = {
-      val h = XXH64.hashLong(id, 42L)
-      ((h % n) + n) % n
+    * pmod(xxhash64(id), n) arithmetic, applied driver-side. The hash
+    * MUST dispatch on the id column's actual DataType exactly as Spark's
+    * `XxHash64` expression does (hashInt for 32-bit, hashLong for
+    * 64-bit, UTF8 bytes for strings) — hashing an int id's long value
+    * would select a DIFFERENT bucket than the writer did and silently
+    * return no rows. Types outside the mirrored set prune nothing. */
+  private[sources] def bucketsFor(f: Filter, idCol: String, idType: DataType,
+                                  n: Int): Option[Set[Long]] = {
+    def hashOf(v: Any): Option[Long] = (idType, v) match {
+      case (LongType, x: Number) => Some(XXH64.hashLong(x.longValue(), 42L))
+      case (IntegerType, x: Number) => Some(XXH64.hashInt(x.intValue(), 42L))
+      case (StringType, s: String) =>
+        Some(XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+      case _ => None
     }
+    def bucketOf(v: Any): Option[Long] = hashOf(v).map(h => ((h % n) + n) % n)
     f match {
-      case sources.EqualTo(c, v: Number) if c == idCol =>
-        Some(Set(bucketOf(v.longValue())))
-      case sources.In(c, vs) if c == idCol && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-        Some(vs.map(v => bucketOf(v.asInstanceOf[Number].longValue())).toSet)
+      case sources.EqualTo(c, v) if c == idCol && v != null =>
+        bucketOf(v).map(Set(_))
+      case sources.In(c, vs) if c == idCol && vs.nonEmpty && vs.forall(_ != null) =>
+        val bs = vs.toSeq.map(bucketOf)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
       case sources.And(l, r) =>
-        (bucketsFor(l, idCol, n), bucketsFor(r, idCol, n)) match {
+        (bucketsFor(l, idCol, idType, n), bucketsFor(r, idCol, idType, n)) match {
           case (Some(a), Some(b)) => Some(a intersect b)
           case (a, b) => a.orElse(b)
         }
       case sources.Or(l, r) =>
-        for (a <- bucketsFor(l, idCol, n); b <- bucketsFor(r, idCol, n)) yield a union b
+        for (a <- bucketsFor(l, idCol, idType, n);
+             b <- bucketsFor(r, idCol, idType, n)) yield a union b
       case _ => None
+    }
+  }
+
+  /** Upper bound on a pushed top-N: the per-partition heap holds N rows
+    * in reader memory, so an unbounded N would turn the pushdown into an
+    * unbounded buffer. Past the bound Spark keeps its own
+    * TakeOrderedAndProject over the plain scan. */
+  private[sources] val TopNMax = 65536
+
+  /** One pushed sort key: column, type, and OUTPUT-order semantics
+    * (descending + where nulls land, as Spark's SortOrder states them). */
+  private[sources] case class SortSpec(
+      name: String, dataType: DataType, desc: Boolean, nullsFirst: Boolean)
+
+  private[sources] def orderable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType => true
+    case _ => false
+  }
+
+  /** Output-order comparison of two sort-key values under a spec. */
+  private[sources] def compareKey(a: Any, b: Any, s: SortSpec): Int = {
+    if (a == null && b == null) 0
+    else if (a == null) { if (s.nullsFirst) -1 else 1 }
+    else if (b == null) { if (s.nullsFirst) 1 else -1 }
+    else {
+      val c = s.dataType match {
+        case LongType => java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])
+        case IntegerType => Integer.compare(
+          a.asInstanceOf[Int], b.asInstanceOf[Int])
+        case DoubleType => java.lang.Double.compare(
+          a.asInstanceOf[Double], b.asInstanceOf[Double])
+        case FloatType => java.lang.Float.compare(
+          a.asInstanceOf[Float], b.asInstanceOf[Float])
+        case BooleanType => java.lang.Boolean.compare(
+          a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+        case StringType => a.asInstanceOf[UTF8String]
+          .compareTo(b.asInstanceOf[UTF8String])
+        case other => throw new UnsupportedOperationException(s"sort on $other")
+      }
+      if (s.desc) -c else c
     }
   }
 }
@@ -248,12 +307,14 @@ private[sources] class MemoryScanBuilder(
     path: String, tableSchema: StructType,
     nBuckets: Option[Int], idCol: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicate: Option[FilterPredicate] = None
   private var buckets: Option[Set[Long]] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)] = None
   private var required: StructType = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -262,10 +323,13 @@ private[sources] class MemoryScanBuilder(
     pushed = ok
     predicate = ok.flatMap(MemoryBucketSource.toPredicate(_, tableSchema))
       .reduceOption(FilterApi.and)
-    buckets = nBuckets.flatMap { n =>
-      val sets = ok.flatMap(MemoryBucketSource.bucketsFor(_, idCol, n))
-      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
-    }
+    val idType = tableSchema.fields.find(_.name == idCol).map(_.dataType)
+    buckets = for {
+      n <- nBuckets
+      t <- idType
+      sets = ok.flatMap(MemoryBucketSource.bucketsFor(_, idCol, t, n))
+      merged <- sets.reduceOption(_ intersect _)
+    } yield merged
     rest // post-scan filters; accepted ones are evaluated exactly store-side
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -275,11 +339,42 @@ private[sources] class MemoryScanBuilder(
     false // partial: per-partition cut-off, Spark keeps the global limit
   }
 
+  /** The reference's Qdrant scan evaluates the scored top-k ITSELF
+    * (score threshold + limit, src/vector_store.rs:277-293); the engine
+    * analog accepts `ORDER BY <stored columns> LIMIT k` and answers it
+    * with a per-partition bounded heap inside the reader. PARTIAL
+    * pushdown: each partition returns its local top-N, Spark's
+    * TakeOrderedAndProject keeps the global cut — so every sort key must
+    * be a plain stored column of an orderable type, or the whole top-N
+    * is declined and the plain scan stands. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val specs = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          tableSchema.fields.find(_.name == name).collect {
+            case f if MemoryBucketSource.orderable(f.dataType) =>
+              MemoryBucketSource.SortSpec(name, f.dataType,
+                desc = o.direction() == SortDirection.DESCENDING,
+                nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST)
+          }
+        case _ => None
+      }
+    }
+    if (n <= 0 || n > MemoryBucketSource.TopNMax ||
+        specs.isEmpty || specs.exists(_.isEmpty)) false
+    else {
+      topN = Some((specs.flatten, n))
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new MemoryScan(path, required, predicate, buckets, limit, pushed)
+    new MemoryScan(path, required, predicate, buckets, limit, topN, pushed)
 }
 
 private[sources] case class FileInputPartition(file: String) extends InputPartition
@@ -287,78 +382,143 @@ private[sources] case class FileInputPartition(file: String) extends InputPartit
 private[sources] class MemoryScan(
     path: String, required: StructType,
     predicate: Option[FilterPredicate], buckets: Option[Set[Long]],
-    limit: Option[Int], pushed: Array[Filter]) extends Scan with Batch {
+    limit: Option[Int],
+    topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val b = buckets.fold("all")(s => s.toSeq.sorted.mkString("{", ",", "}"))
+    val t = topN.fold("none") { case (specs, n) =>
+      specs.map(s => s"${s.name} ${if (s.desc) "DESC" else "ASC"}")
+        .mkString("ORDER BY [", ", ", s"] LIMIT $n")
+    }
     s"GraftMemoryBucketScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"PushedLimit: ${limit.getOrElse(-1)}, Buckets: $b"
+      s"PushedLimit: ${limit.getOrElse(-1)}, PushedTopN: $t, Buckets: $b"
   }
   override def planInputPartitions(): Array[InputPartition] =
     MemoryBucketSource.listFiles(path, buckets)
       .map(FileInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new MemoryReaderFactory(required, predicate, limit,
+    new MemoryReaderFactory(required, predicate, limit, topN,
       pushed.flatMap(_.references).distinct.toSeq)
 }
 
 private[sources] class MemoryReaderFactory(
     required: StructType, predicate: Option[FilterPredicate],
-    limit: Option[Int], filterCols: Seq[String]) extends PartitionReaderFactory {
+    limit: Option[Int],
+    topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
+    filterCols: Seq[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GroupRowReader(p.asInstanceOf[FileInputPartition].file,
-      required, predicate, limit, filterCols)
+      required, predicate, limit, topN, filterCols)
 }
 
 /** Row-by-row parquet reader over the example Group API — the pushed
   * predicate runs INSIDE parquet (row-group pruning + record skipping),
-  * the projection narrows the read schema, and the limit stops the
-  * partition early. Fixture-scale read path; the pushdown CONTRACT is
-  * what the plan tests pin. */
+  * the projection narrows the read schema, the limit stops the partition
+  * early, and a pushed top-N is answered from a BOUNDED heap (worst row
+  * on top, O(log n) eviction) so the partition returns its local top-N
+  * rows in order without ever buffering more than n. Fixture-scale read
+  * path; the pushdown CONTRACT is what the plan tests pin. */
 private[sources] class GroupRowReader(
     file: String, required: StructType,
     predicate: Option[FilterPredicate], limit: Option[Int],
+    topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
     filterCols: Seq[String])
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     conf.set(ReadSupport.PARQUET_READ_SCHEMA,
-      MemoryBucketSource.project(file, required, filterCols).toString)
+      MemoryBucketSource.project(file, required,
+        filterCols ++ topN.toSeq.flatMap(_._1.map(_.name))).toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf)
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
   private var current: Group = _
   private var served = 0
+  private var topRows: Iterator[InternalRow] = _
 
-  override def next(): Boolean = {
-    if (limit.exists(served >= _)) return false
-    current = reader.read()
-    current != null
+  private def keyOf(g: Group, s: MemoryBucketSource.SortSpec): Any = {
+    val gi = g.getType.getFieldIndex(s.name)
+    if (g.getFieldRepetitionCount(gi) == 0) null
+    else s.dataType match {
+      case LongType => g.getLong(gi, 0)
+      case IntegerType => g.getInteger(gi, 0)
+      case DoubleType => g.getDouble(gi, 0)
+      case FloatType => g.getFloat(gi, 0)
+      case BooleanType => g.getBoolean(gi, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)
+      case other => throw new UnsupportedOperationException(s"sort on $other")
+    }
   }
 
-  override def get(): InternalRow = {
-    served += 1
+  private def drainTopN(specs: Seq[MemoryBucketSource.SortSpec],
+                        n: Int): Iterator[InternalRow] = {
+    val outputOrder = new java.util.Comparator[(Array[Any], InternalRow)] {
+      override def compare(a: (Array[Any], InternalRow),
+                           b: (Array[Any], InternalRow)): Int = {
+        var i = 0
+        while (i < specs.length) {
+          val c = MemoryBucketSource.compareKey(a._1(i), b._1(i), specs(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](
+      math.max(1, n), outputOrder.reversed())
+    var g = reader.read()
+    while (g != null) {
+      heap.add((specs.map(keyOf(g, _)).toArray, toRow(g)))
+      if (heap.size() > n) heap.poll() // evict the current worst
+      g = reader.read()
+    }
+    val kept = new Array[(Array[Any], InternalRow)](heap.size())
+    var i = kept.length - 1
+    while (i >= 0) { kept(i) = heap.poll(); i -= 1 } // worst-first drain
+    kept.iterator.map(_._2)
+  }
+
+  override def next(): Boolean = topN match {
+    case Some((specs, n)) =>
+      if (topRows == null) topRows = drainTopN(specs, n)
+      topRows.hasNext
+    case None =>
+      if (limit.exists(served >= _)) return false
+      current = reader.read()
+      current != null
+  }
+
+  override def get(): InternalRow = topN match {
+    case Some(_) => topRows.next()
+    case None =>
+      served += 1
+      toRow(current)
+  }
+
+  private def toRow(cur: Group): InternalRow = {
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
-      val gi = current.getType.getFieldIndex(f.name)
-      if (current.getFieldRepetitionCount(gi) == 0) row.update(i, null)
+      val gi = cur.getType.getFieldIndex(f.name)
+      if (cur.getFieldRepetitionCount(gi) == 0) row.update(i, null)
       else f.dataType match {
-        case LongType => row.update(i, current.getLong(gi, 0))
-        case IntegerType => row.update(i, current.getInteger(gi, 0))
-        case DoubleType => row.update(i, current.getDouble(gi, 0))
-        case FloatType => row.update(i, current.getFloat(gi, 0))
-        case BooleanType => row.update(i, current.getBoolean(gi, 0))
+        case LongType => row.update(i, cur.getLong(gi, 0))
+        case IntegerType => row.update(i, cur.getInteger(gi, 0))
+        case DoubleType => row.update(i, cur.getDouble(gi, 0))
+        case FloatType => row.update(i, cur.getFloat(gi, 0))
+        case BooleanType => row.update(i, cur.getBoolean(gi, 0))
         case StringType =>
-          row.update(i, UTF8String.fromBytes(current.getBinary(gi, 0).getBytes))
-        case BinaryType => row.update(i, current.getBinary(gi, 0).getBytes)
+          row.update(i, UTF8String.fromBytes(cur.getBinary(gi, 0).getBytes))
+        case BinaryType => row.update(i, cur.getBinary(gi, 0).getBytes)
         case ArrayType(et, _) =>
-          val lst = current.getGroup(gi, 0)
+          val lst = cur.getGroup(gi, 0)
           val n = lst.getFieldRepetitionCount(0)
           val out = new Array[Any](n)
           var j = 0

@@ -98,4 +98,76 @@ class MemoryBucketSourceSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("id", "label"))
     assert(df.count() == source.count())
   }
+
+  test("pushed top-N: ORDER BY stored columns LIMIT k runs store-side") {
+    val df = source.select($"id", $"label")
+      .orderBy($"label".desc, $"id".asc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY [label DESC, id ASC] LIMIT 5"),
+      s"top-N not pushed in:\n$plan")
+    // partial pushdown: Spark keeps the global cut over the per-partition heaps
+    assert(plan.contains("TakeOrderedAndProject"))
+    val got = df.as[(Long, Int)].collect().toSeq
+    val want = MemoryOps.readBucketed(spark, storeDir).select($"id", $"label")
+      .orderBy($"label".desc, $"id".asc).limit(5)
+      .as[(Long, Int)].collect().toSeq
+    assert(got == want && got.size == 5)
+  }
+
+  test("v5-shaped threshold + top-k over a STORED score column delegates both to the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_score_").toString
+    // deterministic stored score, the shape the reference's Qdrant path
+    // stores and delegates (threshold + limit store-side)
+    MemoryOps.writeBucketed(
+      Tables.memories(spark, sf0001)
+        .withColumn("score", ($"id" * 37 % 101).cast("double")),
+      dir, "id", nBuckets)
+    val src = spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", dir).option("nBuckets", nBuckets.toString)
+      .option("idCol", "id").load()
+    val df = src.select($"id", $"score")
+      .where($"score" >= 40.0)
+      .orderBy($"score".desc, $"id".asc).limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(score,40.0)"),
+      s"threshold not pushed in:\n$plan")
+    assert(plan.contains("PushedTopN: ORDER BY [score DESC, id ASC] LIMIT 10"),
+      s"top-N not pushed in:\n$plan")
+    val got = df.as[(Long, Double)].collect().toSeq
+    val want = MemoryOps.readBucketed(spark, dir).select($"id", $"score")
+      .where($"score" >= 40.0)
+      .orderBy($"score".desc, $"id".asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.size == 10)
+  }
+
+  test("bucket pruning hashes by the id column's actual type (int and string ids)") {
+    // INT ids: Spark's xxhash64 hashes 32-bit values with hashInt, not
+    // hashLong — driver-side pruning must match or lookups silently miss
+    val intDir = java.nio.file.Files.createTempDirectory("graft_dsv2_int_").toString
+    MemoryOps.writeBucketed(
+      (0 until 64).map(i => (i, s"t$i")).toDF("id", "text"), intDir, "id", 8)
+    val intSrc = spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", intDir).option("nBuckets", "8").option("idCol", "id").load()
+    for (id <- Seq(0, 7, 23, 42, 63)) {
+      val one = intSrc.where($"id" === id)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("Buckets: {"), s"id=$id not pruned:\n$plan")
+      assert(one.select($"text").as[String].collect().toSeq == Seq(s"t$id"),
+        s"id=$id lookup missed its bucket")
+    }
+    // STRING ids — the reference store's actual key type (UUIDs)
+    val strDir = java.nio.file.Files.createTempDirectory("graft_dsv2_str_").toString
+    MemoryOps.writeBucketed(
+      (0 until 64).map(i => (s"m-$i", i)).toDF("id", "n"), strDir, "id", 8)
+    val strSrc = spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", strDir).option("nBuckets", "8").option("idCol", "id").load()
+    for (i <- Seq(0, 9, 31, 57)) {
+      val one = strSrc.where($"id" === s"m-$i")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("Buckets: {"), s"m-$i not pruned:\n$plan")
+      assert(one.select($"n").as[Int].collect().toSeq == Seq(i),
+        s"m-$i lookup missed its bucket")
+    }
+  }
 }

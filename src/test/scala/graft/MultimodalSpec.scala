@@ -74,4 +74,37 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(feats.toSeq == again.toSeq)
   }
+
+  test("encodeWav/decodeWav: real codec round trip recovers header fields") {
+    val docs = (0L until 9L).toDF("doc_id")
+    val got = Multimodal.decodeWav(Multimodal.wavTable(
+        docs.withColumn("text", lit("x"))))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- 0L until 9L) {
+      val f = got(id)
+      val rate = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+      val frames = 100 + (id * 17) % 4000
+      assert(f.sample_rate == rate, s"id=$id rate")
+      assert(f.channels == 1 + (id % 2).toInt, s"id=$id channels")
+      assert(f.bits == 16, s"id=$id bits")
+      assert(f.n_frames == frames, s"id=$id frames")
+      assert(f.duration_ms == frames * 1000L / rate, s"id=$id duration")
+    }
+  }
+
+  test("decodeFeatures: real WAV payloads take the sampled path, text bytes fall back") {
+    val media = Seq(
+      (1L, "audio", Multimodal.encodeWav(5L)),
+      (2L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    // real WAV: frames/duration from the parsed header, no pixel dims
+    val frames = 100 + (5L * 17) % 4000
+    assert(got(1L).n_frames == frames.toInt)
+    assert(got(1L).duration_ms == frames * 1000L / 16000)
+    assert(got(1L).width == 0 && got(1L).height == 0)
+    // unrecognizable bytes: stub features (duration = 3 * n_bytes)
+    assert(got(2L).duration_ms == got(2L).n_bytes * 3)
+  }
 }
