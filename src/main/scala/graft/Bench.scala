@@ -49,7 +49,13 @@ object Bench {
     // benchmark nothing but the scan). Each query runs twice and reports
     // the min: this box carries unrelated background load (~2 cores), and
     // min-of-2 measures the engine rather than the co-tenant.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=q1,sp2 restricts to queries
+    // whose name starts with a listed prefix (full runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       // localCheckpoint blocks from prior queries (dedup/clustering staging)
       // are freed by the ContextCleaner only after the owning RDD is GC'd;
       // without a nudge they pile up in the block manager and tax the

@@ -120,15 +120,20 @@ object Soak {
     "a7_ivf_trained" -> SparkEntry.queries("a7_ivf_trained"),
     "sp2_sparse_prefix" -> SparkEntry.queries("sp2_sparse_prefix"),
     // k scales with the corpus (bounded cluster size — the SemDeDup scale
-    // knob, like d10's LSH bits) and the codebook trains on a base-sized
-    // sample, the production posture for an index at any scale
+    // knob, like d10's LSH bits: k grows with N so cluster size, hence
+    // within-cluster pair work per cluster, stays constant) and the
+    // codebook trains on a base-sized sample, the production posture for
+    // an index at any scale
     "sem1_semantic_dedup" -> ((s: SparkSession, dir: String) => {
       val embs = Tables.embeddings(s, dir)
-      val k = if (factor >= 10) 80 else 8
+      val k = if (factor >= 100) 800 else if (factor >= 10) 80 else 8
       Queries25.semanticDedupWith(embs,
         operators.Ann.kmeans(embs.where(col("vec_id") < 6000), k, iters = 2))
     }),
-    "pr1_pagerank" -> SparkEntry.queries("pr1_pagerank"))
+    "pr1_pagerank" -> SparkEntry.queries("pr1_pagerank"),
+    // rides the same shifted-key orders/lineitem replicas as pr1: the
+    // purchase bipartite graph grows by the factor as disjoint components
+    "hits1_hubs_authorities" -> SparkEntry.queries("hits1_hubs_authorities"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
@@ -168,13 +173,11 @@ object Soak {
     // the degenerate 31-token-vocabulary case where candidates ≈ all
     // intra-replica pairs — linear in the factor but ~35 s/decade of
     // fixture, so its soak stops at 10x (still a full decade past the
-    // bench scale; the 100x decade is covered by the three cheap paths)
-    // sem1 and pr1 soak one decade: sem1's within-cluster verify and
-    // pr1's six edge-linear iterations are each ~linear-in-N map/join
-    // work whose 100x wall-clock adds nothing structural on one machine
-    // (the shapes do not change past 10x; d2/d10/a7 carry the second
-    // decade)
-    val maxFactor = Map("sp2_sparse_prefix" -> 10, "sem1_semantic_dedup" -> 10,
+    // bench scale; the 100x decade is covered by the three cheap paths).
+    // pr1 stops at 10x (six edge-linear join iterations, structurally
+    // identical to hits1 which DOES carry the 100x decade for the graph
+    // family); sem1 and hits1 run the full two decades.
+    val maxFactor = Map("sp2_sparse_prefix" -> 10,
       "pr1_pagerank" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
