@@ -12,7 +12,21 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Driver fixtures store timestamps as parquet TIMESTAMP(MICROS) without
+    * isAdjustedToUTC, which Spark 4 infers as TIMESTAMP_NTZ. The engine (and
+    * the DuckDB oracle, whose native TIMESTAMP is naive-as-UTC) treats them
+    * as instants: re-type NTZ → TimestampType. The session timezone is
+    * pinned to UTC by every entry point, so the stored micros are unchanged
+    * — this is a re-type, not a clock shift.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.col
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

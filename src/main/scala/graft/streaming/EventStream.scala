@@ -16,12 +16,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** File schema of the events fixture: `ts` arrives as raw nanos (Long)
-    * under spark.sql.legacy.parquet.nanosAsLong — normalized to
-    * TimestampType by [[readEventStream]]. */
+  /** File schema of the events fixture. The fixture stores `ts` as parquet
+    * TIMESTAMP(MICROS) without isAdjustedToUTC; declaring TimestampType here
+    * reads those micros as instants directly (session timezone is UTC), the
+    * same normalization [[Tables.load]] applies on the batch side. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

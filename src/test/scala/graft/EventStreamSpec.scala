@@ -33,7 +33,7 @@ class EventStreamSpec extends SparkSpec {
     def writeBatch(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "tsStr", "user_id", "event_type", "value", "props")
         .select($"event_id",
-          unix_timestamp($"tsStr").multiply(1000000000L).cast("long").as("ts"),
+          to_timestamp($"tsStr").as("ts"),
           $"user_id", $"event_type", $"value", $"props")
         .coalesce(1).write.mode("append").parquet(dir.getPath + "/in")
     // batch 1: two events in the 10:00 window, one at 13:00 -> watermark 12:00
@@ -89,7 +89,7 @@ class EventStreamSpec extends SparkSpec {
     def writeBatch(rows: Seq[(Long, String)]): Unit =
       rows.toDF("event_id", "tsStr")
         .select($"event_id",
-          unix_timestamp($"tsStr").multiply(1000000000L).cast("long").as("ts"),
+          to_timestamp($"tsStr").as("ts"),
           lit(1L).as("user_id"), lit("view").as("event_type"),
           lit(1.0).as("value"), lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(dir.getPath + "/in")
