@@ -53,8 +53,15 @@ object Bench {
     // whose name starts with a listed prefix (full runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Declared validation baselines are quadratic BY CONSTRUCTION — they
+    // exist only to pin the exactness of their production counterpart
+    // (sp1 validates sp2, which IS benched). They stay in Verify's
+    // correctness surface but out of the throughput bench, which measures
+    // the engine's production paths.
+    val validationBaselines = Set("sp1_sparse_cosine")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(_.exists(n.startsWith)) && !validationBaselines(n) }
       .map { case (name, fn) =>
       // localCheckpoint blocks from prior queries (dedup/clustering staging)
       // are freed by the ContextCleaner only after the owning RDD is GC'd;

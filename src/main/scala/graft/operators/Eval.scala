@@ -50,4 +50,35 @@ object Eval {
         round((col("__S2") - col("__P") * (col("__P") + lit(1L))).cast("double")
           / (lit(2.0) * col("__P") * col("__N")), 6).as("auc"))
   }
+
+  /** Average precision (the area under the precision–recall curve at the
+    * ranking's operating points):
+    *
+    *   AP = (1/P) · Σ_{ranks k with rel(k)=1} precision@k
+    *
+    * over the TOTAL order (score desc, id asc) — the id tie-break makes
+    * the ranking, and therefore AP, deterministic under ties on both
+    * engines. Rank and cumulative-positive columns ride
+    * [[Ranks.withRunningSums]] (range partition + per-partition prefix
+    * sums), so a continuous score column never funnels through a
+    * single-partition window; each precision@k term is DECIMAL-quantized
+    * before the sum so accumulation order cannot perturb the result.
+    */
+  def averagePrecision(df: DataFrame, score: Column, id: Column,
+                       positive: Column): DataFrame = {
+    val base = df.select(score.as("__s"), id.as("__id"),
+        positive.cast("boolean").as("__p"))
+      .withColumn("__one", lit(1L))
+      .withColumn("__pl", when(col("__p"), 1L).otherwise(0L))
+    val ranked = Ranks.withRunningSums(base,
+      Seq("__one" -> "__rank", "__pl" -> "__cp"),
+      Seq(col("__s").desc, col("__id").asc))
+    ranked.agg(
+        sum(col("__pl")).as("__P"),
+        sum(when(col("__p"),
+          (col("__cp").cast("double") / col("__rank"))
+            .cast("decimal(28,10)"))).as("__ap_sum"))
+      .select(col("__P").as("n_pos"),
+        round(col("__ap_sum").cast("double") / col("__P"), 6).as("ap"))
+  }
 }

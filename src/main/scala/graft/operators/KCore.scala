@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-core decomposition by iterative peeling (Matula & Beck
+  * 1983): repeatedly drop nodes whose degree in the surviving induced
+  * subgraph is below k until a fixpoint. Extension surface — graph
+  * curation (the "keep only well-connected entities" filter that
+  * complements PageRank/HITS centrality; SURVEY.md §2.5).
+  *
+  * Scale posture: each round is two node-keyed semi-joins (edges against
+  * the shrinking alive set) and one node-keyed count — all shuffles on
+  * the node key, no broadcast of anything data-sized. The alive set only
+  * shrinks, so per-round cost is monotone non-increasing; the edge table
+  * is checkpoint-pinned once up front so the (possibly expensive) edge
+  * derivation is never re-run per round. The per-round `count()` is a
+  * single scalar planning statistic (the autoSaltedJoin pattern), not a
+  * data collect; lineage is cut every round with an eager
+  * localCheckpoint, the PageRank measurement that picked pinned over
+  * lazy (PageRank.scala:62-65) applying unchanged here.
+  */
+object KCore {
+
+  /** Nodes of the k-core of a SYMMETRIZED edge list `(src, dst)` (each
+    * undirected edge present in both orientations), with their degree in
+    * the core-induced subgraph. `maxIters` bounds the peel; the loop
+    * exits as soon as a round removes nothing.
+    */
+  def core(edges: DataFrame, k: Int, maxIters: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var alive = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var n = alive.count()
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      val deg = e
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
+      val next = deg.where(col("__deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val m = next.count()
+      changed = m != n
+      alive = next
+      n = m
+      it += 1
+    }
+    // final degrees within the converged core (every survivor has >= k)
+    e.join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+}

@@ -22,6 +22,16 @@ case class PngFeatures(
     green: Int,
     blue: Int)
 
+/** One parsed MP4 row produced by [[Multimodal.parseMp4]]. */
+case class Mp4Features(
+    media_id: Long,
+    brand: String,
+    minor_version: Int,
+    timescale: Int,
+    duration_ticks: Long,
+    duration_ms: Long,
+    n_top_boxes: Int)
+
 /** One decoded WAV row produced by [[Multimodal.decodeWav]]. */
 case class WavFeatures(
     media_id: Long,
@@ -177,6 +187,118 @@ object Multimodal {
         val rate = f.getSampleRate.toInt
         WavFeatures(id, rate, f.getChannels, f.getSampleSizeInBits,
           frames, frames * 1000L / rate)
+      })
+  }
+
+  /** Deterministic REAL-MP4 container payloads from doc ids: an ISO BMFF
+    * byte stream (ftyp + moov/mvhd, plus a free box for even ids) whose
+    * brand, timescale and duration are pure functions of the id — so the
+    * DuckDB oracle can state what a real box walker must recover. The JDK
+    * ships no video *codec*, but the ISO 14496-12 box STRUCTURE is plain
+    * big-endian length-prefixed framing: container metadata (brand,
+    * timescale, duration) is parseable without one, which is exactly the
+    * metadata slice a 100 TB video-curation pass runs on. Sample decode
+    * stays honestly stubbed ([[stubDecode]]).
+    */
+  def encodeMp4(id: Long): Array[Byte] = {
+    val brands = Array("isom", "mp41", "mp42", "avc1")
+    val brand = brands((id % 4).toInt)
+    val minor = (id % 8).toInt
+    val timescale = 600 * (1 + (id % 3)).toInt
+    val durTicks = 1000L + (id * 37) % 9000
+    val freeLen = if (id % 2 == 0) 8 + (id % 16).toInt else 0
+    val mvhdSize = 108
+    val moovSize = 8 + mvhdSize
+    val ftypSize = 20
+    val buf = java.nio.ByteBuffer.allocate(ftypSize + moovSize + freeLen)
+    buf.order(java.nio.ByteOrder.BIG_ENDIAN)
+    // ftyp: major_brand, minor_version, one compatible brand
+    buf.putInt(ftypSize).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(minor)
+      .put("isom".getBytes("US-ASCII"))
+    // moov > mvhd (version 0): creation/modification 0, then
+    // timescale/duration, rate 0x00010000, volume 0x0100, reserved,
+    // unity matrix, predefined, next_track_id
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(timescale).putInt(durTicks.toInt)
+    buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+    buf.putInt(0).putInt(0)
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    matrix.foreach(buf.putInt)
+    (0 until 6).foreach(_ => buf.putInt(0))
+    buf.putInt(1)
+    if (freeLen > 0) {
+      buf.putInt(freeLen).put("free".getBytes("US-ASCII"))
+      (0 until freeLen - 8).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  /** Media table of real MP4 container payloads (kind = video for every
+    * row) — the video counterpart of [[pngTable]]/[[wavTable]]. */
+  def mp4Table(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, "video", encodeMp4(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL ISO BMFF box walk: reads the top-level box framing, the ftyp
+    * brand/minor_version and the moov/mvhd timescale + duration from the
+    * bytes (big-endian, length-prefixed — ISO 14496-12 §4.2). Duration is
+    * integer tick arithmetic. Fails loud on malformed framing — this path
+    * is for actual MP4 containers. */
+  def parseMp4(media: DataFrame): Dataset[Mp4Features] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        var brand = ""
+        var minor = 0
+        var timescale = 0
+        var durTicks = 0L
+        var nTop = 0
+        def fourcc(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        while (buf.remaining() >= 8) {
+          val start = buf.position()
+          val size = buf.getInt()
+          val typ = fourcc()
+          require(size >= 8 && start + size <= bytes.length,
+            s"malformed box '$typ' (size=$size) for media_id=$id")
+          nTop += 1
+          typ match {
+            case "ftyp" =>
+              brand = fourcc(); minor = buf.getInt()
+            case "moov" =>
+              // walk children; mvhd is version-0 here (32-bit fields)
+              while (buf.position() < start + size) {
+                val cStart = buf.position()
+                val cSize = buf.getInt()
+                val cTyp = fourcc()
+                require(cSize >= 8 && cStart + cSize <= start + size,
+                  s"malformed moov child '$cTyp' for media_id=$id")
+                if (cTyp == "mvhd") {
+                  buf.getInt(); buf.getInt(); buf.getInt() // version/flags, ctime, mtime
+                  timescale = buf.getInt()
+                  durTicks = buf.getInt().toLong & 0xffffffffL
+                }
+                buf.position(cStart + cSize)
+              }
+            case _ => ()
+          }
+          buf.position(start + size)
+        }
+        require(timescale > 0, s"no mvhd timescale for media_id=$id")
+        Mp4Features(id, brand, minor, timescale, durTicks,
+          durTicks * 1000L / timescale, nTop)
       })
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Eval, KCore, Multimodal}
+
+class Queries26Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("averagePrecision matches brute force on randomized ties") {
+    val rng = new scala.util.Random(20260813L)
+    for (round <- 1 to 6) {
+      val n = 20 + rng.nextInt(80)
+      val nVals = 2 + rng.nextInt(8) // few distinct scores -> many ties
+      val data = (1L to n.toLong).map { id =>
+        (id, rng.nextInt(nVals).toDouble, rng.nextBoolean())
+      } :+ ((n + 1L, 0.0, true)) // guarantee a positive
+      val df = data.toDF("id", "s", "p")
+      val got = Eval.averagePrecision(df, $"s", $"id", $"p")
+        .as[(Long, Double)].head()
+      // brute: total order (s desc, id asc), AP = mean of precision@k at
+      // each positive rank
+      val sorted = data.sortBy { case (id, s, _) => (-s, id) }
+      val P = sorted.count(_._3)
+      var cp = 0
+      val terms = sorted.zipWithIndex.flatMap { case ((_, _, p), i) =>
+        if (p) { cp += 1; Some(cp.toDouble / (i + 1)) } else None
+      }
+      assert(got._1 == P, s"n_pos in round $round")
+      assert(math.abs(got._2 - terms.sum / P) < 1e-5,
+        s"AP mismatch in round $round")
+    }
+    // all positives ranked first -> AP = 1.0
+    val perfect = ((1L to 5L).map(i => (i, 10.0 + i, true)) ++
+      (6L to 10L).map(i => (i, i.toDouble - 6, false))).toDF("id", "s", "p")
+    assert(Eval.averagePrecision(perfect, $"s", $"id", $"p")
+      .as[(Long, Double)].head()._2 == 1.0)
+  }
+
+  test("KCore peels a pendant chain round by round, keeps the clique") {
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6-7: at k=2 the chain
+    // must peel CASCADING (7 first, then 6, then 5), which exercises the
+    // multi-round loop; the clique keeps internal degree 3
+    val clique = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L), (6L, 7L), (7L, 6L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val core = KCore.core(edges, 2).as[(Long, Long)].collect().sortBy(_._1)
+    assert(core.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(core.forall(_._2 == 3L))
+    // k above the max degree -> empty core
+    assert(KCore.core(edges, 10).count() == 0)
+  }
+
+  test("kc1 fixture peel converges within the oracle's unrolled rounds") {
+    // the DuckDB oracle unrolls KcoreUnroll rounds; the Spark fixpoint
+    // must be reachable within that bound at fixture scale or the two
+    // engines would diverge
+    val pairs = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val capped = KCore.core(edges, 30, maxIters = Queries26.KcoreUnroll)
+    val free = KCore.core(edges, 30)
+    assert(capped.count() == free.count())
+    assert(capped.exceptAll(free).count() == 0)
+  }
+
+  test("encodeMp4/parseMp4: real box walk recovers brand, timescale, duration") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.parseMp4(Multimodal.mp4Table(docs))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 40)
+    val brands = Array("isom", "mp41", "mp42", "avc1")
+    out.foreach { f =>
+      val id = f.media_id
+      assert(f.brand == brands((id % 4).toInt), s"brand of $id")
+      assert(f.minor_version == (id % 8).toInt, s"minor of $id")
+      assert(f.timescale == 600 * (1 + (id % 3)).toInt, s"timescale of $id")
+      assert(f.duration_ticks == 1000L + (id * 37) % 9000, s"ticks of $id")
+      assert(f.duration_ms == f.duration_ticks * 1000L / f.timescale)
+      assert(f.n_top_boxes == (if (id % 2 == 0) 3 else 2), s"boxes of $id")
+    }
+    // the payload really is ISO BMFF framing: box 1 is ftyp at offset 4
+    val bytes = Multimodal.encodeMp4(7L)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    // malformed framing fails loud, not silently
+    val bad = Seq((1L, "video", Array[Byte](0, 0, 0, 99, 'f', 't', 'y', 'p')))
+      .toDF("media_id", "kind", "payload")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.parseMp4(bad).collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
