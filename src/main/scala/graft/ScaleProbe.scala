@@ -72,7 +72,13 @@ object ScaleProbe {
     // distinct, and iteration dataflow). (sem1 stays excluded with the
     // pair miners: exact-copy embedding replicas give every vector nine
     // twins, quadratic pair output by construction.)
-    "tok4_bpe_encode", "pr1_pagerank")
+    "tok4_bpe_encode", "pr1_pagerank",
+    // round-5 additions: distributed-rank average precision, single-agg
+    // MCC, grouped l-diversity scan, DSIR tokenize+broadcast reweighting,
+    // k-core peel (same replicated-facts/same-graph argument as pr1),
+    // MP4 box-walk decode map
+    "ap1_avg_precision", "mcc1_matthews", "ld1_l_diversity",
+    "dsir1_importance", "kc1_kcore", "m7_mp4_meta")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
