@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, TextHashSql}
+import graft.operators.{Dedup, DedupSql, Ranks}
+
+/** Round-5 continuation: corpus-statistics fit and pairwise n-gram
+  * overlap eval. Same contract as [[Queries]].
+  */
+object Queries27 {
+
+  // ---------------------------------------------------------------------
+  // ZIPF1: Zipf-law fit of the corpus bigram distribution — OLS slope/
+  // intercept of ln(freq) on ln(rank) over the word-bigram frequency
+  // table (the corpus-health diagnostic: natural text sits near slope
+  // -1; a flat or cliffed fit flags synthetic/templated corpora). Ranks
+  // come from the distributed prefix-sum primitive under the (freq desc,
+  // bigram asc) total order — no single-partition window — and every OLS
+  // moment is DECIMAL-quantized per point before summing, so the five
+  // sums are exact and the final closed-form arithmetic is one
+  // deterministic double expression on both engines.
+  // ---------------------------------------------------------------------
+  def zipf1BigramZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(TextHash.shingles(col("text"), 2)).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__n"))
+      .withColumn("__one", lit(1L))
+    val ranked = Ranks.withRunningSums(tf, Seq("__one" -> "__rank"),
+      Seq(col("__n").desc, col("__bg").asc))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,10)")
+    val x = log(col("__rank"))
+    val y = log(col("__n"))
+    val sums = ranked.agg(
+      count(lit(1)).as("__v"),
+      sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),
+      sum(dec(x * y)).as("__sxy"), sum(dec(x * x)).as("__sxx"))
+    sums
+      .select(col("__v"),
+        col("__sx").cast("double").as("__sxd"),
+        col("__sy").cast("double").as("__syd"),
+        ((col("__v") * col("__sxy").cast("double")
+          - col("__sx").cast("double") * col("__sy").cast("double"))
+          / (col("__v") * col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double")))
+          .as("__slope"))
+      .select(col("__v").as("n_types"),
+        round(col("__slope"), 6).as("zipf_slope"),
+        round((col("__syd") - col("__slope") * col("__sxd")) / col("__v"), 6)
+          .as("zipf_intercept"))
+  }
+
+  val zipf1BigramZipfSql: String =
+    s"""WITH tf AS (
+       |  SELECT bg, COUNT(*) AS n FROM (
+       |    SELECT unnest(${TextHashSql.shingles("text", 2)}) AS bg
+       |    FROM documents)
+       |  GROUP BY bg),
+       |r AS (
+       |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, bg ASC) AS rnk
+       |  FROM tf),
+       |s AS (
+       |  SELECT COUNT(*) AS v,
+       |    SUM(CAST(ln(rnk) AS DECIMAL(28,10))) AS sx,
+       |    SUM(CAST(ln(n) AS DECIMAL(28,10))) AS sy,
+       |    SUM(CAST(ln(rnk) * ln(n) AS DECIMAL(28,10))) AS sxy,
+       |    SUM(CAST(ln(rnk) * ln(rnk) AS DECIMAL(28,10))) AS sxx
+       |  FROM r),
+       |t AS (
+       |  SELECT v, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+       |    (v * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (v * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+       |  FROM s)
+       |SELECT CAST(v AS BIGINT) AS n_types,
+       |  round(slope, 6) AS zipf_slope,
+       |  round((syd - slope * sxd) / v, 6) AS zipf_intercept
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // RG1: ROUGE-style distinct-bigram overlap eval over the SimHash
+  // near-dup pairs (d3's hamming <= 3 candidates) — precision (shared /
+  // candidate types), recall (shared / reference types), F1 per pair:
+  // the summarization-eval primitive repurposed as a near-dup QA check
+  // (LSH said "near"; n-gram F1 quantifies HOW near). The intersection
+  // is a (doc, bigram)-keyed equi-join — pair lists never collected,
+  // everything keyed shuffles, the 100 TB shape.
+  // ---------------------------------------------------------------------
+  def rg1NgramF1(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select(col("id1"), col("id2"))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextHash.shingles(col("text"), 2))).as("__sh"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__cnt"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id1"), col("__sh")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("__sh")), Seq("id2", "__sh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__common"))
+    val p = col("__common").cast("double") / col("__c2")
+    val r = col("__common").cast("double") / col("__c1")
+    pairs
+      .join(inter, Seq("id1", "id2"), "left").na.fill(0L, Seq("__common"))
+      .join(counts.select(col("doc_id").as("id1"), col("__cnt").as("__c1")), Seq("id1"))
+      .join(counts.select(col("doc_id").as("id2"), col("__cnt").as("__c2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        col("__c1").as("n1"), col("__c2").as("n2"),
+        col("__common").as("n_common"),
+        round(p, 6).as("p_overlap"),
+        round(r, 6).as("r_overlap"),
+        round(when(col("__common") === 0, 0.0)
+          .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
+
+  val rg1NgramF1Sql: String = {
+    val sim = DedupSql.simhash("text")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $sim AS simhash,
+       |    list_distinct(${TextHashSql.shingles("text", 2)}) AS grams
+       |  FROM documents
+       |  WHERE len(${TextHashSql.shingles("text", 2)}) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    len(a.grams) AS n1, len(b.grams) AS n2,
+       |    len(list_intersect(a.grams, b.grams)) AS n_common
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE ${DedupSql.hamming("a.simhash", "b.simhash")} <= 3)
+       |SELECT id1, id2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CAST(n_common AS BIGINT) AS n_common,
+       |  round(CAST(n_common AS DOUBLE) / n2, 6) AS p_overlap,
+       |  round(CAST(n_common AS DOUBLE) / n1, 6) AS r_overlap,
+       |  round(CASE WHEN n_common = 0 THEN 0.0
+       |    ELSE 2.0 * (CAST(n_common AS DOUBLE) / n2)
+       |      * (CAST(n_common AS DOUBLE) / n1)
+       |      / ((CAST(n_common AS DOUBLE) / n2)
+       |        + (CAST(n_common AS DOUBLE) / n1)) END, 6) AS f1
+       |FROM pairs""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf1_bigram_zipf" -> (zipf1BigramZipf _),
+    "rg1_ngram_f1"      -> (rg1NgramF1 _))
+
+  val oracles: Map[String, String] = Map(
+    "zipf1_bigram_zipf" -> zipf1BigramZipfSql,
+    "rg1_ngram_f1"      -> rg1NgramF1Sql)
+}

@@ -78,7 +78,9 @@ object ScaleProbe {
     // k-core peel (same replicated-facts/same-graph argument as pr1),
     // MP4 box-walk decode map
     "ap1_avg_precision", "mcc1_matthews", "ld1_l_diversity",
-    "dsir1_importance", "kc1_kcore", "m7_mp4_meta")
+    "dsir1_importance", "kc1_kcore", "m7_mp4_meta",
+    // bigram-rank OLS fit (rg1 stays excluded with the pair miners)
+    "zipf1_bigram_zipf")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

@@ -1,0 +1,45 @@
+package graft
+
+class Queries27Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipf1: OLS fit matches a local recomputation from the frequency table") {
+    val got = Queries27.zipf1BigramZipf(spark, sf0001)
+      .as[(Long, Double, Double)].head()
+    // brute: same bigram counts, same (n desc, bg asc) rank order
+    val txts = Tables.documents(spark, sf0001)
+      .select("text").as[String].collect()
+    val freqs = txts.flatMap { t =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }.groupBy(identity).map { case (bg, xs) => (bg, xs.length) }
+    val ranked = freqs.toSeq.sortBy { case (bg, n) => (-n, bg) }.zipWithIndex
+    val pts = ranked.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble)) }
+    val v = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+    assert(got._1 == pts.size)
+    assert(math.abs(got._2 - slope) < 1e-5, s"slope ${got._2} vs $slope")
+    assert(math.abs(got._3 - (sy - slope * sx) / v) < 1e-5)
+    // a frequency-ranked fit slopes downward
+    assert(got._2 < 0.0)
+  }
+
+  test("rg1: overlap metrics satisfy their identities on every pair") {
+    val rows = Queries27.rg1NgramF1(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id1, id2, n1, n2, common, p, r, f1) =>
+      assert(id1 < id2)
+      assert(common <= math.min(n1, n2), s"pair ($id1,$id2)")
+      assert(p >= 0 && p <= 1 && r >= 0 && r <= 1)
+      val expF1 = if (common == 0) 0.0
+        else 2.0 * (common.toDouble / n2) * (common.toDouble / n1) /
+          (common.toDouble / n2 + common.toDouble / n1)
+      assert(math.abs(f1 - expF1) < 1e-5, s"f1 of ($id1,$id2)")
+    }
+  }
+}
