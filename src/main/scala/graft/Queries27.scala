@@ -138,11 +138,45 @@ object Queries27 {
        |FROM pairs""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // DP2: differentially-private count release (Laplace mechanism,
+  // sensitivity 1, epsilon 1) — per-source document counts with additive
+  // Laplace(1/eps) noise drawn by inverse-CDF from a DETERMINISTIC
+  // per-group uniform (rolling-hash of the group key mapped into (0,1)).
+  // A production release would draw real randomness; the seeded form is
+  // the same dataflow (one grouped count + map-side noise arithmetic —
+  // single-scan at any scale) made oracle-checkable, the same stance as
+  // the engine's seeded samplers (smp1-3). True counts ride along for
+  // the fixture's sake; a real release would project them out.
+  // ---------------------------------------------------------------------
+  def dp2DpRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = (TextHash.rollingHash(col("source")).cast("double") + lit(0.5))
+      .divide(lit(TextHash.Mod.toDouble))
+    val noise = -signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        round((col("n").cast("double") + noise), 6).as("n_released"))
+  }
+
+  val dp2DpReleaseSql: String = {
+    val h = TextHashSql.rollingHash("source")
+    val u = s"((CAST($h AS DOUBLE) + 0.5) / ${TextHash.Mod}.0)"
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(COUNT(*) AS DOUBLE)
+       |    + (-sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))), 6)
+       |    AS n_released
+       |FROM documents GROUP BY source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zipf1_bigram_zipf" -> (zipf1BigramZipf _),
-    "rg1_ngram_f1"      -> (rg1NgramF1 _))
+    "rg1_ngram_f1"      -> (rg1NgramF1 _),
+    "dp2_dp_release"    -> (dp2DpRelease _))
 
   val oracles: Map[String, String] = Map(
     "zipf1_bigram_zipf" -> zipf1BigramZipfSql,
-    "rg1_ngram_f1"      -> rg1NgramF1Sql)
+    "rg1_ngram_f1"      -> rg1NgramF1Sql,
+    "dp2_dp_release"    -> dp2DpReleaseSql)
 }

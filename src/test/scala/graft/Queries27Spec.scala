@@ -28,6 +28,19 @@ class Queries27Spec extends SparkSpec {
     assert(got._2 < 0.0)
   }
 
+  test("dp2: released counts carry exactly the seeded Laplace noise") {
+    val rows = Queries27.dp2DpRelease(spark, sf0001)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val Mod = graft.functions.TextHash.Mod
+    rows.foreach { case (source, n, released) =>
+      val h = source.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Mod)
+      val u = (h.toDouble + 0.5) / Mod.toDouble
+      val noise = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(math.abs(released - (n + noise)) < 1e-5, s"noise of $source")
+    }
+  }
+
   test("rg1: overlap metrics satisfy their identities on every pair") {
     val rows = Queries27.rg1NgramF1(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
