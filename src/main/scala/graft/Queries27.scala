@@ -170,13 +170,37 @@ object Queries27 {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // E16: late-data accounting replay — the event_id % 7 = 0 slice is
+  // delivered in a final micro-batch after the watermark has passed every
+  // real window. The streaming contract requires ALL of it dropped
+  // (closed windows never reopen, no duplicate emissions), so the sink
+  // must equal the batch aggregation over the on-time slice alone — which
+  // is exactly what the oracle states. e13 proves redelivery WITHIN the
+  // watermark horizon dedups; this proves arrival BEYOND it excludes.
+  // ---------------------------------------------------------------------
+  def e16StreamLate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayLateWindowed(Tables.events(spark, sfDir))
+      .select(
+        date_format(col("window_start"), Queries.tsFmtSpark).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e16StreamLateSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |    AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zipf1_bigram_zipf" -> (zipf1BigramZipf _),
     "rg1_ngram_f1"      -> (rg1NgramF1 _),
-    "dp2_dp_release"    -> (dp2DpRelease _))
+    "dp2_dp_release"    -> (dp2DpRelease _),
+    "e16_stream_late"   -> (e16StreamLate _))
 
   val oracles: Map[String, String] = Map(
     "zipf1_bigram_zipf" -> zipf1BigramZipfSql,
     "rg1_ngram_f1"      -> rg1NgramF1Sql,
-    "dp2_dp_release"    -> dp2DpReleaseSql)
+    "dp2_dp_release"    -> dp2DpReleaseSql,
+    "e16_stream_late"   -> e16StreamLateSql)
 }

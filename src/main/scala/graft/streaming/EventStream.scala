@@ -301,7 +301,8 @@ object EventStream {
       src: DataFrame,
       outCols: Seq[String],
       chunks: Int,
-      sentinel: Option[DataFrame] = None): String = {
+      sentinel: Option[DataFrame] = None,
+      tail: Seq[DataFrame] = Nil): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_replay")
     val dir = root.resolve("in").toString
     // One scan feeds the bounds probe plus every chunk filter — without
@@ -328,6 +329,12 @@ object EventStream {
       sf.select(outCols.map(col): _*)
         .coalesce(1).write.mode("append").parquet(dir)
       stamp(chunks)
+    }
+    // post-sentinel deliveries, one micro-batch each, in order
+    tail.zipWithIndex.foreach { case (tf, j) =>
+      tf.select(outCols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamp(chunks + 1 + j)
     }
     src.unpersist()
     if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
@@ -507,6 +514,50 @@ object EventStream {
     * emissions across micro-batch boundaries. */
   def replayHopping(events: DataFrame, chunks: Int = 6): DataFrame =
     replayAggregated(events, chunks, hoppingAgg(_), "graft_e14_")
+
+  /** E16 — LATE-DATA accounting: the `event_id % 7 = 0` slice is withheld
+    * from the in-order replay and delivered in one final micro-batch
+    * after the watermark has passed every real window. The watermark
+    * contract requires the aggregation to DROP all of it — closed
+    * windows never reopen, no duplicate emissions — so the final sink
+    * must equal the batch aggregation over the on-time slice alone,
+    * which is what the oracle states. (e13 proves the dual: redelivery
+    * WITHIN the watermark horizon dedups; this proves arrival BEYOND it
+    * excludes.)
+    *
+    * TWO far-future sentinels precede the late batch, not one: since the
+    * two-watermark model (SPARK-24634), a batch filters late input with
+    * the PREVIOUS batch's watermark and evicts with the current one — so
+    * the batch after sentinel #1 still admits rows into the newest
+    * window (late filter trails at max - delay; measured before this
+    * went dual-sentinel). Sentinel #2 carries the advanced watermark
+    * into the late-filter position, and the late batch then drops
+    * everything with a >= 1 h margin — no window-end/watermark boundary
+    * case to depend on. */
+  def replayLateWindowed(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val onTime = src.where(col("event_id") % 7 =!= 0)
+    val late = src.where(col("event_id") % 7 === 0)
+    val bounds = src.agg(max(col("ts").cast("long"))).head()
+    def sentinel(offsetSec: Long) = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_seconds(lit(bounds.getLong(0) + offsetSec)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__flush").as("event_type"),
+      lit(0.0).as("value"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val dir = chunkedReplayDir(withSec(onTime), cols, chunks,
+      sentinel = Some(sentinel(10800L)),
+      tail = Seq(sentinel(10860L), late))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    memorySink(windowedAgg(stream), "graft_e16_", OutputMode.Append())
+      .where(col("event_type") =!= "__flush")
+  }
 
   /** E15 — STREAMING incremental near-dup: the ingest-time dedup pattern
     * end to end. The "new crawl" slice (doc_id % 7 = 3) replays as real
