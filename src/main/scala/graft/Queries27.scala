@@ -192,15 +192,91 @@ object Queries27 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // CP1: split-conformal coverage — calibrate a nonconformity threshold
+  // (the ceil((n+1)·0.9)-th smallest -score among calibration positives,
+  // an EXACT order statistic via the distributed rank primitive) on the
+  // vec_id % 5 = 1 slice, then measure empirical coverage of the true
+  // positives and the admitted fraction on the disjoint % 5 = 2 slice.
+  // The distribution-free eval wrapper (Vovk et al.; split-conformal
+  // form) for any scored retrieval/filter stage. Both 1-row planning
+  // values (n_cal, threshold) ride broadcasts — nothing data-sized
+  // leaves the executors.
+  // ---------------------------------------------------------------------
+  def cp1Conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = Tables.queryVector(spark, sfDir, 0L)
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchorLabel = emb.where(col("vec_id") === 0)
+      .select(col("label")).head().getInt(0)
+    val sc = graft.operators.VectorSearch.scored(emb.where(col("vec_id") > 0), qv)
+      .where(col("score").isNotNull)
+      .select(col("vec_id"), round(col("score"), 6).as("__s"),
+        (col("label") === anchorLabel).as("__pos"))
+    val cal = sc.where(pmod(col("vec_id"), lit(5)) === 1 && col("__pos"))
+      .select((-col("__s")).as("__nc"), col("vec_id"))
+      .withColumn("__one", lit(1L))
+    val nCal = cal.agg(count(lit(1)).as("__n_cal"))
+    val ranked = Ranks.withRunningSums(cal, Seq("__one" -> "__rank"),
+      Seq(col("__nc").asc, col("vec_id").asc))
+    val qRow = ranked.crossJoin(broadcast(nCal))
+      .where(col("__rank") === least(
+        ceil((col("__n_cal") + lit(1L)).cast("double") * lit(0.9)).cast("long"),
+        col("__n_cal")))
+      .select(col("__nc").as("__q"), col("__n_cal"))
+    sc.where(pmod(col("vec_id"), lit(5)) === 2)
+      .crossJoin(broadcast(qRow))
+      .agg(
+        first(col("__n_cal")).as("n_cal"),
+        round(first(col("__q")), 6).as("q_threshold"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos_test"),
+        sum(when(col("__pos") && -col("__s") <= col("__q"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("q_threshold"), col("n_test"),
+        col("n_pos_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_pos_test"), 6)
+          .as("coverage"))
+  }
+
+  val cp1ConformalSql: String = {
+    val c = Queries.sqlCosine("v.embedding", "a.q")
+    s"""WITH a AS (SELECT embedding AS q, label AS ql FROM embeddings
+       |           WHERE vec_id = 0),
+       |sc AS (
+       |  SELECT v.vec_id, round($c, 6) AS s,
+       |    v.label = a.ql AS pos
+       |  FROM embeddings v, a WHERE v.vec_id > 0 AND $c IS NOT NULL),
+       |cal AS (SELECT -s AS nc, vec_id FROM sc WHERE vec_id % 5 = 1 AND pos),
+       |n AS (SELECT COUNT(*) AS n_cal FROM cal),
+       |r AS (SELECT nc,
+       |        ROW_NUMBER() OVER (ORDER BY nc ASC, vec_id ASC) AS rk
+       |      FROM cal),
+       |qv AS (
+       |  SELECT nc AS q FROM r, n
+       |  WHERE rk = LEAST(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal))
+       |SELECT (SELECT n_cal FROM n) AS n_cal,
+       |  round((SELECT q FROM qv), 6) AS q_threshold,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_test,
+       |  CAST(SUM(CASE WHEN pos AND -s <= (SELECT q FROM qv)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  round(CAST(SUM(CASE WHEN pos AND -s <= (SELECT q FROM qv)
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / SUM(CASE WHEN pos THEN 1 ELSE 0 END), 6) AS coverage
+       |FROM sc WHERE vec_id % 5 = 2""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zipf1_bigram_zipf" -> (zipf1BigramZipf _),
     "rg1_ngram_f1"      -> (rg1NgramF1 _),
     "dp2_dp_release"    -> (dp2DpRelease _),
-    "e16_stream_late"   -> (e16StreamLate _))
+    "e16_stream_late"   -> (e16StreamLate _),
+    "cp1_conformal"     -> (cp1Conformal _))
 
   val oracles: Map[String, String] = Map(
     "zipf1_bigram_zipf" -> zipf1BigramZipfSql,
     "rg1_ngram_f1"      -> rg1NgramF1Sql,
     "dp2_dp_release"    -> dp2DpReleaseSql,
-    "e16_stream_late"   -> e16StreamLateSql)
+    "e16_stream_late"   -> e16StreamLateSql,
+    "cp1_conformal"     -> cp1ConformalSql)
 }

@@ -80,7 +80,9 @@ object ScaleProbe {
     "ap1_avg_precision", "mcc1_matthews", "ld1_l_diversity",
     "dsir1_importance", "kc1_kcore", "m7_mp4_meta",
     // bigram-rank OLS fit (rg1 stays excluded with the pair miners)
-    "zipf1_bigram_zipf")
+    "zipf1_bigram_zipf",
+    // conformal threshold = distributed rank + two broadcast scalars
+    "cp1_conformal")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
