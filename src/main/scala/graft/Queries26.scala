@@ -78,9 +78,11 @@ object Queries26 {
         sum(when(!col("__pred") && !col("__truth"), 1L).otherwise(0L)).as("tn"),
         sum(when(!col("__pred") && col("__truth"), 1L).otherwise(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
-        // marginals go through double BEFORE the product (same order both
-        // engines): the 4-way long product overflows past ~55k rows/cell
-        round((col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+        // every cell goes through double BEFORE any product (same order
+        // both engines): the 2-way numerator long product would overflow
+        // past ~3e9 rows/cell, the 4-way denominator past ~55k
+        round((col("tp").cast("double") * col("tn").cast("double")
+            - col("fp").cast("double") * col("fn").cast("double"))
           / sqrt((col("tp") + col("fp")).cast("double")
             * (col("tp") + col("fn")).cast("double")
             * (col("tn") + col("fp")).cast("double")
@@ -105,7 +107,8 @@ object Queries26 {
        |  FROM cand)
        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-       |  round(CAST(tp * tn - fp * fn AS DOUBLE)
+       |  round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
        |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
        |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc
        |FROM m""".stripMargin
@@ -235,8 +238,14 @@ object Queries26 {
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** maxIters = KcoreUnroll + 1 with strict: the engine must OBSERVE a
+    * no-change round within unroll+1 iterations, which proves the fixpoint
+    * is reached within KcoreUnroll peels — exactly what the oracle's CTE
+    * chain computes. A fixture needing a 13th peel throws here instead of
+    * hash-mismatching at verify time. */
   def kc1Kcore(spark: SparkSession, sfDir: String): DataFrame =
-    KCore.core(purchaseEdges(spark, sfDir), KcoreK)
+    KCore.core(purchaseEdges(spark, sfDir), KcoreK,
+        maxIters = KcoreUnroll + 1, strict = true)
       .select(col("node"), col("core_degree"))
 
   val kc1KcoreSql: String = {

@@ -13,6 +13,7 @@ object TimeOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
       .config("spark.ui.enabled", "false")

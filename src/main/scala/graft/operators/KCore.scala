@@ -26,8 +26,17 @@ object KCore {
     * undirected edge present in both orientations), with their degree in
     * the core-induced subgraph. `maxIters` bounds the peel; the loop
     * exits as soon as a round removes nothing.
+    *
+    * `strict = true` turns the bound into a CONTRACT: if the loop never
+    * observes a no-change round within `maxIters`, the fixpoint provably
+    * lies beyond `maxIters - 1` peels and the call throws instead of
+    * returning a not-yet-converged set. kc1 uses this to keep the engine
+    * honest against its DuckDB oracle, whose CTE chain unrolls exactly
+    * `Queries26.KcoreUnroll` peels — a deeper-peeling fixture fails loud
+    * at query time rather than silently diverging at verify time.
     */
-  def core(edges: DataFrame, k: Int, maxIters: Int = 64): DataFrame = {
+  def core(edges: DataFrame, k: Int, maxIters: Int = 64,
+           strict: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var alive = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
@@ -47,6 +56,11 @@ object KCore {
       n = m
       it += 1
     }
+    if (strict && changed)
+      throw new IllegalStateException(
+        s"k-core peel did not converge within $maxIters rounds " +
+          s"(k=$k, ${n} nodes still alive and shrinking); the unrolled " +
+          "oracle would silently diverge — raise the unroll bound")
     // final degrees within the converged core (every survivor has >= k)
     e.join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

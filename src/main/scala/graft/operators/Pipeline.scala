@@ -73,4 +73,28 @@ object Pipeline {
       else idBad.select(col("id"), col("reason")).unionByName(contentRejects)
     IngestResult(merged, rejects, touched)
   }
+
+  /** The write path's auth gate (src/routes.rs:243-248): a memory write
+    * carrying a `session_id` validates the API key BEFORE anything else —
+    * in the reference the 401 precedes session lookup, embedding, and the
+    * store write. Batch analog: if any incoming row links a session and a
+    * key is configured, authenticate up front; a wrong/missing key throws
+    * 401 and no stage of the ingest dataflow runs. Batches that carry no
+    * session link (or an auth-less deployment) ingest exactly as
+    * [[ingest]] — same contract as [[MemoryOps.appendAuthed]].
+    */
+  def ingestAuthed(
+      auth: graft.GraftAuth,
+      suppliedKey: Option[String],
+      existing: DataFrame,
+      incoming: DataFrame,
+      sessions: DataFrame,
+      dim: Int = Embed.DefaultDim,
+      requireUuidIds: Boolean = false): IngestResult = {
+    val carriesSession = auth.required &&
+      incoming.columns.contains("session_id") &&
+      incoming.where(col("session_id").isNotNull).limit(1).head(1).nonEmpty
+    if (carriesSession) auth.authenticate(suppliedKey)
+    ingest(existing, incoming, sessions, dim, requireUuidIds)
+  }
 }

@@ -80,4 +80,35 @@ class AuthSpec extends SparkSpec {
     assert(MemoryOps.appendAuthed(GraftAuth.open, None, table, linked)
       .count() == 2)
   }
+
+  test("ingest gate: session-linked batch 401s before any write (src/routes.rs:245-248)") {
+    import graft.operators.Pipeline
+    val existing = Seq((1L, Option(7L), Seq(1f, 0f, 0f, 0f)))
+      .toDF("id", "session_id", "embedding")
+    val linked = Seq((2L, "linked write", Map("k" -> "v"), Option(7L)))
+      .toDF("id", "text", "metadata", "session_id")
+    val free = Seq((3L, "free write", Map("k" -> "v"), None: Option[Long]))
+      .toDF("id", "text", "metadata", "session_id")
+    val sessions = Seq(7L).toDF("id")
+    val auth = GraftAuth(Some("k1"))
+    // right key -> the full dataflow runs
+    val ok = Pipeline.ingestAuthed(auth, Some("k1"), existing, linked,
+      sessions, dim = 4)
+    assert(ok.table.count() == 2 && ok.touched.count() == 1)
+    // wrong and missing key -> 401 thrown at the gate, before validate/
+    // embed/merge ever execute (the result object is never constructed)
+    val wrong = intercept[AuthenticationException](
+      Pipeline.ingestAuthed(auth, Some("bad"), existing, linked, sessions, dim = 4))
+    assert(wrong.status == 401 && wrong.getMessage.contains("Invalid API key"))
+    val missing = intercept[AuthenticationException](
+      Pipeline.ingestAuthed(auth, None, existing, linked, sessions, dim = 4))
+    assert(missing.status == 401 &&
+      missing.getMessage.contains("Missing X-Api-Key header"))
+    // a batch with no session link ingests keyless even when a key is set
+    assert(Pipeline.ingestAuthed(auth, None, existing, free, sessions, dim = 4)
+      .table.count() == 2)
+    // open deployment: linked batch ingests keyless
+    assert(Pipeline.ingestAuthed(GraftAuth.open, None, existing, linked,
+      sessions, dim = 4).table.count() == 2)
+  }
 }

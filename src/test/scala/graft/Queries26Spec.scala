@@ -71,6 +71,22 @@ class Queries26Spec extends SparkSpec {
     assert(capped.exceptAll(free).count() == 0)
   }
 
+  test("strict KCore fails LOUD on a fixture peeling deeper than the unroll") {
+    // a 30-node path at k=2 peels one node from each end per round:
+    // ~15 removal rounds to the empty core, provably beyond the
+    // KcoreUnroll=12 oracle unroll. The kc1-shaped strict call must throw
+    // (the silent alternative is an engine-vs-oracle hash mismatch at
+    // verify time); the unbounded call must still reach the empty core.
+    val path = (1L until 30L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = path.toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      KCore.core(edges, 2, maxIters = Queries26.KcoreUnroll + 1,
+        strict = true).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(KCore.core(edges, 2).count() == 0)
+  }
+
   test("encodeMp4/parseMp4: real box walk recovers brand, timescale, duration") {
     val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Multimodal.parseMp4(Multimodal.mp4Table(docs))
