@@ -39,49 +39,57 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iteration count must be non-negative")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outd"))
-    val nodes = e.select(col("src").as("node"))
+    // The out-degree is iteration-INVARIANT: join it into the node table
+    // once and carry it in every rank row, so each iteration needs exactly
+    // ONE edge-keyed join (edges ⋈ per-node weight) — not the two
+    // (edges ⋈ outDeg, then ⋈ rank) of the unfused form. A null __outd
+    // marks a dangling node (source of no edge) for free — no anti-join.
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__outd"))
+    val nodesD = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
-    val n = nodes.count() // one scalar: the teleport denominator
+      .distinct()
+      .join(outDeg, Seq("node"), "left")
+      .localCheckpoint(true)
+    val n = nodesD.count() // one scalar: the teleport denominator
+    val nDangling = nodesD.where(col("__outd").isNull).count()
     // checkpointed subtrees carry no size stats, so the planner would
-    // sort-merge the edge stream against these NODE-sized tables; hint
+    // sort-merge the edge stream against the NODE-sized rank table; hint
     // broadcast from the measured node count (the SparseSim/autoSaltedJoin
     // pattern) within the session's broadcast byte budget, falling back
     // to shuffled hash joins past the bound
     val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
     def nodeSide(df: DataFrame) =
       if (n <= broadcastMax) broadcast(df) else df
-    // dangling = in the node set, source of no edge. Node-sized anti-join,
-    // computed once; the count gates the per-iteration correction.
-    val dangling = nodes
-      .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val nDangling = dangling.count()
-    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    var rank = nodesD.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = e.join(nodeSide(outDeg), Seq("src"))
-        .join(nodeSide(rank.select(col("node").as("src"), col("rank"))), Seq("src"))
-        .select(col("dst").as("node"),
-          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))
+      // per-node sending weight rank/outd, quantized BEFORE the edge join:
+      // same two ops (one IEEE divide, one decimal quantize) as the
+      // per-edge form — computed once per node instead of once per edge —
+      // then replicated by the join, so every summed term is bit-identical
+      // to the unfused plan's. Dangling rows divide null and are dropped
+      // by the inner join (they source no edge anyway).
+      val contrib = e.join(nodeSide(rank.select(col("node").as("src"),
+          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))),
+          Seq("src"))
+        .select(col("dst").as("node"), col("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
       rank =
         if (nDangling == 0L) {
-          nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"),
+          nodesD.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("__outd"),
               (lit(0.15 / n) + lit(0.85) * coalesce(col("__in"), lit(0.0)))
                 .as("rank"))
         } else {
           // dangling mass this iteration: DECIMAL-quantized like the
-          // in-flow (order-proof), one node-sized semi-join aggregate
-          // broadcast back as a scalar — no driver collect
-          val dmass = rank
-            .join(nodeSide(dangling), Seq("node"), "left_semi")
+          // in-flow (order-proof). The carried __outd makes this a FILTER
+          // over the pinned rank table (was a node-sized semi-join),
+          // aggregated to one scalar and broadcast back — no driver collect
+          val dmass = rank.where(col("__outd").isNull)
             .agg(coalesce(sum(col("rank").cast("decimal(28,10)"))
               .cast("double"), lit(0.0)).as("__dm"))
-          nodes.join(contrib, Seq("node"), "left")
+          nodesD.join(contrib, Seq("node"), "left")
             .crossJoin(broadcast(dmass))
-            .select(col("node"),
+            .select(col("node"), col("__outd"),
               (lit(0.15 / n) + lit(0.85) *
                 (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
                 .as("rank"))
@@ -92,6 +100,6 @@ object PageRank {
       // sf0.1, 4M edges: 9.4 s vs 7.4 s) and grows planning time
       rank = rank.localCheckpoint(true)
     }
-    rank
+    rank.select(col("node"), col("rank"))
   }
 }
