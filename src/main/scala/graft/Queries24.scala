@@ -30,9 +30,13 @@ object Queries24 {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-    val toks = docs.select(col("doc_id"),
-      size(TextHash.tokens(col("text"))).cast("long").as("__ntok"))
-    clusters.join(toks, Seq("doc_id"))
+    // tokenize AFTER the membership join: only cluster members contribute
+    // to the yield, and near-dup clusters cover a small fraction of the
+    // corpus — counting tokens for every document first did the expensive
+    // work mostly to throw it away at the join
+    clusters.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("__ntok", size(TextHash.tokens(col("text"))).cast("long"))
+      .drop("text")
       .withColumn("__removed", (col("doc_id") =!= col("cluster_id")).cast("long"))
       .groupBy(col("cluster_size"))
       .agg(

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MemoryOps
+import graft.sources.MemoryBucketSource
+
+/** Round 6 — the DSv2 bucketed source under the DuckDB oracle regime.
+  *
+  * The connector (sources/MemoryBucketSource.scala) has had plan-level
+  * specs since round 3; these two rows put its READ RESULTS under the
+  * same correctness gate as every table-path query: the driver runs the
+  * Spark query through the source and the oracle SQL over the original
+  * parquet tables, and the store is a faithful bucketed copy, so the
+  * hashes must agree.
+  *
+  *  - src1: point lookup (id IN → bucket pruning) + stored-column top-N
+  *    through the source (reference read path src/routes.rs:319-343, the
+  *    by-id fetch; pruning arithmetic = the writer's pmod(xxhash64)).
+  *  - src2: the full Qdrant-style scored delegation — cosine + threshold
+  *    + per-bucket top-k evaluated store-side
+  *    (src/vector_store.rs:265-310), Spark merging nBuckets·k rows.
+  */
+object Queries28 {
+
+  private val NBuckets = 16
+
+  /** Bucketed copy of the memories table for `sfDir`, written once per
+    * JVM (overwrite-on-first-touch keeps a long-lived /tmp from serving
+    * a previous round's fixtures) and reused by every query in the run.
+    * The layout is derived data CACHED OUTSIDE the repo — the store
+    * plays the role of the reference's Qdrant collection. */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def ensureStore(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(sfDir, {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      MemoryOps.writeBucketed(Tables.memories(spark, sfDir), dir, "id", NBuckets)
+      dir
+    })
+
+  private def source(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", ensureStore(spark, sfDir))
+      .option("nBuckets", NBuckets.toString)
+      .option("idCol", "id")
+      .load()
+
+  // ---------------------------------------------------------------------
+  // SRC1: point lookup + top-N through the source. The IN-set prunes to
+  // at most 5 of 16 bucket directories driver-side; the ORDER BY id DESC
+  // LIMIT 4 is answered by per-file bounded heaps inside the reader.
+  // ---------------------------------------------------------------------
+  private val Src1Ids = Seq(7L, 42L, 99L, 123L, 321L)
+
+  def src1BucketPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    source(spark, sfDir)
+      .where(col("id").isin(Src1Ids: _*))
+      .select(col("id"), col("lang"), col("label"))
+      .orderBy(col("id").desc)
+      .limit(4)
+
+  val src1BucketPushdownSql: String =
+    s"""SELECT d.doc_id AS id, d.lang AS lang, e.label AS label
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+       |WHERE d.doc_id IN (${Src1Ids.mkString(", ")})
+       |ORDER BY id DESC LIMIT 4""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SRC2: scored top-k fully delegated to the store. Threshold and sort
+  // run on the UNROUNDED score on both engines (stricter than the v2/v5
+  // pattern, which rounds first), so the only rounding is presentational.
+  // ---------------------------------------------------------------------
+  private val Src2K = 15
+  private val Src2Threshold = 0.05
+
+  def src2ScoredTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.queryVector(spark, sfDir, 0L)
+    MemoryBucketSource.search(
+        spark, ensureStore(spark, sfDir), NBuckets, q,
+        k = Src2K, threshold = Some(Src2Threshold))
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
+  val src2ScoredTopkSql: String = {
+    val c = Queries.sqlCosine("m.embedding", "qv.q")
+    s"""WITH mem AS (
+       |  SELECT d.doc_id AS id, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |s AS (
+       |  SELECT m.id, $c AS raw
+       |  FROM mem m, (SELECT embedding AS q FROM embeddings
+       |               WHERE vec_id = 0) qv)
+       |SELECT id, round(raw, 6) AS score FROM s
+       |WHERE raw IS NOT NULL AND raw >= $Src2Threshold
+       |ORDER BY raw DESC, id ASC LIMIT $Src2K""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src1_bucket_pushdown" -> (src1BucketPushdown _),
+    "src2_scored_topk"     -> (src2ScoredTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "src1_bucket_pushdown" -> src1BucketPushdownSql,
+    "src2_scored_topk"     -> src2ScoredTopkSql)
+}

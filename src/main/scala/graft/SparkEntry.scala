@@ -28,7 +28,8 @@ object SparkEntry {
       Queries16.registry ++ Queries17.registry ++ Queries18.registry ++
       Queries19.registry ++ Queries20.registry ++ Queries21.registry ++
       Queries22.registry ++ Queries23.registry ++ Queries24.registry ++
-      Queries25.registry ++ Queries26.registry ++ Queries27.registry
+      Queries25.registry ++ Queries26.registry ++ Queries27.registry ++
+      Queries28.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++
       Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++
       Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++
-      Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles
+      Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++
+      Queries28.oracles
 }

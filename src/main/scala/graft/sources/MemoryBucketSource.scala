@@ -58,18 +58,141 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class MemoryBucketSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MemoryBucketSource.inferSchema(MemoryBucketSource.firstFile(options.get("path")))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base =
+      MemoryBucketSource.inferSchema(MemoryBucketSource.firstFile(options.get("path")))
+    // a configured scorer appends its COMPUTED column to the table schema:
+    // downstream it is an ordinary (orderable, filterable) column, which is
+    // exactly what lets the stock pushdown machinery absorb score
+    // thresholds and the scored top-k
+    MemoryBucketSource.scoreSpecFrom(options.get).fold(base)(sp =>
+      base.add(StructField(sp.output, DoubleType, nullable = true)))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new MemoryBucketTable(
       properties.get("path"),
       schema,
       Option(properties.get("nBuckets")).map(_.toInt),
-      Option(properties.get("idCol")).getOrElse("id"))
+      Option(properties.get("idCol")).getOrElse("id"),
+      MemoryBucketSource.scoreSpecFrom(k => properties.get(k)))
 }
 
 object MemoryBucketSource {
+
+  /** Store-side scoring configuration — the engine analog of the query
+    * vector the reference SENDS TO Qdrant so the store itself evaluates
+    * cosine + threshold + limit (src/vector_store.rs:265-310). The vector
+    * arrives as a comma-separated float option; floats round-trip
+    * `toString`/`toFloat` exactly, so the store scores the same f32
+    * values the table path does. */
+  private[sources] case class ScoreSpec(
+      vec: Array[Double], metric: String, column: String, output: String)
+
+  private[sources] def scoreSpecFrom(get: String => String): Option[ScoreSpec] =
+    Option(get("scoreVector")).map { s =>
+      ScoreSpec(
+        s.split(",").map(_.trim.toFloat.toDouble),
+        Option(get("scoreMetric")).getOrElse("cosine").toLowerCase,
+        Option(get("scoreColumn")).getOrElse("embedding"),
+        Option(get("scoreOutput")).getOrElse("score"))
+    }
+
+  /** The store-side scorer. MIRRORS [[graft.functions.Similarity.score]]
+    * bit-for-bit: the same deterministic left-to-right double folds over
+    * f32-promoted elements, the same NULL rules (dimension mismatch →
+    * null; zero magnitude on either cosine side → null) — so a scored
+    * row coming off the store is indistinguishable from one scored by
+    * the Catalyst kernel. */
+  private[sources] def computeScore(emb: Array[Double], q: Array[Double],
+                                    metric: String): java.lang.Double = {
+    if (emb == null || emb.length != q.length) return null
+    metric match {
+      case "cosine" =>
+        var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+        while (i < q.length) {
+          val x = emb(i); val y = q(i)
+          dot += x * y; sa += x * x; sb += y * y; i += 1
+        }
+        val ma = math.sqrt(sa); val mb = math.sqrt(sb)
+        if (ma == 0.0 || mb == 0.0) null
+        else java.lang.Double.valueOf(dot / (ma * mb))
+      case "dot" =>
+        var d = 0.0; var i = 0
+        while (i < q.length) { d += emb(i) * q(i); i += 1 }
+        java.lang.Double.valueOf(d)
+      case "euclid" | "euclidean" =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val t = emb(i) - q(i); s += t * t; i += 1 }
+        java.lang.Double.valueOf(1.0 / (1.0 + math.sqrt(s)))
+      case m => throw new IllegalArgumentException(s"unknown distance metric: $m")
+    }
+  }
+
+  /** A filter over the computed score, evaluated inside the reader with
+    * SQL three-valued semantics: a null score fails every accepted
+    * predicate, exactly as the table path's post-scan Filter would. */
+  private[sources] sealed trait ScorePred extends Serializable {
+    def accepts(s: java.lang.Double): Boolean
+  }
+  private[sources] case class ScoreCmp(op: String, v: Double) extends ScorePred {
+    override def accepts(s: java.lang.Double): Boolean =
+      s != null && (op match {
+        case "ge" => s.doubleValue() >= v
+        case "gt" => s.doubleValue() > v
+        case "le" => s.doubleValue() <= v
+        case "lt" => s.doubleValue() < v
+        case "eq" => s.doubleValue() == v
+      })
+  }
+  private[sources] case object ScoreNotNull extends ScorePred {
+    override def accepts(s: java.lang.Double): Boolean = s != null
+  }
+
+  private[sources] def scorePredOf(f: Filter, out: String): Option[ScorePred] =
+    f match {
+      case sources.GreaterThanOrEqual(c, v: Number) if c == out =>
+        Some(ScoreCmp("ge", v.doubleValue()))
+      case sources.GreaterThan(c, v: Number) if c == out =>
+        Some(ScoreCmp("gt", v.doubleValue()))
+      case sources.LessThanOrEqual(c, v: Number) if c == out =>
+        Some(ScoreCmp("le", v.doubleValue()))
+      case sources.LessThan(c, v: Number) if c == out =>
+        Some(ScoreCmp("lt", v.doubleValue()))
+      case sources.EqualTo(c, v: Number) if c == out =>
+        Some(ScoreCmp("eq", v.doubleValue()))
+      case sources.IsNotNull(c) if c == out => Some(ScoreNotNull)
+      case _ => None
+    }
+
+  /** The reference's full Qdrant search, delegated: score + threshold +
+    * top-k all evaluated store-side (src/vector_store.rs:265-310). The
+    * plan this builds is scan-absorbable end to end — the score filters
+    * and the `ORDER BY score DESC, id ASC LIMIT k` both push into the
+    * scan, so each bucket returns its local top-k SCORED rows and
+    * Spark's TakeOrderedAndProject only merges nBuckets·k candidates. */
+  def search(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nBuckets: Int,
+      queryVec: Seq[Float],
+      k: Int,
+      threshold: Option[Double] = None,
+      metric: String = "cosine",
+      idCol: String = "id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", path)
+      .option("nBuckets", nBuckets.toString)
+      .option("idCol", idCol)
+      .option("scoreVector", queryVec.map(_.toString).mkString(","))
+      .option("scoreMetric", metric)
+      .load()
+    val live = df.where(col("score").isNotNull)
+    val cut = threshold.fold(live)(t => live.where(col("score") >= t))
+    cut.orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
+
   /** All data files of the layout, optionally restricted to a bucket set. */
   def listFiles(root: String, buckets: Option[Set[Long]]): Seq[String] = {
     val dir = new java.io.File(root)
@@ -294,33 +417,47 @@ object MemoryBucketSource {
 
 private[sources] class MemoryBucketTable(
     path: String, tableSchema: StructType,
-    nBuckets: Option[Int], idCol: String) extends Table with SupportsRead {
+    nBuckets: Option[Int], idCol: String,
+    score: Option[MemoryBucketSource.ScoreSpec]) extends Table with SupportsRead {
   override def name(): String = s"graft_memory($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemoryScanBuilder(path, tableSchema, nBuckets, idCol)
+    new MemoryScanBuilder(path, tableSchema, nBuckets, idCol, score)
 }
 
 private[sources] class MemoryScanBuilder(
     path: String, tableSchema: StructType,
-    nBuckets: Option[Int], idCol: String)
+    nBuckets: Option[Int], idCol: String,
+    score: Option[MemoryBucketSource.ScoreSpec])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
     with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicate: Option[FilterPredicate] = None
+  private var scorePreds: Seq[MemoryBucketSource.ScorePred] = Seq.empty
   private var buckets: Option[Set[Long]] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)] = None
   private var required: StructType = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(f =>
-      MemoryBucketSource.toPredicate(f, tableSchema).isDefined)
-    pushed = ok
+    // score-column predicates first: the computed column exists in the
+    // TABLE schema (so toPredicate would happily build a parquet
+    // predicate for it) but not in the FILES — they must be evaluated
+    // against the reader's computed score, never shipped to parquet.
+    // Any other filter shape touching the score column stays post-scan.
+    val scoreOut = score.map(_.output)
+    val withScore = filters.map(f =>
+      f -> scoreOut.flatMap(MemoryBucketSource.scorePredOf(f, _)))
+    scorePreds = withScore.flatMap(_._2).toSeq
+    val plain = withScore.collect { case (f, None) => f }
+    val (ok, rest) = plain.partition(f =>
+      !scoreOut.exists(f.references.contains) &&
+        MemoryBucketSource.toPredicate(f, tableSchema).isDefined)
+    pushed = ok ++ withScore.collect { case (f, Some(_)) => f }
     predicate = ok.flatMap(MemoryBucketSource.toPredicate(_, tableSchema))
       .reduceOption(FilterApi.and)
     val idType = tableSchema.fields.find(_.name == idCol).map(_.dataType)
@@ -374,7 +511,8 @@ private[sources] class MemoryScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    new MemoryScan(path, required, predicate, buckets, limit, topN, pushed)
+    new MemoryScan(path, required, predicate, buckets, limit, topN, pushed,
+      score, scorePreds)
 }
 
 private[sources] case class FileInputPartition(file: String) extends InputPartition
@@ -384,7 +522,9 @@ private[sources] class MemoryScan(
     predicate: Option[FilterPredicate], buckets: Option[Set[Long]],
     limit: Option[Int],
     topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    score: Option[MemoryBucketSource.ScoreSpec],
+    scorePreds: Seq[MemoryBucketSource.ScorePred]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -393,26 +533,31 @@ private[sources] class MemoryScan(
       specs.map(s => s"${s.name} ${if (s.desc) "DESC" else "ASC"}")
         .mkString("ORDER BY [", ", ", s"] LIMIT $n")
     }
+    val sc = score.fold("none")(sp =>
+      s"${sp.metric}(${sp.column}, [${sp.vec.length}d]) AS ${sp.output}")
     s"GraftMemoryBucketScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"PushedLimit: ${limit.getOrElse(-1)}, PushedTopN: $t, Buckets: $b"
+      s"PushedLimit: ${limit.getOrElse(-1)}, PushedTopN: $t, " +
+      s"PushedScore: $sc, Buckets: $b"
   }
   override def planInputPartitions(): Array[InputPartition] =
     MemoryBucketSource.listFiles(path, buckets)
       .map(FileInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MemoryReaderFactory(required, predicate, limit, topN,
-      pushed.flatMap(_.references).distinct.toSeq)
+      pushed.flatMap(_.references).distinct.toSeq, score, scorePreds)
 }
 
 private[sources] class MemoryReaderFactory(
     required: StructType, predicate: Option[FilterPredicate],
     limit: Option[Int],
     topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
-    filterCols: Seq[String]) extends PartitionReaderFactory {
+    filterCols: Seq[String],
+    score: Option[MemoryBucketSource.ScoreSpec],
+    scorePreds: Seq[MemoryBucketSource.ScorePred]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GroupRowReader(p.asInstanceOf[FileInputPartition].file,
-      required, predicate, limit, topN, filterCols)
+      required, predicate, limit, topN, filterCols, score, scorePreds)
 }
 
 /** Row-by-row parquet reader over the example Group API — the pushed
@@ -426,23 +571,74 @@ private[sources] class GroupRowReader(
     file: String, required: StructType,
     predicate: Option[FilterPredicate], limit: Option[Int],
     topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
-    filterCols: Seq[String])
+    filterCols: Seq[String],
+    score: Option[MemoryBucketSource.ScoreSpec],
+    scorePreds: Seq[MemoryBucketSource.ScorePred])
     extends PartitionReader[InternalRow] {
+
+  private def isScoreCol(name: String): Boolean = score.exists(_.output == name)
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
+    // the computed score column never reaches parquet; the embedding
+    // column it is computed FROM must, even when pruned from the output
+    val fileRequired = StructType(required.fields.filterNot(f => isScoreCol(f.name)))
     conf.set(ReadSupport.PARQUET_READ_SCHEMA,
-      MemoryBucketSource.project(file, required,
-        filterCols ++ topN.toSeq.flatMap(_._1.map(_.name))).toString)
+      MemoryBucketSource.project(file, fileRequired,
+        filterCols.filterNot(isScoreCol) ++
+          topN.toSeq.flatMap(_._1.map(_.name)).filterNot(isScoreCol) ++
+          score.map(_.column).toSeq).toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf)
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
   private var current: Group = _
+  private var currentScore: java.lang.Double = _
   private var served = 0
   private var topRows: Iterator[InternalRow] = _
 
-  private def keyOf(g: Group, s: MemoryBucketSource.SortSpec): Any = {
+  /** Embedding column as promoted doubles (null when absent), matching
+    * the kernel's f32→f64 element promotion. */
+  private def embOf(g: Group, name: String): Array[Double] = {
+    val gi = g.getType.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(gi) == 0) return null
+    val lst = g.getGroup(gi, 0)
+    val n = lst.getFieldRepetitionCount(0)
+    val isFloat = g.getType.getType(gi).asGroupType().getType(0)
+      .asGroupType().getType(0).asPrimitiveType()
+      .getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.FLOAT
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val el = lst.getGroup(0, j)
+      out(j) = if (isFloat) el.getFloat(0, 0).toDouble else el.getDouble(0, 0)
+      j += 1
+    }
+    out
+  }
+
+  /** Advance to the next row that passes every accepted score predicate,
+    * computing the score once per surviving row. */
+  private def readFiltered(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val sc: java.lang.Double = score match {
+        case Some(sp) =>
+          MemoryBucketSource.computeScore(embOf(g, sp.column), sp.vec, sp.metric)
+        case None => null
+      }
+      if (scorePreds.forall(_.accepts(sc))) {
+        current = g; currentScore = sc; return true
+      }
+      g = reader.read()
+    }
+    current = null; false
+  }
+
+  private def keyOf(g: Group, sc: java.lang.Double,
+                    s: MemoryBucketSource.SortSpec): Any = {
+    if (isScoreCol(s.name))
+      return if (sc == null) null else sc.doubleValue()
     val gi = g.getType.getFieldIndex(s.name)
     if (g.getFieldRepetitionCount(gi) == 0) null
     else s.dataType match {
@@ -472,11 +668,10 @@ private[sources] class GroupRowReader(
     }
     val heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](
       math.max(1, n), outputOrder.reversed())
-    var g = reader.read()
-    while (g != null) {
-      heap.add((specs.map(keyOf(g, _)).toArray, toRow(g)))
+    while (readFiltered()) {
+      heap.add((specs.map(keyOf(current, currentScore, _)).toArray,
+        toRow(current, currentScore)))
       if (heap.size() > n) heap.poll() // evict the current worst
-      g = reader.read()
     }
     val kept = new Array[(Array[Any], InternalRow)](heap.size())
     var i = kept.length - 1
@@ -490,22 +685,25 @@ private[sources] class GroupRowReader(
       topRows.hasNext
     case None =>
       if (limit.exists(served >= _)) return false
-      current = reader.read()
-      current != null
+      readFiltered()
   }
 
   override def get(): InternalRow = topN match {
     case Some(_) => topRows.next()
     case None =>
       served += 1
-      toRow(current)
+      toRow(current, currentScore)
   }
 
-  private def toRow(cur: Group): InternalRow = {
+  private def toRow(cur: Group, sc: java.lang.Double): InternalRow = {
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
+      if (isScoreCol(f.name)) {
+        row.update(i, if (sc == null) null else sc.doubleValue())
+        i += 1
+      } else {
       val gi = cur.getType.getFieldIndex(f.name)
       if (cur.getFieldRepetitionCount(gi) == 0) row.update(i, null)
       else f.dataType match {
@@ -540,6 +738,7 @@ private[sources] class GroupRowReader(
         case other => throw new UnsupportedOperationException(s"type $other")
       }
       i += 1
+      }
     }
     row
   }

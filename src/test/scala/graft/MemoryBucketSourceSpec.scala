@@ -141,6 +141,75 @@ class MemoryBucketSourceSpec extends SparkSpec {
     assert(got == want && got.size == 10)
   }
 
+  test("scored top-k: the COMPUTED cosine + threshold + limit all run store-side") {
+    // the full Qdrant delegation (src/vector_store.rs:265-310): the query
+    // vector travels to the store, which scores, thresholds, and returns
+    // each bucket's local top-k — Spark only merges nBuckets·k candidates
+    val q = Tables.queryVector(spark, sf0001, 0L)
+    val df = graft.sources.MemoryBucketSource.search(
+      spark, storeDir, nBuckets, q, k = 10, threshold = Some(0.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY [score DESC, id ASC] LIMIT 10"),
+      s"scored top-N not pushed in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(score,0.0)") &&
+      plan.contains("IsNotNull(score)"),
+      s"score threshold not pushed in:\n$plan")
+    assert(plan.contains("PushedScore: cosine(embedding,"),
+      s"scorer not delegated in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+    // rows identical to the table path (same kernel arithmetic, same
+    // null rules, same tie-break)
+    val got = df.select($"id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toSeq
+    val want = VectorSearch.topK(
+        MemoryOps.readBucketed(spark, storeDir), q, k = 10, idCol = "id",
+        threshold = Some(0.0))
+      .select($"id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.size == 10)
+    // unrounded scores match bit-for-bit: the store-side scorer IS the
+    // kernel's fold
+    val gotRaw = df.select($"id", $"score").as[(Long, Double)].collect().toMap
+    val wantRaw = VectorSearch.topK(
+        MemoryOps.readBucketed(spark, storeDir), q, k = 10, idCol = "id",
+        threshold = Some(0.0))
+      .select($"id", $"score").as[(Long, Double)].collect().toMap
+    assert(gotRaw == wantRaw)
+  }
+
+  test("scored search: dot and euclid metrics delegate with identical results") {
+    val q = Tables.queryVector(spark, sf0001, 3L)
+    for (metric <- Seq("dot", "euclid")) {
+      val got = graft.sources.MemoryBucketSource.search(
+          spark, storeDir, nBuckets, q, k = 8, metric = metric)
+        .select($"id", round($"score", 6).as("s"))
+        .as[(Long, Double)].collect().toSeq
+      val want = VectorSearch.topK(
+          MemoryOps.readBucketed(spark, storeDir), q, k = 8, idCol = "id",
+          metric = metric)
+        .select($"id", round($"score", 6).as("s"))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want && got.size == 8, s"metric $metric diverged")
+    }
+  }
+
+  test("scored search drops dimension-mismatch rows store-side (null score)") {
+    // a store whose first row's embedding has the wrong dimension: the
+    // store-side scorer nulls it, the pushed IsNotNull drops it — same
+    // V4 exclusion semantics as the table path
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_dim_").toString
+    val rows = Seq(
+      (1L, Array(1f, 2f)),            // wrong dim -> null score -> dropped
+      (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f)),        // zero magnitude -> null -> dropped
+      (4L, Array(0f, 1f, 0f))).toDF("id", "embedding")
+    MemoryOps.writeBucketed(rows, dir, "id", 4)
+    val got = graft.sources.MemoryBucketSource.search(
+        spark, dir, 4, Seq(1f, 1f, 0f), k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L))
+  }
+
   test("bucket pruning hashes by the id column's actual type (int and string ids)") {
     // INT ids: Spark's xxhash64 hashes 32-bit values with hashInt, not
     // hashLong — driver-side pruning must match or lookups silently miss
