@@ -223,10 +223,10 @@ object Queries26 {
   // chained CTEs; KcoreUnroll bounds the rounds it needs (asserted
   // converged by KCoreSpec at the fixture scales).
   // ---------------------------------------------------------------------
-  private val KcoreK = 30
+  private[graft] val KcoreK = 30
   private[graft] val KcoreUnroll = 12
 
-  private def purchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def purchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),

@@ -133,7 +133,22 @@ object Soak {
     "pr1_pagerank" -> SparkEntry.queries("pr1_pagerank"),
     // rides the same shifted-key orders/lineitem replicas as pr1: the
     // purchase bipartite graph grows by the factor as disjoint components
-    "hits1_hubs_authorities" -> SparkEntry.queries("hits1_hubs_authorities"))
+    "hits1_hubs_authorities" -> SparkEntry.queries("hits1_hubs_authorities"),
+    // same replicated purchase graph; disjoint copies leave the peel
+    // DEPTH unchanged while edges grow by the factor, so rounds (printed)
+    // flat + time ~linear is the expected signature
+    "kc1_kcore" -> ((s: SparkSession, dir: String) => {
+      val (df, rounds) = operators.KCore.coreWithRounds(
+        Queries26.purchaseEdges(s, dir), Queries26.KcoreK,
+        maxIters = Queries26.KcoreUnroll + 1, strict = true)
+      println(s"[soak] kc1_kcore peel rounds: $rounds")
+      df.select(col("node"), col("core_degree"))
+    }),
+    // token-suffixed replicas: near-dup pairs stay intra-replica (rg1's
+    // join subject grows linearly), and the bigram vocabulary grows by
+    // the factor while zipf1's rank input stays vocabulary-bounded
+    "rg1_ngram_f1" -> SparkEntry.queries("rg1_ngram_f1"),
+    "zipf1_bigram_zipf" -> SparkEntry.queries("zipf1_bigram_zipf"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {

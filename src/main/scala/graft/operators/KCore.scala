@@ -36,7 +36,14 @@ object KCore {
     * at query time rather than silently diverging at verify time.
     */
   def core(edges: DataFrame, k: Int, maxIters: Int = 64,
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false): DataFrame =
+    coreWithRounds(edges, k, maxIters, strict)._1
+
+  /** [[core]], also returning the number of peel rounds the fixpoint
+    * took (the scale-posture observable: rounds should stay flat when
+    * the graph grows by disjoint replication — the soak reports it). */
+  def coreWithRounds(edges: DataFrame, k: Int, maxIters: Int = 64,
+                     strict: Boolean = false): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var alive = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
@@ -62,8 +69,10 @@ object KCore {
           s"(k=$k, ${n} nodes still alive and shrinking); the unrolled " +
           "oracle would silently diverge — raise the unroll bound")
     // final degrees within the converged core (every survivor has >= k)
-    e.join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+    val out = e
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+    (out, it)
   }
 }
