@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search: minimum hop distance from a seed
+  * set over an edge list. Extension surface — graph reachability for
+  * curation ("how far is each entity from a trusted seed set"), the
+  * distance-based companion to the centrality (PageRank/HITS) and
+  * cohesion (k-core) operators; no counterpart in the reference, whose
+  * only graph-shaped logic is the session FK semi-join
+  * (src/routes.rs:252-263).
+  *
+  * Scale posture: textbook frontier BFS as keyed dataflow — each round
+  * is one edge⋈frontier equi-join (shuffle on the node key), a distinct,
+  * and an anti-join against the settled set. No broadcast of anything
+  * data-sized, no driver-side data collect; the per-round `count()` on
+  * the frontier is a scalar loop-termination statistic (the KCore
+  * pattern). The settled set grows monotonically and the frontier decays
+  * after the graph's effective diameter, so total work is
+  * O(edges x diameter) worst case and in practice each edge is visited
+  * from each endpoint once. Lineage is cut per round with an eager
+  * localCheckpoint, per the PageRank.scala:62-65 measurement.
+  */
+object Bfs {
+
+  /** Hop distances from `seeds` over `edges(src, dst)` (directed as
+    * given; pass a symmetrized list for undirected semantics). Returns
+    * (node, dist) for every node with dist <= maxHops; unreachable nodes
+    * are absent. Seeds are at distance 0 even if isolated.
+    */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled.select(col("node"))
+    var d = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && d < maxHops) {
+      d += 1
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      frontierSize = next.count()
+    }
+    settled
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+  * time algorithm to detect community structures in large-scale
+  * networks") — community detection over an edge list. Extension
+  * surface: the community-structure companion to the connected-components
+  * dedup clustering (Dedup.scala) — components answer "which rows are
+  * transitively linked", LPA answers "which densely-linked groups exist
+  * inside one component".
+  *
+  * Determinism: the classic algorithm is order-dependent; this is the
+  * SYNCHRONOUS variant with a total tie-break — every node
+  * simultaneously adopts the most frequent label among its neighbours,
+  * ties broken by the smallest label — for a fixed round count, so the
+  * result is a pure function of the graph (partitioning-independent,
+  * exactly reproducible by an unrolled SQL oracle).
+  *
+  * Scale posture: each round is one edge⋈labels equi-join (shuffle on
+  * the node key), a (node, label) count aggregate, and a per-node argmax
+  * window — all keyed by node, nothing broadcast, nothing collected.
+  * Label tables are node-sized; lineage is cut per round with an eager
+  * localCheckpoint (PageRank.scala:62-65 measurement).
+  */
+object LabelProp {
+
+  /** `rounds` synchronous LPA steps over `edges(src, dst)`. Every node
+    * must appear as `src` at least once (pass a symmetrized edge list —
+    * the undirected convention used by KCore/PageRank here); labels are
+    * initialized to the node's own id. Returns (node, label).
+    */
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    val byVotes = Window.partitionBy(col("node"))
+      .orderBy(col("__votes").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__votes"))
+        .withColumn("__rn", row_number().over(byVotes))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-batch perceptron training (Rosenblatt 1958, batch variant) as
+  * distributed aggregation — a linear text-quality classifier trained
+  * inside the engine. Extension surface: the LLM-pipeline "train a cheap
+  * classifier over the corpus features" step (quality/language gates),
+  * complementing the generative Naive Bayes scorer (ml1) with a
+  * discriminative, iteratively-trained model.
+  *
+  * Exactness: all features, labels, and therefore weights are INTEGERS,
+  * the batch update `w += sum over misclassified of y*x` is a sum of
+  * longs — associative, commutative, overflow-free at any realistic
+  * scale (weights grow at most by epochs * sum|x|) — so the trained
+  * model is bit-identical regardless of partitioning, and an unrolled
+  * SQL oracle reproduces it exactly. No float enters the loop.
+  *
+  * Scale posture: one epoch = one filtered scan + one k+2-column sum
+  * aggregate (map-side partial aggregation; the shuffle carries one row
+  * per partition). The weight vector is k+1 longs of driver metadata —
+  * the Ann.scala codebook pattern — never a data-sized collect. The
+  * feature frame is pinned once (localCheckpoint) because every epoch
+  * re-reads it.
+  */
+object Perceptron {
+
+  /** Train for `epochs` full-batch updates. `feats` must carry `yCol`
+    * in {+1, -1} and integral `xCols`; an implicit bias feature (x0 = 1)
+    * is prepended. Learning rate is the classic 1 (any positive constant
+    * only rescales an integer-feature perceptron's trajectory).
+    *
+    * Returns one row per epoch: (epoch, errors, bias, w_<xCol>...) where
+    * `errors` counts misclassifications under the weights ENTERING the
+    * epoch and the weight columns are the weights LEAVING it.
+    */
+  def train(spark: SparkSession, feats: DataFrame, yCol: String,
+            xCols: Seq[String], epochs: Int): DataFrame = {
+    val f = feats.select(
+        (col(yCol).cast("long") +: xCols.map(c => col(c).cast("long"))): _*)
+      .localCheckpoint(true)
+    val y = col(yCol)
+    var w = Array.fill[Long](xCols.size + 1)(0L) // bias first
+    val rows = (1 to epochs).map { epoch =>
+      val margin: Column = xCols.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i + 1)) }
+        .foldLeft(lit(w(0)): Column)(_ + _)
+      val mis = f.where(y * margin <= 0)
+      val aggs = (count(lit(1)).as("__n") +: sum(y).as("__sy") +:
+        xCols.map(c => sum(y * col(c)).as(s"__s_$c")))
+      // one (k+2)-long row of planning/update statistics — bounded metadata
+      val u = mis.agg(aggs.head, aggs.tail: _*).head()
+      val errors = u.getLong(0)
+      if (errors > 0) {
+        w = w.zipWithIndex.map { case (wi, i) => wi + u.getLong(i + 1) }
+      }
+      Row.fromSeq(epoch.toLong +: errors +: w.toSeq)
+    }
+    val schema = StructType(
+      StructField("epoch", LongType, nullable = false) +:
+        StructField("errors", LongType, nullable = false) +:
+        StructField("bias", LongType, nullable = false) +:
+        xCols.map(c => StructField(s"w_$c", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

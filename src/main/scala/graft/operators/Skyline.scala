@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed skyline (Pareto frontier): the rows not strictly
+  * dominated by any other row, all dimensions maximizing. Extension
+  * surface — multi-criteria curation ("keep documents/entities that are
+  * best on at least one tradeoff of quality x coverage x freshness"),
+  * the set-valued counterpart of the scalar quality-decile ranking
+  * (cur1).
+  *
+  * Algorithm (Börzsönyi et al. 2001, "The Skyline Operator", distributed
+  * two-phase form): because dominance is transitive, any row dominated
+  * by SOMEBODY is dominated by a member of its own partition's local
+  * skyline — so phase 1 computes the local skyline per partition
+  * (imperative per-partition pruning; one of the rare genuine
+  * mapPartitions cases, since dominance is not an equi-join key), and
+  * phase 2 exactly filters the unioned candidates against themselves
+  * with a broadcast anti-join. The final result is therefore exact and
+  * partitioning-independent even though phase 1's candidate SET varies
+  * with partitioning.
+  *
+  * Scale posture: phase 1 is one pass over the data, O(rows x |local
+  * skyline|) with skyline sizes that are tiny for correlated dimensions
+  * (and the d-dimensional expected size is O(log^{d-1} n) for
+  * independent dims); phase 2 is candidates x candidates on the pruned
+  * set — broadcast-sized by construction. No global shuffle at all.
+  *
+  * Phase-1 comparisons run on doubles: every supported dimension type
+  * (integral, double, decimal with < 2^53 ulp range) maps monotonically
+  * and injectively into double at these magnitudes, and phase 2 re-checks
+  * candidates with Spark-native comparisons on the ORIGINAL column
+  * types, so a phase-1 tie collapse could only ever keep an extra
+  * candidate for phase 2 to drop, never lose a frontier row.
+  */
+object Skyline {
+
+  private def toD(v: Any): Double = v match {
+    case null                      => Double.NegativeInfinity
+    case d: java.math.BigDecimal   => d.doubleValue()
+    case d: scala.math.BigDecimal  => d.doubleValue
+    case n: Number                 => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"non-numeric skyline dimension value: $other")
+  }
+
+  /** True iff a strictly dominates b (>= everywhere, > somewhere). */
+  private def dominates(a: Array[Double], b: Array[Double]): Boolean = {
+    var ge = true; var gt = false; var i = 0
+    while (i < a.length && ge) {
+      if (a(i) < b(i)) ge = false
+      else if (a(i) > b(i)) gt = true
+      i += 1
+    }
+    ge && gt
+  }
+
+  /** Pareto frontier of `df` over `dims`, all maximizing. Ties and
+    * duplicates are kept (a row equal on every dimension is not
+    * strictly dominated). */
+  def frontier(df: DataFrame, dims: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val idx = dims.map(schema.fieldIndex).toArray
+    val local = df.mapPartitions { it =>
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Row)]
+      it.foreach { row =>
+        val v = idx.map(i => toD(row.get(i)))
+        if (!cand.exists { case (c, _) => dominates(c, v) }) {
+          cand.filterInPlace { case (c, _) => !dominates(v, c) }
+          cand += ((v, row))
+        }
+      }
+      cand.iterator.map(_._2)
+    }(Encoders.row(schema))
+    // exact cross-check of the pruned candidate set against itself; the
+    // candidates are frontier-sized — pin them so phase 1 runs once, not
+    // once per join side
+    val cand = local.localCheckpoint(true)
+    val t = cand.alias("t")
+    val u = cand.alias("u")
+    val ge = dims.map(d => col(s"u.$d") >= col(s"t.$d")).reduce(_ && _)
+    val gt = dims.map(d => col(s"u.$d") > col(s"t.$d")).reduce(_ || _)
+    val dominatedBy: Column = ge && gt
+    t.join(broadcast(u), dominatedBy, "left_anti")
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bfs, LabelProp, Perceptron, Skyline}
+
+class Queries29Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BFS
+
+  test("BFS: hand graph distances, cap, unreachable and isolated seeds") {
+    // path 1-2-3-4-5 plus disconnected 9; symmetrized
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 7L).toDF("node") // 7 is isolated (not in graph)
+    val got = Bfs.hopDistance(edges, seeds, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 7L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // cap at 2 hops truncates the tail
+    val capped = Bfs.hopDistance(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source takes the minimum over seeds
+    val multi = Bfs.hopDistance(edges, Seq(1L, 5L).toDF("node"), maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(3L) == 2 && multi(4L) == 1 && multi(2L) == 1)
+  }
+
+  test("BFS result is partitioning-independent") {
+    val e = tradeEdgesSmall()
+    val seeds = Seq(3L).toDF("node")
+    val a = Bfs.hopDistance(e, seeds, 6).as[(Long, Int)].collect().sorted
+    val b = Bfs.hopDistance(e.repartition(13), seeds, 6)
+      .as[(Long, Int)].collect().sorted
+    assert(a.sameElements(b) && a.length > 10)
+  }
+
+  // ---------------------------------------------------------------- LPA
+
+  /** Brute-force synchronous LPA mirror (most-frequent neighbour label,
+    * min-label tie-break) for hand verification. */
+  private def lpaBrute(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(labels).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("LPA: two cliques with a bridge resolve to two communities") {
+    // cliques {1,2,3,4} and {11,12,13,14} joined by bridge 4-11
+    def clique(ns: Seq[Long]) = for { a <- ns; b <- ns if a != b } yield (a, b)
+    val raw = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (11L, 4L))
+    val got = LabelProp.propagate(raw.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lpaBrute(raw, 3))
+    // the two cliques end up with distinct labels, uniform within
+    assert(Set(1L, 2L, 3L).map(got).size == 1)
+    assert(Set(12L, 13L, 14L).map(got).size == 1)
+    assert(got(1L) != got(12L))
+  }
+
+  test("LPA matches the brute mirror on a random graph and is partition-stable") {
+    val rng = new scala.util.Random(29L)
+    val base = (1 to 150).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val raw = (base ++ base.map(_.swap)).distinct
+    val df = raw.toDF("src", "dst")
+    val got = LabelProp.propagate(df, 3).as[(Long, Long)].collect().toMap
+    assert(got == lpaBrute(raw, 3))
+    val got2 = LabelProp.propagate(df.repartition(11), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
+  // --------------------------------------------------------- Perceptron
+
+  test("perceptron: separable data converges to zero errors, exact weights") {
+    // y = sign(x1 - 5): positives have x1 >= 7, negatives x1 <= 3
+    val data = Seq((1L, 7L, 1L), (1L, 9L, 2L), (1L, 8L, 1L),
+      (-1L, 1L, 2L), (-1L, 2L, 1L), (-1L, 3L, 2L))
+    val df = data.toDF("y", "a", "b")
+    val out = Perceptron.train(spark, df, "y", Seq("a", "b"), 6)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 6)
+    // epoch 1 sees w=0 -> margin 0 -> ALL rows count as misclassified
+    assert(out.head._2 == data.length)
+    // errors reach 0 and stay there; weights freeze once converged
+    assert(out.last._2 == 0)
+    val frozen = out.dropWhile(_._2 > 0)
+    assert(frozen.nonEmpty && frozen.map(r => (r._3, r._4, r._5)).distinct.size == 1)
+    // hand-check epoch 1: update = sum of y*x over all rows
+    val s0 = data.map(_._1).sum
+    val s1 = data.map(r => r._1 * r._2).sum
+    val s2 = data.map(r => r._1 * r._3).sum
+    assert(out.head._3 == s0 && out.head._4 == s1 && out.head._5 == s2)
+  }
+
+  test("perceptron is exactly partition-invariant (integer arithmetic)") {
+    val feats = Tables.documents(spark, sf0001).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      col("n_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .cast("long").as("spaces"))
+    val a = Perceptron.train(spark, feats, "y", Seq("n_chars", "spaces"), 3)
+      .collect().map(_.toSeq)
+    val b = Perceptron.train(spark, feats.repartition(17), "y",
+      Seq("n_chars", "spaces"), 3).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  // ------------------------------------------------------------ Skyline
+
+  test("skyline: hand case with ties, duplicates, and dominated rows") {
+    val rows = Seq(
+      (1L, 10.0, 5L), // frontier (best x)
+      (2L, 10.0, 5L), // duplicate of 1 -> also kept (not STRICTLY dominated)
+      (3L, 9.0, 9L),  // frontier (best y)
+      (4L, 9.0, 5L),  // dominated by 1/2 and by 3
+      (5L, 10.0, 4L), // dominated by 1 (equal x, lower y)
+      (6L, 8.0, 9L))  // dominated by 3
+    val got = Skyline.frontier(rows.toDF("id", "x", "y"), Seq("x", "y"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("skyline matches brute force on random data under repartitioning") {
+    val rng = new scala.util.Random(42L)
+    val rows = (1L to 400L).map(i =>
+      (i, rng.nextInt(50).toLong, rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "a", "b", "c")
+    def dom(u: (Long, Long, Long, Long), t: (Long, Long, Long, Long)) =
+      u._2 >= t._2 && u._3 >= t._3 && u._4 >= t._4 &&
+        (u._2 > t._2 || u._3 > t._3 || u._4 > t._4)
+    val brute = rows.filter(t => !rows.exists(u => dom(u, t))).map(_._1).sorted
+    val got = Skyline.frontier(df, Seq("a", "b", "c"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == brute)
+    val got2 = Skyline.frontier(df.repartition(23), Seq("a", "b", "c"))
+      .select("id").as[Long].collect().sorted
+    assert(got2.toSeq == brute)
+  }
+
+  // ------------------------------------------------- fixture-scale runs
+
+  test("bfs1/lp1 fixture graph has real multi-hop and community structure") {
+    val d = Queries29.bfs1HopDistance(spark, sf0001)
+      .as[(Long, Int)].collect()
+    assert(d.nonEmpty)
+    // distances beyond 1 hop exist (the thresholded graph is not a star)
+    assert(d.map(_._2).max >= 2, s"max dist = ${d.map(_._2).max}")
+    val lp = Queries29.lp1LabelProp(spark, sf0001).as[(Long, Long)].collect()
+    assert(lp.nonEmpty && lp.map(_._2).distinct.length > 1)
+  }
+
+  test("orc and csv round-trips preserve their aggregates at sf0.001") {
+    val orc = Queries29.orc1OrcRoundtrip(spark, sf0001)
+    val direct = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(length(col("text")).cast("long")).as("max_text_len"))
+    assert(orc.exceptAll(direct).isEmpty && direct.exceptAll(orc).isEmpty)
+    val csv = Queries29.csv1CsvRoundtrip(spark, sf0001)
+    assert(csv.count() > 0 && csv.where(col("sum_price").isNull).count() == 0)
+  }
+
+  private def tradeEdgesSmall() = Queries29.tradeEdges(spark, sf0001)
+}
