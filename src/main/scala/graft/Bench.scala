@@ -25,7 +25,8 @@ object Bench {
   val streamingLane: Set[String] = Set(
     "e8_stream_replay", "e9_stream_funnel", "e10_stream_join",
     "e11_stream_window", "e12_hopping_window", "e13_stream_dedup",
-    "e14_stream_hopping", "e15_stream_neardup", "e16_stream_late")
+    "e14_stream_hopping", "e15_stream_neardup", "e16_stream_late",
+    "e17_stream_outer_join")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures

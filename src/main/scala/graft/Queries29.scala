@@ -238,7 +238,28 @@ object Queries29 {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E17: stream-stream LEFT OUTER interval join replay — e10's shape
+  // with outer semantics, where the null-extended "no click followed
+  // this purchase" rows are emitted by WATERMARK-DRIVEN state eviction
+  // (see EventStream.replayFollowsOuter). The oracle is the plain batch
+  // LEFT JOIN; stream must equal batch because replay is event-ordered
+  // and dual sentinels flush every eviction horizon before the drain.
+  // ---------------------------------------------------------------------
+  def e17StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayFollowsOuter(
+      Tables.events(spark, sfDir), windowSec = 14400)
+
+  val e17StreamOuterJoinSql: String =
+    """SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+      |  p.ts AS p_ts, e.ts AS e_ts
+      |FROM events p LEFT JOIN events e
+      |  ON p.user_id = e.user_id AND e.event_type = 'click'
+      | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '14400 seconds'
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_stream_outer_join" -> (e17StreamOuterJoin _),
     "bfs1_hop_distance" -> (bfs1HopDistance _),
     "lp1_label_prop"    -> (lp1LabelProp _),
     "pn1_perceptron"    -> (pn1Perceptron _),
@@ -247,6 +268,7 @@ object Queries29 {
     "csv1_csv_roundtrip" -> (csv1CsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "e17_stream_outer_join" -> e17StreamOuterJoinSql,
     "bfs1_hop_distance" -> bfs1HopDistanceSql,
     "lp1_label_prop"    -> lp1LabelPropSql,
     "pn1_perceptron"    -> pn1PerceptronSql,

@@ -164,7 +164,8 @@ object EventStream {
   def followsWithin(
       purchases: DataFrame,
       events: DataFrame,
-      windowSec: Long): DataFrame = {
+      windowSec: Long,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("p_event_id"),
@@ -175,7 +176,8 @@ object EventStream {
     p.join(e,
       col("p_user_id") === col("e_user_id") &&
         col("e_ts") > col("p_ts") &&
-        col("e_ts") <= col("p_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("e_ts") <= col("p_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   // --- first-touch attribution --------------------------------------------
@@ -436,6 +438,56 @@ object EventStream {
       .where(col("event_type") === tpe)
     memorySink(followsWithin(side("purchase"), side("click"), windowSec),
         "graft_e10_", OutputMode.Append())
+      .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
+  }
+
+  /** E17 — file-stream replay of the stream-stream LEFT OUTER interval
+    * join: [[followsWithin]] with `left_outer`, where a purchase that no
+    * click follows within the window must emit a null-extended row — but
+    * only once the watermark proves no match can still arrive. That
+    * emission is WATERMARK-DRIVEN state eviction, the semantics this
+    * replay pins: an unmatched purchase at `p_ts` leaves the state store
+    * when the global watermark (min over both sides' watermark nodes)
+    * passes `p_ts + windowSec`, so the replay appends dual sentinel
+    * batches on BOTH sides — the type filters sit upstream of the
+    * watermark nodes, so a sentinel must survive its side's filter to
+    * advance that side's watermark — far enough past the horizon
+    * (`windowSec + delay + slack`) that every real purchase evicts
+    * before the drain ends. Dual, because a batch admits with the
+    * PREVIOUS batch's watermark and evicts with the current one (the
+    * e16 measurement): sentinel #2 carries the advanced watermark into
+    * the eviction position. Sentinel users are negative (never joinable
+    * with real rows) and filtered from the result; the purchase-side
+    * sentinel's own unmatched row can never emit (nothing ever passes
+    * ITS horizon). With event-time-ordered replay and delay >> 0, no
+    * real match is evicted early and none arrives late, so the appended
+    * set must equal the batch LEFT JOIN — e17's DuckDB oracle. */
+  def replayFollowsOuter(
+      events: DataFrame,
+      chunks: Int = 6,
+      windowSec: Long = 300): DataFrame = {
+    val spark = events.sparkSession
+    val hi = events.agg(max(col("ts").cast("long"))).head().getLong(0)
+    def sentinels(offsetSec: Long) = {
+      def row(id: Long, uid: Long, tpe: String) = spark.range(1).select(
+        lit(id).as("event_id"),
+        timestamp_seconds(lit(hi + offsetSec)).as("ts"),
+        lit(uid).as("user_id"),
+        lit(tpe).as("event_type"))
+      row(-1L, -1L, "click").unionByName(row(-2L, -2L, "purchase"))
+    }
+    val horizon = windowSec + 3600 + 60
+    val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
+      replayCols, chunks,
+      sentinel = Some(sentinels(horizon)),
+      tail = Seq(sentinels(horizon + 60)))
+    def side(tpe: String) = spark.readStream.schema(replaySchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .where(col("event_type") === tpe)
+    memorySink(
+        followsWithin(side("purchase"), side("click"), windowSec, "left_outer"),
+        "graft_e17_", OutputMode.Append())
+      .where(col("p_user_id") >= 0)
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
 

@@ -170,5 +170,26 @@ class Queries29Spec extends SparkSpec {
     assert(csv.count() > 0 && csv.where(col("sum_price").isNull).count() == 0)
   }
 
+  test("e17: streamed left-outer join equals the batch left join at sf0.001") {
+    val events = Tables.events(spark, sf0001)
+    val got = graft.streaming.EventStream
+      .replayFollowsOuter(events, chunks = 4, windowSec = 14400)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("e_ts"))
+    val batch = p.join(c,
+      col("p_user_id") === col("c_user_id") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 14400 SECONDS"),
+      "left_outer")
+      .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // outer semantics actually exercised: some purchases are unmatched
+    assert(got.where(col("e_ts").isNull).count() > 0)
+    assert(got.where(col("e_ts").isNotNull).count() > 0)
+  }
+
   private def tradeEdgesSmall() = Queries29.tradeEdges(spark, sf0001)
 }
