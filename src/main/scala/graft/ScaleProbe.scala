@@ -82,7 +82,15 @@ object ScaleProbe {
     // bigram-rank OLS fit (rg1 stays excluded with the pair miners)
     "zipf1_bigram_zipf",
     // conformal threshold = distributed rank + two broadcast scalars
-    "cp1_conformal")
+    "cp1_conformal",
+    // round-6 additions: frontier BFS and synchronous LPA over the
+    // thresholded trade graph (replicated facts thicken the same-key
+    // dimension graph — the pr1/kc1 argument: the probe exercises the
+    // 10x scan + per-round join dataflow), per-epoch perceptron scans,
+    // and the two-phase skyline's local-prune pass. (orc1/csv1 are
+    // sink round-trips like wrt1/js1, benched not probed; e17 is a
+    // streaming replay, excluded with e8-e16.)
+    "bfs1_hop_distance", "lp1_label_prop", "pn1_perceptron", "sky1_pareto")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

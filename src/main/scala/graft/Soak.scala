@@ -148,7 +148,15 @@ object Soak {
     // join subject grows linearly), and the bigram vocabulary grows by
     // the factor while zipf1's rank input stays vocabulary-bounded
     "rg1_ngram_f1" -> SparkEntry.queries("rg1_ngram_f1"),
-    "zipf1_bigram_zipf" -> SparkEntry.queries("zipf1_bigram_zipf"))
+    "zipf1_bigram_zipf" -> SparkEntry.queries("zipf1_bigram_zipf"),
+    // same shifted-key replicas: the thresholded trade graph grows as
+    // disjoint components. bfs1's seeds live in replica 0, so the
+    // settled set stays CONSTANT while each round's edge semi-join scans
+    // a factor-larger edge list — the "expand a fixed seed set over a
+    // huge graph" posture; lp1 resolves communities in every replica
+    // independently (work and output both ~linear)
+    "bfs1_hop_distance" -> SparkEntry.queries("bfs1_hop_distance"),
+    "lp1_label_prop" -> SparkEntry.queries("lp1_label_prop"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {

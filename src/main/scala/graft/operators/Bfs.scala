@@ -30,7 +30,9 @@ object Bfs {
     * are absent. Seeds are at distance 0 even if isolated.
     */
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // pin the (possibly expensive) edge derivation ONCE — every round
+    // semi-joins it (the KCore edge-pinning measurement applies verbatim)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var settled = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))
@@ -44,7 +46,10 @@ object Bfs {
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
-      settled = settled.unionByName(next).localCheckpoint(true)
+      // settled stays a UNION of already-materialized frontiers — no
+      // per-round re-checkpoint of the whole set (each branch is pinned,
+      // so the union plan is a cheap scan of <= maxHops cached RDDs)
+      settled = settled.unionByName(next)
       frontier = next.select(col("node"))
       frontierSize = next.count()
     }
