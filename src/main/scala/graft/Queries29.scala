@@ -37,7 +37,7 @@ object Queries29 {
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  private val TradeEdgesSql: String =
+  private[graft] val TradeEdgesSql: String =
     s"""p AS (
        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

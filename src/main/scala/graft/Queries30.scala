@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AssocRules, Modularity, SeriesStats, VectorSearch}
+
+/** Round 6 (cont.) — market-basket association mining, community-quality
+  * scoring, time-series autocorrelation, and contrastive hard-negative
+  * mining, all under the DuckDB oracle. Same contract as [[Queries]].
+  */
+object Queries30 {
+
+  // ---------------------------------------------------------------------
+  // FI1: a-priori frequent part pairs over order baskets with
+  // support / confidence / lift — "which parts co-occur in orders more
+  // than chance". Both the items and the pair must reach MinSupport
+  // baskets; the infrequent-item prune runs BEFORE the pair self-join
+  // (downward closure), which is what keeps the expansion linear at
+  // scale. All metric arithmetic is one IEEE division over exact
+  // integer/DECIMAL terms on both engines.
+  // ---------------------------------------------------------------------
+  private[graft] val FiMinSupport = 2L
+
+  def fi1AssocRules(spark: SparkSession, sfDir: String): DataFrame =
+    AssocRules.frequentPairs(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      FiMinSupport)
+
+  val fi1AssocRulesSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+       |           FROM lineitem),
+       |f AS (SELECT item, COUNT(*) AS n_item FROM b
+       |      GROUP BY 1 HAVING COUNT(*) >= $FiMinSupport),
+       |pb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+       |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+       |p AS (SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+       |      FROM pb a JOIN pb c ON a.basket = c.basket AND a.item < c.item
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $FiMinSupport)
+       |SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+       |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+       |  CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE) AS confidence,
+       |  CAST(CAST(n_ab AS DECIMAL(18,0)) * CAST(n_baskets AS DECIMAL(18,0))
+       |       AS DOUBLE) /
+       |  CAST(CAST(fa.n_item AS DECIMAL(18,0)) * CAST(fb.n_item AS DECIMAL(18,0))
+       |       AS DOUBLE) AS lift
+       |FROM p
+       |JOIN f fa ON p.item_a = fa.item
+       |JOIN f fb ON p.item_b = fb.item, nb""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MOD1: modularity of the NATION partition over the thresholded trade
+  // graph (Queries29.tradeEdges) — "is repeat trade assortative by
+  // nation?" Customers sit on even node ids, suppliers on odd
+  // (Queries29's encoding); each node's community is its nation key.
+  // Per-community rows carry the exact integer tallies plus the one-
+  // division q_term; Q = SUM(q_term) ≈ 0 here (TPC-H assigns nations
+  // uniformly — the honest negative finding the operator exists to
+  // measure).
+  // ---------------------------------------------------------------------
+  def mod1NationModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.customer(spark, sfDir)
+      .select((col("c_custkey").cast("long") * 2).as("node"),
+        col("c_nationkey").cast("long").as("label"))
+      .unionAll(Tables.supplier(spark, sfDir)
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("node"),
+          col("s_nationkey").cast("long").as("label")))
+    Modularity.perCommunity(Queries29.tradeEdges(spark, sfDir), labels)
+  }
+
+  val mod1NationModularitySql: String =
+    s"""WITH ${Queries29.TradeEdgesSql},
+       |lab AS (
+       |  SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS label
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey * 2 + 1 AS node, CAST(s_nationkey AS BIGINT) AS label
+       |  FROM supplier),
+       |m AS (SELECT COUNT(*) AS ecnt FROM e),
+       |tagged AS (
+       |  SELECT la.label AS la, lb.label AS lb
+       |  FROM e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node),
+       |w AS (SELECT la AS community, COUNT(*) AS within_edges
+       |      FROM tagged WHERE la = lb GROUP BY 1),
+       |d AS (SELECT la AS community, COUNT(*) AS degree_sum
+       |      FROM tagged GROUP BY 1)
+       |SELECT d.community, COALESCE(w.within_edges, 0) AS within_edges,
+       |  d.degree_sum,
+       |  CAST(CAST(COALESCE(w.within_edges, 0) AS DECIMAL(19,0)) *
+       |         CAST(m.ecnt AS DECIMAL(19,0)) -
+       |       CAST(d.degree_sum AS DECIMAL(19,0)) *
+       |         CAST(d.degree_sum AS DECIMAL(19,0)) AS DOUBLE) /
+       |  CAST(CAST(m.ecnt AS DECIMAL(19,0)) * CAST(m.ecnt AS DECIMAL(19,0))
+       |       AS DOUBLE) AS q_term
+       |FROM d LEFT JOIN w ON d.community = w.community, m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ACF1: calendar-lag autocorrelation (lags 1..7) of the daily order-
+  // revenue series — the seasonality diagnostic over the engine's
+  // temporal surface. The daily aggregation is the only scan-sized
+  // shuffle; the ACF itself runs on the years×365-row series. Every Σ is
+  // DECIMAL-exact; the r_k combination is a fixed double-op tree
+  // mirrored token-for-token by the oracle.
+  // ---------------------------------------------------------------------
+  private[graft] val AcfMaxLag = 7
+
+  def acf1DailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    SeriesStats.acf(daily, AcfMaxLag)
+  }
+
+  val acf1DailyRevenueSql: String = {
+    val xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH s AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS t,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+       |  FROM orders GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM s),
+       |l AS (SELECT CAST(lag AS INTEGER) AS lag
+       |      FROM range(1, ${AcfMaxLag + 1}) r(lag)),
+       |j AS (
+       |  SELECT l.lag AS lag, COUNT(*) AS n_pairs, SUM(a.x * b.x) AS sxy,
+       |    SUM(a.x) AS sh, SUM(b.x) AS st
+       |  FROM s a CROSS JOIN l JOIN s b ON b.t = a.t + l.lag
+       |  GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  round((((CAST(sxy AS DOUBLE) - ($xbar * CAST(sh AS DOUBLE))) -
+       |     ($xbar * CAST(st AS DOUBLE))) +
+       |   ((CAST(n_pairs AS DOUBLE) * $xbar) * $xbar)) /
+       |  (CAST(sxx AS DOUBLE) - ((CAST(n AS DOUBLE) * $xbar) * $xbar)), 12) AS r
+       |FROM j, g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // HN1: contrastive hard negatives — for each query vector in a bounded
+  // block (vec_id < 50), the top-2 most-cosine-similar embeddings with a
+  // DIFFERENT label. Broadcast nested-loop over the corpus scan (block
+  // is bounded by construction); per-query top-k is a window argmax with
+  // the engine-wide (score DESC, id ASC) tie-break.
+  // ---------------------------------------------------------------------
+  private[graft] val HnBlockMax = 50L
+  private[graft] val HnK = 2
+
+  def hn1HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    VectorSearch.hardNegatives(
+      emb, emb.where(col("vec_id") < HnBlockMax), HnK)
+  }
+
+  val hn1HardNegativesSql: String = {
+    val c = Queries.sqlCosine("e.embedding", "q.embedding")
+    s"""SELECT qid, neg_id, CAST(rank AS INTEGER) AS rank, score FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS neg_id,
+       |    round($c, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $c DESC, e.vec_id ASC) AS rank
+       |  FROM embeddings q JOIN embeddings e ON q.label <> e.label
+       |  WHERE q.vec_id < $HnBlockMax AND $c IS NOT NULL
+       |) WHERE rank <= $HnK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // PPR1: personalized PageRank (random walk with restart) from the five
+  // trusted seed suppliers over pr1's dense purchase graph — the seeded-
+  // diffusion proximity recommendation and graph-sampling pipelines use,
+  // where pr1 answers "who anchors the whole network" and ppr1 "who is
+  // close to THESE nodes". Four power iterations; restart vector 1/5 on
+  // the seeds; contributions DECIMAL-quantized exactly as pr1. The
+  // oracle unrolls the four iterations with identical arithmetic.
+  // ---------------------------------------------------------------------
+  private[graft] val PprIters = 4
+  private[graft] val PprSeedSuppliers = Seq(1L, 2L, 3L, 4L, 5L)
+
+  def ppr1Personalized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = PprSeedSuppliers.map(_ * 2 + 1).toDF("node")
+    operators.PageRank.personalized(edges, seeds, PprIters)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  val ppr1PersonalizedSql: String = {
+    val seedRows = PprSeedSuppliers.map(s => s"(${s * 2 + 1})").mkString(", ")
+    val nSeeds = PprSeedSuppliers.size
+    def iter(k: Int): String =
+      s"""p$k AS (
+         |  SELECT nv.node,
+         |    (CAST(0.15 AS DOUBLE) * nv.v)
+         |      + CAST(0.85 AS DOUBLE)*COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nv LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(p.rank/d.outd AS DECIMAL(28,10))) AS DOUBLE) AS s
+         |    FROM e JOIN d ON e.src = d.src JOIN p${k - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON c.node = nv.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS c,
+       |    CAST(l_suppkey AS BIGINT)*2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM pairs
+       |      UNION ALL SELECT s, c FROM pairs),
+       |d AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |seeds AS (SELECT CAST(node AS BIGINT) AS node
+       |          FROM (VALUES $seedRows) v(node)),
+       |nv AS (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NOT NULL
+       |         THEN CAST(1.0 AS DOUBLE)/$nSeeds ELSE CAST(0.0 AS DOUBLE)
+       |    END AS v
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+       |p0 AS (SELECT node, v AS rank FROM nv),
+       |${(1 to PprIters).map(iter).mkString(",\n")}
+       |SELECT node, round(rank, 6) AS rank FROM p$PprIters""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fi1_assoc_rules"  -> (fi1AssocRules _),
+    "mod1_modularity"  -> (mod1NationModularity _),
+    "acf1_autocorr"    -> (acf1DailyRevenue _),
+    "hn1_hard_negatives" -> (hn1HardNegatives _),
+    "ppr1_personalized"  -> (ppr1Personalized _))
+
+  val oracles: Map[String, String] = Map(
+    "fi1_assoc_rules"  -> fi1AssocRulesSql,
+    "mod1_modularity"  -> mod1NationModularitySql,
+    "acf1_autocorr"    -> acf1DailyRevenueSql,
+    "hn1_hard_negatives" -> hn1HardNegativesSql,
+    "ppr1_personalized"  -> ppr1PersonalizedSql)
+}

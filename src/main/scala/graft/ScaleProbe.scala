@@ -90,7 +90,15 @@ object ScaleProbe {
     // and the two-phase skyline's local-prune pass. (orc1/csv1 are
     // sink round-trips like wrt1/js1, benched not probed; e17 is a
     // streaming replay, excluded with e8-e16.)
-    "bfs1_hop_distance", "lp1_label_prop", "pn1_perceptron", "sky1_pareto")
+    "bfs1_hop_distance", "lp1_label_prop", "pn1_perceptron", "sky1_pareto",
+    // round-6 continuation: a-priori pair mining (replicated baskets give
+    // 10x pair COUNTS over the same item keys — linear, the pair
+    // expansion is per-basket), modularity + personalized PageRank over
+    // the thickened same-key graphs (the pr1/kc1 argument), the daily-
+    // series ACF's 10x scan into a saturating calendar series, and the
+    // hard-negative broadcast NL over a 10x corpus with a fixed block
+    "fi1_assoc_rules", "mod1_modularity", "acf1_autocorr",
+    "hn1_hard_negatives", "ppr1_personalized")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A-priori-pruned frequent-pair mining with association-rule metrics
+  * (support / confidence / lift) over a basket table — classic
+  * market-basket analysis (Agrawal & Srikant 1994, "Fast Algorithms for
+  * Mining Association Rules"). Extension surface — the reference exposes
+  * no co-occurrence mining (SURVEY.md §2.5); the family complements the
+  * text-side collocation miner (pmi1, Queries14) with the transactional
+  * shape large pipelines use for curriculum/domain co-selection stats.
+  *
+  * Scale posture: the quadratic danger in pair mining is the per-basket
+  * pair expansion. Two bounds keep it linear at 100 TB:
+  *   1. the A-PRIORI prune — an item pair can only reach `minSupport` if
+  *      BOTH items individually do, so infrequent items are semi-joined
+  *      out BEFORE the self-join (the downward-closure property). The
+  *      frequent-item table is key-only and orders of magnitude smaller
+  *      than the basket table; Catalyst/AQE broadcasts it when it fits.
+  *   2. basket width — the expansion is Σ C(|b|,2); transactional baskets
+  *      are bounded (TPC-H orders ≤ 7 lines), so the pair table is a
+  *      small constant multiple of the basket table. Degenerate mega-
+  *      baskets should be width-capped upstream by the caller.
+  * Everything else is keyed aggregation: one shuffle on basket for the
+  * pair expansion, one on the pair key for counting. The basket count and
+  * per-item frequencies join back as 1-row / item-keyed broadcasts; no
+  * driver-side data moves.
+  *
+  * Determinism: all metric arithmetic stays integral until a SINGLE
+  * IEEE-double division per metric (products taken in 36-digit DECIMAL
+  * so no intermediate overflows at any scale), so results are exactly
+  * reproducible by the SQL oracle regardless of partitioning.
+  */
+object AssocRules {
+
+  // 18-digit operands → 36-digit exact products on BOTH engines (DuckDB
+  // multiply adds precisions and errors past 38; Spark caps at 38).
+  private val D = "decimal(18,0)"
+
+  /** Frequent item pairs with association metrics over `baskets`
+    * (columns `basket`, `item`; duplicates tolerated — presence is
+    * per-basket). Pairs are canonicalized `item_a < item_b`; both the
+    * pair and each member must reach `minSupport` baskets.
+    *
+    * Output: (item_a, item_b, n_ab, n_a, n_b,
+    *          support = n_ab/n_baskets, confidence = n_ab/n_a,
+    *          lift = n_ab·n_baskets/(n_a·n_b)).
+    */
+  def frequentPairs(baskets: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    // The distinct basket table feeds FOUR consumers (item frequencies,
+    // both self-join sides, the basket count) and the frequency table
+    // three (prune, n_a, n_b) — pin both once so the raw scan + distinct
+    // runs once, not per consumer, and the self-join sides share one
+    // shuffle via exchange reuse.
+    val b = baskets.select(col("basket"), col("item")).distinct()
+      .localCheckpoint(true)
+    val freq = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .where(col("n_item") >= minSupport)
+      .localCheckpoint(true)
+    // Downward-closure prune: only frequent items enter the pair join.
+    val pruned = b.join(freq.select(col("item")), Seq("item"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val nBaskets = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    pairs
+      .join(freq.select(col("item").as("item_a"), col("n_item").as("n_a")),
+        Seq("item_a"))
+      .join(freq.select(col("item").as("item_b"), col("n_item").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets)) // scalar-broadcast pattern
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab").cast(D) * col("n_baskets").cast(D)).cast("double") /
+          (col("n_a").cast(D) * col("n_b").cast(D)).cast("double"))
+          .as("lift"))
+  }
+}

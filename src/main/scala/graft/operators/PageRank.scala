@@ -102,4 +102,67 @@ object PageRank {
     }
     rank.select(col("node"), col("rank"))
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport mass
+    * returns to a SEED set instead of all nodes — the seeded-diffusion
+    * centrality recommendation and graph-sampling pipelines use ("how
+    * close is every node to these trusted seeds"). `seeds` is a
+    * single-column (node) table; the restart vector v puts 1/|seeds| on
+    * each seed (seeds absent from the graph keep their share — their
+    * mass re-enters via the restart term only, documented no-op weight).
+    * Initial rank = v; per iteration
+    *   rank = 0.15·v + 0.85·(inflow + danglingMass·v)
+    * — dangling mass restarts to the seeds, the PPR convention. Same
+    * fused single-join iteration, DECIMAL-quantized contributions, and
+    * per-iteration pinning as [[ranks]]; |seeds| is one planning scalar.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iteration count must be non-negative")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__outd"))
+    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nSeeds = s.count() // one scalar: the restart denominator
+    require(nSeeds > 0, "personalized PageRank needs at least one seed")
+    val nodesD = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outDeg, Seq("node"), "left")
+      .join(s.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+      .withColumn("__v",
+        when(col("__isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
+      .drop("__isSeed")
+      .localCheckpoint(true)
+    val n = nodesD.count()
+    val nDangling = nodesD.where(col("__outd").isNull).count()
+    val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
+    def nodeSide(df: DataFrame) =
+      if (n <= broadcastMax) broadcast(df) else df
+    var rank = nodesD.withColumn("rank", col("__v"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(nodeSide(rank.select(col("node").as("src"),
+          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))),
+          Seq("src"))
+        .select(col("dst").as("node"), col("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
+      rank =
+        if (nDangling == 0L) {
+          nodesD.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("__outd"), col("__v"),
+              ((lit(0.15) * col("__v")) + lit(0.85) *
+                coalesce(col("__in"), lit(0.0))).as("rank"))
+        } else {
+          val dmass = rank.where(col("__outd").isNull)
+            .agg(coalesce(sum(col("rank").cast("decimal(28,10)"))
+              .cast("double"), lit(0.0)).as("__dm"))
+          nodesD.join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dmass))
+            .select(col("node"), col("__outd"), col("__v"),
+              ((lit(0.15) * col("__v")) + lit(0.85) *
+                (coalesce(col("__in"), lit(0.0)) + col("__dm") * col("__v")))
+                .as("rank"))
+        }
+      rank = rank.localCheckpoint(true)
+    }
+    rank.select(col("node"), col("rank"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over aggregated calendar series — here the
+  * sample autocorrelation function (ACF), the standard lag-dependence
+  * diagnostic (Box & Jenkins 1970). Extension surface — completes the
+  * temporal family ([[graft.Queries14]] interarrival, EWMA smoothing,
+  * Markov transitions) with the statistic pipelines use to pick
+  * seasonality windows and detect drift periodicity.
+  *
+  * Definition used (calendar-lag ACF): for a date-keyed series x_t and
+  * lag k, pairs are (x_t, x_{t+k days}) for the calendar dates where
+  * BOTH exist (gaps simply contribute no pair — deterministic on both
+  * engines), and
+  *
+  *   r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+  *
+  * with x̄ and the denominator taken over the FULL series (the standard
+  * ACF convention). Expanded to moment form, every Σ is a DECIMAL-exact
+  * sum (the zipf1/q16 pattern — accumulation order cannot perturb it)
+  * and the remaining arithmetic is a fixed tree of IEEE-double ops the
+  * SQL oracle reproduces to the 12-dp reporting precision (see the cast
+  * note at the output projection).
+  *
+  * Scale posture: the input is an already-aggregated calendar series —
+  * inherently small (years × 365 rows) no matter how large the raw data
+  * was; the lag self-join is (series × maxLag)-sized. The heavy lifting
+  * (the daily aggregation) happens upstream as one keyed shuffle over
+  * the raw table.
+  */
+object SeriesStats {
+
+  /** ACF of `series` (columns `t` DATE, `x` DECIMAL) for lags 1..maxLag.
+    * Output: (lag, n_pairs, r).
+    */
+  def acf(series: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val s = series.select(col("t"), col("x"))
+    val glob = s.agg(
+      count(lit(1)).as("__n"),
+      sum(col("x")).as("__sx"),
+      sum(col("x") * col("x")).as("__sxx"))
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val joined = s.select(col("t").as("__ta"), col("x").as("__xa"))
+      .crossJoin(broadcast(lags))
+      .withColumn("__tb", date_add(col("__ta"), col("lag")))
+      .join(s.select(col("t").as("__tb"), col("x").as("__xb")), Seq("__tb"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__xa") * col("__xb")).as("__sxy"),
+        sum(col("__xa")).as("__sh"),
+        sum(col("__xb")).as("__st"))
+    // One fixed double-op tree; x̄ is a single division wherever it
+    // appears, so every use is the same IEEE value.
+    def d(c: Column): Column = c.cast("double")
+    val xbar = d(col("__sx")) / d(col("__n"))
+    val num = ((d(col("__sxy")) - (xbar * d(col("__sh")))) -
+      (xbar * d(col("__st")))) + ((d(col("n_pairs")) * xbar) * xbar)
+    val den = d(col("__sxx")) - ((d(col("__n")) * xbar) * xbar)
+    // r is reported at 12 dp: DuckDB's DECIMAL→DOUBLE cast double-rounds
+    // (scaled int128 → double, then ×10⁻ˢ) once the scaled value passes
+    // 2⁵³, while the JVM's BigDecimal cast rounds once — a ~1-ulp moment
+    // divergence that 12 dp absorbs (r ∈ [−1,1]; 12 dp is far past
+    // statistical meaning).
+    joined
+      .crossJoin(broadcast(glob)) // scalar-broadcast pattern
+      .select(col("lag"), col("n_pairs"), round(num / den, 12).as("r"))
+  }
+}

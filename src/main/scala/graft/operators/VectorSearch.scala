@@ -57,6 +57,45 @@ object VectorSearch {
     t.orderBy(col(scoreCol).desc, col(idCol).asc).limit(k)
   }
 
+  /** Contrastive hard-negative mining: for each row of a (small) query
+    * block, the top-`k` most-similar corpus rows carrying a DIFFERENT
+    * label — the standard negative-selection step for contrastive /
+    * embedding training data (highest-scoring wrong-label neighbours are
+    * the informative negatives). Extension surface — no reference
+    * counterpart (SURVEY.md §2.5).
+    *
+    * Scale posture: the query block is bounded and broadcast, so the
+    * plan is a broadcast nested-loop over the corpus scan — corpus-linear
+    * with |block| kernel evaluations per row, never corpus×corpus (the
+    * caller mines negatives for one bounded batch at a time, the shape
+    * contrastive training actually consumes). The per-query top-k is a
+    * window argmax keyed by query id; invalid scores (dim mismatch /
+    * zero magnitude) drop by the V4 null rule.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      embeddingCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(
+      col(idCol).as("qid"), col(labelCol).as("__qlabel"),
+      col(embeddingCol).as("__qemb"))
+    val scored = corpus
+      .join(broadcast(q), col("__qlabel") =!= col(labelCol))
+      .withColumn("score",
+        Similarity.cosine(col(embeddingCol), col("__qemb")))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol).as("neg_id"),
+        col("__rn").as("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** Maximal-marginal-relevance rerank: from the top-`poolSize` candidates
     * by relevance, greedily select `k` maximizing
     * `lambda*rel - (1-lambda)*max_sim_to_already_selected` — the standard

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AssocRules, Modularity, SeriesStats, VectorSearch}
+
+class Queries30Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ AssocRules
+
+  test("AssocRules: hand baskets — counts, metrics, and both support prunes") {
+    // baskets: {A,B,C}, {A,B}, {A,C}, {B,C}, {A,B}, {D} (D infrequent @2)
+    val b = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "B"),
+      (6L, "D")).toDF("basket", "item")
+    val got = AssocRules.frequentPairs(b, minSupport = 2)
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+        "support", "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    // n_baskets = 6; A:4 B:4 C:3; AB:3 AC:2 BC:2; D never pairs
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("A", "B", 3L), ("A", "C", 2L), ("B", "C", 2L)))
+    val ab = got.head
+    assert(ab._4 == 4 && ab._5 == 4)
+    assert(ab._6 == 3.0 / 6.0 && ab._7 == 3.0 / 4.0 && ab._8 == 18.0 / 16.0)
+  }
+
+  test("AssocRules: per-basket duplicates count once; pair prune applies") {
+    val b = Seq(
+      (1L, "X"), (1L, "X"), (1L, "Y"), // dup X collapses
+      (2L, "X"), (2L, "Z"),
+      (3L, "Y"), (3L, "Z")).toDF("basket", "item")
+    val got = AssocRules.frequentPairs(b, minSupport = 2)
+    // every item frequent (2 baskets each) but every pair occurs once
+    assert(got.count() == 0)
+  }
+
+  test("AssocRules: the a-priori prune removes infrequent items BEFORE the self-join") {
+    val b = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("basket", "item")
+    val plan = AssocRules.frequentPairs(b, minSupport = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a-priori semi-join in:\n$plan")
+  }
+
+  // ------------------------------------------------------ Modularity
+
+  test("Modularity: two cliques + bridge match the hand formula") {
+    // triangles {1,2,3} and {4,5,6} with bridge 3-4; symmetrized
+    def clique(ns: Seq[Long]) = for { a <- ns; b <- ns if a != b } yield (a, b)
+    val raw = clique(Seq(1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L)) ++
+      Seq((3L, 4L), (4L, 3L))
+    val edges = raw.toDF("src", "dst")
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L,
+      6L -> 20L).toDF("node", "label")
+    val got = Modularity.perCommunity(edges, labels)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // E = 14 directed; each community: within = 6, degree = 7
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((10L, 6L, 7L), (20L, 6L, 7L)))
+    val expTerm = (6.0 * 14 - 49.0) / (14.0 * 14)
+    got.foreach(r => assert(r._4 == expTerm))
+    val q = got.map(_._4).sum
+    assert(math.abs(q - 2 * expTerm) < 1e-15 && q > 0.3)
+  }
+
+  test("Modularity: singleton partition (every node its own label) is ~ -Σ(d/E)²") {
+    val raw = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val edges = raw.toDF("src", "dst")
+    val labels = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L).toDF("node", "label")
+    val got = Modularity.perCommunity(edges, labels)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.forall(_._2 == 0)) // no within edges anywhere
+    // E = 4; degrees 1,2,1 → q_terms -(d/4)²
+    val terms = got.map(r => (r._1, r._4)).toMap
+    assert(terms(1L) == -1.0 / 16 && terms(2L) == -4.0 / 16 &&
+      terms(3L) == -1.0 / 16)
+  }
+
+  // ------------------------------------------------------ SeriesStats
+
+  test("ACF: hand series matches the textbook moment formula, gaps drop pairs") {
+    // dates with a gap at day 3: x = 1, 2, _, 4, 8 (decimal)
+    val s = Seq(("2024-01-01", "1.00"), ("2024-01-02", "2.00"),
+      ("2024-01-04", "4.00"), ("2024-01-05", "8.00"))
+      .toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+    val got = SeriesStats.acf(s, maxLag = 2)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    // lag1 pairs: (1,2) and (4,8); lag2 pairs: (2,4)
+    assert(got.map(r => (r._1, r._2)) == Seq((1, 2L), (2, 1L)))
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val n = 4.0; val xbar = xs.sum / n
+    val den = xs.map(v => (v - xbar) * (v - xbar)).sum
+    def r(pairs: Seq[(Double, Double)]) =
+      pairs.map { case (a, b) => (a - xbar) * (b - xbar) }.sum / den
+    val exp1 = r(Seq((1.0, 2.0), (4.0, 8.0)))
+    val exp2 = r(Seq((2.0, 4.0)))
+    assert(math.abs(got(0)._3 - exp1) < 1e-9)
+    assert(math.abs(got(1)._3 - exp2) < 1e-9)
+  }
+
+  test("ACF: a perfectly periodic series has r=1 at its period") {
+    val days = (0 until 30).map(i => (f"2024-01-${i + 1}%02d", if (i % 2 == 0) "10.00" else "20.00"))
+    val s = days.toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+    val got = SeriesStats.acf(s, maxLag = 2)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got(1)._3 > 0.9 && got(0)._3 < 0) // period 2 high, lag 1 negative
+  }
+
+  // ------------------------------------------------------ hardNegatives
+
+  test("hardNegatives: same-label excluded, invalid vectors dropped, top-k ordered") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0),       // same label as query — excluded
+      (2L, Seq(0.9f, 0.1f), 1),   // close, other label
+      (3L, Seq(0.5f, 0.5f), 1),   // further
+      (4L, Seq(1f, 0f, 0f), 2),   // dim mismatch → null score → dropped
+      (5L, Seq(0f, 0f), 2))       // zero magnitude → dropped
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = VectorSearch.hardNegatives(corpus, queries, k = 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((100L, 2L, 1), (100L, 3L, 2)))
+    assert(got.head._4 > got(1)._4)
+  }
+
+  test("hardNegatives: the query block is broadcast (nested-loop, not shuffle)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = VectorSearch.hardNegatives(
+      emb, emb.where(col("vec_id") < 5), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NL join in:\n$plan")
+  }
+
+  // ------------------------------------------------------ personalized PR
+
+  /** Brute PPR mirror: r = 0.15·v + 0.85·Aᵀ(r/outd), dense doubles. */
+  private def pprBrute(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val v = nodes.map(n =>
+      n -> (if (seeds(n)) 1.0 / seeds.size else 0.0)).toMap
+    var r = v
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outd(s) }.sum).toMap
+      r = nodes.map(n => n -> (0.15 * v(n) + 0.85 * in.getOrElse(n, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalized PageRank: matches brute mirror, conserves mass, localizes") {
+    // path 1-2-3-4-5-6, symmetrized: seeds {1} → rank decays with distance
+    val raw = (1L to 5L).map(i => (i, i + 1))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val got = graft.operators.PageRank.personalized(
+      edges, Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val exp = pprBrute((raw ++ raw.map(_.swap)), Set(1L), 4)
+    got.foreach { case (n, r) => assert(math.abs(r - exp(n)) < 1e-8, s"node $n") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-8) // no danglers → mass 1
+    // the seed dominates, and the far end of the path stays below it
+    // (intermediate nodes oscillate with bipartite parity at few iters —
+    // no monotonicity claim)
+    assert(got(1L) == got.values.max && got(1L) > got(6L))
+  }
+
+  test("personalized PageRank: dangling mass restarts to the seeds") {
+    // 1→2→3 directed; 3 is dangling. Seeds {1}. Brute mirror with the
+    // dangling-restart term: r = 0.15·v + 0.85·(in + dm·v).
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val got = graft.operators.PageRank.personalized(
+      edges.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 8)
+      .as[(Long, Double)].collect().toMap
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val v = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    var r = v
+    for (_ <- 1 to 8) {
+      val dm = r.filterNot(kv => outd.contains(kv._1)).values.sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outd(s) }.sum).toMap
+      r = v.keys.map(n =>
+        n -> (0.15 * v(n) + 0.85 * (in.getOrElse(n, 0.0) + dm * v(n)))).toMap
+    }
+    got.foreach { case (n, x) => assert(math.abs(x - r(n)) < 1e-8, s"node $n") }
+    // every iteration conserves total mass exactly (restart absorbs the
+    // dangling leak)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  // ------------------------------------------------------ fixture queries
+
+  test("fi1/mod1/acf1/hn1 run at sf0.001 with sane shapes") {
+    val fi = Queries30.fi1AssocRules(spark, sf0001)
+    assert(fi.count() > 0)
+    val mod = Queries30.mod1NationModularity(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(mod.length == 25 && math.abs(mod.map(_._4).sum) < 0.25)
+    val acf = Queries30.acf1DailyRevenue(spark, sf0001).collect()
+    assert(acf.length == Queries30.AcfMaxLag)
+    val hn = Queries30.hn1HardNegatives(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(hn.length == 50 * Queries30.HnK)
+    assert(hn.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2)))
+  }
+}
