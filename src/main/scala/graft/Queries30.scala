@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{AssocRules, Modularity, SeriesStats, VectorSearch}
 
 /** Round 6 (cont.) — market-basket association mining, community-quality
-  * scoring, time-series autocorrelation, and contrastive hard-negative
-  * mining, all under the DuckDB oracle. Same contract as [[Queries]].
+  * scoring, time-series autocorrelation and forecast backtesting,
+  * contrastive hard-negative mining, personalized PageRank, and the Gini
+  * concentration statistic, all under the DuckDB oracle. Same contract
+  * as [[Queries]].
   */
 object Queries30 {
 
@@ -225,17 +227,110 @@ object Queries30 {
        |SELECT node, round(rank, 6) AS rank FROM p$PprIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // FC1: seasonal-naive forecast backtest — x̂_t = x_{t−7 days} over the
+  // daily revenue series (acf1's), scored with MAE / MAPE / sMAPE. The
+  // baseline every forecasting pipeline must beat; the eval set is every
+  // calendar date with a predictor 7 days earlier. Absolute errors are
+  // DECIMAL-exact; relative terms quantize to DECIMAL(28,10) before the
+  // sum (the PageRank-contribution pattern).
+  // ---------------------------------------------------------------------
+  private[graft] val FcPeriod = 7
+
+  def fc1SeasonalBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    SeriesStats.seasonalNaiveBacktest(daily, FcPeriod)
+  }
+
+  val fc1SeasonalBacktestSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS t,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+       |  FROM orders GROUP BY 1),
+       |j AS (
+       |  SELECT b.x AS x, a.x AS xp
+       |  FROM s a JOIN s b ON b.t = a.t + $FcPeriod),
+       |g AS (
+       |  SELECT COUNT(*) AS n, SUM(ABS(x - xp)) AS sae,
+       |    SUM(CAST(CAST(ABS(x - xp) AS DOUBLE) / CAST(x AS DOUBLE)
+       |        AS DECIMAL(28,10))) AS sape,
+       |    SUM(CAST((CAST(2.0 AS DOUBLE) * CAST(ABS(x - xp) AS DOUBLE)) /
+       |        (CAST(x AS DOUBLE) + CAST(xp AS DOUBLE))
+       |        AS DECIMAL(28,10))) AS ssape
+       |  FROM j)
+       |SELECT CAST(n AS BIGINT) AS n_eval,
+       |  round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+       |  round(CAST(sape AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mape,
+       |  round(CAST(ssape AS DOUBLE) / CAST(n AS DOUBLE), 6) AS smape
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // GINI1: Gini coefficient of customer lifetime spend — the standard
+  // concentration statistic ("how unequal is revenue across customers"),
+  // computed from the rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) with
+  // x ascending. Ranks come from the engine's distributed prefix-sum
+  // primitive (operators/Ranks — no single-partition global sort);
+  // Σi·x_i is DECIMAL-exact (rank·spend products), and ties in spend
+  // leave the statistic invariant (swapping equal x across ranks doesn't
+  // move Σi·x_i) — custkey only pins intermediate determinism.
+  // ---------------------------------------------------------------------
+  /** Gini over a (custkey, x DECIMAL) table — the rank-formula core of
+    * gini1, exposed for hand-case specs. */
+  private[graft] def gini(spend: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ranked = operators.Ranks.withRunningSums(
+      spend.withColumn("__one", lit(1L)),
+      Seq("__one" -> "__rank"), Seq(col("x").asc, col("custkey").asc))
+    ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("x")).as("__sx"),
+        sum(col("__rank").cast("decimal(19,0)") * col("x")).as("__sixi"))
+      .select(col("n_customers"),
+        round(((lit(2.0) * d(col("__sixi"))) -
+          ((d(col("n_customers")) + lit(1.0)) * d(col("__sx")))) /
+          (d(col("n_customers")) * d(col("__sx"))), 12).as("gini"))
+  }
+
+  def gini1RevenueGini(spark: SparkSession, sfDir: String): DataFrame =
+    gini(Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x")))
+
+  val gini1RevenueGiniSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, custkey ASC) AS rnk
+      |  FROM a),
+      |g AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx,
+      |    SUM(CAST(rnk AS DECIMAL(19,0)) * x) AS sixi
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  round(((CAST(2.0 AS DOUBLE) * CAST(sixi AS DOUBLE)) -
+      |    ((CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE)) * CAST(sx AS DOUBLE))) /
+      |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS gini
+      |FROM g""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fi1_assoc_rules"  -> (fi1AssocRules _),
     "mod1_modularity"  -> (mod1NationModularity _),
     "acf1_autocorr"    -> (acf1DailyRevenue _),
     "hn1_hard_negatives" -> (hn1HardNegatives _),
-    "ppr1_personalized"  -> (ppr1Personalized _))
+    "ppr1_personalized"  -> (ppr1Personalized _),
+    "fc1_seasonal_backtest" -> (fc1SeasonalBacktest _),
+    "gini1_revenue_gini"    -> (gini1RevenueGini _))
 
   val oracles: Map[String, String] = Map(
     "fi1_assoc_rules"  -> fi1AssocRulesSql,
     "mod1_modularity"  -> mod1NationModularitySql,
     "acf1_autocorr"    -> acf1DailyRevenueSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
-    "ppr1_personalized"  -> ppr1PersonalizedSql)
+    "ppr1_personalized"  -> ppr1PersonalizedSql,
+    "fc1_seasonal_backtest" -> fc1SeasonalBacktestSql,
+    "gini1_revenue_gini"    -> gini1RevenueGiniSql)
 }

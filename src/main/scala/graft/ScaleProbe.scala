@@ -98,7 +98,11 @@ object ScaleProbe {
     // series ACF's 10x scan into a saturating calendar series, and the
     // hard-negative broadcast NL over a 10x corpus with a fixed block
     "fi1_assoc_rules", "mod1_modularity", "acf1_autocorr",
-    "hn1_hard_negatives", "ppr1_personalized")
+    "hn1_hard_negatives", "ppr1_personalized",
+    // seasonal-naive backtest (acf1's saturating-series argument) and
+    // the rank-formula Gini (10x customers through the distributed
+    // prefix-sum, no global sort)
+    "fc1_seasonal_backtest", "gini1_revenue_gini")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

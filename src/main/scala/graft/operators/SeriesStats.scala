@@ -70,4 +70,43 @@ object SeriesStats {
       .crossJoin(broadcast(glob)) // scalar-broadcast pattern
       .select(col("lag"), col("n_pairs"), round(num / den, 12).as("r"))
   }
+
+  /** Seasonal-naive forecast backtest: predict x̂_t = x_{t−period days}
+    * and score MAE / MAPE / sMAPE over every calendar date where both
+    * sides exist — the standard baseline any forecasting pipeline must
+    * beat before a model earns its keep (Hyndman & Athanasopoulos,
+    * "Forecasting: Principles and Practice", the seasonal-naive method).
+    *
+    * Determinism: the absolute-error sum is DECIMAL-exact; the per-row
+    * relative terms (one or two IEEE ops each) are quantized to
+    * DECIMAL(28,10) BEFORE summation — the PageRank-contribution
+    * pattern, so accumulation order cannot perturb them — and each
+    * metric ends in a single division, reported at the engine-standard
+    * 6 dp (a 12-dp report exceeds double precision once MAE carries six
+    * integer digits; same DuckDB decimal→double cast note as [[acf]]).
+    *
+    * Scale posture: identical to [[acf]] — one self-join of the small
+    * aggregated calendar series; the upstream daily aggregation is the
+    * only scan-sized shuffle.
+    */
+  def seasonalNaiveBacktest(series: DataFrame, period: Int): DataFrame = {
+    require(period >= 1, "period must be positive")
+    def d(c: Column): Column = c.cast("double")
+    val s = series.select(col("t"), col("x"))
+    val j = s.select(col("t").as("__tp"), col("x").as("__xp"))
+      .withColumn("__t", date_add(col("__tp"), period))
+      .join(s.select(col("t").as("__t"), col("x").as("__x")), Seq("__t"))
+    val adiff = abs(col("__x") - col("__xp"))
+    val q = (c: Column) => c.cast("decimal(28,10)")
+    j.agg(
+        count(lit(1)).as("n_eval"),
+        sum(adiff).as("__sae"),
+        sum(q(d(adiff) / d(col("__x")))).as("__sape"),
+        sum(q((lit(2.0) * d(adiff)) / (d(col("__x")) + d(col("__xp")))))
+          .as("__ssape"))
+      .select(col("n_eval"),
+        round(d(col("__sae")) / d(col("n_eval")), 6).as("mae"),
+        round(d(col("__sape")) / d(col("n_eval")), 6).as("mape"),
+        round(d(col("__ssape")) / d(col("n_eval")), 6).as("smape"))
+  }
 }

@@ -117,6 +117,57 @@ class Queries30Spec extends SparkSpec {
     assert(got(1)._3 > 0.9 && got(0)._3 < 0) // period 2 high, lag 1 negative
   }
 
+  // ------------------------------------------------------ forecast backtest
+
+  test("seasonal-naive backtest: hand series matches the textbook metrics") {
+    // x = 10, 12, 11 on consecutive days, period 1:
+    // pairs (10→12), (12→11); |e| = 2, 1
+    val s = Seq(("2024-03-01", "10.00"), ("2024-03-02", "12.00"),
+      ("2024-03-03", "11.00")).toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+    val got = graft.operators.SeriesStats.seasonalNaiveBacktest(s, period = 1)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._1 == 2L)
+    assert(math.abs(got._2 - 1.5) < 1e-9)                             // MAE
+    assert(math.abs(got._3 - (2.0 / 12 + 1.0 / 11) / 2) < 1e-6)       // MAPE
+    assert(math.abs(got._4 - (2 * 2.0 / 22 + 2 * 1.0 / 23) / 2) < 1e-6) // sMAPE
+    // a calendar gap drops the pair: same values with day 2 missing
+    val gap = Seq(("2024-03-01", "10.00"), ("2024-03-03", "11.00"))
+      .toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+    val g = graft.operators.SeriesStats.seasonalNaiveBacktest(gap, 1)
+    assert(g.select("n_eval").as[Long].collect().head == 0L)
+    assert(g.select("mae").collect().head.isNullAt(0)) // no pairs → null metrics
+  }
+
+  // ------------------------------------------------------ Gini
+
+  test("Gini: uniform spend → 0, total concentration → (n−1)/n, ties invariant") {
+    def spendDf(xs: Seq[Double]) =
+      xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, BigDecimal(x).setScale(2))
+      }.toDF("custkey", "x")
+        .select(col("custkey"), col("x").cast("decimal(18,2)").as("x"))
+    val eq = Queries30.gini(spendDf(Seq(5, 5, 5, 5)))
+      .as[(Long, Double)].collect().head
+    assert(eq._1 == 4 && eq._2 == 0.0)
+    val conc = Queries30.gini(spendDf(Seq(0, 0, 0, 100)))
+      .as[(Long, Double)].collect().head
+    assert(math.abs(conc._2 - 0.75) < 1e-12) // (n−1)/n
+    // hand case: x = 1,2,3,4 → G = (2·(1+4+9+16) − 5·10)/(4·10) = 0.25
+    val hand = Queries30.gini(spendDf(Seq(1, 2, 3, 4)))
+      .as[(Long, Double)].collect().head
+    assert(math.abs(hand._2 - 0.25) < 1e-12)
+    // tie invariance: duplicated values give the same G under any tie order
+    val t1 = Queries30.gini(spendDf(Seq(1, 3, 3, 5))).as[(Long, Double)]
+      .collect().head._2
+    val t2 = Queries30.gini(spendDf(Seq(3, 1, 5, 3)).repartition(7))
+      .as[(Long, Double)].collect().head._2
+    assert(t1 == t2)
+  }
+
   // ------------------------------------------------------ hardNegatives
 
   test("hardNegatives: same-label excluded, invalid vectors dropped, top-k ordered") {
