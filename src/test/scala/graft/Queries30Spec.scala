@@ -251,6 +251,99 @@ class Queries30Spec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  // --------------------------------------------- seeded random properties
+
+  private val rnd = new scala.util.Random(30)
+
+  test("property: AssocRules equals brute force on random baskets") {
+    val baskets = (1L to 40L).flatMap { b =>
+      val width = 1 + rnd.nextInt(5)
+      Seq.fill(width)(('A' + rnd.nextInt(8)).toChar.toString).map(b -> _)
+    }
+    val minSupp = 3L
+    val got = AssocRules.frequentPairs(baskets.toDF("basket", "item"), minSupp)
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "support",
+        "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // brute
+    val sets = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nB = sets.size.toDouble
+    val itemN = sets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSupp).toMap
+    val exp = (for {
+      a <- itemN.keys; b <- itemN.keys if a < b
+      n = sets.values.count(s => s(a) && s(b)).toLong if n >= minSupp
+    } yield (a, b, n, itemN(a), itemN(b), n / nB, n.toDouble / itemN(a),
+      n * nB / (itemN(a) * itemN(b)))).toSeq.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      exp.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._6 - e._6) < 1e-12 && math.abs(g._7 - e._7) < 1e-12 &&
+        math.abs(g._8 - e._8) < 1e-12)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("property: modularity terms match brute force; degrees total E") {
+    val raw = (1 to 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val labels = sym.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> (n % 3))
+    val got = Modularity.perCommunity(sym.toDF("src", "dst"),
+      labels.toDF("node", "label"))
+      .as[(Long, Long, Long, Double)].collect()
+    val e = sym.size.toDouble
+    val lab = labels.toMap
+    val expW = sym.filter(p => lab(p._1) == lab(p._2))
+      .groupBy(p => lab(p._1)).view.mapValues(_.size.toLong).toMap
+    val expD = sym.groupBy(p => lab(p._1)).view.mapValues(_.size.toLong).toMap
+    assert(got.map(_._3).sum == sym.size) // Σ degree_sum == E
+    got.foreach { case (c, w, d, q) =>
+      assert(w == expW.getOrElse(c, 0L) && d == expD(c))
+      assert(math.abs(q - (w / e - (d / e) * (d / e))) < 1e-12)
+    }
+  }
+
+  test("property: ACF matches brute moments and stays within [-1, 1]") {
+    val days = (0 until 50).map { i =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString,
+        BigDecimal(10 + rnd.nextInt(900)) / 100)
+    }
+    val s = days.toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+    val got = graft.operators.SeriesStats.acf(s, maxLag = 5)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    val xs = days.map(_._2.toDouble)
+    val xbar = xs.sum / xs.size
+    val den = xs.map(v => (v - xbar) * (v - xbar)).sum
+    got.foreach { case (k, n, r) =>
+      assert(n == xs.size - k)
+      val exp = xs.dropRight(k).zip(xs.drop(k))
+        .map { case (a, b) => (a - xbar) * (b - xbar) }.sum / den
+      assert(math.abs(r - exp) < 1e-9, s"lag $k")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+  }
+
+  test("property: Gini matches brute formula and sits in [0, (n-1)/n]") {
+    val xs = (1 to 80).map(_ => BigDecimal(rnd.nextInt(100000)) / 100)
+    val got = Queries30.gini(xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, x)
+      }.toDF("custkey", "x")
+        .select(col("custkey"), col("x").cast("decimal(18,2)").as("x")))
+      .as[(Long, Double)].collect().head
+    val sorted = xs.map(_.toDouble).sorted
+    val n = sorted.size
+    val sixi = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val exp = (2 * sixi - (n + 1) * sorted.sum) / (n * sorted.sum)
+    assert(got._1 == n && math.abs(got._2 - exp) < 1e-9)
+    assert(got._2 >= 0.0 && got._2 <= (n - 1.0) / n)
+  }
+
   // ------------------------------------------------------ fixture queries
 
   test("fi1/mod1/acf1/hn1 run at sf0.001 with sane shapes") {
