@@ -316,6 +316,54 @@ object Queries30 {
       |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS gini
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BOOT1: Poisson-bootstrap 95% CI for the mean order value — B = 64
+  // replicates in ONE pass (each row draws a seeded Poisson(1) weight
+  // per replicate; no resampling passes), exact ceil(αB)/ceil((1−α)B)
+  // order statistics of the replicate means as the interval. The
+  // thresholds are shared double literals, so the oracle replays the
+  // weight draw bit-for-bit.
+  // ---------------------------------------------------------------------
+  private[graft] val BootReps = 64
+
+  def boot1BootstrapCi(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Sampling.poissonBootstrapMeanCI(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("x")),
+      "o_orderkey", "x", BootReps)
+
+  val boot1BootstrapCiSql: String = {
+    import operators.SamplingSql
+    val w = SamplingSql.poissonWeight(
+      SamplingSql.bootUniform("k", "j"))
+    val kLo = math.ceil(0.025 * BootReps).toInt
+    val kHi = math.ceil(0.975 * BootReps).toInt
+    s"""WITH x AS (
+       |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+       |  FROM orders),
+       |reps AS (
+       |  SELECT k, x, CAST(j AS INTEGER) AS j
+       |  FROM x CROSS JOIN range(0, $BootReps) r(j)),
+       |wts AS (SELECT j, x, $w AS w FROM reps),
+       |rm AS (
+       |  SELECT j, CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+       |  FROM wts GROUP BY j),
+       |o AS (SELECT j, m, ROW_NUMBER() OVER (ORDER BY m ASC, j ASC) AS rn
+       |      FROM rm),
+       |ci AS (
+       |  SELECT MAX(CASE WHEN rn = $kLo THEN m END) AS lo,
+       |         MAX(CASE WHEN rn = $kHi THEN m END) AS hi
+       |  FROM o),
+       |pt AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM x)
+       |SELECT CAST(pt.n AS BIGINT) AS n_rows, round(pt.mean, 6) AS mean,
+       |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+       |FROM pt, ci""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fi1_assoc_rules"  -> (fi1AssocRules _),
     "mod1_modularity"  -> (mod1NationModularity _),
@@ -323,7 +371,8 @@ object Queries30 {
     "hn1_hard_negatives" -> (hn1HardNegatives _),
     "ppr1_personalized"  -> (ppr1Personalized _),
     "fc1_seasonal_backtest" -> (fc1SeasonalBacktest _),
-    "gini1_revenue_gini"    -> (gini1RevenueGini _))
+    "gini1_revenue_gini"    -> (gini1RevenueGini _),
+    "boot1_bootstrap_ci"    -> (boot1BootstrapCi _))
 
   val oracles: Map[String, String] = Map(
     "fi1_assoc_rules"  -> fi1AssocRulesSql,
@@ -332,5 +381,6 @@ object Queries30 {
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "ppr1_personalized"  -> ppr1PersonalizedSql,
     "fc1_seasonal_backtest" -> fc1SeasonalBacktestSql,
-    "gini1_revenue_gini"    -> gini1RevenueGiniSql)
+    "gini1_revenue_gini"    -> gini1RevenueGiniSql,
+    "boot1_bootstrap_ci"    -> boot1BootstrapCiSql)
 }

@@ -102,7 +102,9 @@ object ScaleProbe {
     // seasonal-naive backtest (acf1's saturating-series argument) and
     // the rank-formula Gini (10x customers through the distributed
     // prefix-sum, no global sort)
-    "fc1_seasonal_backtest", "gini1_revenue_gini")
+    "fc1_seasonal_backtest", "gini1_revenue_gini",
+    // single-pass B=64 map-side explode + keyed reduce
+    "boot1_bootstrap_ci")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

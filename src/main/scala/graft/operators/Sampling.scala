@@ -40,6 +40,87 @@ object Sampling {
     * deterministic by key hash. */
   def weightedKeep(key: Column, weight: Column, granularity: Int = 10000): Column =
     hashBucket(key, granularity).cast("double") < weight * granularity
+
+  /** Cumulative Poisson(1) CDF thresholds c_0..c_8 (≥ 1 − 1.2e−6 of the
+    * mass): a uniform u draws weight w = #{k : c_k ≤ u} ∈ [0, 9] — the
+    * inverse-CDF table the Poisson bootstrap uses. Computed once here and
+    * embedded as the SAME double literals into the SQL oracle
+    * ([[SamplingSql.poissonWeight]]), so both engines share identical
+    * decision boundaries — no cross-engine exp/factorial drift. */
+  val PoissonThresholds: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      e1 / fact
+    }.scanLeft(0.0)(_ + _).drop(1)
+  }
+
+  /** Seeded uniform in [0, 1) for a NUMERIC (key, replicate) pair via an
+    * affine-then-quadratic congruential mix mod the prime Mod — pure
+    * 64-bit integer arithmetic (every intermediate provably < 2⁶³ on
+    * both engines), so it whole-stage-codegens at ~30× the throughput of
+    * the per-character rolling hash, which matters because the bootstrap
+    * evaluates it rows×B times. The quadratic step breaks the affinity
+    * of the first (an affine draw would stride sequential keys through
+    * u-space in lockstep). Statistical quality is LCG-grade — exactly
+    * what a bootstrap weight draw needs, and the unbiasedness is pinned
+    * by spec. */
+  def bootUniform(key: Column, rep: Column): Column = {
+    val m = lit(TextHash.Mod)
+    val u1 = pmod(pmod(key.cast("long"), m) * lit(Mix) +
+      rep.cast("long") * lit(97003L) + lit(12345L), m)
+    val u2 = pmod(u1 * u1 + lit(3L) * u1 + lit(7L), m)
+    u2.cast("double") / m.cast("double")
+  }
+
+  /** Poisson(1) weight from a uniform. */
+  def poissonWeight(u: Column): Column =
+    PoissonThresholds.map(t => when(u >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Poisson-bootstrap confidence interval for the mean of `xCol`
+    * (DECIMAL) keyed by `keyCol` — the single-pass, resample-free
+    * bootstrap used at scale (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): every row contributes an
+    * independent Poisson(1) weight per replicate, so one map-side
+    * explode of factor B replaces B full resampling passes, and the
+    * per-replicate weighted means reduce in the same keyed aggregation.
+    *
+    * Determinism: weights come from the engine's content-hash uniform
+    * (partitioning-independent), Σw·x is DECIMAL-exact, each replicate
+    * mean is one IEEE division, and the CI bounds are EXACT order
+    * statistics (ceil(α·B) / ceil((1−α)·B)) of the B means — B is
+    * bounded, so the final ranking is replicate metadata, not a data
+    * sort. Output: (n_rows, mean, ci_lo, ci_hi) at 6 dp.
+    */
+  def poissonBootstrapMeanCI(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, xCol: String, b: Int,
+      alpha: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    require(b >= 2, "need at least two replicates")
+    import org.apache.spark.sql.expressions.Window
+    val kLo = math.ceil(alpha / 2 * b).toInt
+    val kHi = math.ceil((1 - alpha / 2) * b).toInt
+    val x = df.select(col(keyCol).as("__k"), col(xCol).as("__x"))
+    val reps = x.select(col("__k"), col("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("__j"))
+      .withColumn("__w", poissonWeight(bootUniform(col("__k"), col("__j"))))
+    val means = reps.groupBy(col("__j"))
+      .agg((sum(col("__w") * col("__x")).cast("double") /
+        sum(col("__w")).cast("double")).as("__m"))
+    // B rows of replicate metadata — the single-partition window is bounded
+    val ranked = means.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__m").asc, col("__j").asc)))
+    val ci = ranked.agg(
+      max(when(col("__rn") === kLo, col("__m"))).as("__lo"),
+      max(when(col("__rn") === kHi, col("__m"))).as("__hi"))
+    x.agg(count(lit(1)).as("n_rows"),
+        (sum(col("__x")).cast("double") / count(lit(1)).cast("double"))
+          .as("__mean"))
+      .crossJoin(broadcast(ci)) // scalar-broadcast pattern
+      .select(col("n_rows"), round(col("__mean"), 6).as("mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
 }
 
 /** DuckDB mirrors of [[Sampling]]. */
@@ -55,4 +136,21 @@ object SamplingSql {
 
   def weightedKeep(key: String, weight: String, granularity: Int = 10000): String =
     s"(CAST(${hashBucket(key, granularity)} AS DOUBLE) < $weight * $granularity)"
+
+  /** Seeded uniform for a numeric (key, replicate) — mirrors
+    * [[Sampling.bootUniform]] (all operands non-negative, so plain `%`
+    * matches Spark's pmod). */
+  def bootUniform(key: String, rep: String): String = {
+    val m = graft.functions.TextHash.Mod
+    val u1 = s"(((CAST($key AS BIGINT) % $m) * 2654435761 + CAST($rep AS BIGINT) * 97003 + 12345) % $m)"
+    s"(CAST((($u1 * $u1 + 3 * $u1 + 7) % $m) AS DOUBLE) / CAST($m AS DOUBLE))"
+  }
+
+  /** Poisson(1) weight from a uniform — the SAME double literals as
+    * [[Sampling.PoissonThresholds]] (Double.toString round-trips
+    * exactly, so both engines compare against identical boundaries). */
+  def poissonWeight(u: String): String =
+    Sampling.PoissonThresholds
+      .map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
 }

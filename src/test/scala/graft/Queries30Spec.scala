@@ -251,6 +251,36 @@ class Queries30Spec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  // ------------------------------------------------------ Poisson bootstrap
+
+  test("Poisson bootstrap: threshold table is the Poisson(1) CDF; weights average ~1") {
+    val th = graft.operators.Sampling.PoissonThresholds
+    assert(th.size == 9)
+    assert(math.abs(th.head - math.exp(-1.0)) < 1e-15)
+    assert(math.abs(th(1) - 2 * math.exp(-1.0)) < 1e-15)
+    assert(th.sliding(2).forall(p => p(0) < p(1)) && th.last > 0.999998)
+    // seeded weights are unbiased-ish: mean over 20k draws ≈ 1
+    val draws = spark.range(20000)
+      .withColumn("__w", graft.operators.Sampling.poissonWeight(
+        graft.operators.Sampling.bootUniform(col("id"), lit(0))))
+      .agg(avg(col("__w"))).as[Double].collect().head
+    assert(math.abs(draws - 1.0) < 0.05, s"mean weight $draws")
+  }
+
+  test("Poisson bootstrap CI: brackets the mean, partition-invariant, exact order stats") {
+    val df = (1L to 500L).map(i => (i, BigDecimal((i % 97) * 7 + 100)))
+      .toDF("k", "x")
+      .select(col("k"), col("x").cast("decimal(18,2)").as("x"))
+    val a = graft.operators.Sampling
+      .poissonBootstrapMeanCI(df, "k", "x", b = 32)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(a._1 == 500 && a._3 <= a._2 && a._2 <= a._4) // lo ≤ mean ≤ hi
+    val b = graft.operators.Sampling
+      .poissonBootstrapMeanCI(df.repartition(13), "k", "x", b = 32)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(a == b) // content-hash weights → partitioning cannot move the CI
+  }
+
   // --------------------------------------------- seeded random properties
 
   private val rnd = new scala.util.Random(30)
