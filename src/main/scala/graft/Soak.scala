@@ -156,7 +156,26 @@ object Soak {
     // huge graph" posture; lp1 resolves communities in every replica
     // independently (work and output both ~linear)
     "bfs1_hop_distance" -> SparkEntry.queries("bfs1_hop_distance"),
-    "lp1_label_prop" -> SparkEntry.queries("lp1_label_prop"))
+    "lp1_label_prop" -> SparkEntry.queries("lp1_label_prop"),
+    // pair mining needs INDEPENDENT replicas like the dedup miners: the
+    // soak fixture shifts order keys but shares part keys, so the item
+    // space is re-disjointed here by deriving the replica index from the
+    // shifted order key (i = orderkey div base-max) — each replica then
+    // mines its own item universe and the pair table grows by the
+    // factor while per-replica support structure stays identical to 1x
+    "fi1_assoc_rules" -> ((s: SparkSession, dir: String) => {
+      val b = "/root/testdata/sf0.1"
+      val ordMax = Tables.orders(s, b)
+        .agg(max("o_orderkey")).head().getLong(0) + 1
+      val partMax = Tables.lineitem(s, b)
+        .agg(max("l_partkey").cast("long")).head().getLong(0) + 1
+      val baskets = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("basket"),
+        (col("l_partkey").cast("long") +
+          floor(col("l_orderkey") / lit(ordMax)).cast("long") * lit(partMax))
+          .as("item"))
+      operators.AssocRules.frequentPairs(baskets, Queries30.FiMinSupport)
+    }))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
