@@ -364,6 +364,47 @@ object Queries30 {
        |FROM pt, ci""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // TS1: Theil–Sen robust trend of daily revenue — median pairwise slope
+  // + median residual intercept, both EXACT lower-median order
+  // statistics through the distributed rank. The robust companion to
+  // q16's OLS: one outlier day moves OLS, not this.
+  // ---------------------------------------------------------------------
+  def ts1TheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    SeriesStats.theilSen(daily)
+  }
+
+  val ts1TheilSenSql: String =
+    """WITH s AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS t,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT a.t AS ta, b.t AS tb,
+      |    (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) /
+      |      CAST(date_diff('day', a.t, b.t) AS DOUBLE) AS sl
+      |  FROM s a JOIN s b ON a.t < b.t),
+      |np AS (SELECT COUNT(*) AS n FROM p),
+      |rs AS (SELECT sl, ROW_NUMBER() OVER (ORDER BY sl ASC, ta ASC, tb ASC)
+      |         AS rn FROM p),
+      |m AS (SELECT np.n AS n, rs.sl AS sl FROM rs, np
+      |      WHERE rs.rn = CAST(FLOOR((np.n + 1) / 2.0) AS BIGINT)),
+      |r AS (
+      |  SELECT m.n AS n, m.sl AS sl, s.t AS t,
+      |    CAST(s.x AS DOUBLE) -
+      |      m.sl * CAST(date_diff('day', DATE '1970-01-01', s.t) AS DOUBLE)
+      |      AS res
+      |  FROM s, m),
+      |nd AS (SELECT COUNT(*) AS nd FROM s),
+      |rr AS (SELECT n, sl, res,
+      |         ROW_NUMBER() OVER (ORDER BY res ASC, t ASC) AS rn FROM r)
+      |SELECT CAST(rr.n AS BIGINT) AS n_pairs, round(rr.sl, 6) AS slope,
+      |  round(rr.res, 6) AS intercept
+      |FROM rr, nd WHERE rr.rn = CAST(FLOOR((nd.nd + 1) / 2.0) AS BIGINT)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fi1_assoc_rules"  -> (fi1AssocRules _),
     "mod1_modularity"  -> (mod1NationModularity _),
@@ -372,7 +413,8 @@ object Queries30 {
     "ppr1_personalized"  -> (ppr1Personalized _),
     "fc1_seasonal_backtest" -> (fc1SeasonalBacktest _),
     "gini1_revenue_gini"    -> (gini1RevenueGini _),
-    "boot1_bootstrap_ci"    -> (boot1BootstrapCi _))
+    "boot1_bootstrap_ci"    -> (boot1BootstrapCi _),
+    "ts1_theil_sen"         -> (ts1TheilSen _))
 
   val oracles: Map[String, String] = Map(
     "fi1_assoc_rules"  -> fi1AssocRulesSql,
@@ -382,5 +424,6 @@ object Queries30 {
     "ppr1_personalized"  -> ppr1PersonalizedSql,
     "fc1_seasonal_backtest" -> fc1SeasonalBacktestSql,
     "gini1_revenue_gini"    -> gini1RevenueGiniSql,
-    "boot1_bootstrap_ci"    -> boot1BootstrapCiSql)
+    "boot1_bootstrap_ci"    -> boot1BootstrapCiSql,
+    "ts1_theil_sen"         -> ts1TheilSenSql)
 }

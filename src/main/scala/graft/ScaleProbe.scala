@@ -104,7 +104,9 @@ object ScaleProbe {
     // prefix-sum, no global sort)
     "fc1_seasonal_backtest", "gini1_revenue_gini",
     // single-pass B=64 map-side explode + keyed reduce
-    "boot1_bootstrap_ci")
+    "boot1_bootstrap_ci",
+    // calendar-bounded pairwise slopes + two distributed-rank medians
+    "ts1_theil_sen")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

@@ -71,6 +71,62 @@ object SeriesStats {
       .select(col("lag"), col("n_pairs"), round(num / den, 12).as("r"))
   }
 
+  /** Theil–Sen robust trend: slope = MEDIAN of all pairwise slopes
+    * (x_b − x_a)/(t_b − t_a), intercept = median of the residuals
+    * x_t − slope·t — the breakdown-point-29% alternative to OLS
+    * (Theil 1950; Sen 1968), the robust companion to q16's exact-moment
+    * regression. Medians are EXACT lower-median order statistics
+    * (k = ⌊(n+1)/2⌋) taken through the engine's distributed prefix-sum
+    * rank — no single-partition global sort; the k-th VALUE is invariant
+    * to tie order, the (slope, t_a, t_b) tie-break only pins the
+    * intermediate rank assignment. Each slope/residual is one IEEE
+    * subtraction + division over DECIMAL-exact daily values, identical
+    * on both engines; outputs round at 6 dp AFTER the order statistic.
+    *
+    * Scale posture: pairwise slopes are quadratic in the SERIES length,
+    * which is calendar-bounded (years × 365) no matter the raw scale —
+    * ~3M pairs for a 6.5-year daily series; the upstream daily
+    * aggregation is the only scan-sized shuffle. (A raw-scale Theil–Sen
+    * over unaggregated points would sample pairs; this operator's
+    * subject is the aggregated series, where exactness is affordable.)
+    */
+  def theilSen(series: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val s = series.select(col("t"), col("x"))
+    val a = s.select(col("t").as("__ta"), col("x").as("__xa"))
+    val b = s.select(col("t").as("__tb"), col("x").as("__xb"))
+    val slopes = a.join(b, col("__ta") < col("__tb"))
+      .select(col("__ta"), col("__tb"),
+        ((d(col("__xb")) - d(col("__xa"))) /
+          d(datediff(col("__tb"), col("__ta")))).as("__s"),
+        lit(1L).as("__one"))
+    val rankedS = Ranks.withRunningSums(slopes, Seq("__one" -> "__rank"),
+      Seq(col("__s").asc, col("__ta").asc, col("__tb").asc))
+    val nP = slopes.agg(count(lit(1)).as("__np"))
+    val slope = rankedS
+      .crossJoin(broadcast(nP)) // scalar-broadcast pattern
+      .where(col("__rank") ===
+        floor((col("__np") + lit(1)) / lit(2.0)).cast("long"))
+      .select(col("__np"), col("__s"))
+    // residuals against the epoch-day abscissa, then the same exact median
+    val res = s
+      .crossJoin(broadcast(slope))
+      .select(col("__np"), col("__s"),
+        (d(col("x")) - col("__s") *
+          d(datediff(col("t"), lit("1970-01-01").cast("date")))).as("__r"),
+        col("t"), lit(1L).as("__one"))
+    val rankedR = Ranks.withRunningSums(res, Seq("__one" -> "__rank"),
+      Seq(col("__r").asc, col("t").asc))
+    val nD = s.agg(count(lit(1)).as("__nd"))
+    rankedR
+      .crossJoin(broadcast(nD))
+      .where(col("__rank") ===
+        floor((col("__nd") + lit(1)) / lit(2.0)).cast("long"))
+      .select(col("__np").as("n_pairs"),
+        round(col("__s"), 6).as("slope"),
+        round(col("__r"), 6).as("intercept"))
+  }
+
   /** Seasonal-naive forecast backtest: predict x̂_t = x_{t−period days}
     * and score MAE / MAPE / sMAPE over every calendar date where both
     * sides exist — the standard baseline any forecasting pipeline must

@@ -142,6 +142,42 @@ class Queries30Spec extends SparkSpec {
     assert(g.select("mae").collect().head.isNullAt(0)) // no pairs → null metrics
   }
 
+  // ------------------------------------------------------ Theil–Sen
+
+  private def dailySeries(vals: Seq[Double], start: String = "2024-01-01") =
+    vals.zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.parse(start).plusDays(i).toString,
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }.toDF("ts", "xs")
+      .select(to_date(col("ts")).as("t"),
+        col("xs").cast("decimal(18,2)").as("x"))
+
+  test("Theil–Sen: outlier-robust hand case — slope 1 despite the spike") {
+    // 1,2,3,4,1000: 6 of 10 pairwise slopes are exactly 1 → median 1
+    val got = graft.operators.SeriesStats.theilSen(
+      dailySeries(Seq(1, 2, 3, 4, 1000)))
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 10L && got._2 == 1.0)
+    // residuals (x − 1·epochday): four equal minima 1−D, median = 1−D
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay.toDouble
+    assert(got._3 == 1.0 - d0)
+  }
+
+  test("Theil–Sen: matches brute lower-median on a seeded random series") {
+    val vals = (0 until 40).map(_ => 100.0 + rnd.nextInt(50000) / 100.0)
+    val got = graft.operators.SeriesStats.theilSen(dailySeries(vals))
+      .as[(Long, Double, Double)].collect().head
+    val slopes = (for {
+      i <- vals.indices; j <- vals.indices if i < j
+    } yield (vals(j) - vals(i)) / (j - i)).sorted
+    assert(got._1 == slopes.size)
+    val m = slopes((slopes.size + 1) / 2 - 1) // lower median, 1-based k
+    assert(math.abs(got._2 - m) < 1e-6)
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay.toDouble
+    val res = vals.zipWithIndex.map { case (v, i) => v - m * (d0 + i) }.sorted
+    assert(math.abs(got._3 - res((res.size + 1) / 2 - 1)) < 1e-5)
+  }
+
   // ------------------------------------------------------ Gini
 
   test("Gini: uniform spend → 0, total concentration → (n−1)/n, ties invariant") {
