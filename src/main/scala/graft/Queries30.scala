@@ -13,6 +13,9 @@ import graft.operators.{AssocRules, Modularity, SeriesStats, VectorSearch}
   */
 object Queries30 {
 
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   // ---------------------------------------------------------------------
   // FI1: a-priori frequent part pairs over order baskets with
   // support / confidence / lift — "which parts co-occur in orders more
@@ -405,6 +408,46 @@ object Queries30 {
       |  round(rr.res, 6) AS intercept
       |FROM rr, nd WHERE rr.rn = CAST(FLOOR((nd.nd + 1) / 2.0) AS BIGINT)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SCH1: schema-evolution round-trip — two parquet batches with
+  // DIFFERENT column sets (an early ingest without `source`, a later one
+  // without `n_chars`) land in one table directory; the read merges
+  // schemas and the profile counts per-lang presence/absence of each
+  // evolved column. Pins Spark's mergeSchema semantics (absent columns
+  // read as NULL) under the oracle, which reconstructs the union with
+  // explicit NULLs — the schema-drift reality every long-lived pipeline
+  // table faces.
+  // ---------------------------------------------------------------------
+  def sch1SchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_sch1")
+    val docs = Tables.documents(spark, sfDir)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(dir)
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .write.mode("append").parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("n_chars").isNull, 1)).as("n_missing_chars"),
+        count(when(col("source").isNull, 1)).as("n_missing_source"))
+  }
+
+  val sch1SchemaMergeSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, source
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS n_missing_chars,
+      |  COUNT(CASE WHEN source IS NULL THEN 1 END) AS n_missing_source
+      |FROM merged GROUP BY lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fi1_assoc_rules"  -> (fi1AssocRules _),
     "mod1_modularity"  -> (mod1NationModularity _),
@@ -414,7 +457,8 @@ object Queries30 {
     "fc1_seasonal_backtest" -> (fc1SeasonalBacktest _),
     "gini1_revenue_gini"    -> (gini1RevenueGini _),
     "boot1_bootstrap_ci"    -> (boot1BootstrapCi _),
-    "ts1_theil_sen"         -> (ts1TheilSen _))
+    "ts1_theil_sen"         -> (ts1TheilSen _),
+    "sch1_schema_merge"     -> (sch1SchemaMerge _))
 
   val oracles: Map[String, String] = Map(
     "fi1_assoc_rules"  -> fi1AssocRulesSql,
@@ -425,5 +469,6 @@ object Queries30 {
     "fc1_seasonal_backtest" -> fc1SeasonalBacktestSql,
     "gini1_revenue_gini"    -> gini1RevenueGiniSql,
     "boot1_bootstrap_ci"    -> boot1BootstrapCiSql,
-    "ts1_theil_sen"         -> ts1TheilSenSql)
+    "ts1_theil_sen"         -> ts1TheilSenSql,
+    "sch1_schema_merge"     -> sch1SchemaMergeSql)
 }

@@ -412,6 +412,22 @@ class Queries30Spec extends SparkSpec {
 
   // ------------------------------------------------------ fixture queries
 
+  test("sch1: merged schema reads absent columns as NULL, split by batch parity") {
+    val got = Queries30.sch1SchemaMerge(spark, sf0001)
+      .as[(String, Long, Option[Long], Long, Long)].collect()
+    val docs = Tables.documents(spark, sf0001)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val even = docs.where(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, _, missChars, missSource) =>
+      assert(missChars == odd.getOrElse(lang, 0L))   // batch-2 rows lack n_chars
+      assert(missSource == even.getOrElse(lang, 0L)) // batch-1 rows lack source
+      assert(n == odd.getOrElse(lang, 0L) + even.getOrElse(lang, 0L))
+    }
+  }
+
   test("fi1/mod1/acf1/hn1 run at sf0.001 with sane shapes") {
     val fi = Queries30.fi1AssocRules(spark, sf0001)
     assert(fi.count() > 0)
