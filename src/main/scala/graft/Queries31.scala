@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Native, TextHash, TextHashSql}
+import graft.operators.{LinkPredict, Recommend, Ranks, Sampling, SamplingSql, SeriesStats, StatTests}
+
+/** Round 6 (cont. 2) — classical statistics (chi-square independence,
+  * tie-corrected Mann–Whitney, paired sign-flip permutation test, exact
+  * trimmed/winsorized means), CUSUM changepoint detection, Jaro–Winkler
+  * sorted-neighborhood record linkage, Adamic–Adar link prediction,
+  * corpus KL divergence, and rank-1 ALS matrix factorization — all under
+  * the DuckDB oracle. Same contract as [[Queries]].
+  */
+object Queries31 {
+
+  // ---------------------------------------------------------------------
+  // JW1: sorted-neighborhood record linkage (Hernández & Stolfo 1995)
+  // over part names — rank by the sort key with the DISTRIBUTED rank
+  // primitive, pair every record with its w successors (bucketed
+  // equi-join on rank div w, never a rank range join), verify with the
+  // native Jaro–Winkler kernel (codegen'd, DuckDB-compatible semantics).
+  // The scalable alternative to ed1's first-token blocking when blocks
+  // are skewed: candidate count is exactly w·n regardless of key
+  // distribution.
+  // ---------------------------------------------------------------------
+  private[graft] val SnbWindow = 3
+  private[graft] val JwThreshold = 0.92
+
+  def jw1SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = SnbWindow
+    val ranked = Ranks.withGlobalRank(
+      Tables.part(spark, sfDir).select(col("p_partkey").as("id"),
+        col("p_name").as("nm")),
+      "rn", Seq(col("nm"), col("id")))
+    val bkt = (c: org.apache.spark.sql.Column) => ((c - 1) / w).cast("long")
+    // b.rn in (a.rn, a.rn+w] implies bkt(b) is bkt(a) or bkt(a)+1: the
+    // a-side fans out to both keys, one equi-join covers the window
+    val a = ranked.select(col("id").as("id1"), col("nm").as("nm1"),
+        col("rn").as("rn1"))
+      .withColumn("__bk", explode(array(bkt(col("rn1")), bkt(col("rn1")) + 1)))
+    val b = ranked.select(col("id").as("id2"), col("nm").as("nm2"),
+        col("rn").as("rn2"))
+      .withColumn("__bk", bkt(col("rn2")))
+    a.join(b, Seq("__bk"))
+      .where(col("rn2") - col("rn1") >= 1 && col("rn2") - col("rn1") <= w)
+      .withColumn("__s", Native.jaroWinkler(col("nm1"), col("nm2")))
+      .where(col("__s") >= JwThreshold)
+      .select(col("id1"), col("id2"), round(col("__s"), 6).as("score"))
+  }
+
+  val jw1SortedNeighborhoodSql: String =
+    s"""WITH r AS (
+       |  SELECT p_partkey AS id, p_name AS nm,
+       |    ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+       |  FROM part)
+       |SELECT a.id AS id1, b.id AS id2,
+       |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS score
+       |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $SnbWindow
+       |WHERE jaro_winkler_similarity(a.nm, b.nm) >= $JwThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CHI1: chi-square independence of order priority × order status, with
+  // Cramér's V — "does fulfillment state depend on priority" (it
+  // shouldn't in TPC-H's uniform generator; the near-zero V is the
+  // honest finding). Zero cells contribute expected mass via the
+  // reconstructed grid.
+  // ---------------------------------------------------------------------
+  def chi1Chisq(spark: SparkSession, sfDir: String): DataFrame =
+    StatTests.chiSquare(Tables.orders(spark, sfDir),
+      "o_orderpriority", "o_orderstatus")
+
+  val chi1ChisqSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |        CAST(COUNT(DISTINCT a) AS BIGINT) AS ra,
+      |        CAST(COUNT(DISTINCT b) AS BIGINT) AS rb FROM cells),
+      |ex AS (
+      |  SELECT COALESCE(cells.o, 0) AS obs,
+      |    CAST(CAST(r.rt AS DECIMAL(38,0)) * CAST(c.ct AS DECIMAL(38,0))
+      |         AS DOUBLE) / CAST(g.n AS DOUBLE) AS e
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b, g),
+      |s AS (
+      |  SELECT SUM(CAST((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e)
+      |    / e AS DECIMAL(28,14))) AS chi FROM ex)
+      |SELECT g.n AS n, (g.ra - 1) * (g.rb - 1) AS dof,
+      |  round(CAST(s.chi AS DOUBLE), 6) AS chi2,
+      |  round(sqrt(CAST(s.chi AS DOUBLE) /
+      |    (CAST(g.n AS DOUBLE) * CAST(LEAST(g.ra - 1, g.rb - 1) AS DOUBLE))),
+      |    6) AS cramers_v
+      |FROM s, g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MW1: tie-corrected Mann–Whitney U on document length (n_chars),
+  // English vs all other languages — "are English docs longer?" The
+  // nonparametric companion to the KS drift monitor (ks1): same
+  // two-sample question, rank-based rather than CDF-distance.
+  // ---------------------------------------------------------------------
+  def mw1MannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    StatTests.mannWhitneyU(Tables.documents(spark, sfDir),
+      col("n_chars"), col("lang") === "en")
+
+  val mw1MannWhitneySql: String =
+    """WITH v AS (
+      |  SELECT n_chars AS val, COUNT(*) AS cnt,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT val, cnt, ca,
+      |    SUM(cnt) OVER (ORDER BY val
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM v),
+      |agg AS (SELECT
+      |    CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * (cum - cnt) + cnt + 1)) AS r2a,
+      |    SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt
+      |      AS DECIMAL(38,0))) AS tt
+      |  FROM w)
+      |SELECT n1, n - n1 AS n2,
+      |  round((CAST(r2a AS DOUBLE) - CAST(n1 AS DOUBLE)
+      |    * CAST(n1 + 1 AS DOUBLE)) / 2.0, 6) AS u_stat,
+      |  round(((CAST(r2a AS DOUBLE) - CAST(n1 AS DOUBLE)
+      |      * CAST(n1 + 1 AS DOUBLE))
+      |    - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) /
+      |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0 *
+      |      ((CAST(n AS DOUBLE) + 1.0) - CAST(tt AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))), 6)
+      |    AS z_score
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CPD1: CUSUM changepoint scan over daily order revenue — "where did
+  // the level shift". Money in exact integer cents; the n-scaled
+  // deviation trick keeps every accumulation LONG-exact (no mean
+  // division inside the sum); prefix sums via the distributed primitive.
+  // ---------------------------------------------------------------------
+  def cpd1Cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("x"))
+    SeriesStats.cusumChangepoint(daily, scale = 100.0)
+  }
+
+  val cpd1CusumSql: String =
+    """WITH s AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx FROM s),
+      |c AS (SELECT s.t, g.n,
+      |    SUM(g.n * s.x - g.sx) OVER (ORDER BY s.t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM s, g)
+      |SELECT n AS n_days, t AS cp_date,
+      |  round(CAST(ABS(cusum) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+      |    AS cusum_stat
+      |FROM c ORDER BY ABS(cusum) DESC, t ASC LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // LNK1: Adamic–Adar link prediction over the repeat-trade bipartite
+  // graph — "which customer pairs trade through the same suppliers".
+  // Shares Queries29's >= 3-lineitem threshold; pairs need >= 2 shared
+  // suppliers. Wedge-join bounded (Σ deg² ≈ 23k at sf0.01).
+  // ---------------------------------------------------------------------
+  private[graft] val LnkMinCommon = 2L
+
+  def lnk1AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("a"), col("l_suppkey").as("b"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= Queries29.TradeMinLines)
+      .select(col("a"), col("b"))
+    LinkPredict.adamicAdar(pairs, LnkMinCommon)
+  }
+
+  val lnk1AdamicAdarSql: String =
+    s"""WITH p AS (
+       |  SELECT o_custkey AS a, l_suppkey AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= ${Queries29.TradeMinLines}),
+       |d AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM p GROUP BY 1),
+       |j AS (SELECT x.a AS a1, y.a AS a2, d.deg
+       |      FROM p x JOIN p y ON x.b = y.b AND x.a < y.a
+       |      JOIN d ON d.b = x.b)
+       |SELECT a1, a2, COUNT(*) AS common,
+       |  round(CAST(SUM(CAST(1.0 / ln(CAST(deg AS DOUBLE))
+       |    AS DECIMAL(28,14))) AS DOUBLE), 6) AS aa_score
+       |FROM j GROUP BY 1, 2 HAVING COUNT(*) >= $LnkMinCommon""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KL1: add-one-smoothed token KL divergence between the English and
+  // German sub-corpora, both directions — the distribution-shift measure
+  // over the VOCABULARY (drf2 covers embedding space, psi1 covers
+  // numeric features). Smoothing puts every union-vocab token in both
+  // supports, so the sum is over the full outer join of the two count
+  // tables; contributions are quantized before the exact sum.
+  // ---------------------------------------------------------------------
+  def kl1CorpusDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def counts(lang: String, out: String) = docs.where(col("lang") === lang)
+      .select(explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val u = counts("en", "__ca").join(counts("de", "__cb"), Seq("tok"),
+        "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val g = u.agg(count(lit(1)).as("__v"), sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val t = u.crossJoin(broadcast(g)) // scalar-broadcast pattern
+    val pa = (col("__ca").cast("double") + lit(1.0)) /
+      (col("__na").cast("double") + col("__v").cast("double"))
+    val pb = (col("__cb").cast("double") + lit(1.0)) /
+      (col("__nb").cast("double") + col("__v").cast("double"))
+    val s = t.agg(
+      sum((pa * log(pa / pb)).cast("decimal(28,14)")).as("__kab"),
+      sum((pb * log(pb / pa)).cast("decimal(28,14)")).as("__kba"))
+    g.crossJoin(broadcast(s))
+      .select(col("__v").as("vocab"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        round(col("__kab").cast("double"), 6).as("kl_ab"),
+        round(col("__kba").cast("double"), 6).as("kl_ba"))
+  }
+
+  val kl1CorpusDivergenceSql: String = {
+    val tk = TextHashSql.tokens("text")
+    s"""WITH a AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest($tk) AS tok FROM documents WHERE lang = 'en')
+       |  GROUP BY 1),
+       |b AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT unnest($tk) AS tok FROM documents WHERE lang = 'de')
+       |  GROUP BY 1),
+       |u AS (
+       |  SELECT COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+       |  FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+       |        CAST(SUM(ca) AS BIGINT) AS na,
+       |        CAST(SUM(cb) AS BIGINT) AS nb FROM u),
+       |t AS (
+       |  SELECT (CAST(ca AS DOUBLE) + 1.0) /
+       |      (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)) AS pa,
+       |    (CAST(cb AS DOUBLE) + 1.0) /
+       |      (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)) AS pb
+       |  FROM u, g),
+       |s AS (
+       |  SELECT SUM(CAST(pa * ln(pa / pb) AS DECIMAL(28,14))) AS kab,
+       |    SUM(CAST(pb * ln(pb / pa) AS DECIMAL(28,14))) AS kba FROM t)
+       |SELECT g.v AS vocab, g.na AS n_a, g.nb AS n_b,
+       |  round(CAST(s.kab AS DOUBLE), 6) AS kl_ab,
+       |  round(CAST(s.kba AS DOUBLE), 6) AS kl_ba
+       |FROM g, s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // PT1: paired sign-flip permutation test on customer year-over-year
+  // revenue (1995 → 1996) — "did per-customer spend shift?" 200 seeded
+  // replicates through the engine-portable uniform; exact integer
+  // statistics; add-one Monte Carlo p.
+  // ---------------------------------------------------------------------
+  private[graft] val PtReplicates = 200
+
+  def pt1PermTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("__yr", year(to_date(col("o_orderdate"))))
+      .where(col("__yr").isin(1995, 1996))
+      .groupBy(col("o_custkey").as("k"), col("__yr"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val pairs = o.where(col("__yr") === 1995)
+      .select(col("k"), col("cents").as("__c95"))
+      .join(o.where(col("__yr") === 1996)
+        .select(col("k"), col("cents").as("__c96")), Seq("k"))
+      .select(col("k"), (col("__c96") - col("__c95")).as("d"))
+    StatTests.pairedSignFlipTest(pairs, "k", "d", PtReplicates,
+      meanScale = 100.0)
+  }
+
+  val pt1PermTestSql: String = {
+    val u = SamplingSql.bootUniform("k", "j")
+    s"""WITH y AS (
+       |  SELECT o_custkey AS k, year(CAST(o_orderdate AS DATE)) AS yr,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a.k AS k, b.cents - a.cents AS d
+       |      FROM y a JOIN y b ON a.k = b.k AND a.yr = 1995 AND b.yr = 1996),
+       |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+       |        CAST(SUM(d) AS BIGINT) AS obs FROM p),
+       |r AS (SELECT j,
+       |    CAST(SUM((CASE WHEN $u < 0.5 THEN -1 ELSE 1 END) * d) AS BIGINT)
+       |      AS stat
+       |  FROM p CROSS JOIN (SELECT unnest(range(0, $PtReplicates)) AS j)
+       |  GROUP BY 1),
+       |e AS (SELECT CAST(SUM(CASE WHEN ABS(stat) >= ABS(o.obs)
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS ge FROM r, o)
+       |SELECT o.np AS n_pairs,
+       |  round(CAST(o.obs AS DOUBLE) / (100.0 * CAST(o.np AS DOUBLE)), 6)
+       |    AS mean_diff,
+       |  round(CAST(1 + e.ge AS DOUBLE) / ${PtReplicates + 1}.0, 6)
+       |    AS p_value
+       |FROM o, e""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // TM1: exact 10% trimmed and winsorized means of order value — the
+  // robust location estimates over a heavy-tailed money column, both
+  // EXACT via the distributed global rank (order statistics, not
+  // approximate percentiles).
+  // ---------------------------------------------------------------------
+  private[graft] val TrimFrac = 0.1
+
+  def tm1TrimmedMean(spark: SparkSession, sfDir: String): DataFrame =
+    StatTests.trimmedMean(Tables.orders(spark, sfDir),
+      col("o_totalprice").cast("decimal(18,2)"), col("o_orderkey"), TrimFrac)
+
+  val tm1TrimmedMeanSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey AS id
+       |  FROM orders),
+       |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, id) AS rn FROM x),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) * $TrimFrac) AS BIGINT) AS k
+       |  FROM x),
+       |b AS (SELECT MAX(CASE WHEN rn = g.k + 1 THEN x END) AS lo,
+       |        MAX(CASE WHEN rn = g.n - g.k THEN x END) AS hi FROM r, g),
+       |t AS (SELECT
+       |    CAST(SUM(CASE WHEN rn > g.k AND rn <= g.n - g.k THEN x END)
+       |      AS DOUBLE) AS ts,
+       |    CAST(SUM(GREATEST(LEAST(x, b.hi), b.lo)) AS DOUBLE) AS ws
+       |  FROM r, g, b)
+       |SELECT g.n AS n, g.k AS k,
+       |  round(t.ts / CAST(g.n - 2 * g.k AS DOUBLE), 6) AS trimmed_mean,
+       |  round(t.ws / CAST(g.n AS DOUBLE), 6) AS winsor_mean
+       |FROM g, t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ALS1: rank-1 ALS over the customer × part quantity matrix — two
+  // closed-form alternations from v ≡ 1; per-customer dominant-factor
+  // scores. The matrix-factorization primitive, one keyed join + agg per
+  // half-step (the PageRank cost class).
+  // ---------------------------------------------------------------------
+  def als1Rank1(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+    Recommend.rank1Als(ratings)
+      .select(col("user").as("user_id"), col("n_items"), col("factor"))
+  }
+
+  val als1Rank1Sql: String =
+    """WITH r0 AS (
+      |  SELECT o_custkey AS usr, l_partkey AS itm,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |u1 AS (SELECT usr,
+      |    CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS u
+      |  FROM r0 GROUP BY 1),
+      |v1 AS (SELECT itm,
+      |    CAST(SUM(CAST(CAST(r AS DOUBLE) * u AS DECIMAL(28,14))) AS DOUBLE) /
+      |    CAST(SUM(CAST(u * u AS DECIMAL(28,14))) AS DOUBLE) AS v
+      |  FROM r0 JOIN u1 USING (usr) GROUP BY 1)
+      |SELECT usr AS user_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  round(
+      |    CAST(SUM(CAST(CAST(r AS DOUBLE) * v AS DECIMAL(28,14))) AS DOUBLE) /
+      |    CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE), 6) AS factor
+      |FROM r0 JOIN v1 USING (itm) GROUP BY 1""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jw1_sorted_neighborhood" -> (jw1SortedNeighborhood _),
+    "chi1_chisq"              -> (chi1Chisq _),
+    "mw1_mann_whitney"        -> (mw1MannWhitney _),
+    "cpd1_cusum"              -> (cpd1Cusum _),
+    "lnk1_adamic_adar"        -> (lnk1AdamicAdar _),
+    "kl1_corpus_divergence"   -> (kl1CorpusDivergence _),
+    "pt1_perm_test"           -> (pt1PermTest _),
+    "tm1_trimmed_mean"        -> (tm1TrimmedMean _),
+    "als1_rank1"              -> (als1Rank1 _))
+
+  val oracles: Map[String, String] = Map(
+    "jw1_sorted_neighborhood" -> jw1SortedNeighborhoodSql,
+    "chi1_chisq"              -> chi1ChisqSql,
+    "mw1_mann_whitney"        -> mw1MannWhitneySql,
+    "cpd1_cusum"              -> cpd1CusumSql,
+    "lnk1_adamic_adar"        -> lnk1AdamicAdarSql,
+    "kl1_corpus_divergence"   -> kl1CorpusDivergenceSql,
+    "pt1_perm_test"           -> pt1PermTestSql,
+    "tm1_trimmed_mean"        -> tm1TrimmedMeanSql,
+    "als1_rank1"              -> als1Rank1Sql)
+}

@@ -29,7 +29,8 @@ object SparkEntry {
       Queries19.registry ++ Queries20.registry ++ Queries21.registry ++
       Queries22.registry ++ Queries23.registry ++ Queries24.registry ++
       Queries25.registry ++ Queries26.registry ++ Queries27.registry ++
-      Queries28.registry ++ Queries29.registry ++ Queries30.registry
+      Queries28.registry ++ Queries29.registry ++ Queries30.registry ++
+      Queries31.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++
       Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++
       Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++
-      Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles
+      Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++
+      Queries31.oracles
 }

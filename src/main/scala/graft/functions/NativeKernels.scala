@@ -175,6 +175,60 @@ object Kernels {
     }
   }
 
+  /** Jaro–Winkler similarity over UTF-16 chars, matching DuckDB's
+    * `jaro_winkler_similarity` decision-for-decision (probed empirically,
+    * 2026-08-14): empty-vs-empty is 0.0 (not the textbook 1.0), equal
+    * non-empty strings are 1.0, the match window is max(l1,l2)/2 − 1
+    * (empty for two 1-char strings), transpositions are half the
+    * out-of-order matches, and the Winkler prefix boost (scale 0.1,
+    * prefix ≤ 4) applies only when jaro > 0.7. Fixture text is ASCII, so
+    * char-level equals DuckDB's byte-level comparison. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - half).toDouble / m) / 3.0
+    var pfx = 0
+    val pmax = math.min(4, math.min(l1, l2))
+    while (pfx < pmax && s1.charAt(pfx) == s2.charAt(pfx)) pfx += 1
+    if (jaro > 0.7) jaro + pfx * 0.1 * (1.0 - jaro) else jaro
+  }
+
   /** DECIMAL(28,10)-quantized sparse dot product over two tok-sorted
     * `array<struct<tok:string, w:double>>` vectors — a merge scan, one
     * quantized product per shared token, summed EXACTLY in scaled longs.
@@ -494,6 +548,30 @@ case class JaccardSim(left: Expression, right: Expression)
       else { ${ev.value} = $tmp.doubleValue(); }""")
   }
   override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Jaro–Winkler string similarity ([[Kernels.jaroWinkler]] — DuckDB-
+  * compatible semantics) as a codegen'd binary expression, so the
+  * sorted-neighborhood verify stage stays inside the whole-stage loop of
+  * the candidate join. Null-safe: null in → null out. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler expects STRING, got ${left.dataType} / ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kernels.jaroWinkler($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -858,6 +936,8 @@ object Native {
   def sparseDotDbl(a: Column, b: Column): Column = col(SparseDotDbl(ex(a), ex(b)))
   def denseDotDbl(a: Column, b: Column): Column = col(DenseDotDbl(ex(a), ex(b)))
   def jaccardSim(a: Column, b: Column): Column = col(JaccardSim(ex(a), ex(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(JaroWinklerSim(ex(a), ex(b)))
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashes(ex(text), n))
   def minhashSig(text: Column, nPerm: Int, shingleN: Int): Column =
     col(MinHashSig(ex(text), nPerm, shingleN))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-overlap link prediction over a bipartite edge list —
+  * common-neighbor count and the Adamic–Adar index
+  * (Adamic & Adar 2003, "Friends and neighbors on the Web"):
+  *
+  *   AA(a1, a2) = Σ_{b ∈ N(a1) ∩ N(a2)} 1 / ln(deg(b))
+  *
+  * the inverse-log weighting that discounts promiscuous shared
+  * neighbors. Extension surface — completes the graph family (PageRank,
+  * HITS, k-core, LPA, BFS, components) with the "which unlinked pairs
+  * are likely" primitive recommender and entity-resolution pipelines
+  * run over co-occurrence graphs.
+  *
+  * Shape at scale: candidate pairs are generated per shared neighbor b —
+  * a self-equi-join on b, Σ_b deg(b)² pairs, the wedge-enumeration cost
+  * every common-neighbor method pays (the triangle counter's bound). A
+  * hot b (a near-universal neighbor) inflates it quadratically AND
+  * carries near-zero AA weight — the standard remedy at 100 TB is a
+  * degree cap on b (drop b with deg(b) > D before the join), the same
+  * hot-bucket guard the MinHash join uses. Degrees of shared neighbors
+  * are ≥ 2 by construction, so ln(deg) > 0 always.
+  *
+  * Determinism: the 1/ln(deg) contributions are DECIMAL(28,14)-quantized
+  * before the exact sum (the t16 pattern — both engines' `ln` agree far
+  * beyond the 14 dp the quantization keeps).
+  */
+object LinkPredict {
+
+  /** `edges`: distinct (a, b) pairs. Returns (a1, a2, common, aa_score)
+    * for a-side pairs with ≥ `minCommon` shared b-neighbors, a1 < a2. */
+  def adamicAdar(edges: DataFrame, minCommon: Long): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.groupBy(col("b")).agg(count(lit(1)).as("__deg"))
+    val withDeg = e.join(deg, Seq("b"))
+    val left = withDeg.select(col("b"), col("a").as("a1"), col("__deg"))
+    val right = withDeg.select(col("b"), col("a").as("a2"))
+    left.join(right, Seq("b"))
+      .where(col("a1") < col("a2"))
+      .groupBy(col("a1"), col("a2"))
+      .agg(count(lit(1)).as("common"),
+        sum((lit(1.0) / log(col("__deg").cast("double")))
+          .cast("decimal(28,14)")).as("__aa"))
+      .where(col("common") >= minCommon)
+      .select(col("a1"), col("a2"), col("common"),
+        round(col("__aa").cast("double"), 6).as("aa_score"))
+  }
+}

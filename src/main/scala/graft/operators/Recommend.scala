@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-1 alternating least squares over a (user, item, rating) matrix —
+  * the kernel of collaborative filtering (Koren/Bell/Volinsky 2009),
+  * reduced to its first latent dimension so every half-step has the
+  * closed form
+  *
+  *   u_c = Σ_p r_cp·v_p / Σ_p v_p²      (items fixed)
+  *   v_p = Σ_c r_cp·u_c / Σ_c u_c²      (users fixed)
+  *
+  * i.e. each alternation is ONE keyed aggregation over the ratings
+  * table — the power-iteration shape (rank-1 ALS converges to the
+  * dominant singular pair). Extension surface: gives the engine the
+  * matrix-factorization primitive recommender and embedding-bootstrap
+  * pipelines start from; higher rank replaces the scalar divisions with
+  * k×k normal-equation solves per key, same dataflow.
+  *
+  * Determinism: ratings are exact LONGs; each half-step's numerator and
+  * denominator terms are DECIMAL(28,14)-quantized per row before the
+  * exact sum (the PageRank-contribution pattern), then combined with
+  * one IEEE division — a fixed per-iteration op tree the oracle unrolls
+  * verbatim. v starts at 1.0, so alternation 1's user step is exactly
+  * rowsum/degree.
+  *
+  * Scale: each iteration = one join of ratings against the (smaller)
+  * factor table + one groupBy — the same per-iteration cost class as
+  * PageRank; factors are key-partitioned, never collected.
+  */
+object Recommend {
+
+  private def q(c: org.apache.spark.sql.Column) = c.cast("decimal(28,14)")
+
+  /** Two full alternations (u, v, u again) from v ≡ 1. `ratings`:
+    * (user, item, r LONG). Returns per-user (user, n_items, factor). */
+  def rank1Als(ratings: DataFrame): DataFrame = {
+    val r = ratings.select(col("user"), col("item"), col("r").cast("long").as("r"))
+    // alternation 1 (v = 1): u = Σr / count
+    val u1 = r.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_items"), sum(col("r")).as("__sr"))
+      .withColumn("__u",
+        col("__sr").cast("double") / col("n_items").cast("double"))
+    // item step: v = Σ r·u / Σ u²
+    val v1 = r.join(u1.select(col("user"), col("__u")), Seq("user"))
+      .groupBy(col("item"))
+      .agg((sum(q(col("r").cast("double") * col("__u"))).cast("double") /
+        sum(q(col("__u") * col("__u"))).cast("double")).as("__v"))
+    // alternation 2 user step against the learned v
+    r.join(v1, Seq("item"))
+      .groupBy(col("user"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(q(col("r").cast("double") * col("__v"))).cast("double") /
+          sum(q(col("__v") * col("__v"))).cast("double")).as("__f"))
+      .select(col("user"), col("n_items"), round(col("__f"), 6).as("factor"))
+  }
+}

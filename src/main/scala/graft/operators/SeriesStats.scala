@@ -165,4 +165,35 @@ object SeriesStats {
         round(d(col("__sape")) / d(col("n_eval")), 6).as("mape"),
         round(d(col("__ssape")) / d(col("n_eval")), 6).as("smape"))
   }
+
+  /** CUSUM single-changepoint scan over a date-keyed LONG series (the
+    * caller scales money to integer cents): the date maximizing
+    * |Σ_{i≤t}(x_i − x̄)| — Page (1954)'s cumulative-sum statistic, the
+    * standard level-shift detector. Exactness without the mean's
+    * division: work in n-SCALED units, dev_t = n·x_t − S (exact LONG),
+    * whose prefix sum is exactly n·CUSUM_t; one division converts back
+    * at the end. The prefix runs through the distributed prefix-sum
+    * primitive ([[Ranks.withRunningSums]]) — no single-partition sort;
+    * the argmax is a bounded top-1 (TakeOrdered), tie-broken on the
+    * earlier date. LONG bounds: |dev| ≤ n·max|x| and the prefix ≤
+    * n²·max|x| must stay under 2⁶³ — holds to ~10⁵ daily points of
+    * ~10⁹-cent days; past that the DECIMAL-offset variant of the
+    * prefix primitive is the drop-in (same shape, wider carry).
+    * Output: one row (n_days, cp_date, cusum_stat) with cusum_stat =
+    * max|CUSUM|/scale in the caller's reporting units.
+    */
+  def cusumChangepoint(series: DataFrame, scale: Double): DataFrame = {
+    val s = series.select(col("t"), col("x").cast("long").as("__x"))
+    val glob = s.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val dev = s.crossJoin(broadcast(glob)) // scalar-broadcast pattern
+      .withColumn("__dev", col("__n") * col("__x") - col("__s"))
+    val pre = Ranks.withRunningSums(dev, Seq("__dev" -> "__cusum"),
+      Seq(col("t")))
+    pre.orderBy(abs(col("__cusum")).desc, col("t").asc).limit(1)
+      .select(
+        col("__n").as("n_days"),
+        col("t").as("cp_date"),
+        round(abs(col("__cusum")).cast("double") /
+          (col("__n").cast("double") * lit(scale)), 6).as("cusum_stat"))
+  }
 }

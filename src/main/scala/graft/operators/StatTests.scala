@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classical hypothesis tests and robust location estimates, distributed —
+  * the statistics a data pipeline runs to decide whether two slices of a
+  * corpus differ (source A vs source B, pre- vs post-release, treatment
+  * vs control) before acting on the difference. Extension surface (the
+  * reference has no statistics); completes the monitoring/eval family
+  * (KS drift `ks1`, PSI `psi1`, A/B lift `ab1`/`ab2`) with the
+  * significance machinery those monitors alarm into.
+  *
+  * Determinism discipline (the repo-wide contract): every Σ is exact
+  * (LONG / DECIMAL, accumulation-order-independent); IEEE doubles appear
+  * only in a FIXED tree of scalar ops mirrored token-for-token by the
+  * DuckDB oracle; per-row double contributions are DECIMAL(28,14)-
+  * quantized BEFORE summation (the t16/PageRank pattern).
+  */
+object StatTests {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V. One scan builds the contingency cells;
+    * the full grid (observed categories × observed categories — BOUNDED
+    * metadata, never data-sized) is reconstructed so zero cells
+    * contribute their expected mass, which `groupBy` alone would drop.
+    * Output: one row (n, dof, chi2, cramers_v).
+    *
+    * Scale: the only data-sized stage is the first groupBy; everything
+    * after runs on |A|×|B| cells. Expected counts form exact DECIMAL
+    * products before the one division per cell.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // |A|x|B| bounded rows; pinned so the four consumers below don't
+    // re-run the data-sized groupBy scan
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__rt"))
+    val cols = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__ct"))
+    val glob = cells.agg(
+      sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ra"),
+      countDistinct(col("__b")).as("__rb"))
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__obs", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(glob))
+    // e = rt*ct/n, one division over an exact integer product; the
+    // (o-e)^2/e contribution is quantized before the exact sum
+    val e = (col("__rt").cast("decimal(38,0)") *
+      col("__ct").cast("decimal(38,0)")).cast("double") /
+      col("__n").cast("double")
+    val contrib = ((col("__obs").cast("double") - e) *
+      (col("__obs").cast("double") - e) / e).cast("decimal(28,14)")
+    grid.agg(
+        max(col("__n")).as("__n"),
+        max(col("__ra")).as("__ra"),
+        max(col("__rb")).as("__rb"),
+        sum(contrib).as("__chi"))
+      .select(
+        col("__n").as("n"),
+        ((col("__ra") - 1) * (col("__rb") - 1)).as("dof"),
+        round(col("__chi").cast("double"), 6).as("chi2"),
+        round(sqrt(col("__chi").cast("double") /
+          (col("__n").cast("double") *
+            least(col("__ra") - 1, col("__rb") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation, over a LONG-valued measure split into group A
+    * (`isA`) vs the rest. Ranks are midranks; both the rank sum and the
+    * tie term are computed from the per-VALUE count table — the scan
+    * reduces to one groupBy on the value, and the prefix over the
+    * bounded distinct-value table runs through the distributed
+    * prefix-sum primitive ([[Ranks.withRunningSums]]) — no
+    * single-partition sort. Midranks are handled in HALF-UNITS
+    * (2·rank), so every accumulation is exact DECIMAL(38,0) integer
+    * arithmetic; doubles appear only in the final z tree.
+    * Output: one row (n1, n2, u_stat, z_score).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val byVal = df.select(valueCol.cast("long").as("__v"),
+        when(isA, 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__ia")).as("__ca"))
+    val cum = Ranks.withRunningSums(byVal, Seq("__cnt" -> "__cum"),
+      Seq(col("__v")))
+    // midrank of a tied block in half-units: 2*prior + cnt + 1
+    val r2 = lit(2) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1)
+    val agg = cum.agg(
+      sum(col("__ca")).as("__n1"),
+      sum(col("__cnt")).as("__n"),
+      sum(col("__ca").cast("decimal(38,0)") * r2).as("__r2a"),
+      sum((col("__cnt").cast("decimal(38,0)") * col("__cnt") * col("__cnt") -
+        col("__cnt")).cast("decimal(38,0)")).as("__tt"))
+    val n1d = col("__n1").cast("double")
+    val n2d = (col("__n") - col("__n1")).cast("double")
+    val nd = col("__n").cast("double")
+    // 2U = 2R_A - n1(n1+1); z = (2U - n1*n2) / (2*sd_tie)
+    val u2 = col("__r2a").cast("double") -
+      n1d * (col("__n1") + 1).cast("double")
+    val sd = sqrt(n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("__tt").cast("double") / (nd * (nd - lit(1.0)))))
+    agg.select(
+      col("__n1").as("n1"),
+      (col("__n") - col("__n1")).as("n2"),
+      round(u2 / lit(2.0), 6).as("u_stat"),
+      round((u2 - n1d * n2d) / (lit(2.0) * sd), 6).as("z_score"))
+  }
+
+  /** Paired sign-flip permutation test for H0: mean paired difference is
+    * zero — the exact-arithmetic Monte Carlo significance test. Each of
+    * the `b` replicates flips every pair's LONG-valued difference with
+    * the engine-portable seeded uniform ([[Sampling.bootUniform]], the
+    * Poisson-bootstrap generator), so replicate statistics are exact
+    * integer sums, deterministic across engines and partitionings; the
+    * p-value is the add-one Monte Carlo estimate
+    * (1 + #{|stat_j| ≥ |observed|}) / (b + 1) — one exact integer
+    * comparison per replicate. Like the bootstrap, one map-side explode
+    * of factor b replaces b passes. Output: one row
+    * (n_pairs, mean_diff, p_value) with mean_diff = observed/(scale·n).
+    */
+  def pairedSignFlipTest(pairs: DataFrame, keyCol: String, dCol: String,
+      b: Int, meanScale: Double = 1.0): DataFrame = {
+    require(b >= 1, "need at least one replicate")
+    val base = pairs.select(col(keyCol).as("__k"), col(dCol).cast("long").as("__d"))
+    val obs = base.agg(count(lit(1)).as("__np"), sum(col("__d")).as("__obs"))
+    val reps = base.select(col("__k"), col("__d"),
+        explode(sequence(lit(0), lit(b - 1))).as("__j"))
+      .withColumn("__s",
+        when(Sampling.bootUniform(col("__k"), col("__j")) < 0.5, -1L)
+          .otherwise(1L))
+      .groupBy(col("__j")).agg(sum(col("__s") * col("__d")).as("__stat"))
+    val extreme = reps.crossJoin(broadcast(obs)) // scalar-broadcast pattern
+      .agg(sum(when(abs(col("__stat")) >= abs(col("__obs")), 1L)
+        .otherwise(0L)).as("__ge"))
+    obs.crossJoin(broadcast(extreme))
+      .select(
+        col("__np").as("n_pairs"),
+        round(col("__obs").cast("double") /
+          (lit(meanScale) * col("__np").cast("double")), 6).as("mean_diff"),
+        round((lit(1L) + col("__ge")).cast("double") / lit((b + 1).toDouble), 6)
+          .as("p_value"))
+  }
+
+  /** Exact trimmed and winsorized means of a DECIMAL measure: drop
+    * (trimmed) or clamp (winsorized) the k = floor(frac·n) smallest and
+    * largest values, where position is the EXACT global rank from the
+    * distributed rank primitive (total order via the id tie-break — no
+    * single-partition sort). The clamp bounds are the order statistics
+    * at ranks k+1 and n−k, extracted as one-row scalars. All sums are
+    * DECIMAL-exact; each mean is one IEEE division.
+    * Output: one row (n, k, trimmed_mean, winsor_mean).
+    */
+  def trimmedMean(df: DataFrame, xCol: Column, idCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac < 0.5, "trim fraction must be in (0, 0.5)")
+    val ranked = Ranks.withGlobalRank(
+      df.select(xCol.as("__x"), idCol.as("__id")), "__rn",
+      Seq(col("__x"), col("__id")))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+      .withColumn("__k", floor(col("__n").cast("double") * lit(frac)).cast("long"))
+    val r = ranked.crossJoin(broadcast(n))
+    val bounds = r.agg(
+      max(when(col("__rn") === col("__k") + 1, col("__x"))).as("__lo"),
+      max(when(col("__rn") === col("__n") - col("__k"), col("__x"))).as("__hi"))
+    r.crossJoin(broadcast(bounds))
+      .agg(
+        max(col("__n")).as("__n"),
+        max(col("__k")).as("__k"),
+        sum(when(col("__rn") > col("__k") &&
+          col("__rn") <= col("__n") - col("__k"), col("__x"))).as("__ts"),
+        sum(greatest(least(col("__x"), col("__hi")), col("__lo"))).as("__ws"))
+      .select(
+        col("__n").as("n"),
+        col("__k").as("k"),
+        round(col("__ts").cast("double") /
+          (col("__n") - lit(2) * col("__k")).cast("double"), 6)
+          .as("trimmed_mean"),
+        round(col("__ws").cast("double") / col("__n").cast("double"), 6)
+          .as("winsor_mean"))
+  }
+}

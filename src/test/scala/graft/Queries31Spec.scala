@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Kernels, Native}
+import graft.operators.{LinkPredict, Ranks, Recommend, SeriesStats, StatTests}
+import org.apache.spark.unsafe.types.UTF8String
+
+class Queries31Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def u8(s: String) = UTF8String.fromString(s)
+
+  // ------------------------------------------------------ JaroWinkler
+
+  test("JaroWinkler kernel matches the DuckDB-probed decision table") {
+    // expected values hand-derived from the standard algorithm and
+    // cross-checked against duckdb jaro_winkler_similarity (2026-08-14)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 17.0 / 18 + 3 * 0.1 * (1 - 17.0 / 18)),
+      ("DWAYNE", "DUANE", 0.84),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro <= 0.7 boundary: no boost
+      ("apple", "applesauce", 0.9),
+      ("abc", "abc", 1.0),
+      ("", "", 0.0), // duckdb convention, not the textbook 1.0
+      ("a", "", 0.0),
+      ("ab", "ba", 0.0), // 1-wide window: no matches
+      ("x", "y", 0.0))
+    for ((a, b, want) <- cases) {
+      val got = Kernels.jaroWinkler(u8(a), u8(b))
+      assert(math.abs(got - want) < 1e-9, s"jw($a,$b)=$got want $want")
+      val sym = Kernels.jaroWinkler(u8(b), u8(a))
+      assert(math.abs(sym - got) < 1e-15, "symmetry")
+    }
+  }
+
+  test("JaroWinkler expression: codegen == interpreted, null-safe") {
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+      (null, "x"), ("x", null)).toDF("a", "b")
+    val got = df.select(Native.jaroWinkler(col("a"), col("b")).as("s"))
+      .as[Option[Double]].collect()
+    assert(got(0).exists(v => math.abs(v - 0.9611111111111111) < 1e-9))
+    assert(got(1).exists(v => math.abs(v - 0.8133333333333332) < 1e-9))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
+  // ------------------------------------------------------ chiSquare
+
+  test("chiSquare: perfectly dependent 2x2 gives chi2 = n, V = 1; zero cells count") {
+    // only diagonal cells observed: the grid must reconstruct the
+    // off-diagonal zeros or chi2 would be wrong
+    val df = (Seq.fill(2)(("A", "x")) ++ Seq.fill(2)(("B", "y")))
+      .toDF("p", "q")
+    val r = StatTests.chiSquare(df, "p", "q").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("chiSquare: exact independence gives chi2 = 0") {
+    val rows = for { p <- Seq("A", "B"); q <- Seq("x", "y", "z") } yield (p, q)
+    val r = StatTests.chiSquare(rows.toDF("p", "q"), "p", "q").collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
+  // ------------------------------------------------------ mannWhitneyU
+
+  test("mannWhitneyU: untied hand case matches the closed form") {
+    // A={1,2}, B={3,4}: R_A=3, U=0, z = -2/sqrt(5/3)
+    val df = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "ia")
+    val r = StatTests.mannWhitneyU(df, col("v"), col("ia")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.0)
+    val z = -2.0 / math.sqrt(2 * 2 / 12.0 * 5)
+    assert(math.abs(r.getDouble(3) - z) < 1e-6)
+  }
+
+  test("mannWhitneyU: midranks — ties straddling the groups") {
+    // A={1,2}, B={2,3}: value 2 gets midrank 2.5 → R_A=3.5, U=0.5
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "ia")
+    val r = StatTests.mannWhitneyU(df, col("v"), col("ia")).collect().head
+    assert(r.getDouble(2) == 0.5)
+    // tie term: one block of 2 → tt = 6; sd = sqrt(4/12*(5 - 6/12))=sqrt(1.5)
+    val z = (0.5 - 2.0) / math.sqrt(4 / 12.0 * (5 - 6 / 12.0))
+    assert(math.abs(r.getDouble(3) - z) < 1e-6)
+  }
+
+  test("mannWhitneyU: partitioning-invariant (distributed prefix path)") {
+    val vals = (1 to 500).map(i => ((i % 37).toLong, i % 3 == 0))
+    val one = StatTests.mannWhitneyU(
+      vals.toDF("v", "ia").repartition(1), col("v"), col("ia")).collect().head
+    val many = StatTests.mannWhitneyU(
+      vals.toDF("v", "ia").repartition(13), col("v"), col("ia")).collect().head
+    assert(one == many)
+  }
+
+  // ------------------------------------------------------ signFlipTest
+
+  test("pairedSignFlipTest: deterministic, add-one p in (0,1], exact mean") {
+    val pairs = (1L to 50L).map(k => (k, k * 10)).toDF("k", "d")
+    val a = StatTests.pairedSignFlipTest(pairs, "k", "d", 99).collect().head
+    val b = StatTests.pairedSignFlipTest(
+      pairs.repartition(7), "k", "d", 99).collect().head
+    assert(a == b, "seeded replicates must not depend on partitioning")
+    assert(a.getLong(0) == 50)
+    // mean = sum(k*10)/50 = 1275*10/50
+    assert(a.getDouble(1) == 255.0)
+    val p = a.getDouble(2)
+    assert(p > 0 && p <= 1)
+    // all-positive diffs of this size: no sign-flip replicate should
+    // reach the observed sum → minimal add-one p
+    assert(p == math.rint(1.0 / 100 * 1e6) / 1e6)
+  }
+
+  // ------------------------------------------------------ trimmedMean
+
+  test("trimmedMean: hand case with asymmetric tail") {
+    val df = Seq(1, 1, 2, 3, 100).zipWithIndex
+      .map { case (v, i) => (BigDecimal(v), i.toLong) }.toDF("x", "id")
+    val r = StatTests.trimmedMean(df, col("x").cast("decimal(18,2)"),
+      col("id"), 0.2).collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 2.0) // mean(1,2,3)
+    assert(r.getDouble(3) == 2.0) // mean(1,1,2,3,3)
+  }
+
+  test("trimmedMean: partitioning-invariant") {
+    val df = (1 to 200).map(i => (BigDecimal((i * 7919) % 101), i.toLong))
+    val a = StatTests.trimmedMean(df.toDF("x", "id").repartition(1),
+      col("x").cast("decimal(18,2)"), col("id"), 0.1).collect().head
+    val b = StatTests.trimmedMean(df.toDF("x", "id").repartition(17),
+      col("x").cast("decimal(18,2)"), col("id"), 0.1).collect().head
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------ cusum
+
+  test("cusumChangepoint: level shift lands on the last pre-shift day") {
+    val days = (1 to 10).map { i =>
+      (java.sql.Date.valueOf(f"2024-01-${i}%02d"), if (i <= 5) 100L else 200L)
+    }
+    val r = SeriesStats.cusumChangepoint(days.toDF("t", "x"), scale = 1.0)
+      .collect().head
+    assert(r.getLong(0) == 10)
+    assert(r.getDate(1) == java.sql.Date.valueOf("2024-01-05"))
+    // CUSUM at day 5 = 5*(100-150) = -250 → stat 250
+    assert(r.getDouble(2) == 250.0)
+  }
+
+  // ------------------------------------------------------ adamicAdar
+
+  test("adamicAdar: hand wedge weights, minCommon filter") {
+    val edges = Seq(
+      (1L, 10L), (2L, 10L),           // b=10 deg 2, shared by 1,2
+      (1L, 20L), (2L, 20L), (3L, 20L) // b=20 deg 3, shared by all pairs
+    ).toDF("a", "b")
+    val got = LinkPredict.adamicAdar(edges, minCommon = 2).collect()
+    assert(got.length == 1) // only (1,2) has 2 common; (1,3),(2,3) have 1
+    val r = got.head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    val want = 1 / math.log(2.0) + 1 / math.log(3.0)
+    assert(math.abs(r.getDouble(3) - want) < 1e-6)
+  }
+
+  // ------------------------------------------------------ rank1Als
+
+  test("rank1Als: exactly rank-1 ratings recover the factors") {
+    // r = u ⊗ v with u=(3, 1.5), v=(2/3, 4/3) → r = [[2,4],[1,2]]
+    val ratings = Seq(
+      (1L, 10L, 2L), (1L, 20L, 4L),
+      (2L, 10L, 1L), (2L, 20L, 2L)).toDF("user", "item", "r")
+    val got = Recommend.rank1Als(ratings).orderBy("user").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    assert(got(0).getDouble(2) == 3.0)
+    assert(got(1).getDouble(2) == 1.5)
+  }
+
+  // ------------------------------------------------------ jw1 shape
+
+  test("jw1: bucketed window join == brute-force rank-window pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Queries31.jw1SortedNeighborhood(spark, sf)
+      .orderBy("id1", "id2").collect()
+    // brute force: single-partition window over the same total order
+    val ranked = Ranks.withGlobalRank(
+      Tables.part(spark, sf).select(col("p_partkey").as("id"),
+        col("p_name").as("nm")), "rn", Seq(col("nm"), col("id")))
+    val l = ranked.select(col("id").as("id1"), col("nm").as("nm1"),
+      col("rn").as("r1"))
+    val r = ranked.select(col("id").as("id2"), col("nm").as("nm2"),
+      col("rn").as("r2"))
+    val brute = l.crossJoin(r)
+      .where(col("r2") - col("r1") >= 1 &&
+        col("r2") - col("r1") <= Queries31.SnbWindow)
+      .withColumn("s", Native.jaroWinkler(col("nm1"), col("nm2")))
+      .where(col("s") >= Queries31.JwThreshold)
+      .select(col("id1"), col("id2"), round(col("s"), 6).as("score"))
+      .orderBy("id1", "id2").collect()
+    assert(got.toSeq == brute.toSeq)
+    assert(got.nonEmpty)
+  }
+}
