@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Regression, Sampling, SamplingSql, TextAnalysis, TextAnalysisSql}
+
+/** Round 6 (cont. 3) — data-placement and estimation primitives:
+  * rendezvous (highest-random-weight) sharding with its minimal-movement
+  * invariant, bottom-k (min-wise) consistent sampling with the
+  * threshold cardinality estimator, and two-feature OLS by distributed
+  * normal equations. Same contract as [[Queries]].
+  */
+object Queries32 {
+
+  // ---------------------------------------------------------------------
+  // RDV1: rendezvous hashing (Thaler & Ravishankar 1998) — each key goes
+  // to the node with the highest seeded hash(key, node); removing a node
+  // reassigns ONLY that node's keys (the minimal-disruption property
+  // consistent-hashing layouts need at 1000 executors). The query
+  // computes the 8-node assignment and the 7-node assignment (node 3
+  // removed) in one pass and returns the transition matrix — every
+  // off-diagonal row must have shard_from = 3, which the spec asserts
+  // and the oracle pins. Scale: the keys×nodes fan-out is the whole
+  // cost; argmax per key is one keyed aggregation, no shuffle beyond it.
+  // ---------------------------------------------------------------------
+  private[graft] val RdvNodes = 8
+  private[graft] val RdvRemoved = 3
+
+  def rdv1Rendezvous(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = spark.range(RdvNodes).select(col("id").as("node"))
+    val scored = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"))
+      .crossJoin(broadcast(nodes))
+      .withColumn("__u", Sampling.bootUniform(col("k"), col("node")))
+    // lexicographic max of (u, node): the node-id tie-break is
+    // deterministic on both engines (u collisions are ~2⁻³⁰ but pinned)
+    def argmax(df: DataFrame, out: String) = df.groupBy(col("k"))
+      .agg(max(struct(col("__u").as("u"), col("node").as("node"))).as("__m"))
+      .select(col("k"), col("__m.node").as(out))
+    argmax(scored, "shard_from")
+      .join(argmax(scored.where(col("node") =!= RdvRemoved), "shard_to"),
+        Seq("k"))
+      .groupBy(col("shard_from"), col("shard_to"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val rdv1RendezvousSql: String = {
+    val u = SamplingSql.bootUniform("o_orderkey", "node")
+    s"""WITH nd AS (SELECT unnest(range($RdvNodes)) AS node),
+       |s AS (SELECT o_orderkey AS k, node, $u AS u FROM orders, nd),
+       |a8 AS (SELECT k, node AS shard_from FROM (
+       |    SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+       |      ORDER BY u DESC, node DESC) AS rn FROM s) WHERE rn = 1),
+       |a7 AS (SELECT k, node AS shard_to FROM (
+       |    SELECT k, node, ROW_NUMBER() OVER (PARTITION BY k
+       |      ORDER BY u DESC, node DESC) AS rn FROM s
+       |    WHERE node <> $RdvRemoved) WHERE rn = 1)
+       |SELECT a8.shard_from, a7.shard_to, COUNT(*) AS n
+       |FROM a8 JOIN a7 USING (k) GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // PS1: bottom-k (min-wise) consistent sample over orders — keep the k
+  // keys with the SMALLEST seeded hash. The sample is consistent (a
+  // superset's sample extends the subset's), mergeable (bottom-k of
+  // union = bottom-k of concatenated bottom-k's — how a 1000-executor
+  // sketch combines), and its k-th value τ estimates the population:
+  // N̂ = (k−1)/τ for uniform hashes (Bar-Yossef et al. 2002). Returns
+  // the estimator row; the sampled mean stands next to the true mean as
+  // the accuracy check.
+  // ---------------------------------------------------------------------
+  private[graft] val PsK = 100
+
+  def ps1PrioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("__rev"))
+      .withColumn("__u", Sampling.bootUniform(col("k"), lit(0)))
+    val glob = scored.agg(count(lit(1)).as("__n"), sum(col("__rev")).as("__tot"))
+    val bottom = scored.orderBy(col("__u").asc, col("k").asc).limit(PsK)
+      .agg(count(lit(1)).as("__k"), max(col("__u")).as("__tau"),
+        sum(col("__rev")).as("__srev"))
+    glob.crossJoin(broadcast(bottom)) // scalar-broadcast pattern
+      .select(
+        col("__n").as("n_total"),
+        col("__k").as("k"),
+        round(col("__tau"), 6).as("tau"),
+        round((col("__k") - 1).cast("double") / col("__tau"), 6).as("n_est"),
+        round(col("__srev").cast("double") / col("__k").cast("double"), 6)
+          .as("mean_rev_sample"),
+        round(col("__tot").cast("double") / col("__n").cast("double"), 6)
+          .as("mean_rev_true"))
+  }
+
+  val ps1PrioritySampleSql: String = {
+    val u = SamplingSql.bootUniform("o_orderkey", "0")
+    s"""WITH s AS (
+       |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS rev,
+       |    $u AS u
+       |  FROM orders),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS tot FROM s),
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(u) AS tau,
+       |        SUM(rev) AS srev
+       |      FROM (SELECT * FROM s ORDER BY u ASC, k ASC LIMIT $PsK))
+       |SELECT g.n AS n_total, b.k AS k, round(b.tau, 6) AS tau,
+       |  round(CAST(b.k - 1 AS DOUBLE) / b.tau, 6) AS n_est,
+       |  round(CAST(b.srev AS DOUBLE) / CAST(b.k AS DOUBLE), 6)
+       |    AS mean_rev_sample,
+       |  round(CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+       |    AS mean_rev_true
+       |FROM g, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // OLS1: two-feature regression — document length (n_chars) on token
+  // count and English-ness, by distributed normal equations (one moment
+  // scan + one residual scan; only scalars cross stages). The token
+  // count is the strong predictor; the language dummy measures the
+  // per-language residual offset. R² near 1 is the expected finding
+  // (chars ≈ tokens × avg word length).
+  // ---------------------------------------------------------------------
+  def ols1MultiRegression(spark: SparkSession, sfDir: String): DataFrame =
+    Regression.ols2(Tables.documents(spark, sfDir)
+      .select(TextAnalysis.tokenCount(col("text")).as("x1"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("x2"),
+        col("n_chars").as("y")))
+
+  val ols1MultiRegressionSql: String = {
+    val tc = TextAnalysisSql.tokenCount("text")
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String =
+      Regression.det3Sql(a, b, c, d, e, f, g, h, i)
+    val D = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    val D0 = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    val D1 = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    val D2 = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    s"""WITH b AS (
+       |  SELECT CAST($tc AS BIGINT) AS x1,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS x2,
+       |    n_chars AS y
+       |  FROM documents),
+       |m AS (SELECT
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(x1) AS DOUBLE) AS s1,
+       |    CAST(SUM(x2) AS DOUBLE) AS s2,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+       |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+       |    CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+       |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+       |    CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+       |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM b),
+       |co AS (SELECT n_rows, n, sy, syy,
+       |    $D0 / $D AS b0, $D1 / $D AS b1, $D2 / $D AS b2 FROM m),
+       |sse AS (SELECT SUM(CAST(
+       |    (CAST(y AS DOUBLE) - (co.b0 + co.b1 * CAST(x1 AS DOUBLE)
+       |      + co.b2 * CAST(x2 AS DOUBLE))) *
+       |    (CAST(y AS DOUBLE) - (co.b0 + co.b1 * CAST(x1 AS DOUBLE)
+       |      + co.b2 * CAST(x2 AS DOUBLE)))
+       |    AS DECIMAL(28,14))) AS e FROM b, co)
+       |SELECT co.n_rows AS n, round(co.b0, 6) AS b0, round(co.b1, 6) AS b1,
+       |  round(co.b2, 6) AS b2,
+       |  round(1.0 - CAST(sse.e AS DOUBLE) /
+       |    (co.syy - co.sy * co.sy / co.n), 6) AS r2
+       |FROM co, sse""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rdv1_rendezvous"      -> (rdv1Rendezvous _),
+    "ps1_priority_sample"  -> (ps1PrioritySample _),
+    "ols1_multi_regression" -> (ols1MultiRegression _))
+
+  val oracles: Map[String, String] = Map(
+    "rdv1_rendezvous"      -> rdv1RendezvousSql,
+    "ps1_priority_sample"  -> ps1PrioritySampleSql,
+    "ols1_multi_regression" -> ols1MultiRegressionSql)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multiple linear regression by closed-form normal equations — the
+  * distributed-moments shape: ONE scan accumulates the exact moment
+  * matrix (Σx, Σxx', Σxy as DECIMAL — order-independent), the 3×3 solve
+  * happens on scalars, and a second scan scores residuals for R². This
+  * is how regression runs at 100 TB: the data never moves, only the
+  * k(k+3)/2 moments do (k=2 features here; larger k swaps the Cramer
+  * solve for a driver-side k×k factorization over the same moments).
+  * Extends q16's single-regressor OLS and zipf1's log-log fit to the
+  * multivariate case.
+  *
+  * Determinism: inputs are integer-valued (LONG), so every moment is an
+  * exact DECIMAL(38,0) sum; the determinants and coefficients are one
+  * fixed double tree over those scalars, mirrored token-for-token by the
+  * oracle; per-row residual squares are DECIMAL(28,14)-quantized before
+  * the exact SSE sum (the t16 pattern).
+  */
+object Regression {
+
+  /** det of [[a b c],[d e f],[g h i]] as the fixed expansion tree both
+    * engines share. */
+  private def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+      f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** SQL mirror of [[det3]] — same parenthesization. */
+  def det3Sql(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + " +
+      s"$c * ($d * $h - $e * $g))"
+
+  /** y ~ b0 + b1·x1 + b2·x2 over LONG-valued columns `x1`, `x2`, `y`.
+    * Output: one row (n, b0, b1, b2, r2), coefficients at 6 dp. */
+  def ols2(df: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col("x1").cast("long").as("__x1"),
+        col("x2").cast("long").as("__x2"), col("y").cast("long").as("__y"))
+      .localCheckpoint(true) // two consumers: moments + residual pass
+    val m = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x1")).as("__s1"),
+      sum(col("__x2")).as("__s2"),
+      sum(col("__y")).as("__sy"),
+      sum(dec(col("__x1")) * col("__x1")).as("__s11"),
+      sum(dec(col("__x1")) * col("__x2")).as("__s12"),
+      sum(dec(col("__x2")) * col("__x2")).as("__s22"),
+      sum(dec(col("__x1")) * col("__y")).as("__s1y"),
+      sum(dec(col("__x2")) * col("__y")).as("__s2y"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"))
+    def d(name: String) = col(name).cast("double")
+    // normal equations A·b = v, A = [[n s1 s2],[s1 s11 s12],[s2 s12 s22]],
+    // v = (sy, s1y, s2y); Cramer over the shared det3 tree
+    val det = det3(d("__n"), d("__s1"), d("__s2"),
+      d("__s1"), d("__s11"), d("__s12"),
+      d("__s2"), d("__s12"), d("__s22"))
+    val b0 = det3(d("__sy"), d("__s1"), d("__s2"),
+      d("__s1y"), d("__s11"), d("__s12"),
+      d("__s2y"), d("__s12"), d("__s22")) / det
+    val b1 = det3(d("__n"), d("__sy"), d("__s2"),
+      d("__s1"), d("__s1y"), d("__s12"),
+      d("__s2"), d("__s2y"), d("__s22")) / det
+    val b2 = det3(d("__n"), d("__s1"), d("__sy"),
+      d("__s1"), d("__s11"), d("__s1y"),
+      d("__s2"), d("__s12"), d("__s2y")) / det
+    val coef = m.select(col("__n"), col("__sy"), col("__syy"),
+      b0.as("__b0"), b1.as("__b1"), b2.as("__b2"))
+    // residual pass: SSE = Σ quant14((y - ŷ)²); SST from exact moments
+    val scored = base.crossJoin(broadcast(coef)) // scalar-broadcast pattern
+    val res = col("__y").cast("double") - (col("__b0") +
+      col("__b1") * col("__x1").cast("double") +
+      col("__b2") * col("__x2").cast("double"))
+    scored.agg(
+        max(col("__n")).as("__n"),
+        max(col("__sy")).as("__sy"),
+        max(col("__syy")).as("__syy"),
+        max(col("__b0")).as("__b0"),
+        max(col("__b1")).as("__b1"),
+        max(col("__b2")).as("__b2"),
+        sum((res * res).cast("decimal(28,14)")).as("__sse"))
+      .select(
+        col("__n").as("n"),
+        round(col("__b0"), 6).as("b0"),
+        round(col("__b1"), 6).as("b1"),
+        round(col("__b2"), 6).as("b2"),
+        round(lit(1.0) - col("__sse").cast("double") /
+          (col("__syy").cast("double") -
+            col("__sy").cast("double") * col("__sy").cast("double") /
+              col("__n").cast("double")), 6).as("r2"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Regression, Sampling}
+
+class Queries32Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ rendezvous
+
+  test("rdv1: removing a node moves ONLY that node's keys") {
+    val got = Queries32.rdv1Rendezvous(spark, "/root/testdata/sf0.001")
+      .collect()
+    val offDiag = got.filter(r => r.getLong(0) != r.getLong(1))
+    assert(offDiag.nonEmpty, "some keys must move")
+    assert(offDiag.forall(_.getLong(0) == Queries32.RdvRemoved),
+      "minimal disruption: every move starts at the removed node")
+    // the removed node keeps nothing
+    assert(!got.exists(r => r.getLong(1) == Queries32.RdvRemoved))
+  }
+
+  test("rendezvous assignment is per-key stable under repartitioning") {
+    val a = Queries32.rdv1Rendezvous(spark, "/root/testdata/sf0.001")
+      .orderBy("shard_from", "shard_to").collect().toSeq
+    val b = Queries32.rdv1Rendezvous(spark, "/root/testdata/sf0.001")
+      .orderBy("shard_from", "shard_to").collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------ bottom-k
+
+  test("bottom-k sample is mergeable: sketch(A ∪ B) == merge(sketch A, sketch B)") {
+    val k = 10
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("u", Sampling.bootUniform(col("id"), lit(0)))
+        .orderBy(col("u").asc, col("id").asc).limit(k)
+    val a = spark.range(0, 300).toDF("id")
+    val b = spark.range(300, 1000).toDF("id")
+    val direct = sketch(a.union(b)).select("id").as[Long].collect().toSeq
+    val merged = sketch(sketch(a).select("id").union(sketch(b).select("id")))
+      .select("id").as[Long].collect().toSeq
+    assert(direct == merged)
+  }
+
+  test("bottom-k sample is consistent: superset's sample extends the subset's") {
+    val k = 10
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("u", Sampling.bootUniform(col("id"), lit(0)))
+        .orderBy(col("u").asc, col("id").asc).limit(k)
+        .select("id").as[Long].collect().toSet
+    val small = ids(spark.range(0, 400).toDF("id"))
+    val big = ids(spark.range(0, 800).toDF("id"))
+    // every sampled id of the superset that falls in [0,400) must be in
+    // the subset's sample (same hash order)
+    assert(big.filter(_ < 400).subsetOf(small))
+  }
+
+  // ------------------------------------------------------ ols2
+
+  test("ols2: exact linear data recovers coefficients with R² = 1") {
+    // y = 7 + 3*x1 - 2*x2, integer grid — exactly representable
+    val rows = for { x1 <- 0L to 9L; x2 <- 0L to 4L }
+      yield (x1, x2, 7 + 3 * x1 - 2 * x2)
+    val r = Regression.ols2(rows.toDF("x1", "x2", "y")).collect().head
+    assert(r.getLong(0) == 50)
+    assert(r.getDouble(1) == 7.0 && r.getDouble(2) == 3.0 &&
+      r.getDouble(3) == -2.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("ols2: noisy data — R² < 1, partitioning-invariant") {
+    val rows = (1 to 200).map { i =>
+      val x1 = (i % 17).toLong; val x2 = (i % 5).toLong
+      (x1, x2, 4 + 2 * x1 + x2 + ((i * 7919) % 11 - 5))
+    }
+    val one = Regression.ols2(rows.toDF("x1", "x2", "y").repartition(1))
+      .collect().head
+    val many = Regression.ols2(rows.toDF("x1", "x2", "y").repartition(13))
+      .collect().head
+    assert(one == many)
+    assert(one.getDouble(4) > 0.9 && one.getDouble(4) < 1.0)
+  }
+}
