@@ -164,31 +164,31 @@ object Queries31 {
       |FROM c ORDER BY ABS(cusum) DESC, t ASC LIMIT 1""".stripMargin
 
   // ---------------------------------------------------------------------
-  // LNK1: Adamic–Adar link prediction over the repeat-trade bipartite
-  // graph — "which customer pairs trade through the same suppliers".
-  // Shares Queries29's >= 3-lineitem threshold; pairs need >= 2 shared
-  // suppliers. Wedge-join bounded (Σ deg² ≈ 23k at sf0.01).
+  // LNK1: Adamic–Adar link prediction over the co-purchase bipartite
+  // graph (customer pairs sharing PARTS) — "which customers buy through
+  // the same catalog". The part side's degree (~30 buyers/part) is
+  // SCALE-STABLE: parts and customers both grow with the data, so the
+  // wedge join stays edge-linear and the query non-degenerate at every
+  // sf (the repeat-trade graph's >= 3-lineitem threshold empties at
+  // sf0.1 — probed 2026-08-14). Pairs need >= 4 shared parts.
   // ---------------------------------------------------------------------
-  private[graft] val LnkMinCommon = 2L
+  private[graft] val LnkMinCommon = 4L
 
   def lnk1AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("a"), col("l_suppkey").as("b"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= Queries29.TradeMinLines)
-      .select(col("a"), col("b"))
+      .select(col("o_custkey").as("a"), col("l_partkey").as("b"))
+      .distinct()
     LinkPredict.adamicAdar(pairs, LnkMinCommon)
   }
 
   val lnk1AdamicAdarSql: String =
     s"""WITH p AS (
-       |  SELECT o_custkey AS a, l_suppkey AS b
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= ${Queries29.TradeMinLines}),
+       |  SELECT DISTINCT o_custkey AS a, l_partkey AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |d AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM p GROUP BY 1),
        |j AS (SELECT x.a AS a1, y.a AS a2, d.deg
        |      FROM p x JOIN p y ON x.b = y.b AND x.a < y.a

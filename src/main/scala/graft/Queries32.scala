@@ -168,13 +168,60 @@ object Queries32 {
        |FROM co, sse""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // CCF1: cross-correlation of daily revenue against the daily count of
+  // URGENT orders at calendar lags −5..5 — "does urgency lead or lag
+  // spend". Completes acf1's temporal-dependence family with the
+  // bivariate case; the lag-0 peak with near-zero sidelobes is the
+  // expected finding under TPC-H's independent order generator.
+  // ---------------------------------------------------------------------
+  private[graft] val CcfMaxLag = 5
+
+  def ccf1RevenueUrgency(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("y"))
+    operators.SeriesStats.ccf(daily, CcfMaxLag)
+  }
+
+  val ccf1RevenueUrgencySql: String = {
+    val xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val ybar = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH s AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS t,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+       |    COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS y
+       |  FROM orders GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+       |        SUM(y) AS sy, SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |      FROM s),
+       |l AS (SELECT CAST(lag AS INTEGER) AS lag
+       |      FROM range(${-CcfMaxLag}, ${CcfMaxLag + 1}) r(lag)),
+       |j AS (
+       |  SELECT l.lag AS lag, COUNT(*) AS n_pairs, SUM(a.x * b.y) AS sxy,
+       |    SUM(a.x) AS sh, SUM(b.y) AS st
+       |  FROM s a CROSS JOIN l JOIN s b ON b.t = a.t + l.lag
+       |  GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  round((((CAST(sxy AS DOUBLE) - ($ybar * CAST(sh AS DOUBLE))) -
+       |     ($xbar * CAST(st AS DOUBLE))) +
+       |   ((CAST(n_pairs AS DOUBLE) * $xbar) * $ybar)) /
+       |  sqrt((CAST(sxx AS DOUBLE) - ((CAST(n AS DOUBLE) * $xbar) * $xbar)) *
+       |    (CAST(syy AS DOUBLE) - ((CAST(n AS DOUBLE) * $ybar) * $ybar))),
+       |    12) AS r
+       |FROM j, g""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rdv1_rendezvous"      -> (rdv1Rendezvous _),
     "ps1_priority_sample"  -> (ps1PrioritySample _),
-    "ols1_multi_regression" -> (ols1MultiRegression _))
+    "ols1_multi_regression" -> (ols1MultiRegression _),
+    "ccf1_cross_correlation" -> (ccf1RevenueUrgency _))
 
   val oracles: Map[String, String] = Map(
     "rdv1_rendezvous"      -> rdv1RendezvousSql,
     "ps1_priority_sample"  -> ps1PrioritySampleSql,
-    "ols1_multi_regression" -> ols1MultiRegressionSql)
+    "ols1_multi_regression" -> ols1MultiRegressionSql,
+    "ccf1_cross_correlation" -> ccf1RevenueUrgencySql)
 }

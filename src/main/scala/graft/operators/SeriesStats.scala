@@ -166,6 +166,52 @@ object SeriesStats {
         round(d(col("__ssape")) / d(col("n_eval")), 6).as("smape"))
   }
 
+  /** Cross-correlation function of a date-keyed bivariate series
+    * (columns `t` DATE, `x` DECIMAL, `y` LONG) at calendar lags
+    * −maxLag..maxLag:
+    *
+    *   r_k = Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)
+    *
+    * — the lead/lag dependence diagnostic between two measures of the
+    * same timeline (which one moves first). Same conventions as [[acf]]:
+    * means and denominators over the FULL series, calendar gaps drop
+    * pairs, every Σ DECIMAL-exact, one fixed double tree, r at 12 dp
+    * (the acf DECIMAL→DOUBLE cast note applies). Negative lags read
+    * "y leads x". Output: (lag, n_pairs, r).
+    */
+  def ccf(series: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val s = series.select(col("t"), col("x"), col("y"))
+    val glob = s.agg(
+      count(lit(1)).as("__n"),
+      sum(col("x")).as("__sx"),
+      sum(col("x") * col("x")).as("__sxx"),
+      sum(col("y")).as("__sy"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("__syy"))
+    val lags = series.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val joined = s.select(col("t").as("__ta"), col("x").as("__xa"))
+      .crossJoin(broadcast(lags))
+      .withColumn("__tb", date_add(col("__ta"), col("lag")))
+      .join(s.select(col("t").as("__tb"), col("y").as("__yb")), Seq("__tb"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__xa") * col("__yb")).as("__sxy"),
+        sum(col("__xa")).as("__sh"),
+        sum(col("__yb")).as("__st"))
+    def d(c: Column): Column = c.cast("double")
+    val xbar = d(col("__sx")) / d(col("__n"))
+    val ybar = d(col("__sy")) / d(col("__n"))
+    val num = ((d(col("__sxy")) - (ybar * d(col("__sh")))) -
+      (xbar * d(col("__st")))) + ((d(col("n_pairs")) * xbar) * ybar)
+    val den = sqrt((d(col("__sxx")) - ((d(col("__n")) * xbar) * xbar)) *
+      (d(col("__syy")) - ((d(col("__n")) * ybar) * ybar)))
+    joined
+      .crossJoin(broadcast(glob)) // scalar-broadcast pattern
+      .select(col("lag"), col("n_pairs"), round(num / den, 12).as("r"))
+  }
+
   /** CUSUM single-changepoint scan over a date-keyed LONG series (the
     * caller scales money to integer cents): the date maximizing
     * |Σ_{i≤t}(x_i − x̄)| — Page (1954)'s cumulative-sum statistic, the

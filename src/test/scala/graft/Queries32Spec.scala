@@ -55,6 +55,27 @@ class Queries32Spec extends SparkSpec {
     assert(big.filter(_ < 400).subsetOf(small))
   }
 
+  // ------------------------------------------------------ ccf
+
+  test("ccf: shifted copy peaks at the shift lag, near-1") {
+    // y_t = x_{t-2} (x leads y by 2): pairs (x_t, y_{t+2}) align exactly
+    val xs = Seq(5, 1, 9, 2, 7, 3, 8, 1, 6, 4, 9, 2, 5, 8, 3, 7)
+    val rows = xs.indices.map { i =>
+      (java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"),
+        BigDecimal(xs(i)), if (i >= 2) xs(i - 2).toLong else 0L)
+    }
+    val df = rows.toDF("t", "x", "y")
+      .withColumn("x", col("x").cast("decimal(18,2)"))
+    val got = graft.operators.SeriesStats.ccf(df, 3)
+      .orderBy("lag").collect()
+    assert(got.length == 7)
+    val byLag = got.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(byLag.maxBy(_._2)._1 == 2, s"peak lag: $byLag")
+    // the 2-day zero-pad and the 16-point boundary damp the peak below
+    // a perfect 1; 0.8167 is the exact full-series-mean value
+    assert(byLag(2) > 0.8)
+  }
+
   // ------------------------------------------------------ ols2
 
   test("ols2: exact linear data recovers coefficients with R² = 1") {
