@@ -28,11 +28,11 @@ object Queries31 {
   private[graft] val SnbWindow = 3
   private[graft] val JwThreshold = 0.92
 
-  def jw1SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = SnbWindow
-    val ranked = Ranks.withGlobalRank(
-      Tables.part(spark, sfDir).select(col("p_partkey").as("id"),
-        col("p_name").as("nm")),
+  /** The reusable SNB body over any (id, nm) table — also the Soak's
+    * 10x/100x subject (replicated documents). */
+  private[graft] def sortedNeighborhoodJw(records: DataFrame, w: Int,
+      threshold: Double): DataFrame = {
+    val ranked = Ranks.withGlobalRank(records.select(col("id"), col("nm")),
       "rn", Seq(col("nm"), col("id")))
     val bkt = (c: org.apache.spark.sql.Column) => ((c - 1) / w).cast("long")
     // b.rn in (a.rn, a.rn+w] implies bkt(b) is bkt(a) or bkt(a)+1: the
@@ -46,9 +46,15 @@ object Queries31 {
     a.join(b, Seq("__bk"))
       .where(col("rn2") - col("rn1") >= 1 && col("rn2") - col("rn1") <= w)
       .withColumn("__s", Native.jaroWinkler(col("nm1"), col("nm2")))
-      .where(col("__s") >= JwThreshold)
+      .where(col("__s") >= threshold)
       .select(col("id1"), col("id2"), round(col("__s"), 6).as("score"))
   }
+
+  def jw1SortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
+    sortedNeighborhoodJw(
+      Tables.part(spark, sfDir).select(col("p_partkey").as("id"),
+        col("p_name").as("nm")),
+      SnbWindow, JwThreshold)
 
   val jw1SortedNeighborhoodSql: String =
     s"""WITH r AS (

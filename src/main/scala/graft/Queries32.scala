@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Regression, Sampling, SamplingSql, TextAnalysis, TextAnalysisSql}
+import graft.operators.{Regression, Sampling, SamplingSql, StatTests, TextAnalysis, TextAnalysisSql}
 
 /** Round 6 (cont. 3) — data-placement and estimation primitives:
   * rendezvous (highest-random-weight) sharding with its minimal-movement
@@ -213,13 +213,82 @@ object Queries32 {
        |FROM j, g""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // BH1: per-nation year-over-year spend tests with Benjamini–Hochberg
+  // FDR control — the multiple-testing discipline a pipeline needs the
+  // moment it runs pt1's test per segment (25 nations → ~1.25 expected
+  // false positives at α=0.05 uncorrected). Permutation p-values share
+  // pt1's seeded sign-flip machinery; the step-up runs over the 25-row
+  // p-table (bounded metadata). Zero discoveries is the expected honest
+  // finding under TPC-H's uniform generator.
+  // ---------------------------------------------------------------------
+  private[graft] val BhReplicates = 100
+  private[graft] val BhQ = 0.1
+
+  def bh1FdrNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("__yr", year(to_date(col("o_orderdate"))))
+      .where(col("__yr").isin(1995, 1996))
+      .groupBy(col("o_custkey").as("k"), col("__yr"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val pairs = o.where(col("__yr") === 1995)
+      .select(col("k"), col("cents").as("__c95"))
+      .join(o.where(col("__yr") === 1996)
+        .select(col("k"), col("cents").as("__c96")), Seq("k"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("nation")), Seq("k"))
+      .select(col("nation"), col("k"), (col("__c96") - col("__c95")).as("d"))
+    StatTests.groupedSignFlipBH(pairs, "nation", "k", "d",
+      BhReplicates, BhQ, meanScale = 100.0)
+  }
+
+  val bh1FdrNationsSql: String = {
+    val u = SamplingSql.bootUniform("k", "j")
+    s"""WITH y AS (
+       |  SELECT o_custkey AS k, year(CAST(o_orderdate AS DATE)) AS yr,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+       |  GROUP BY 1, 2),
+       |p AS (SELECT CAST(c.c_nationkey AS BIGINT) AS g, a.k AS k,
+       |        b.cents - a.cents AS d
+       |      FROM y a JOIN y b ON a.k = b.k AND a.yr = 1995 AND b.yr = 1996
+       |      JOIN customer c ON c.c_custkey = a.k),
+       |o AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS np,
+       |        CAST(SUM(d) AS BIGINT) AS obs FROM p GROUP BY 1),
+       |r AS (SELECT g, j,
+       |    CAST(SUM((CASE WHEN $u < 0.5 THEN -1 ELSE 1 END) * d) AS BIGINT)
+       |      AS stat
+       |  FROM p CROSS JOIN (SELECT unnest(range(0, $BhReplicates)) AS j)
+       |  GROUP BY 1, 2),
+       |pt AS (SELECT o.g, o.np, o.obs,
+       |    CAST(1 + SUM(CASE WHEN ABS(r.stat) >= ABS(o.obs)
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / ${BhReplicates + 1}.0 AS p
+       |  FROM r JOIN o USING (g) GROUP BY 1, 2, 3),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pt),
+       |rk AS (SELECT pt.*, CAST(ROW_NUMBER() OVER (ORDER BY p ASC, g ASC)
+       |         AS BIGINT) AS i FROM pt),
+       |th AS (SELECT COALESCE(MAX(CASE WHEN p <= CAST(i AS DOUBLE)
+       |        / CAST(m.m AS DOUBLE) * $BhQ THEN p END), -1.0) AS thr
+       |      FROM rk, m)
+       |SELECT g AS nation, np AS n_pairs,
+       |  round(CAST(obs AS DOUBLE) / (100.0 * CAST(np AS DOUBLE)), 6)
+       |    AS mean_diff,
+       |  round(p, 6) AS p_value, p <= th.thr AS discovery
+       |FROM rk, th""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bh1_fdr_nations"      -> (bh1FdrNations _),
     "rdv1_rendezvous"      -> (rdv1Rendezvous _),
     "ps1_priority_sample"  -> (ps1PrioritySample _),
     "ols1_multi_regression" -> (ols1MultiRegression _),
     "ccf1_cross_correlation" -> (ccf1RevenueUrgency _))
 
   val oracles: Map[String, String] = Map(
+    "bh1_fdr_nations"      -> bh1FdrNationsSql,
     "rdv1_rendezvous"      -> rdv1RendezvousSql,
     "ps1_priority_sample"  -> ps1PrioritySampleSql,
     "ols1_multi_regression" -> ols1MultiRegressionSql,

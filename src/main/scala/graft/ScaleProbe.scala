@@ -106,7 +106,24 @@ object ScaleProbe {
     // single-pass B=64 map-side explode + keyed reduce
     "boot1_bootstrap_ci",
     // calendar-bounded pairwise slopes + two distributed-rank medians
-    "ts1_theil_sen")
+    "ts1_theil_sen",
+    // round-6 continuation 2: bounded-cell chi-square grid, value-table
+    // Mann-Whitney through the distributed prefix (n_chars values
+    // saturate, counts grow), CUSUM + cross-correlation over saturating
+    // calendar series, full-outer token-count KL (vocab grows with the
+    // perturbed replicas), B=200 sign-flip explode, trimmed means via
+    // the distributed rank (gini1's argument), rank-1 ALS over the
+    // thickened same-key ratings (pr1's argument), moment-scan OLS,
+    // keys x8 rendezvous fan-out, scan + bounded top-k bottom-k sample,
+    // and the co-purchase Adamic-Adar whose same-key replicas converge
+    // to the 1x pair set (the probe times the 10x scan + distinct).
+    // (jw1 is excluded: the probe fixture keeps dims 1x, so it would
+    // re-time the base part table; its scale evidence is the Soak's
+    // replicated-documents SNB at 10x/100x.)
+    "chi1_chisq", "mw1_mann_whitney", "cpd1_cusum", "ccf1_cross_correlation",
+    "kl1_corpus_divergence", "pt1_perm_test", "tm1_trimmed_mean",
+    "als1_rank1", "ols1_multi_regression", "rdv1_rendezvous",
+    "ps1_priority_sample", "lnk1_adamic_adar")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {

@@ -175,6 +175,40 @@ object Soak {
           floor(col("l_orderkey") / lit(ordMax)).cast("long") * lit(partMax))
           .as("item"))
       operators.AssocRules.frequentPairs(baskets, Queries30.FiMinSupport)
+    }),
+    // sorted-neighborhood linkage over the token-suffixed document
+    // replicas: candidates are EXACTLY w successors per ranked record
+    // regardless of content — w·n by construction — so the soak times
+    // the distributed rank + bucketed window join + codegen'd
+    // Jaro-Winkler verify over 10x/100x the strings
+    "jw1_sorted_neighborhood" -> ((s: SparkSession, dir: String) =>
+      Queries31.sortedNeighborhoodJw(
+        Tables.documents(s, dir).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 32).as("nm")),
+        Queries31.SnbWindow, Queries31.JwThreshold)),
+    // co-purchase Adamic-Adar needs INDEPENDENT replicas like fi1 (the
+    // soak fixture shares part keys, which would grow every part's buyer
+    // degree by the factor and the wedge join quadratically BY
+    // CONSTRUCTION): the same orderkey-derived re-disjointing makes the
+    // graph grow as disjoint copies — wedges linear, per-replica
+    // structure identical to 1x
+    "lnk1_adamic_adar" -> ((s: SparkSession, dir: String) => {
+      val b = "/root/testdata/sf0.1"
+      val ordMax = Tables.orders(s, b)
+        .agg(max("o_orderkey")).head().getLong(0) + 1
+      val partMax = Tables.lineitem(s, b)
+        .agg(max("l_partkey").cast("long")).head().getLong(0) + 1
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (col("l_partkey").cast("long") +
+            floor(col("l_orderkey") / lit(ordMax)).cast("long") * lit(partMax))
+            .as("bb"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"), col("bb").as("b"))
+        .distinct()
+      operators.LinkPredict.adamicAdar(pairs, Queries31.LnkMinCommon)
     }))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,

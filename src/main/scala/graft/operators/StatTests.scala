@@ -145,6 +145,56 @@ object StatTests {
           .as("p_value"))
   }
 
+  /** Grouped sign-flip permutation tests with Benjamini–Hochberg FDR
+    * control (Benjamini & Hochberg 1995): one test per group `g` (same
+    * replicate machinery as [[pairedSignFlipTest]] — the explode is
+    * shared, replicates reduce per (group, j)), then the step-up
+    * procedure over the m per-group p-values: discoveries are groups
+    * with p ≤ the LARGEST p_(i) satisfying p_(i) ≤ (i/m)·q. The p-table
+    * is m rows of bounded metadata (the boot1 precedent), so its rank
+    * window is not a data sort. With no qualifying p the threshold
+    * coalesces to −1 and nothing is discovered — the honest null.
+    * Output per group: (g, n_pairs, mean_diff, p_value, discovery).
+    */
+  def groupedSignFlipBH(pairs: DataFrame, groupCol: String, keyCol: String,
+      dCol: String, b: Int, q: Double, meanScale: Double = 1.0): DataFrame = {
+    require(b >= 1, "need at least one replicate")
+    val base = pairs.select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+      col(dCol).cast("long").as("__d"))
+    val obs = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__np"), sum(col("__d")).as("__obs"))
+    val reps = base.select(col("__g"), col("__k"), col("__d"),
+        explode(sequence(lit(0), lit(b - 1))).as("__j"))
+      .withColumn("__s",
+        when(Sampling.bootUniform(col("__k"), col("__j")) < 0.5, -1L)
+          .otherwise(1L))
+      .groupBy(col("__g"), col("__j"))
+      .agg(sum(col("__s") * col("__d")).as("__stat"))
+    val ptab = reps.join(obs, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__np")).as("__np"), max(col("__obs")).as("__obs"),
+        ((lit(1L) + sum(when(abs(col("__stat")) >= abs(col("__obs")), 1L)
+          .otherwise(0L))).cast("double") / lit((b + 1).toDouble))
+          .as("__p"))
+    val m = ptab.agg(count(lit(1)).as("__m"))
+    // m rows of metadata: the rank window is bounded by construction
+    val ranked = ptab.withColumn("__i",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__p").asc, col("__g").asc)).cast("long"))
+      .crossJoin(broadcast(m))
+    val thr = ranked.agg(coalesce(
+      max(when(col("__p") <= col("__i").cast("double") /
+        col("__m").cast("double") * lit(q), col("__p"))), lit(-1.0))
+      .as("__thr"))
+    ranked.crossJoin(broadcast(thr)) // scalar-broadcast pattern
+      .select(col("__g").as(groupCol),
+        col("__np").as("n_pairs"),
+        round(col("__obs").cast("double") /
+          (lit(meanScale) * col("__np").cast("double")), 6).as("mean_diff"),
+        round(col("__p"), 6).as("p_value"),
+        (col("__p") <= col("__thr")).as("discovery"))
+  }
+
   /** Exact trimmed and winsorized means of a DECIMAL measure: drop
     * (trimmed) or clamp (winsorized) the k = floor(frac·n) smallest and
     * largest values, where position is the EXACT global rank from the

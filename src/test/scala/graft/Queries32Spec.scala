@@ -55,6 +55,31 @@ class Queries32Spec extends SparkSpec {
     assert(big.filter(_ < 400).subsetOf(small))
   }
 
+  // ------------------------------------------------------ BH FDR
+
+  test("groupedSignFlipBH: a planted one-sided group is discovered, nulls are not") {
+    import graft.operators.StatTests
+    // group 10: every pair shifts +1000 (one-sided, minimal p = 1/101);
+    // groups 20/30: exactly symmetric ±d (large p)
+    val planted = (1L to 30L).map(k => (10L, k, 1000L))
+    val nulls = for {
+      g <- Seq(20L, 30L); k <- 1L to 30L
+    } yield (g, g * 1000 + k, if (k % 2 == 0) 500L else -500L)
+    val pairs = (planted ++ nulls).toDF("nation", "k", "d")
+    val got = StatTests.groupedSignFlipBH(pairs, "nation", "k", "d",
+        b = 100, q = 0.1).orderBy("nation").collect()
+    assert(got.length == 3)
+    val byG = got.map(r => r.getLong(0) ->
+      (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byG(10L)._2, s"planted group must be discovered: $byG")
+    assert(!byG(20L)._2 && !byG(30L)._2, s"nulls must survive: $byG")
+    assert(byG(10L)._1 == math.rint(1.0 / 101 * 1e6) / 1e6)
+    // deterministic under repartitioning
+    val again = StatTests.groupedSignFlipBH(pairs.repartition(7),
+      "nation", "k", "d", b = 100, q = 0.1).orderBy("nation").collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   // ------------------------------------------------------ ccf
 
   test("ccf: shifted copy peaks at the shift lag, near-1") {
