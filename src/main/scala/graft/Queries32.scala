@@ -280,7 +280,69 @@ object Queries32 {
        |FROM rk, th""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // DBS1: DBSCAN over a bounded embedding block (vec_id < 500, brute
+  // eps-pairs at cosine >= 0.35, minPts 3) — the density member of the
+  // clustering family. The fixture's embeddings are near-orthogonal
+  // random vectors, so most points are honest noise and the clusters
+  // are small dense pockets — the semantics, not the data, are under
+  // test (mod1's stance). At scale the eps-pairs come from the banded
+  // candidate join (d5/d10) instead of this block's brute force; the
+  // clustering dataflow is identical.
+  // ---------------------------------------------------------------------
+  private[graft] val DbsBlock = 500L
+  private[graft] val DbsCos = 0.35
+  private[graft] val DbsMinPts = 3
+
+  def dbs1Dbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val block = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < DbsBlock)
+      .select(col("vec_id").as("id"), col("embedding"))
+      .localCheckpoint(true) // pairs + points consumers
+    val pairs = block.select(col("id").as("id1"), col("embedding").as("__e1"))
+      .join(block.select(col("id").as("id2"), col("embedding").as("__e2")),
+        col("id1") < col("id2"))
+      .where(graft.functions.Native.cosineSim(col("__e1"), col("__e2"))
+        >= DbsCos)
+      .select(col("id1"), col("id2"))
+    operators.Dbscan.cluster(block.select(col("id")), pairs, DbsMinPts)
+      .select(col("id").as("vec_id"), col("is_core"), col("cluster"))
+  }
+
+  val dbs1DbscanSql: String = {
+    val c = Queries.sqlCosine("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE vec_id < $DbsBlock),
+       |p AS (SELECT a.id AS id1, b.id AS id2
+       |      FROM e0 a JOIN e0 b ON a.id < b.id WHERE $c >= $DbsCos),
+       |sym AS (SELECT id1 AS s, id2 AS d FROM p
+       |        UNION SELECT id2, id1 FROM p),
+       |cnt AS (SELECT e0.id, COUNT(sym.d) AS n
+       |        FROM e0 LEFT JOIN sym ON sym.s = e0.id GROUP BY 1),
+       |core AS (SELECT id FROM cnt WHERE n + 1 >= $DbsMinPts),
+       |ce AS (SELECT s, d FROM sym
+       |       WHERE s IN (SELECT id FROM core) AND d IN (SELECT id FROM core)),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM ce
+       |  UNION
+       |  SELECT ce.s, rr.r FROM ce JOIN reach rr ON rr.id = ce.d),
+       |comp AS (SELECT id, MIN(r) AS cmp FROM reach GROUP BY 1),
+       |corecl AS (SELECT core.id, COALESCE(comp.cmp, core.id) AS cluster
+       |           FROM core LEFT JOIN comp ON comp.id = core.id),
+       |border AS (SELECT sym.s AS id, MIN(corecl.cluster) AS cluster
+       |           FROM sym JOIN corecl ON corecl.id = sym.d
+       |           WHERE sym.s NOT IN (SELECT id FROM core) GROUP BY 1)
+       |SELECT e0.id AS vec_id,
+       |  (corecl.id IS NOT NULL) AS is_core,
+       |  COALESCE(corecl.cluster, border.cluster, -1) AS cluster
+       |FROM e0
+       |LEFT JOIN corecl ON corecl.id = e0.id
+       |LEFT JOIN border ON border.id = e0.id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dbs1_dbscan"          -> (dbs1Dbscan _),
     "bh1_fdr_nations"      -> (bh1FdrNations _),
     "rdv1_rendezvous"      -> (rdv1Rendezvous _),
     "ps1_priority_sample"  -> (ps1PrioritySample _),
@@ -288,6 +350,7 @@ object Queries32 {
     "ccf1_cross_correlation" -> (ccf1RevenueUrgency _))
 
   val oracles: Map[String, String] = Map(
+    "dbs1_dbscan"          -> dbs1DbscanSql,
     "bh1_fdr_nations"      -> bh1FdrNationsSql,
     "rdv1_rendezvous"      -> rdv1RendezvousSql,
     "ps1_priority_sample"  -> ps1PrioritySampleSql,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DBSCAN density clustering (Ester/Kriegel/Sander/Xu 1996) over a
+  * precomputed eps-neighbor pair table — the density companion to the
+  * engine's k-means (a6/a7), components (d7), and SemDeDup (sem1)
+  * clustering family: clusters are maximal sets of density-connected
+  * points, noise stays unassigned, no k chosen in advance.
+  *
+  * Determinized variant: classic DBSCAN assigns a border point reachable
+  * from several clusters to whichever core point scans it first (scan-
+  * order-dependent); here a border point takes the MINIMUM cluster id
+  * among its core neighbors, and a cluster's id is the minimum core id
+  * of its component — both partitioning-independent, both mirrored by
+  * the oracle. Core test counts the point itself (|N_eps(p)| ≥ minPts
+  * including p, the paper's convention).
+  *
+  * Dataflow: one degree count, one double semi-join for core-core
+  * edges, min-label components ([[Dedup.connectedComponents]] — the d7
+  * machinery), one border assignment join. The eps-neighbor pairs are
+  * the caller's problem BY DESIGN: at 100 TB they come from a banded
+  * candidate join (SRP/LSH, the d5/d10 path) instead of the bounded
+  * brute-force block the oracle query uses — same operator either way.
+  */
+object Dbscan {
+
+  /** `points`: (id LONG); `pairs`: (id1, id2) eps-neighbor pairs with
+    * id1 < id2, already thresholded. Output: (id, is_core, cluster)
+    * with cluster = −1 for noise. */
+  def cluster(points: DataFrame, pairs: DataFrame, minPts: Int): DataFrame = {
+    val ids = points.select(col("id"))
+    val sym = pairs.select(col("id1").as("__s"), col("id2").as("__d"))
+      .union(pairs.select(col("id2").as("__s"), col("id1").as("__d")))
+      .distinct()
+      .localCheckpoint(true) // three consumers below
+    val core = ids
+      .join(sym.groupBy(col("__s").as("id")).agg(count(lit(1)).as("__n")),
+        Seq("id"), "left")
+      .where(coalesce(col("__n"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+      .localCheckpoint(true)
+    val coreEdges = sym
+      .join(core.select(col("id").as("__s")), Seq("__s"), "left_semi")
+      .join(core.select(col("id").as("__d")), Seq("__d"), "left_semi")
+    val comp = Dedup.connectedComponents(
+      coreEdges.select(col("__s").as("id1"), col("__d").as("id2")))
+    // isolated cores (dense point whose neighbors are all border) form
+    // their own single-core cluster
+    val coreCl = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__ccl"))
+    val borderCl = sym
+      .join(coreCl.select(col("id").as("__d"), col("__ccl").as("cluster")),
+        Seq("__d"))
+      .join(core.select(col("id").as("__s")), Seq("__s"), "left_anti")
+      .groupBy(col("__s").as("id")).agg(min(col("cluster")).as("__bcl"))
+    ids.join(coreCl, Seq("id"), "left")
+      .join(borderCl, Seq("id"), "left")
+      .select(col("id"), col("__ccl").isNotNull.as("is_core"),
+        coalesce(col("__ccl"), col("__bcl"), lit(-1L)).as("cluster"))
+  }
+}

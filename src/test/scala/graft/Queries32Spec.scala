@@ -55,6 +55,44 @@ class Queries32Spec extends SparkSpec {
     assert(big.filter(_ < 400).subsetOf(small))
   }
 
+  // ------------------------------------------------------ DBSCAN
+
+  test("Dbscan: textbook shapes — clique cluster, border, noise, isolated core") {
+    import graft.operators.Dbscan
+    // clique {1,2,3,4}: each has 3 neighbors (+self = 4 >= minPts 4) → core
+    // node 5: one edge to core 1 (2 < 4) → border of cluster 1
+    // node 6: no edges → noise
+    // nodes 7,8,9,10: star around 7 (7 has 3 nbrs → core; leaves are border)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),
+      (7L, 8L), (7L, 9L), (7L, 10L)).toDF("id1", "id2")
+    val points = (1L to 10L).toDF("id")
+    val got = Dbscan.cluster(points, pairs, minPts = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, true, 1L), (2L, true, 1L), (3L, true, 1L), (4L, true, 1L),
+      (5L, false, 1L), // border joins the min-id cluster of its core nbrs
+      (6L, false, -1L), // noise
+      (7L, true, 7L), // isolated core forms its own cluster
+      (8L, false, 7L), (9L, false, 7L), (10L, false, 7L)))
+  }
+
+  test("Dbscan: border point adjacent to two clusters takes the min cluster id") {
+    import graft.operators.Dbscan
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a < b } yield (a, b)
+    // two 4-cliques; node 100 is border to both → deterministic min
+    val pairs = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 100L), (11L, 100L))).toDF("id1", "id2")
+    val points = (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L, 100L)).toDF("id")
+    val got = Dbscan.cluster(points, pairs, minPts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got(100L) == 1L)
+    assert(got(11L) == 11L && got(14L) == 11L)
+  }
+
   // ------------------------------------------------------ BH FDR
 
   test("groupedSignFlipBH: a planted one-sided group is discovered, nulls are not") {
