@@ -98,11 +98,36 @@ object Queries28 {
        |ORDER BY raw DESC, id ASC LIMIT $Src2K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // SRC3: global COUNT/MIN/MAX pushed into the store (the reference's
+  // collection-introspection path — point counts answered by the store,
+  // src/vector_store.rs:300-310). The lang filter runs in parquet, each
+  // bucket file folds to ONE partial row inside the reader, and Spark's
+  // final aggregate merges 16 rows — the scan never materializes a
+  // single data row.
+  // ---------------------------------------------------------------------
+  def src3AggPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    source(spark, sfDir)
+      .where(col("lang") === "en")
+      .agg(expr("count(*)").as("n_docs"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        max(col("label")).as("max_label"))
+
+  val src3AggPushdownSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id,
+      |  MAX(e.label) AS max_label
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE d.lang = 'en'""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_bucket_pushdown" -> (src1BucketPushdown _),
-    "src2_scored_topk"     -> (src2ScoredTopk _))
+    "src2_scored_topk"     -> (src2ScoredTopk _),
+    "src3_agg_pushdown"    -> (src3AggPushdown _))
 
   val oracles: Map[String, String] = Map(
     "src1_bucket_pushdown" -> src1BucketPushdownSql,
-    "src2_scored_topk"     -> src2ScoredTopkSql)
+    "src2_scored_topk"     -> src2ScoredTopkSql,
+    "src3_agg_pushdown"    -> src3AggPushdownSql)
 }

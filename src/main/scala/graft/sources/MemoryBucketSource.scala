@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
@@ -380,6 +381,12 @@ object MemoryBucketSource {
 
   /** One pushed sort key: column, type, and OUTPUT-order semantics
     * (descending + where nulls land, as Spark's SortOrder states them). */
+  /** One pushed aggregate call: `fn` in {count, min, max}; `column` is
+    * empty for COUNT(*); `dataType` is the PARTIAL result type Spark
+    * merges (LongType for count, the column type for min/max). */
+  private[sources] case class AggSpec(
+      fn: String, column: Option[String], dataType: DataType)
+
   private[sources] case class SortSpec(
       name: String, dataType: DataType, desc: Boolean, nullsFirst: Boolean)
 
@@ -433,7 +440,7 @@ private[sources] class MemoryScanBuilder(
     score: Option[MemoryBucketSource.ScoreSpec])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicate: Option[FilterPredicate] = None
@@ -441,6 +448,7 @@ private[sources] class MemoryScanBuilder(
   private var buckets: Option[Set[Long]] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)] = None
+  private var agg: Option[Seq[MemoryBucketSource.AggSpec]] = None
   private var required: StructType = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -507,12 +515,57 @@ private[sources] class MemoryScanBuilder(
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** PARTIAL aggregate pushdown (the reference's store answers
+    * `count`-style introspection itself — collection point counts,
+    * src/vector_store.rs:300-310): global COUNT(*) / MIN / MAX over
+    * stored orderable columns collapse to ONE row per bucket file
+    * inside the reader — the pushed filters still run in parquet first —
+    * and Spark's final aggregate merges the per-partition partials
+    * (supportCompletePushDown stays false). Anything else — grouping,
+    * other functions, min/max of the computed score or an unorderable
+    * column, or an agg stacked on a pushed limit/top-N — is declined
+    * and the plain scan stands. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty ||
+        topN.isDefined || limit.isDefined) return false
+    val scoreOut = score.map(_.output)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def fieldFor(n: String): Option[StructField] =
+      tableSchema.fields.find(_.name == n)
+        .filter(f => MemoryBucketSource.orderable(f.dataType) &&
+          !scoreOut.contains(n))
+    val specs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some(MemoryBucketSource.AggSpec("count", None, LongType))
+      case m: Min => colName(m.column()).flatMap(fieldFor)
+        .map(f => MemoryBucketSource.AggSpec("min", Some(f.name), f.dataType))
+      case m: Max => colName(m.column()).flatMap(fieldFor)
+        .map(f => MemoryBucketSource.AggSpec("max", Some(f.name), f.dataType))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
+    else {
+      val flat = specs.flatten
+      agg = Some(flat)
+      // positional contract: Spark matches partial-agg output by order
+      required = StructType(flat.zipWithIndex.map { case (s, i) =>
+        StructField(s"__agg_$i", s.dataType, nullable = s.fn != "count")
+      })
+      true
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (agg.isEmpty) required = requiredSchema
 
   override def build(): Scan =
     new MemoryScan(path, required, predicate, buckets, limit, topN, pushed,
-      score, scorePreds)
+      score, scorePreds, agg)
 }
 
 private[sources] case class FileInputPartition(file: String) extends InputPartition
@@ -524,7 +577,8 @@ private[sources] class MemoryScan(
     topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
     pushed: Array[Filter],
     score: Option[MemoryBucketSource.ScoreSpec],
-    scorePreds: Seq[MemoryBucketSource.ScorePred]) extends Scan with Batch {
+    scorePreds: Seq[MemoryBucketSource.ScorePred],
+    agg: Option[Seq[MemoryBucketSource.AggSpec]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -535,17 +589,19 @@ private[sources] class MemoryScan(
     }
     val sc = score.fold("none")(sp =>
       s"${sp.metric}(${sp.column}, [${sp.vec.length}d]) AS ${sp.output}")
+    val ag = agg.fold("none")(_.map(a =>
+      s"${a.fn}(${a.column.getOrElse("*")})").mkString("[", ", ", "]"))
     s"GraftMemoryBucketScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${limit.getOrElse(-1)}, PushedTopN: $t, " +
-      s"PushedScore: $sc, Buckets: $b"
+      s"PushedScore: $sc, PushedAggregates: $ag, Buckets: $b"
   }
   override def planInputPartitions(): Array[InputPartition] =
     MemoryBucketSource.listFiles(path, buckets)
       .map(FileInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MemoryReaderFactory(required, predicate, limit, topN,
-      pushed.flatMap(_.references).distinct.toSeq, score, scorePreds)
+      pushed.flatMap(_.references).distinct.toSeq, score, scorePreds, agg)
 }
 
 private[sources] class MemoryReaderFactory(
@@ -554,10 +610,83 @@ private[sources] class MemoryReaderFactory(
     topN: Option[(Seq[MemoryBucketSource.SortSpec], Int)],
     filterCols: Seq[String],
     score: Option[MemoryBucketSource.ScoreSpec],
-    scorePreds: Seq[MemoryBucketSource.ScorePred]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GroupRowReader(p.asInstanceOf[FileInputPartition].file,
-      required, predicate, limit, topN, filterCols, score, scorePreds)
+    scorePreds: Seq[MemoryBucketSource.ScorePred],
+    agg: Option[Seq[MemoryBucketSource.AggSpec]]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[FileInputPartition].file
+    agg match {
+      case Some(specs) =>
+        // inner reader scans the agg INPUT columns (plus filter/score
+        // needs) through the same parquet predicate path; the wrapper
+        // folds it to one partial row
+        val inputs = specs.flatMap(a => a.column.map(c =>
+          StructField(c, a.dataType)))
+        val dedup = inputs.groupBy(_.name).map(_._2.head).toArray
+        new AggPartialReader(specs,
+          new GroupRowReader(file, StructType(dedup), predicate, None, None,
+            filterCols, score, scorePreds))
+      case None =>
+        new GroupRowReader(file, required, predicate, limit, topN,
+          filterCols, score, scorePreds)
+    }
+  }
+}
+
+/** Folds a partition's filtered rows into ONE partial-aggregate row
+  * (count / min / max per [[MemoryBucketSource.AggSpec]]); Spark's final
+  * aggregate merges the per-file partials. Nulls never win min/max
+  * (Spark's semantics); an empty partition still emits its zero-count
+  * row so COUNT(*) sums correctly. */
+private[sources] class AggPartialReader(
+    specs: Seq[MemoryBucketSource.AggSpec],
+    inner: GroupRowReader) extends PartitionReader[InternalRow] {
+  private val innerSchema = inner.requiredSchema
+  private var done = false
+  private var row: InternalRow = _
+
+  private def fold(): InternalRow = {
+    var count = 0L
+    val acc = new Array[Any](specs.length)
+    while (inner.next()) {
+      val r = inner.get()
+      count += 1
+      var i = 0
+      while (i < specs.length) {
+        val s = specs(i)
+        if (s.column.isDefined) {
+          val idx = innerSchema.fieldIndex(s.column.get)
+          val v = if (r.isNullAt(idx)) null else r.get(idx, s.dataType)
+          if (v != null) {
+            val cmp = MemoryBucketSource.compareKey(acc(i), v,
+              MemoryBucketSource.SortSpec(s.column.get, s.dataType,
+                desc = false, nullsFirst = false))
+            // nullsFirst=false puts null acc AFTER v (cmp > 0) → replace
+            if (acc(i) == null ||
+                (s.fn == "min" && cmp > 0) || (s.fn == "max" && cmp < 0))
+              acc(i) = v
+          }
+        }
+        i += 1
+      }
+    }
+    val out = new GenericInternalRow(specs.length)
+    var i = 0
+    while (i < specs.length) {
+      if (specs(i).fn == "count") out.update(i, count)
+      else out.update(i, acc(i))
+      i += 1
+    }
+    out
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    row = fold()
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Row-by-row parquet reader over the example Group API — the pushed
@@ -575,6 +704,9 @@ private[sources] class GroupRowReader(
     score: Option[MemoryBucketSource.ScoreSpec],
     scorePreds: Seq[MemoryBucketSource.ScorePred])
     extends PartitionReader[InternalRow] {
+
+  /** Output schema, for the aggregate wrapper's field lookups. */
+  private[sources] def requiredSchema: StructType = required
 
   private def isScoreCol(name: String): Boolean = score.exists(_.output == name)
 

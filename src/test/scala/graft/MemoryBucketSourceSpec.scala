@@ -239,4 +239,43 @@ class MemoryBucketSourceSpec extends SparkSpec {
         s"m-$i lookup missed its bucket")
     }
   }
+
+  test("global count/min/max push into the store; per-file partials merge correctly") {
+    val df = source.where($"label" === 2)
+      .agg(expr("count(*)").as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [count(*), min(id), max(id)]"),
+      s"aggregate not pushed:\n$plan")
+    val got = df.as[(Long, Long, Long)].collect().head
+    val exp = MemoryOps.readBucketed(spark, storeDir).where($"label" === 2)
+      .agg(expr("count(*)").as("n"), min($"id").as("lo"), max($"id").as("hi"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == exp && got._1 > 0)
+    // unfiltered: zero data rows cross the scan, only one partial/file
+    val all = source.agg(expr("count(*)"), max($"label"))
+    assert(all.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [count(*), max(label)]"))
+    assert(all.as[(Long, Int)].collect().head ==
+      MemoryOps.readBucketed(spark, storeDir)
+        .agg(expr("count(*)"), max($"label")).as[(Long, Int)].collect().head)
+  }
+
+  test("aggregate pushdown declines grouping, avg, and the computed score column") {
+    // GROUP BY → declined, plain scan stands, result still right
+    val grouped = source.groupBy($"lang").agg(expr("count(*)").as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: none"))
+    val got = grouped.orderBy($"lang").as[(String, Long)].collect().toSeq
+    val exp = MemoryOps.readBucketed(spark, storeDir)
+      .groupBy($"lang").agg(expr("count(*)").as("n"))
+      .orderBy($"lang").as[(String, Long)].collect().toSeq
+    assert(got == exp && got.nonEmpty)
+    // AVG (unsupported func) → declined, correct through the plain path
+    val avg1 = source.agg(avg($"label"))
+    assert(avg1.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: none"))
+    assert(avg1.as[Double].collect().head ==
+      MemoryOps.readBucketed(spark, storeDir).agg(avg($"label"))
+        .as[Double].collect().head)
+  }
 }
