@@ -123,7 +123,12 @@ object ScaleProbe {
     "chi1_chisq", "mw1_mann_whitney", "cpd1_cusum", "ccf1_cross_correlation",
     "kl1_corpus_divergence", "pt1_perm_test", "tm1_trimmed_mean",
     "als1_rank1", "ols1_multi_regression", "rdv1_rendezvous",
-    "ps1_priority_sample", "lnk1_adamic_adar")
+    "ps1_priority_sample", "lnk1_adamic_adar",
+    // grouped sign-flip explode + bounded 25-row BH step-up (pt1's
+    // argument per group). (dbs1 is excluded like hn1: its block is
+    // fixed at 500 vectors by construction; src3 is a source-path scan,
+    // benched with src1/src2.)
+    "bh1_fdr_nations")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
