@@ -1,0 +1,468 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** Round 6 (cont. 4) — second-order statistics a curation pipeline runs
+  * after the first-order profiles: rank (Spearman) correlation, graph
+  * degree assortativity, the embedding covariance matrix, kNN label
+  * voting, classical seasonal decomposition, mutual information between
+  * categorical columns, and Welch's unequal-variance t-test. Same
+  * contract as [[Queries]]: every query has a DuckDB oracle mirror and
+  * every double that crosses an aggregation boundary accumulates in
+  * DECIMAL so both engines sum identically.
+  */
+object Queries33 {
+
+  /** Pearson correlation from DECIMAL-exact moments (all doubles). */
+  private def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column, syy: Column): Column =
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+
+  // ---------------------------------------------------------------------
+  // SPR1: Spearman rank correlation among lineitem's quantity / price /
+  // discount — q17's Pearson family made robust to monotone transforms
+  // and outliers (the form a data-quality screen wants on heavy-tailed
+  // columns). Ranks are tie-AVERAGED and DOUBLED so they stay exact
+  // LONGs end-to-end (Pearson is affine-invariant, so corr(2r_x, 2r_y)
+  // = corr(r_x, r_y) with no fractional arithmetic anywhere). Scale:
+  // ranks come from Ranks.withAvgRank2 — distinct-value prefix sums +
+  // a value-keyed join back, never a global per-row sort; the moment
+  // scan is ONE aggregation for all three pairs.
+  // ---------------------------------------------------------------------
+  private[graft] val SprCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  def spr1Spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(SprCols.map(c => col(c)): _*)
+    val ranked = SprCols.foldLeft(li)((d, c) =>
+      Ranks.withAvgRank2(d, s"__r_$c", c))
+    def s1(c: String) =
+      sum(col(s"__r_$c").cast("decimal(20,0)")).cast("double").as(s"__s_$c")
+    def s2(a: String, b: String) =
+      sum((col(s"__r_$a").cast("decimal(19,0)") * col(s"__r_$b"))
+        .cast("decimal(38,0)")).cast("double").as(s"__s_${a}_$b")
+    val momentAggs = SprCols.map(s1) ++
+      (for (a <- SprCols; b <- SprCols if a <= b) yield s2(a, b))
+    val m = ranked.agg(count(lit(1)).cast("double").as("__n"), momentAggs: _*)
+    val pairs = for (a <- SprCols; b <- SprCols if a < b) yield (a, b)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(pearson(col("__n"), col(s"__s_$a"), col(s"__s_$b"),
+          col(s"__s_${a}_$b"), col(s"__s_${a}_$a"), col(s"__s_${b}_$b")), 6)
+          .as("spearman"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  val spr1SpearmanSql: String = {
+    def r2(c: String) =
+      s"2 * RANK() OVER (ORDER BY $c) + COUNT(*) OVER (PARTITION BY $c) - 1"
+    val rankCols = SprCols.map(c => s"${r2(c)} AS r_$c").mkString(",\n    ")
+    def s1(c: String) =
+      s"CAST(SUM(CAST(r_$c AS DECIMAL(20,0))) AS DOUBLE) AS s_$c"
+    def s2(a: String, b: String) =
+      s"CAST(SUM(CAST(CAST(r_$a AS DECIMAL(19,0)) * r_$b AS DECIMAL(38,0))) AS DOUBLE) AS s_${a}_$b"
+    val moments = (SprCols.map(s1) ++
+      (for (a <- SprCols; b <- SprCols if a <= b) yield s2(a, b)))
+      .mkString(",\n    ")
+    val pairs = for (a <- SprCols; b <- SprCols if a < b) yield (a, b)
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  round((n * s_${a}_$b - s_$a * s_$b)
+         |    / (sqrt(n * s_${a}_$a - s_$a * s_$a)
+         |       * sqrt(n * s_${b}_$b - s_$b * s_$b)), 6) AS spearman
+         |FROM m""".stripMargin
+    }
+    s"""WITH r AS (
+       |  SELECT
+       |    $rankCols
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $moments
+       |  FROM r)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // AST1: degree assortativity of the customer–supplier trade graph —
+  // Newman's "do hubs trade with hubs" coefficient, the one-number
+  // summary that predicts whether graph partitioning will be easy
+  // (disassortative hub-spoke) or hard (assortative core). Pearson over
+  // the endpoint degrees of every directed edge of the mirrored list;
+  // affine invariance makes the remaining-degree (-1) shift a no-op.
+  // Scale: one degree aggregation + two degree joins keyed on the edge
+  // endpoints + a single moment scan — all long-exact in DECIMAL.
+  // ---------------------------------------------------------------------
+  def ast1Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Queries29.tradeEdges(spark, sfDir)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val j = e
+      .join(deg.select(col("node").as("src"), col("deg").as("__dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("__dy")), Seq("dst"))
+    def s1(c: String, out: String) =
+      sum(col(c).cast("decimal(20,0)")).cast("double").as(out)
+    def s2(a: String, b: String, out: String) =
+      sum((col(a).cast("decimal(19,0)") * col(b)).cast("decimal(38,0)"))
+        .cast("double").as(out)
+    j.agg(count(lit(1)).as("n_edges"),
+        s1("__dx", "__sx"), s1("__dy", "__sy"), s2("__dx", "__dy", "__sxy"),
+        s2("__dx", "__dx", "__sxx"), s2("__dy", "__dy", "__syy"))
+      .select(col("n_edges"),
+        round(pearson(col("n_edges").cast("double"), col("__sx"), col("__sy"),
+          col("__sxy"), col("__sxx"), col("__syy")), 6).as("assortativity"))
+  }
+
+  val ast1AssortativitySql: String =
+    s"""WITH ${Queries29.TradeEdgesSql},
+       |d AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |      FROM e GROUP BY 1),
+       |j AS (SELECT dx.deg AS x, dy.deg AS y
+       |      FROM e JOIN d dx ON dx.node = e.src
+       |      JOIN d dy ON dy.node = e.dst),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |    CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(20,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,0)))
+       |      AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)))
+       |      AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0)))
+       |      AS DOUBLE) AS syy
+       |  FROM j)
+       |SELECT n_edges,
+       |  round((CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+       |    / (sqrt(CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+       |       * sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
+       |    AS assortativity
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // COV1: the embedding covariance matrix (leading CovDims dims, all
+  // pairs) in ONE scan — the input PCA, whitening, and feature-redundancy
+  // checks all start from. Every first and cross moment is a DECIMAL
+  // accumulator in a single aggregation; the 1-row result explodes into
+  // the pair rows (q17's one-scan shape generalized to 28 pairs). Scale:
+  // a full d×d Gram at d=64 is 2,080 accumulators — still one map-side-
+  // combined scan; CovDims bounds the demo output, not the technique.
+  // ---------------------------------------------------------------------
+  private[graft] val CovDims = 8
+
+  def cov1EmbeddingCov(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = 1 to CovDims
+    val b = Tables.embeddings(spark, sfDir).select(
+      dims.map(i => element_at(col("embedding"), i).cast("double").as(s"__x$i")): _*)
+    val aggs = dims.map(i =>
+      sum(col(s"__x$i").cast("decimal(28,12)")).cast("double").as(s"__s$i")) ++
+      (for (i <- dims; j <- dims if i < j) yield
+        sum((col(s"__x$i") * col(s"__x$j")).cast("decimal(28,12)"))
+          .cast("double").as(s"__s${i}_$j"))
+    val m = b.agg(count(lit(1)).cast("double").as("__n"), aggs: _*)
+    val pairStructs = for (i <- dims; j <- dims if i < j) yield
+      struct(lit(i).as("dim_i"), lit(j).as("dim_j"),
+        round(col(s"__s${i}_$j") / col("__n") -
+          (col(s"__s$i") / col("__n")) * (col(s"__s$j") / col("__n")), 6)
+          .as("cov"))
+    m.select(explode(array(pairStructs: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  val cov1EmbeddingCovSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
+       |  FROM range(1, ${CovDims + 1}) a(i), range(1, ${CovDims + 1}) b(j)
+       |  WHERE a.i < b.j),
+       |m AS (
+       |  SELECT x.i, x.j, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(CAST(e.embedding[x.i] AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS si,
+       |    CAST(SUM(CAST(CAST(e.embedding[x.j] AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS sj,
+       |    CAST(SUM(CAST(CAST(e.embedding[x.i] AS DOUBLE)
+       |      * CAST(e.embedding[x.j] AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS sij
+       |  FROM embeddings e, x GROUP BY 1, 2)
+       |SELECT i AS dim_i, j AS dim_j,
+       |  round(sij / n - (si / n) * (sj / n), 6) AS cov
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KNN1: k-nearest-neighbour label voting over a bounded embedding
+  // block — the classifier sanity check "do embedding neighbourhoods
+  // predict labels", reported as the actual×predicted confusion matrix.
+  // Every 20th vector is the held-out test slice; its 5 nearest train
+  // vectors by cosine (tie-break id) vote, ties broken toward the
+  // smaller label — both engines deterministic. Scale: this block's
+  // brute-force scoring is the a1-style baseline; at corpus scale the
+  // candidate set comes from the ANN bucket families (a2-a7) and the
+  // vote/confusion dataflow is unchanged.
+  // ---------------------------------------------------------------------
+  private[graft] val KnnBlock = 4000L
+  private[graft] val KnnK = 5
+  private[graft] val KnnTestMod = 20L
+  private[graft] val KnnTestRes = 7L
+
+  def knn1LabelVote(spark: SparkSession, sfDir: String): DataFrame = {
+    val block = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < KnnBlock)
+    val isTest = col("vec_id") % KnnTestMod === KnnTestRes
+    val test = block.where(isTest).select(col("vec_id").as("__tid"),
+      col("embedding").as("__te"), col("label").as("__actual"))
+    val train = block.where(!isTest).select(col("vec_id").as("__nid"),
+      col("embedding").as("__ne"), col("label").as("__pl"))
+    val scored = train.crossJoin(broadcast(test))
+      .withColumn("__s", graft.functions.Native.cosineSim(col("__te"), col("__ne")))
+    val wTop = Window.partitionBy(col("__tid"))
+      .orderBy(col("__s").desc, col("__nid").asc)
+    val votes = scored.withColumn("__rn", row_number().over(wTop))
+      .where(col("__rn") <= KnnK)
+      .groupBy(col("__tid"), col("__actual"), col("__pl"))
+      .agg(count(lit(1)).as("__v"))
+    val wVote = Window.partitionBy(col("__tid"))
+      .orderBy(col("__v").desc, col("__pl").asc)
+    votes.withColumn("__rv", row_number().over(wVote)).where(col("__rv") === 1)
+      .groupBy(col("__actual").as("actual"), col("__pl").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val knn1LabelVoteSql: String = {
+    val c = Queries.sqlCosine("te.embedding", "tr.embedding")
+    s"""WITH te AS (
+       |  SELECT vec_id AS tid, embedding, label AS actual FROM embeddings
+       |  WHERE vec_id < $KnnBlock AND vec_id % $KnnTestMod = $KnnTestRes),
+       |tr AS (
+       |  SELECT vec_id AS nid, embedding, label AS pl FROM embeddings
+       |  WHERE vec_id < $KnnBlock AND vec_id % $KnnTestMod <> $KnnTestRes),
+       |sc AS (SELECT tid, actual, nid, pl, $c AS s FROM te, tr),
+       |top AS (SELECT tid, actual, pl FROM (
+       |    SELECT tid, actual, pl,
+       |      ROW_NUMBER() OVER (PARTITION BY tid ORDER BY s DESC, nid ASC)
+       |        AS rn
+       |    FROM sc) WHERE rn <= $KnnK),
+       |v AS (SELECT tid, actual, pl, COUNT(*) AS c FROM top GROUP BY 1, 2, 3),
+       |p AS (SELECT tid, actual, pl FROM (
+       |    SELECT tid, actual, pl,
+       |      ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, pl ASC) AS r
+       |    FROM v) WHERE r = 1)
+       |SELECT actual, pl AS predicted, COUNT(*) AS n
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // DEC1: classical additive seasonal decomposition of daily revenue —
+  // trend = centered 7-day moving average (full windows only), seasonal
+  // = day-of-week mean of the detrended series re-centered to sum 0,
+  // remainder RMSE per day-of-week. fc1 backtests a seasonal-naive
+  // FORECAST; this extracts the decomposition itself. Determinism: the
+  // detrended value is kept as the EXACT DECIMAL 7·y − Σ₇y (no division
+  // until after the decimal group sums), remainder squares accumulate
+  // in DECIMAL. The global window runs over the daily aggregate — a
+  // calendar-bounded table (~2.4k rows at ANY corpus size), the one
+  // place a single-partition window is the honest plan.
+  // ---------------------------------------------------------------------
+  def dec1SeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
+      .withColumn("__dow",
+        pmod(datediff(col("t"), to_date(lit("1995-01-02"))), lit(7)))
+    val w = Window.orderBy(col("t")).rowsBetween(-3, 3)
+    val full = daily
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__tsum", sum(col("__rev")).over(w))
+      .where(col("__cnt") === 7)
+      .select(col("__dow"),
+        (col("__rev") * 7 - col("__tsum")).cast("decimal(28,2)").as("__d7"))
+    val byDow = full.groupBy(col("__dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__d7")).as("__s7"))
+      .withColumn("__raw",
+        col("__s7").cast("double") / (col("n_days").cast("double") * 7))
+    val grand = byDow.agg((sum(col("__s7")).cast("double") /
+      (sum(col("n_days")).cast("double") * 7)).as("__g"))
+    val resid = full.join(broadcast(byDow.select(col("__dow"), col("__raw"))),
+        Seq("__dow"))
+      .select(col("__dow"),
+        ((col("__d7").cast("double") / 7 - col("__raw")) *
+          (col("__d7").cast("double") / 7 - col("__raw")))
+          .cast("decimal(28,12)").as("__sq"))
+      .groupBy(col("__dow")).agg(sum(col("__sq")).as("__ss"))
+    byDow.join(resid, Seq("__dow")).crossJoin(broadcast(grand))
+      .select(col("__dow").as("dow"), col("n_days"),
+        round(col("__raw") - col("__g"), 6).as("seasonal"),
+        round(sqrt(col("__ss").cast("double") /
+          col("n_days").cast("double")), 6).as("rmse_remainder"))
+  }
+
+  val dec1SeasonalDecomposeSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS t,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |dw AS (
+      |  SELECT t, rev,
+      |    ((CAST(t - DATE '1995-01-02' AS INTEGER) % 7) + 7) % 7 AS dow,
+      |    COUNT(*) OVER w AS cnt, SUM(rev) OVER w AS tsum
+      |  FROM d WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING
+      |    AND 3 FOLLOWING)),
+      |f AS (SELECT dow, CAST(rev * 7 - tsum AS DECIMAL(28,2)) AS d7
+      |      FROM dw WHERE cnt = 7),
+      |bd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |        SUM(d7) AS s7 FROM f GROUP BY 1),
+      |g AS (SELECT CAST(SUM(s7) AS DOUBLE)
+      |        / (CAST(SUM(n_days) AS DOUBLE) * 7) AS gm FROM bd),
+      |r AS (SELECT f.dow,
+      |    SUM(CAST((CAST(d7 AS DOUBLE) / 7
+      |        - CAST(s7 AS DOUBLE) / (CAST(n_days AS DOUBLE) * 7))
+      |      * (CAST(d7 AS DOUBLE) / 7
+      |        - CAST(s7 AS DOUBLE) / (CAST(n_days AS DOUBLE) * 7))
+      |      AS DECIMAL(28,12))) AS ss
+      |  FROM f JOIN bd USING (dow) GROUP BY 1)
+      |SELECT bd.dow AS dow, bd.n_days AS n_days,
+      |  round(CAST(bd.s7 AS DOUBLE) / (CAST(bd.n_days AS DOUBLE) * 7)
+      |    - g.gm, 6) AS seasonal,
+      |  round(sqrt(CAST(r.ss AS DOUBLE) / CAST(bd.n_days AS DOUBLE)), 6)
+      |    AS rmse_remainder
+      |FROM bd JOIN r ON r.dow = bd.dow, g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MI1: mutual information I(lang; source) over documents — the
+  // feature-dependency number that tells a mixture designer whether
+  // language and source can be balanced independently (chi1 tests the
+  // same dependence; MI measures it in bits). One contingency
+  // aggregation + broadcast marginals; each cell's term is DECIMAL-cast
+  // before the (tiny) sum so both engines add identically. Also reports
+  // both entropies and the geometric-mean-normalized NMI.
+  // ---------------------------------------------------------------------
+  def mi1LangSourceMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // marginals + joint consumers
+    val ml = cells.groupBy(col("lang")).agg(sum(col("__c")).as("__cl"))
+    val ms = cells.groupBy(col("source")).agg(sum(col("__c")).as("__cs"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(n))
+        .select(((-(col(cnt) / col("__n")) * log2(col(cnt) / col("__n")))
+          .cast("decimal(28,14)")).as("__t"))
+        .agg(sum(col("__t")).cast("double").as(out))
+    val mi = cells.join(broadcast(ml), Seq("lang"))
+      .join(broadcast(ms), Seq("source")).crossJoin(broadcast(n))
+      .select(((col("__c") / col("__n")) *
+        log2((col("__c") * col("__n")).cast("double") /
+          (col("__cl") * col("__cs")).cast("double")))
+        .cast("decimal(28,14)").as("__t"))
+      .agg(sum(col("__t")).cast("double").as("__mi"))
+    n.crossJoin(broadcast(entropy(ml, "__cl", "__hl")))
+      .crossJoin(broadcast(entropy(ms, "__cs", "__hs")))
+      .crossJoin(broadcast(mi))
+      .select(col("__n").as("n"),
+        round(col("__hl"), 6).as("h_lang"),
+        round(col("__hs"), 6).as("h_source"),
+        round(col("__mi"), 6).as("mi_bits"),
+        round(col("__mi") / sqrt(col("__hl") * col("__hs")), 6).as("nmi"))
+  }
+
+  val mi1LangSourceMiSql: String =
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |ml AS (SELECT lang, SUM(c) AS cl FROM c GROUP BY 1),
+      |ms AS (SELECT source, SUM(c) AS cs FROM c GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      |hl AS (SELECT CAST(SUM(CAST(-(cl / n.n) * log2(cl / n.n)
+      |         AS DECIMAL(28,14))) AS DOUBLE) AS h FROM ml, n),
+      |hs AS (SELECT CAST(SUM(CAST(-(cs / n.n) * log2(cs / n.n)
+      |         AS DECIMAL(28,14))) AS DOUBLE) AS h FROM ms, n),
+      |mi AS (SELECT CAST(SUM(CAST((c.c / n.n)
+      |         * log2(CAST(c.c * n.n AS DOUBLE)
+      |                / CAST(ml.cl * ms.cs AS DOUBLE))
+      |         AS DECIMAL(28,14))) AS DOUBLE) AS mi
+      |       FROM c JOIN ml USING (lang) JOIN ms USING (source), n)
+      |SELECT n.n AS n, round(hl.h, 6) AS h_lang, round(hs.h, 6) AS h_source,
+      |  round(mi.mi, 6) AS mi_bits,
+      |  round(mi.mi / sqrt(hl.h * hs.h), 6) AS nmi
+      |FROM n, hl, hs, mi""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // WEL1: Welch's unequal-variance t-test — urgent vs non-urgent order
+  // value, with the Welch–Satterthwaite effective degrees of freedom.
+  // Completes the two-sample family: mw1 is the rank test, pt1 the
+  // permutation test, this the parametric one a dashboard quotes. ONE
+  // conditional-aggregate scan (six DECIMAL moments); only scalars
+  // leave the scan. Near-zero t on TPC-H's priority-independent
+  // generator is the expected honest finding.
+  // ---------------------------------------------------------------------
+  def wel1WelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      (col("o_orderpriority") === "1-URGENT").as("__a"),
+      col("o_totalprice").cast("double").as("__x"))
+    def m(flag: Boolean, suffix: String) = Seq(
+      count(when(col("__a") === flag, 1)).as(s"__n$suffix"),
+      sum(when(col("__a") === flag, col("__x")).cast("decimal(28,6)"))
+        .cast("double").as(s"__s$suffix"),
+      sum(when(col("__a") === flag, col("__x") * col("__x"))
+        .cast("decimal(38,8)")).cast("double").as(s"__q$suffix"))
+    val agg = o.agg(m(true, "a").head, (m(true, "a").tail ++ m(false, "b")): _*)
+    def mean(s: String) = col(s"__s$s") / col(s"__n$s")
+    def varS(s: String) = (col(s"__q$s") - col(s"__s$s") * col(s"__s$s") /
+      col(s"__n$s")) / (col(s"__n$s") - 1)
+    def se2(s: String) = varS(s) / col(s"__n$s")
+    val df = (se2("a") + se2("b")) * (se2("a") + se2("b")) /
+      (se2("a") * se2("a") / (col("__na") - 1) +
+       se2("b") * se2("b") / (col("__nb") - 1))
+    agg.select(col("__na").as("n_urgent"), col("__nb").as("n_other"),
+      round(mean("a") - mean("b"), 6).as("mean_diff"),
+      round((mean("a") - mean("b")) / sqrt(se2("a") + se2("b")), 6)
+        .as("t_stat"),
+      round(df, 6).as("df"))
+  }
+
+  val wel1WelchTtestSql: String = {
+    def m(cond: String, s: String) =
+      s"""CAST(COUNT(CASE WHEN $cond THEN 1 END) AS BIGINT) AS n$s,
+         |    CAST(SUM(CAST(CASE WHEN $cond THEN x END AS DECIMAL(28,6)))
+         |      AS DOUBLE) AS s$s,
+         |    CAST(SUM(CAST(CASE WHEN $cond THEN x * x END AS DECIMAL(38,8)))
+         |      AS DOUBLE) AS q$s""".stripMargin
+    def mean(s: String) = s"(s$s / n$s)"
+    def varS(s: String) = s"((q$s - s$s * s$s / n$s) / (n$s - 1))"
+    def se2(s: String) = s"(${varS(s)} / n$s)"
+    val sumSe2 = s"(${se2("a")} + ${se2("b")})"
+    s"""WITH o AS (
+       |  SELECT o_orderpriority = '1-URGENT' AS a,
+       |    CAST(o_totalprice AS DOUBLE) AS x
+       |  FROM orders),
+       |m AS (
+       |  SELECT ${m("a", "a")},
+       |    ${m("NOT a", "b")}
+       |  FROM o)
+       |SELECT na AS n_urgent, nb AS n_other,
+       |  round(${mean("a")} - ${mean("b")}, 6) AS mean_diff,
+       |  round((${mean("a")} - ${mean("b")}) / sqrt($sumSe2), 6) AS t_stat,
+       |  round($sumSe2 * $sumSe2
+       |    / (${se2("a")} * ${se2("a")} / (na - 1)
+       |       + ${se2("b")} * ${se2("b")} / (nb - 1)), 6) AS df
+       |FROM m""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spr1_spearman"        -> (spr1Spearman _),
+    "ast1_assortativity"   -> (ast1Assortativity _),
+    "cov1_embedding_cov"   -> (cov1EmbeddingCov _),
+    "knn1_label_vote"      -> (knn1LabelVote _),
+    "dec1_seasonal_decompose" -> (dec1SeasonalDecompose _),
+    "mi1_lang_source_mi"   -> (mi1LangSourceMi _),
+    "wel1_welch_ttest"     -> (wel1WelchTtest _))
+
+  val oracles: Map[String, String] = Map(
+    "spr1_spearman"        -> spr1SpearmanSql,
+    "ast1_assortativity"   -> ast1AssortativitySql,
+    "cov1_embedding_cov"   -> cov1EmbeddingCovSql,
+    "knn1_label_vote"      -> knn1LabelVoteSql,
+    "dec1_seasonal_decompose" -> dec1SeasonalDecomposeSql,
+    "mi1_lang_source_mi"   -> mi1LangSourceMiSql,
+    "wel1_welch_ttest"     -> wel1WelchTtestSql)
+}

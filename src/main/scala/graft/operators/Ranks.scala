@@ -86,6 +86,22 @@ object Ranks {
     }.drop("__pid" +: sums.map { case (v, _) => s"__off_$v" }: _*)
   }
 
+  /** Adds `outCol` = 2× the tie-AVERAGED global rank of `valueCol` — the
+    * fractional ranks Spearman correlation needs, doubled so they stay
+    * exact LONGs (avg rank of a tie group is B + (c+1)/2 for B rows
+    * below and c ties, so 2×rank = 2B + c + 1 is always integral).
+    * Scale path: rank the DISTINCT-value table (one groupBy + the
+    * running-sum machinery above), then join back — never a global
+    * per-row sort. The distinct table can itself be huge (continuous
+    * keys); both its prefix sum and the join-back shuffle on the value. */
+  def withAvgRank2(df: DataFrame, outCol: String, valueCol: String): DataFrame = {
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val ranks = withRunningSums(cnts, Seq(("__c", "__cum")), Seq(col(valueCol)))
+      .select(col(valueCol),
+        (col("__cum") * 2 - col("__c") + 1).as(outCol))
+    df.join(ranks, Seq(valueCol))
+  }
+
   /** Adds `tileCol` = exact NTILE(k) under `sortCols` (total order),
     * reproducing SQL NTILE's uneven-split rule: with N = q·k + r, the
     * first r tiles carry q+1 rows. N comes from the same offsets pass

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ranks
+
+class Queries33Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ avg-rank helper
+
+  test("withAvgRank2: doubled tie-averaged ranks are exact longs") {
+    val df = Seq(10, 20, 20, 30).toDF("x")
+    val got = Ranks.withAvgRank2(df, "r2", "x")
+      .select("x", "r2").as[(Int, Long)].collect().toMap
+    // ranks: 10 -> 1, 20 -> (2+3)/2 = 2.5, 30 -> 4; doubled: 2, 5, 8
+    assert(got == Map(10 -> 2L, 20 -> 5L, 30 -> 8L))
+  }
+
+  test("spearman is invariant under a strictly monotone transform") {
+    val df = (1 to 40).map(i => (i.toDouble, (i * i).toDouble)).toDF("x", "y")
+    val ranked = Ranks.withAvgRank2(Ranks.withAvgRank2(df, "rx", "x"), "ry", "y")
+    // y = x² is monotone on positive x, so rank sequences are identical
+    assert(ranked.where(col("rx") =!= col("ry")).count() == 0)
+  }
+
+  // ------------------------------------------------------ spr1 / ast1
+
+  test("spr1: three pairs, every coefficient in [-1, 1], runs deterministic") {
+    val rows = Queries33.spr1Spearman(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 3)
+    assert(rows.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
+    // the range partitioner samples; ranks (and thus the coefficient)
+    // must not depend on where its boundaries landed
+    val again = Queries33.spr1Spearman(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("ast1: one row, coefficient in [-1, 1]") {
+    val r = Queries33.ast1Assortativity(spark, sf).collect()
+    assert(r.length == 1)
+    val a = r.head.getDouble(1)
+    assert(a >= -1.0 && a <= 1.0)
+    assert(r.head.getLong(0) > 0)
+  }
+
+  // ------------------------------------------------------ cov1
+
+  test("cov1: all upper-triangle pairs, values match covar_pop") {
+    val got = Queries33.cov1EmbeddingCov(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val dims = 1 to Queries33.CovDims
+    assert(got.keySet == (for (i <- dims; j <- dims if i < j) yield (i, j)).toSet)
+    val direct = Tables.embeddings(spark, sf)
+      .select(element_at(col("embedding"), 1).cast("double").as("x1"),
+        element_at(col("embedding"), 2).cast("double").as("x2"))
+      .agg(covar_pop(col("x1"), col("x2"))).head().getDouble(0)
+    assert(math.abs(got((1, 2)) - direct) < 1e-4)
+  }
+
+  // ------------------------------------------------------ knn1
+
+  test("knn1: confusion matrix accounts for every test vector") {
+    val got = Queries33.knn1LabelVote(spark, sf)
+    val nTest = Tables.embeddings(spark, sf)
+      .where(col("vec_id") < Queries33.KnnBlock &&
+        col("vec_id") % Queries33.KnnTestMod === Queries33.KnnTestRes).count()
+    assert(nTest > 0)
+    assert(got.agg(sum(col("n"))).head().getLong(0) == nTest)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("label")).distinct().as[Int].collect().toSet
+    assert(got.select(col("predicted")).as[Int].collect().forall(labels))
+  }
+
+  // ------------------------------------------------------ dec1
+
+  test("dec1: 7 day-of-week rows; weighted seasonal indices sum to ~0") {
+    val rows = Queries33.dec1SeasonalDecompose(spark, sf).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getInt(0)).toSet == (0 to 6).toSet)
+    val weighted = rows.map(r => r.getDouble(2) * r.getLong(1)).sum
+    val totalDays = rows.map(_.getLong(1)).sum
+    assert(math.abs(weighted / totalDays) < 1e-4,
+      s"re-centering must zero the weighted mean, got $weighted")
+    assert(rows.forall(_.getDouble(3) >= 0.0)) // rmse nonnegative
+  }
+
+  // ------------------------------------------------------ mi1 / wel1
+
+  test("mi1: information inequalities hold") {
+    val r = Queries33.mi1LangSourceMi(spark, sf).head()
+    val (hl, hs, mi, nmi) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mi >= 0.0)
+    assert(mi <= math.min(hl, hs) + 1e-6)
+    assert(nmi >= 0.0 && nmi <= 1.0)
+  }
+
+  test("wel1: Welch statistics are internally consistent") {
+    val r = Queries33.wel1WelchTtest(spark, sf).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (diff, t, df) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(na > 0 && nb > 0)
+    assert(diff.sign == t.sign || t == 0.0)
+    // Welch df lies between min(n)-1 and the pooled na+nb-2
+    assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0)
+  }
+}
