@@ -128,7 +128,17 @@ object ScaleProbe {
     // argument per group). (dbs1 is excluded like hn1: its block is
     // fixed at 500 vectors by construction; src3 is a source-path scan,
     // benched with src1/src2.)
-    "bh1_fdr_nations")
+    "bh1_fdr_nations",
+    // round-6 continuation 4: Spearman through the distinct-value rank
+    // machinery (quantity/discount value tables saturate, extendedprice
+    // grows), endpoint-degree assortativity over the thickened same-key
+    // trade graph (pr1's argument), the 28-accumulator covariance
+    // moment scan, day-of-week decomposition over the saturating
+    // calendar series, the bounded lang x source MI grid (chi1's
+    // argument), and the six-moment Welch scan. (knn1 is excluded like
+    // dbs1/hn1: its 4000-vector block is fixed by construction.)
+    "spr1_spearman", "ast1_assortativity", "cov1_embedding_cov",
+    "dec1_seasonal_decompose", "mi1_lang_source_mi", "wel1_welch_ttest")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
