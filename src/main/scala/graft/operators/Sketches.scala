@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable, oracle-exact mergeable sketches — HyperLogLog distinct
+  * counting (Flajolet et al. 2007) and Count-Min frequency estimation
+  * (Cormode & Muthukrishnan 2005) built on the engine's seeded
+  * [[Sampling.bootUniform]] hash so BOTH engines derive bit-identical
+  * registers. Extension surface: the reference has no sketches (its
+  * stores answer exact point queries, src/memory.rs:60-142); a 100 TB
+  * pipeline needs them because registers — not rows — are what 1000
+  * executors ship to the driver: an HLL register table is m longs and a
+  * CM sketch d×w longs REGARDLESS of input size, and both merge
+  * associatively (max for HLL, + for CM), which is exactly the shape of
+  * a map-side-combined groupBy aggregation.
+  *
+  * q12_sketch covers Spark's built-in HLL++/approx-percentile behind
+  * error-bound booleans; these operators make the sketch itself the
+  * oracle-checked artifact.
+  */
+object Sketches {
+
+  /** HLL register table: (reg, rho) with reg in [0, m) and rho the
+    * 1-based position of the "first one bit" drawn geometrically from a
+    * second seeded uniform, capped at `rhoCap`. One groupBy(reg)
+    * max(rho) — mergeable by construction. */
+  def hllRegisters(df: DataFrame, key: Column, m: Int,
+      rhoCap: Int = 30): DataFrame = {
+    val uReg = Sampling.bootUniform(key, lit(1))
+    val uRho = Sampling.bootUniform(key, lit(2))
+    // floor(-log2 u) + 1 ~ Geometric(1/2); u == 0 (probability 1/Mod)
+    // and anything deeper than rhoCap clamp to rhoCap on both engines
+    val rho = least(
+      when(uRho <= 0d, lit(rhoCap))
+        .otherwise(floor(-log2(uRho)).cast("int") + 1),
+      lit(rhoCap))
+    df.select(floor(uReg * m).cast("int").as("reg"), rho.as("__rho"))
+      .groupBy(col("reg")).agg(max(col("__rho")).as("rho"))
+  }
+
+  /** The standard HLL estimate from a register table, with the
+    * small-range (linear-counting) correction. All divisions happen on
+    * DECIMAL-exact sums, so both engines compute the same double.
+    * Returns one row: (m, n_registers, raw_est, est). */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).as("__present"),
+        sum(pow(lit(2.0), -col("rho")).cast("decimal(28,14)")).as("__z"))
+      .select(lit(m).as("m"), col("__present").as("n_registers"),
+        (col("__z").cast("double") + (lit(m) - col("__present"))
+          .cast("double")).as("__zsum"),
+        col("__present"))
+      .select(col("m"), col("n_registers"),
+        (lit(alpha * m.toDouble * m.toDouble) / col("__zsum")).as("raw_est"),
+        // linear counting when raw <= 2.5m and empty registers remain
+        when(lit(alpha * m.toDouble * m.toDouble) / col("__zsum")
+            <= lit(2.5 * m) && col("n_registers") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m) - col("n_registers")).cast("double")))
+          .otherwise(lit(alpha * m.toDouble * m.toDouble) / col("__zsum"))
+          .as("est"))
+  }
+
+  /** SQL mirrors of the above (DuckDB), same constants and clamps. */
+  def hllRegistersSql(rel: String, key: String, m: Int,
+      rhoCap: Int = 30): String = {
+    val uReg = SamplingSql.bootUniform(key, "1")
+    val uRho = SamplingSql.bootUniform(key, "2")
+    s"""SELECT CAST(floor($uReg * $m) AS INTEGER) AS reg,
+       |  MAX(LEAST(CASE WHEN $uRho <= 0 THEN $rhoCap
+       |    ELSE CAST(floor(-log2($uRho)) AS INTEGER) + 1 END, $rhoCap))
+       |    AS rho
+       |FROM $rel GROUP BY 1""".stripMargin
+  }
+
+  def hllEstimateSql(registersRel: String, m: Int): String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // ONE precomputed double literal (DuckDB would otherwise parse the
+    // alpha literal as DECIMAL and overflow on * m * m); Double.toString
+    // round-trips exactly, so both engines divide by the same value
+    val amm = s"CAST(${alpha * m.toDouble * m.toDouble} AS DOUBLE)"
+    s"""SELECT $m AS m, n_registers, $amm / zsum AS raw_est,
+       |  CASE WHEN $amm / zsum <= 2.5 * $m AND n_registers < $m
+       |    THEN CAST($m AS DOUBLE)
+       |      * ln(CAST($m AS DOUBLE) / CAST($m - n_registers AS DOUBLE))
+       |    ELSE $amm / zsum END AS est
+       |FROM (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+       |    CAST(SUM(CAST(power(2.0, -rho) AS DECIMAL(28,14))) AS DOUBLE)
+       |      + CAST($m - COUNT(*) AS DOUBLE) AS zsum
+       |  FROM $registersRel)""".stripMargin
+  }
+
+  /** Count-Min sketch cells: (row, bucket, c) for d hash rows of width
+    * w over pre-aggregated (key, cnt) pairs. Mergeable by +. */
+  def cmCells(keyCounts: DataFrame, key: Column, cnt: Column, d: Int,
+      w: Int): DataFrame = {
+    val rows = (1 to d).map { r =>
+      keyCounts.select(lit(r).as("row"),
+        floor(Sampling.bootUniform(key, lit(100 + r)) * w).cast("int")
+          .as("bucket"),
+        cnt.as("__c"))
+    }.reduce(_ unionByName _)
+    rows.groupBy(col("row"), col("bucket")).agg(sum(col("__c")).as("c"))
+  }
+
+  /** Point-query estimates for `keys` against a cell table: the min over
+    * the d row cells each key hashes into (>= truth always). */
+  def cmQuery(cells: DataFrame, keys: DataFrame, key: Column, d: Int,
+      w: Int): DataFrame = {
+    val probes = (1 to d).map { r =>
+      keys.select(key.as("__k"), lit(r).as("row"),
+        floor(Sampling.bootUniform(key, lit(100 + r)) * w).cast("int")
+          .as("bucket"))
+    }.reduce(_ unionByName _)
+    probes.join(cells, Seq("row", "bucket"))
+      .groupBy(col("__k")).agg(min(col("c")).as("est"))
+  }
+
+  def cmCellsSql(keyCountsRel: String, key: String, cnt: String, d: Int,
+      w: Int): String = {
+    val arms = (1 to d).map { r =>
+      val u = SamplingSql.bootUniform(key, (100 + r).toString)
+      s"SELECT $r AS row, CAST(floor($u * $w) AS INTEGER) AS bucket, $cnt AS c FROM $keyCountsRel"
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS c FROM (
+       |$arms) GROUP BY 1, 2""".stripMargin
+  }
+}

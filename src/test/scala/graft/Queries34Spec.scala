@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class Queries34Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ hll1
+
+  test("hll registers merge by max: sketch(A ∪ B) == merge(sketches)") {
+    val a = spark.range(0, 700).toDF("k")
+    val b = spark.range(700, 2000).toDF("k")
+    val m = 64
+    val direct = Sketches.hllRegisters(a.union(b), col("k"), m)
+      .orderBy("reg").as[(Int, Int)].collect().toSeq
+    val merged = Sketches.hllRegisters(a, col("k"), m)
+      .unionByName(Sketches.hllRegisters(b, col("k"), m))
+      .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+      .orderBy("reg").as[(Int, Int)].collect().toSeq
+    assert(direct == merged)
+  }
+
+  test("hll1: estimate lands within 3x the published rsd") {
+    val r = Queries34.hll1DistinctSketch(spark, sf).head()
+    val (est, exact) = (r.getDouble(3), r.getLong(4))
+    val rsd = 1.04 / math.sqrt(Queries34.HllM.toDouble)
+    assert(math.abs(est / exact - 1.0) <= 3 * rsd,
+      s"est $est vs exact $exact beyond 3x rsd")
+  }
+
+  test("hll estimate uses linear counting when registers are sparse") {
+    val tiny = spark.range(0, 10).toDF("k") // 10 keys << m=256 registers
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tiny, col("k"), 256), 256).head()
+    // small-range correction engaged: est != raw_est and est is close
+    assert(est.getDouble(2) != est.getDouble(3))
+    assert(math.abs(est.getDouble(3) - 10.0) < 2.0)
+  }
+
+  // ------------------------------------------------------ cms1
+
+  test("cms1: count-min never underestimates") {
+    val rows = Queries34.cms1CountMin(spark, sf).collect()
+    assert(rows.length == Queries34.CmTopK ||
+      rows.length > 0) // fixture may have < 10 distinct customers
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM estimate must be >= truth for every key")
+    assert(rows.forall(r => r.getLong(3) == r.getLong(2) - r.getLong(1)))
+  }
+
+  test("cm cells merge by +: sketch(A ∪ B) == cells(A) + cells(B)") {
+    val a = Seq((1L, 5L), (2L, 3L)).toDF("k", "cnt")
+    val b = Seq((1L, 2L), (3L, 7L)).toDF("k", "cnt")
+    val u = Seq((1L, 7L), (2L, 3L), (3L, 7L)).toDF("k", "cnt")
+    val direct = Sketches.cmCells(u, col("k"), col("cnt"), 2, 16)
+      .orderBy("row", "bucket").as[(Int, Int, Long)].collect().toSeq
+    val merged = Sketches.cmCells(a, col("k"), col("cnt"), 2, 16)
+      .unionByName(Sketches.cmCells(b, col("k"), col("cnt"), 2, 16))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("c")).as("c"))
+      .orderBy("row", "bucket").as[(Int, Int, Long)].collect().toSeq
+    assert(direct == merged)
+  }
+
+  // ------------------------------------------------------ dia1
+
+  test("dia1: second sweep reaches at least as far as the first") {
+    val r = Queries34.dia1DoubleSweep(spark, sf).head()
+    val (eccA, eccB, reached) = (r.getInt(1), r.getInt(3), r.getLong(4))
+    assert(eccB >= eccA, "double sweep must not shrink the eccentricity")
+    assert(reached > 0)
+    assert(eccB <= Queries34.DiaMaxHops)
+  }
+}
