@@ -138,7 +138,12 @@ object ScaleProbe {
     // argument), and the six-moment Welch scan. (knn1 is excluded like
     // dbs1/hn1: its 4000-vector block is fixed by construction.)
     "spr1_spearman", "ast1_assortativity", "cov1_embedding_cov",
-    "dec1_seasonal_decompose", "mi1_lang_source_mi", "wel1_welch_ttest")
+    "dec1_seasonal_decompose", "mi1_lang_source_mi", "wel1_welch_ttest",
+    // round-6 continuation 5: the HLL register scan (m=256 longs out
+    // regardless of input), the d x w Count-Min cell aggregation, and
+    // the double-sweep BFS over the thickened same-key trade graph
+    // (bfs1's argument)
+    "hll1_distinct_sketch", "cms1_countmin", "dia1_double_sweep")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
