@@ -209,7 +209,16 @@ object Soak {
         .select(col("o_custkey").as("a"), col("bb").as("b"))
         .distinct()
       operators.LinkPredict.adamicAdar(pairs, Queries31.LnkMinCommon)
-    }))
+    }),
+    // rides the shifted-key lineitem replicas directly: quantity and
+    // discount value tables SATURATE (bounded domains) while the price
+    // value table grows by the factor — the soak exercises the
+    // distinct-value prefix-sum + join-back rank machinery at 60M rows
+    "spr1_spearman" -> SparkEntry.queries("spr1_spearman"),
+    // shifted custkeys: the true distinct count grows by the factor
+    // while the sketch output stays m=256 longs — the "registers, not
+    // rows, cross the wire" posture measured
+    "hll1_distinct_sketch" -> SparkEntry.queries("hll1_distinct_sketch"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Queries35Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ sil1
+
+  test("sil1: silhouettes bounded in [-1, 1], counts cover every vector") {
+    val rows = Queries35.sil1Silhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); s >= -1.0 && s <= 1.0
+    })
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // a and b are nonnegative distances
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(4) >= 0))
+  }
+
+  // ------------------------------------------------------ pw1
+
+  test("pw1: unit-norm loadings, dominant eigenvalue >= average variance") {
+    val rows = Queries35.pw1PowerIteration(spark, sf).collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loading norm² $norm2")
+    val lam = rows.head.getDouble(2)
+    val share = rows.head.getDouble(3)
+    assert(share > 0.0 && share <= 1.0)
+    // dominant eigenvalue >= trace/d (the mean of all eigenvalues);
+    // trace = lam / share, so this is share >= 1/64
+    assert(lam * 64 >= lam / share - 1e-6,
+      "lambda >= trace/64 must hold for the dominant eigenpair")
+  }
+
+  // ------------------------------------------------------ imb1
+
+  test("imb1: weights normalize to mean 1 and fall as class size grows") {
+    val rows = Queries35.imb1ClassWeights(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val k = rows.length
+    assert(math.abs(rows.map(_._2).sum / k - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum / k - 1.0) < 1e-4)
+    // monotone: a strictly larger class never gets a larger weight
+    val byN = rows.sortBy(_._1)
+    byN.sliding(2).foreach {
+      case Array((n1, i1, e1), (n2, i2, e2)) if n1 < n2 =>
+        assert(i2 <= i1 + 1e-9 && e2 <= e1 + 1e-9)
+      case _ =>
+    }
+  }
+}
