@@ -104,22 +104,44 @@ object Queries35 {
   private[graft] val PwIters = 8
 
   private def covMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val x = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "__raw")))
-      .select(col("vec_id"), col("pos").cast("long").as("i"),
-        col("__raw").cast("double").as("__x"))
-      .localCheckpoint(true) // self-join + means + count consumers
-    val n = x.where(col("i") === 0)
-      .agg(count(lit(1)).cast("double").as("__n"))
-    val means = x.groupBy(col("i"))
-      .agg(sum(col("__x").cast("decimal(28,12)")).as("__s"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.agg(count(lit(1)).cast("double").as("__n"))
+    val means = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "__raw")))
+      .groupBy(col("pos").cast("long").as("i"))
+      .agg(sum(col("__raw").cast("double").cast("decimal(28,12)")).as("__s"))
       .crossJoin(broadcast(n))
       .select(col("i"), (col("__s").cast("double") / col("__n")).as("__m"))
-    val prods = x.select(col("vec_id"), col("i"), col("__x"))
-      .join(x.select(col("vec_id"), col("i").as("j"), col("__x").as("__y")),
-        Seq("vec_id"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("__x") * col("__y")).cast("decimal(28,12)")).as("__sxy"))
+    // upper-triangle products generated PER ROW from the array itself —
+    // no self-join, no row-keyed shuffle: each task map-side-combines
+    // straight down to <= 2,080 position cells before the only exchange.
+    // The flattened product array stays primitive doubles (no per-pair
+    // struct allocation); position -> (i, j) is a 2,080-row broadcast
+    // decode applied AFTER the aggregation. The per-term DECIMAL
+    // quantization is identical to the oracle's pairwise SUM, and the
+    // mirror below restores the full matrix.
+    import spark.implicits._
+    val posMap = (for (i <- 0 until Dims; j <- i until Dims)
+      yield (i.toLong, j.toLong)).zipWithIndex
+      .map { case ((i, j), p) => (p.toLong, i, j) }
+      .toDF("pos", "i", "j")
+    // pre-explode repartition: the product transform inflates every
+    // input row 2,080x, so redistribute the SMALL side before the
+    // inflation (classic explode-skew fix) instead of inheriting
+    // whatever split count the scan produced
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val upper = emb.repartition(parts).select(posexplode(flatten(
+        transform(col("embedding"), (xi, i) =>
+          transform(slice(col("embedding"), i + 1, lit(Dims) - i),
+            xj => xi.cast("double") * xj.cast("double")))))
+        .as(Seq("pos", "__p")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(col("__p").cast("decimal(28,12)")).as("__sxy"))
+      .join(broadcast(posMap), Seq("pos"))
+      .select(col("i"), col("j"), col("__sxy"))
+    val prods = upper.unionByName(upper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("__sxy")))
     prods.join(broadcast(means), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("__m").as("__mj"))),
         Seq("j"))

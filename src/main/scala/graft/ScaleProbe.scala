@@ -143,7 +143,12 @@ object ScaleProbe {
     // regardless of input), the d x w Count-Min cell aggregation, and
     // the double-sweep BFS over the thickened same-key trade graph
     // (bfs1's argument)
-    "hll1_distinct_sketch", "cms1_countmin", "dia1_double_sweep")
+    "hll1_distinct_sketch", "cms1_countmin", "dia1_double_sweep",
+    // round-6 continuation 6: centroid-table silhouette (rows x 64 x k
+    // dim-keyed join, centroids stay k x 64), the d² covariance
+    // outer-product aggregation feeding driver-side power iteration
+    // (matrix is bounded metadata), and the bounded label-grid weights
+    "sil1_silhouette", "pw1_power_iteration", "imb1_class_weights")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
