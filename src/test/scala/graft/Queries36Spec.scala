@@ -1,0 +1,38 @@
+package graft
+
+class Queries36Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mci1: interval brackets the median and is ordered") {
+    val r = Queries36.mci1MedianCi(spark, sf).head()
+    val (n, med, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0)
+    assert(lo <= med && med <= hi, s"$lo <= $med <= $hi must hold")
+    assert(lo < hi, "a ~95% interval on continuous data has width")
+  }
+
+  test("mci1: median matches Spark's exact percentile") {
+    import org.apache.spark.sql.functions._
+    val r = Queries36.mci1MedianCi(spark, sf).head()
+    val direct = Tables.orders(spark, sf)
+      .agg(percentile(col("o_totalprice").cast("double"), lit(0.5)))
+      .head().getDouble(0)
+    assert(math.abs(r.getDouble(1) - direct) < 1e-4,
+      s"order-statistic median ${r.getDouble(1)} vs percentile $direct")
+  }
+
+  test("gof1: hash uniformity statistic is plausible under the null") {
+    val r = Queries36.gof1HashUniformity(spark, sf).head()
+    val (n, hit, df, chi2) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    assert(hit == Queries36.GofBuckets,
+      "1.5k keys over 64 buckets must hit every bucket")
+    assert(df == 63)
+    // chi2 ~ ChiSq(63): mean 63, sd ~11.2 — 5 sd is a generous null band,
+    // but a broken hash (all mass in few buckets) lands in the thousands
+    assert(chi2 > 15 && chi2 < 120, s"chi2 $chi2 implausible for uniform")
+    assert(n > 0)
+  }
+}
