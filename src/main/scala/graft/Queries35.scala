@@ -26,7 +26,13 @@ object Queries35 {
   // posture, a7); here it stays a broadcast table join.
   // ---------------------------------------------------------------------
   def sil1Silhouette(spark: SparkSession, sfDir: String): DataFrame = {
-    val x = Tables.embeddings(spark, sfDir)
+    // pre-explode repartition (the pw1 lesson): the dim explode inflates
+    // 64x and the centroid join another kx — spread the SMALL input
+    // across the cores before inflating instead of inheriting the
+    // scan's split count
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val x = Tables.embeddings(spark, sfDir).repartition(parts)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "__raw")))
       .select(col("vec_id"), col("label"),

@@ -148,7 +148,10 @@ object ScaleProbe {
     // dim-keyed join, centroids stay k x 64), the d² covariance
     // outer-product aggregation feeding driver-side power iteration
     // (matrix is bounded metadata), and the bounded label-grid weights
-    "sil1_silhouette", "pw1_power_iteration", "imb1_class_weights")
+    "sil1_silhouette", "pw1_power_iteration", "imb1_class_weights",
+    // round-6 continuation 7: four order statistics from one
+    // distributed-rank pass, and the 64-bucket hash-uniformity audit
+    "mci1_median_ci", "gof1_hash_uniformity")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
