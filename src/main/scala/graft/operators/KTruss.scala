@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-truss decomposition: iteratively delete edges supported by fewer
+  * than k−2 triangles until fixpoint — the EDGE-cohesion companion to
+  * the node-cohesion k-core (Cohen 2008). Extension surface; the
+  * reference has no graph operators (its only graph-shaped logic is the
+  * session FK semi-join, src/routes.rs:252-263).
+  *
+  * Scale posture: each round is the node-iterator triangle enumeration
+  * (two equi-joins over the current edge list — GraphOps.triangles'
+  * shape) plus a support count and a semi-join filter; per-round cost
+  * is wedge-bounded exactly like tri1, and the edge set only shrinks.
+  * The per-round `count()` is a scalar convergence statistic (the KCore
+  * pattern); every surviving round is pinned with an eager checkpoint
+  * so lineage stays flat.
+  *
+  * `strict = true` makes the operator throw when `maxIters` rounds are
+  * not enough — the kc1 oracle-unroll contract: an oracle that unrolls
+  * N rounds must fail LOUDLY, not silently diverge, when the fixpoint
+  * needs more.
+  */
+object KTruss {
+
+  /** Canonicalize to a < b and dedupe (accepts directed/mirrored input). */
+  def canonical(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")).distinct()
+
+  /** Per-edge triangle support over a canonical (a < b) edge list. Edges
+    * in no triangle are absent (callers treat missing as 0). */
+  def support(e: DataFrame): DataFrame = {
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"),
+        "left_semi")
+      .select(col("x"), col("y"), col("z")) // x < y < z by construction
+    tri.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+      .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** The k-truss: surviving canonical edges with their fixpoint support.
+    * Returns (edges(a, b, support), roundsUsed). */
+  def truss(edges: DataFrame, k: Int, maxIters: Int,
+      strict: Boolean = false): (DataFrame, Int) = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var e = canonical(edges).localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < maxIters) {
+      rounds += 1
+      val kept = e.join(support(e), Seq("a", "b"))
+        .where(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val m = kept.count()
+      converged = m == n
+      e = kept
+      n = m
+    }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"k-truss did not converge within $maxIters rounds — " +
+          "the oracle unroll no longer covers this graph")
+    (e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support")), rounds)
+  }
+}

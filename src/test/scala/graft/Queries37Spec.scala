@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KTruss
+
+class Queries37Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ k-truss
+
+  test("ktruss: clique survives, pendant triangle and chain peel away") {
+    // 4-clique {1,2,3,4} + a triangle {4,5,6} hanging off it + chain 6-7-8.
+    // In the 4-truss (support >= 2): the clique's 6 edges each sit in 2
+    // triangles; the pendant triangle's edges sit in exactly 1 -> peeled;
+    // the chain has no triangles -> peeled.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("src", "dst")
+    val (truss, rounds) = KTruss.truss(edges, k = 4, maxIters = 10)
+    val got = truss.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    assert(rounds >= 1)
+    // every surviving edge reports support >= k-2 among survivors
+    assert(truss.where(col("support") < 2).count() == 0)
+  }
+
+  test("ktruss: strict mode fails loudly when rounds are exhausted") {
+    // a long peel chain: triangles sharing single edges peel one per
+    // round; with maxIters = 1 and strict, the fixpoint is not reached
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      KTruss.truss(edges, k = 4, maxIters = 1, strict = true)
+    }
+  }
+
+  test("tri2: engine fixpoint sits within the oracle unroll at fixture scale") {
+    val pairs = operators.Dedup.simhashPairs(
+        Tables.documents(spark, sf), "doc_id", "text", maxDist = 3)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val (_, rounds) = KTruss.truss(pairs, Queries37.TrussK,
+      maxIters = Queries37.TrussUnroll + 1, strict = true)
+    assert(rounds <= Queries37.TrussUnroll,
+      s"oracle unrolls ${Queries37.TrussUnroll} rounds, engine needed $rounds")
+  }
+
+  // ------------------------------------------------------ con1
+
+  test("con1: peak is positive, bounded by sessions, and timestamped") {
+    val r = Queries37.con1PeakConcurrency(spark, sf).head()
+    val (nSess, peak, at) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nSess > 0)
+    assert(peak >= 1 && peak <= nSess)
+    assert(at > 0)
+  }
+
+  test("con1: hand case — ends free capacity before same-second starts") {
+    import org.apache.spark.sql.expressions.Window
+    // sessions [0, 10), [10, 20) for two users via direct sweep pieces:
+    // at t=10 the -1 sorts before the +1, so concurrency never exceeds 1
+    val sess = Seq((0L, 1L, 100L), (10L, 1L, 200L), (10L, -1L, 100L),
+        (20L, -1L, 200L)).toDF("t", "d", "user_id")
+    val run = operators.Ranks.withRunningSums(sess, Seq(("d", "conc")),
+      Seq(col("t").asc, col("d").asc, col("user_id").asc))
+    assert(run.agg(max(col("conc"))).head().getLong(0) == 1L)
+  }
+}
