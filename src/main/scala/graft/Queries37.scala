@@ -14,10 +14,13 @@ import graft.operators.{KTruss, Ranks}
 object Queries37 {
 
   // ---------------------------------------------------------------------
-  // TRI2: 4-truss of the SimHash near-dup graph — every surviving edge
-  // sits in >= 2 triangles among surviving edges, the "dense duplicate
+  // TRI2: 3-truss of the SimHash near-dup graph — every surviving edge
+  // sits in >= 1 triangle among surviving edges, the "dense duplicate
   // community" certificate that tri1's raw triangle count motivates
-  // (chains of borderline pairs peel away, mutual-dup cliques stay).
+  // (chains of borderline pairs peel away, triangle-supported cores
+  // stay). k = 3 because the fixture's dup graph is triangle-sparse
+  // (2 triangles / 47 edges at sf0.01) — the 4-truss peels to the
+  // empty set there, and an empty oracle row verifies nothing.
   // Peel rounds follow kc1's oracle-unroll contract: the engine runs
   // STRICT with maxIters = unroll + 1 and fails loudly if the fixpoint
   // needs more rounds than the oracle unrolls; the oracle's extra
@@ -25,7 +28,7 @@ object Queries37 {
   // bipartite (triangle-free by construction) — the dup graph is the
   // triangle-bearing substrate, exactly as in tri1.
   // ---------------------------------------------------------------------
-  private[graft] val TrussK = 4
+  private[graft] val TrussK = 3
   private[graft] val TrussUnroll = 5
 
   def tri2Ktruss(spark: SparkSession, sfDir: String): DataFrame = {
