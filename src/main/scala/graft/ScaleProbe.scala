@@ -151,7 +151,13 @@ object ScaleProbe {
     "sil1_silhouette", "pw1_power_iteration", "imb1_class_weights",
     // round-6 continuation 7: four order statistics from one
     // distributed-rank pass, and the 64-bucket hash-uniformity audit
-    "mci1_median_ci", "gof1_hash_uniformity")
+    "mci1_median_ci", "gof1_hash_uniformity",
+    // round-6 continuation 8: sweep-line concurrency through the
+    // distributed prefix sum. (tri2 is excluded with the pair miners:
+    // exact-copy replicas of the dup-graph fixture inflate triangle
+    // counts by construction, like tri1; its per-round cost is the
+    // wedge join tri1 already probes.)
+    "con1_peak_concurrency")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
