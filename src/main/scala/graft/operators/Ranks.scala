@@ -94,12 +94,34 @@ object Ranks {
     * running-sum machinery above), then join back — never a global
     * per-row sort. The distinct table can itself be huge (continuous
     * keys); both its prefix sum and the join-back shuffle on the value. */
+  /** Value tables at or below this stay on the single-partition window
+    * path: a domain this size is bounded metadata, and the distributed
+    * prefix machinery's extra shuffle + checkpoint + offsets jobs cost
+    * more than they parallelize. */
+  private val SmallDomain = 65536L
+
   def withAvgRank2(df: DataFrame, outCol: String, valueCol: String): DataFrame = {
+    // pin the value table once: the domain-size probe below and the rank
+    // pass both consume it
     val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-    val ranks = withRunningSums(cnts, Seq(("__c", "__cum")), Seq(col(valueCol)))
-      .select(col(valueCol),
-        (col("__cum") * 2 - col("__c") + 1).as(outCol))
-    df.join(ranks, Seq(valueCol))
+      .localCheckpoint(true)
+    val k = cnts.count() // scalar planning statistic
+    val ranks =
+      if (k <= SmallDomain) {
+        // bounded domain (l_quantity has 50 values at any corpus size):
+        // one tiny ordered window over the k-row value table
+        val w = Window.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnts.withColumn("__cum", sum(col("__c")).over(w))
+          .select(col(valueCol),
+            (col("__cum") * 2 - col("__c") + 1).as(outCol))
+      } else {
+        withRunningSums(cnts, Seq(("__c", "__cum")), Seq(col(valueCol)))
+          .select(col(valueCol),
+            (col("__cum") * 2 - col("__c") + 1).as(outCol))
+      }
+    if (k <= SmallDomain) df.join(broadcast(ranks), Seq(valueCol))
+    else df.join(ranks, Seq(valueCol))
   }
 
   /** Adds `tileCol` = exact NTILE(k) under `sortCols` (total order),
