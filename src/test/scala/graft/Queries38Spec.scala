@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class Queries38Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ wrs1
+
+  test("wrs1: k rows, positive weights, selection key well-formed") {
+    val rows = Queries38.wrs1WeightedSample(spark, sf).collect()
+    assert(rows.length == Queries38.WrsK)
+    assert(rows.forall(_.getDouble(1) > 0))
+    assert(rows.forall { r =>
+      val k = r.getDouble(2); k >= 0.0 && k <= 1.0
+    })
+  }
+
+  test("ES keys are weight-scale invariant: c·w selects the same rows") {
+    def select(scale: Double) = spark.range(1, 2001).toDF("k")
+      .withColumn("w", (col("k") % 97 + 1).cast("double") * scale)
+      .withColumn("key", pow(Sampling.bootUniform(col("k"), lit(7)),
+        lit(1.0) / col("w")))
+      .orderBy(col("key").desc, col("k").asc).limit(25)
+      .select("k").as[Long].collect().toSeq
+    assert(select(1.0) == select(8.0),
+      "scaling all weights is a monotone key transform — same sample")
+  }
+
+  // ------------------------------------------------------ tail1
+
+  test("tail1: positive estimate on the fixture") {
+    val r = Queries38.tail1HillEstimator(spark, sf).head()
+    assert(r.getInt(0) == Queries38.TailK)
+    assert(r.getDouble(1) > 0)
+    assert(r.getDouble(2) > 0, "order values have a right tail")
+  }
+
+  test("tail1 machinery recovers a planted Pareto tail index") {
+    // inverse-transform Pareto(alpha=2): x = u^(-1/2) for seeded uniform u
+    val df = spark.range(1, 5001).toDF("k")
+      .withColumn("__x", pow(
+        greatest(Sampling.bootUniform(col("k"), lit(3)), lit(1e-12)),
+        lit(-0.5)))
+      .withColumn("__k", col("k"))
+    val ranked = operators.Ranks.withGlobalRank(df, "__r",
+      Seq(col("__x").desc, col("__k").asc))
+    val k = 100
+    val xk = ranked.where(col("__r") === k).head().getAs[Double]("__x")
+    val s = ranked.where(col("__r") < k)
+      .agg(sum(log(col("__x") / lit(xk)))).head().getDouble(0)
+    val alpha = (k - 1).toDouble / s
+    assert(alpha > 1.4 && alpha < 2.8,
+      s"Hill on Pareto(2) tail gave $alpha")
+  }
+}
