@@ -157,7 +157,10 @@ object ScaleProbe {
     // exact-copy replicas of the dup-graph fixture inflate triangle
     // counts by construction, like tri1; its per-round cost is the
     // wedge join tri1 already probes.)
-    "con1_peak_concurrency")
+    "con1_peak_concurrency",
+    // round-6 continuation 9: top-k weighted selection (scan + bounded
+    // heap) and the Hill estimator's distributed-rank top-k
+    "wrs1_weighted_sample", "tail1_hill_estimator")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
