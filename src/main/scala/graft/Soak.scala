@@ -218,7 +218,14 @@ object Soak {
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
-    "hll1_distinct_sketch" -> SparkEntry.queries("hll1_distinct_sketch"))
+    "hll1_distinct_sketch" -> SparkEntry.queries("hll1_distinct_sketch"),
+    // same replicas: d x w cells stay fixed while the keyed input grows
+    "cms1_countmin" -> SparkEntry.queries("cms1_countmin"),
+    // shifted-key trade graph grows as disjoint components (bfs1's
+    // substrate): sweep 1 stays inside replica 0's component while each
+    // round's edge semi-join scans a factor-larger list — the expand-a-
+    // seed-over-a-huge-graph posture, doubled
+    "dia1_double_sweep" -> SparkEntry.queries("dia1_double_sweep"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
