@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Queries39Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lof1: top-k rows, scores positive, descending with id tie-break") {
+    val rows = Queries39.lof1LocalOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == Queries39.LofTopK)
+    assert(rows.forall(_._2 > 0))
+    // near-orthogonal random vectors give near-uniform density: the
+    // score scale stays close to 1 rather than exploding
+    assert(rows.head._2 < 3.0, s"uniform-density fixture, got ${rows.head._2}")
+  }
+
+  test("LOF flags the isolated point in a planted two-cluster geometry") {
+    // 2-D embedded in the pipeline's dataflow via a hand-run of the same
+    // algebra: tight cluster at distance 0.01 steps, one point far away.
+    // The far point's lrd is much lower than its neighbours' -> LOF >> 1;
+    // cluster members sit near 1.
+    def lofScores(pts: Map[Long, (Double, Double)], k: Int): Map[Long, Double] = {
+      def d(a: (Double, Double), b: (Double, Double)) =
+        math.hypot(a._1 - b._1, a._2 - b._2)
+      val ids = pts.keys.toSeq.sorted
+      val knn = ids.map { p =>
+        p -> ids.filter(_ != p)
+          .sortBy(o => (d(pts(p), pts(o)), o)).take(k)
+      }.toMap
+      val kdist = ids.map(p => p -> d(pts(p), pts(knn(p).last))).toMap
+      val lrd = ids.map { p =>
+        p -> knn(p).size.toDouble / knn(p)
+          .map(o => math.max(kdist(o), d(pts(p), pts(o)))).sum
+      }.toMap
+      ids.map(p => p -> knn(p).map(lrd).sum / knn(p).size / lrd(p)).toMap
+    }
+    val cluster = (0L until 8L).map(i =>
+      i -> (i.toDouble * 0.01, 0.0)).toMap
+    val pts = cluster + (99L -> (5.0, 5.0))
+    val scores = lofScores(pts, 3)
+    assert(scores(99L) > 3.0, s"isolated point LOF ${scores(99L)}")
+    assert(cluster.keys.forall(i => scores(i) < 2.0))
+  }
+}
