@@ -32,7 +32,8 @@ object SparkEntry {
       Queries28.registry ++ Queries29.registry ++ Queries30.registry ++
       Queries31.registry ++ Queries32.registry ++ Queries33.registry ++
       Queries34.registry ++ Queries35.registry ++ Queries36.registry ++
-      Queries37.registry ++ Queries38.registry ++ Queries39.registry
+      Queries37.registry ++ Queries38.registry ++ Queries39.registry ++
+      Queries40.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++
       Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++
       Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++
-      Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles
+      Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++
+      Queries40.oracles
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class Queries40Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gmm1: proper mixture — weights sum to 1, ordered means, positive sds") {
+    val r = Queries40.gmm1EmMixture(spark, sf).head()
+    val (n, w1, mu1, sd1, w2, mu2, sd2) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))
+    assert(n == Tables.orders(spark, sf).count())
+    assert(math.abs(w1 + w2 - 1.0) < 1e-6)
+    assert(w1 > 0 && w2 > 0)
+    assert(sd1 > 0 && sd2 > 0)
+    assert(mu1 < mu2, "component 1 initializes and stays at the lower mean")
+  }
+
+  test("EM recovers a planted two-blob mixture through the same dataflow") {
+    // blobs at 10+u and 50+u (width-1 uniforms): EM at 5 rounds should
+    // place the means near the blob centers with near-half weights
+    val x = spark.range(1, 4001).toDF("k")
+      .withColumn("__u1", Sampling.bootUniform(col("k"), lit(11)))
+      .withColumn("__u2", Sampling.bootUniform(col("k"), lit(12)))
+      .select(when(col("__u1") < 0.5, lit(10.0) + col("__u2"))
+        .otherwise(lit(50.0) + col("__u2")).as("__x"))
+    val r = Queries40.emFit(x, 5).head()
+    val (w1, mu1, mu2) = (r.getDouble(1), r.getDouble(2), r.getDouble(5))
+    assert(math.abs(mu1 - 10.5) < 1.0, s"mu1 $mu1")
+    assert(math.abs(mu2 - 50.5) < 1.0, s"mu2 $mu2")
+    assert(math.abs(w1 - 0.5) < 0.1, s"w1 $w1")
+  }
+}
