@@ -160,7 +160,10 @@ object ScaleProbe {
     "con1_peak_concurrency",
     // round-6 continuation 9: top-k weighted selection (scan + bounded
     // heap) and the Hill estimator's distributed-rank top-k
-    "wrs1_weighted_sample", "tail1_hill_estimator")
+    "wrs1_weighted_sample", "tail1_hill_estimator",
+    // round-6 continuation 11: five EM rounds = five moment scans with
+    // one broadcast parameter row each — pure scan scaling
+    "gmm1_em_mixture")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
