@@ -225,7 +225,11 @@ object Soak {
     // substrate): sweep 1 stays inside replica 0's component while each
     // round's edge semi-join scans a factor-larger list — the expand-a-
     // seed-over-a-huge-graph posture, doubled
-    "dia1_double_sweep" -> SparkEntry.queries("dia1_double_sweep"))
+    "dia1_double_sweep" -> SparkEntry.queries("dia1_double_sweep"),
+    // shifted-key orders replicas: the rank machinery's value table and
+    // the order-statistic selections both grow by the factor
+    "mci1_median_ci" -> SparkEntry.queries("mci1_median_ci"),
+    "tail1_hill_estimator" -> SparkEntry.queries("tail1_hill_estimator"))
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
