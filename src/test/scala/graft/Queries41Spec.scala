@@ -1,0 +1,26 @@
+package graft
+
+class Queries41Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ppl1: perplexities finite and > 1, OOV a proper rate, langs covered") {
+    val rows = Queries41.ppl1HeldoutPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, ppl, oov) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nb > 0)
+      assert(ppl > 1.0 && !ppl.isInfinite,
+        s"interpolated add-one smoothing keeps every term finite, got $ppl")
+      assert(oov >= 0.0 && oov <= 1.0)
+    }
+  }
+
+  test("ppl1 is deterministic across evaluations") {
+    val a = Queries41.ppl1HeldoutPerplexity(spark, sf)
+      .orderBy("lang").collect().toSeq
+    val b = Queries41.ppl1HeldoutPerplexity(spark, sf)
+      .orderBy("lang").collect().toSeq
+    assert(a == b)
+  }
+}
