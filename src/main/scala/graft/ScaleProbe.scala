@@ -163,7 +163,10 @@ object ScaleProbe {
     "wrs1_weighted_sample", "tail1_hill_estimator",
     // round-6 continuation 11: five EM rounds = five moment scans with
     // one broadcast parameter row each — pure scan scaling
-    "gmm1_em_mixture")
+    "gmm1_em_mixture",
+    // held-out bigram eval: model tables grow with the (perturbed)
+    // replica vocabulary, scoring is a broadcast-join scan (t15's class)
+    "ppl1_heldout_perplexity")
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
