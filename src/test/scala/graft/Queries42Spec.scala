@@ -1,0 +1,14 @@
+package graft
+
+class Queries42Spec extends SparkSpec {
+
+  test("wmed1: quartile dates ordered, totals positive") {
+    val r = Queries42.wmed1RevenueHalfdate(spark, "/root/testdata/sf0.001")
+      .head()
+    val (n, tot) = (r.getLong(0), r.getLong(1))
+    val (q1, h, q3) = (r.getDate(2), r.getDate(3), r.getDate(4))
+    assert(n > 0 && tot > 0)
+    assert(!q1.after(h) && !h.after(q3),
+      s"quartile dates must be ordered: $q1 <= $h <= $q3")
+  }
+}
