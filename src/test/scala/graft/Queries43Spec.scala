@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Queries43Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("dw1: statistic in (0, 4) on the fixture") {
+    val r = Queries43.dw1DurbinWatson(spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(0) > 0)
+    val dw = r.getDouble(1)
+    assert(dw > 0.0 && dw < 4.0, s"DW must lie in (0,4), got $dw")
+  }
+
+  test("DW algebra: perfectly alternating residuals approach 4") {
+    // e = +1,-1,+1,... : (e_t - e_{t-1})^2 = 4, sum = 4(n-1); sum e^2 = n
+    val n = 50
+    val e = (1 to n).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val num = e.sliding(2).map { case Seq(a, b) => (b - a) * (b - a) }.sum
+    val den = e.map(x => x * x).sum
+    assert(math.abs(num / den - 4.0 * (n - 1) / n) < 1e-12)
+  }
+}
