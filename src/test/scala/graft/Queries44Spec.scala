@@ -1,0 +1,26 @@
+package graft
+
+class Queries44Spec extends SparkSpec {
+
+  test("wil1: bounds bracket the share inside [0, 1] for every month") {
+    val rows = Queries44.wil1UrgentShareWilson(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(k >= 0 && k <= n)
+      assert(lo >= 0.0 && hi <= 1.0, "Wilson bounds never leave [0,1]")
+      assert(lo <= p && p <= hi, s"interval [$lo,$hi] must bracket $p")
+    }
+  }
+
+  test("wilson interval is wider for smaller months at the same share") {
+    // pure algebra check of the formula the query bakes in
+    def width(n: Double, p: Double): Double = {
+      val z = Queries44.WilZ; val z2 = z * z
+      2 * z * math.sqrt(p * (1 - p) / n + z2 / (n * n * 4)) / (1 + z2 / n)
+    }
+    assert(width(50, 0.2) > width(5000, 0.2))
+  }
+}
