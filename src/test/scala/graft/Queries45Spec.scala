@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Queries45Spec extends SparkSpec {
+
+  test("sta1: a proper distribution that is approximately stationary") {
+    val rows = Queries45.sta1StationaryDist(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0.0))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4,
+      "renormalized vector sums to 1")
+    // fixpoint check: one more application of P moves pi by < 1e-2
+    // (10 rounds on a small well-connected chain is far past mixing)
+    val pi = rows.toMap
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val trans = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("nx", lead(col("event_type"), 1).over(seq))
+      .where(col("nx").isNotNull)
+      .groupBy(col("event_type").as("i"), col("nx").as("j")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val rowSum = trans.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val next = trans.groupBy(_._1._2).map { case (j, cells) =>
+      j -> cells.map { case ((i, _), n) =>
+        pi.getOrElse(i, 0.0) * n.toDouble / rowSum(i) }.sum
+    }
+    next.foreach { case (s, v) =>
+      assert(math.abs(v - pi.getOrElse(s, 0.0)) < 1e-2,
+        s"state $s moved ${math.abs(v - pi.getOrElse(s, 0.0))}")
+    }
+  }
+}
