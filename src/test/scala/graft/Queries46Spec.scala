@@ -1,0 +1,24 @@
+package graft
+
+class Queries46Spec extends SparkSpec {
+
+  test("pacf1: three lags, lag-1 equals the acf, all within [-1, 1]") {
+    val sf = "/root/testdata/sf0.001"
+    val pacf = Queries46.pacf1PartialAutocorr(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(pacf.keySet == Set(1, 2, 3))
+    assert(pacf.values.forall(v => v >= -1.0 && v <= 1.0))
+    val r1 = Queries30.acf1DailyRevenue(spark, sf)
+      .where(org.apache.spark.sql.functions.col("lag") === 1)
+      .head().getDouble(2)
+    assert(math.abs(pacf(1) - r1) < 1e-6, "phi11 must equal r1")
+  }
+
+  test("Durbin-Levinson algebra: AR(1) series has zero lag-2 pacf") {
+    // for an exact AR(1), r_k = rho^k; phi22 collapses to 0
+    val rho = 0.6
+    val (r1, r2) = (rho, rho * rho)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(phi22) < 1e-15)
+  }
+}
