@@ -1,0 +1,32 @@
+package graft
+
+class Queries47Spec extends SparkSpec {
+
+  test("sprt1: decision consistent with the crossing positions") {
+    val r = Queries47.sprt1SequentialTest(spark, "/root/testdata/sf0.001")
+      .head()
+    val n = r.getLong(0)
+    val h1 = if (r.isNullAt(1)) None else Some(r.getLong(1))
+    val h0 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+    val dec = r.getString(3)
+    assert(n > 0)
+    (h1, h0) match {
+      case (Some(a), Some(b)) =>
+        assert(dec == (if (a < b) "accept_h1" else "accept_h0"))
+      case (Some(_), None) => assert(dec == "accept_h1")
+      case (None, Some(_)) => assert(dec == "accept_h0")
+      case (None, None)    => assert(dec == "continue")
+    }
+    h1.foreach(t => assert(t >= 1 && t <= n))
+    h0.foreach(t => assert(t >= 1 && t <= n))
+  }
+
+  test("SPRT algebra: an all-urgent prefix crosses the upper bound") {
+    val a = math.log(Queries47.SprtP1 / Queries47.SprtP0)
+    val upper = math.log((1.0 - Queries47.SprtBeta) / Queries47.SprtAlpha)
+    // k = t (all urgent): llr = t·a grows without bound; crossing at
+    // ceil(upper/a) observations
+    val t = math.ceil(upper / a).toLong
+    assert(t * a >= upper && (t - 1) * a < upper)
+  }
+}
