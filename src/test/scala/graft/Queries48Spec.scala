@@ -1,0 +1,29 @@
+package graft
+
+class Queries48Spec extends SparkSpec {
+
+  test("cvm1: statistic nonnegative-ish and counts partition the table") {
+    val r = Queries48.cvm1CramerVonMises(spark, "/root/testdata/sf0.001")
+      .head()
+    val (na, nb, t) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(na + nb == Tables.orders(spark, "/root/testdata/sf0.001").count())
+    // T >= -(1)/(6N) by construction; identical samples give ~0
+    assert(t > -1.0 / (6.0 * (na + nb)) - 1e-9)
+    assert(t < 10.0, s"fixture samples from one distribution, got $t")
+  }
+
+  test("CvM rank algebra: identical interleaved samples give minimal T") {
+    // pooled A at odd ranks, B at even: (r-i)^2 sums are minimal
+    val n = 50
+    val ra = (1 to n).map(i => 2 * i - 1) // pooled ranks of A
+    val rb = (1 to n).map(i => 2 * i)
+    val u = n.toDouble * ra.zipWithIndex.map { case (r, i) =>
+      math.pow(r - (i + 1), 2) }.sum +
+      n.toDouble * rb.zipWithIndex.map { case (r, i) =>
+        math.pow(r - (i + 1), 2) }.sum
+    val bigN = 2 * n
+    val t = u / (n.toDouble * n * bigN) -
+      (4.0 * n * n - 1) / (6.0 * bigN)
+    assert(t < 0.05, s"perfectly interleaved samples give near-zero T, got $t")
+  }
+}
