@@ -1,0 +1,26 @@
+package graft
+
+class Queries49Spec extends SparkSpec {
+
+  test("fan1: positive means, nonnegative dispersion, every type present") {
+    val rows = Queries49.fan1FanoFactor(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0)
+      assert(r.getDouble(3) >= 0.0, "population variance / mean >= 0")
+    }
+    val nTypes = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type").distinct().count()
+    assert(rows.length == nTypes)
+  }
+
+  test("Fano algebra: constant daily counts give exactly zero") {
+    val c = Seq(7.0, 7.0, 7.0, 7.0)
+    val (n, s, q) = (c.length, c.sum, c.map(x => x * x).sum)
+    val mean = s / n
+    val fano = (q / n - mean * mean) / mean
+    assert(math.abs(fano) < 1e-12)
+  }
+}
