@@ -176,9 +176,15 @@ object Queries31 {
   // SCALE-STABLE: parts and customers both grow with the data, so the
   // wedge join stays edge-linear and the query non-degenerate at every
   // sf (the repeat-trade graph's >= 3-lineitem threshold empties at
-  // sf0.1 — probed 2026-08-14). Pairs need >= 4 shared parts.
+  // sf0.1 — probed 2026-08-14). Pairs need >= 4 shared parts. The
+  // hot-neighbor wedge guard is ENGAGED at 256 — far above the
+  // fixture's scale-stable max part-degree (49 at sf0.01, 53 at sf0.1,
+  // probed 2026-08-14), so the result stays exact and the uncapped
+  // oracle still matches, while a pathological near-universal part can
+  // no longer quadratically inflate the self-join.
   // ---------------------------------------------------------------------
   private[graft] val LnkMinCommon = 4L
+  private[graft] val LnkMaxNeighborDeg = 256L
 
   def lnk1AdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
@@ -188,7 +194,7 @@ object Queries31 {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("a"), col("l_partkey").as("b"))
       .distinct()
-    LinkPredict.adamicAdar(pairs, LnkMinCommon)
+    LinkPredict.adamicAdar(pairs, LnkMinCommon, LnkMaxNeighborDeg)
   }
 
   val lnk1AdamicAdarSql: String =

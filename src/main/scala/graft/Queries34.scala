@@ -88,8 +88,9 @@ object Queries34 {
        |  SELECT top.k, CAST(r.row AS INTEGER) AS row,
        |    CAST(floor($probeU * $CmW) AS INTEGER) AS bucket
        |  FROM top, range(1, ${CmD + 1}) r(row)),
-       |e AS (SELECT p.k, MIN(c.c) AS est
-       |      FROM probes p JOIN cells c USING (row, bucket) GROUP BY 1)
+       |e AS (SELECT p.k, MIN(COALESCE(c.c, 0)) AS est
+       |      FROM probes p LEFT JOIN cells c USING (row, bucket)
+       |      GROUP BY 1)
        |SELECT t.k AS custkey, t.cnt AS n_true, e.est AS n_est,
        |  e.est - t.cnt AS overestimate
        |FROM top t JOIN e ON e.k = t.k""".stripMargin

@@ -31,10 +31,14 @@ object Queries36 {
       Seq(col("__x").asc, col("__k").asc))
     val n = ranked.agg(max(col("__r")).as("__n"))
     // rank bounds derived from n with floor on the SAME double formula
-    // both engines evaluate; u is the symmetric reflection n + 1 - l
+    // both engines evaluate; u is the symmetric reflection n + 1 - l.
+    // l is clamped to >= 1 (round-6 ADVICE): for n <= ~8 the raw floor
+    // reaches 0, which matches no rank and silently NULLs ci_lo — the
+    // clamp degrades to the min/max order statistics instead.
     val withN = ranked.crossJoin(broadcast(n))
-      .withColumn("__l", floor((col("__n").cast("double") -
-        lit(MciZ) * sqrt(col("__n").cast("double"))) / 2).cast("long"))
+      .withColumn("__l", greatest(floor((col("__n").cast("double") -
+        lit(MciZ) * sqrt(col("__n").cast("double"))) / 2).cast("long"),
+        lit(1L)))
       .withColumn("__u", col("__n") + 1 - col("__l"))
       // explicit floor on BOTH engines: Spark's double->long cast
       // truncates but DuckDB's ROUNDS, so a bare cast of n/2 + .5 would
@@ -62,8 +66,8 @@ object Queries36 {
        |        AS BIGINT) AS r FROM x),
        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
        |b AS (SELECT n,
-       |    CAST(floor((CAST(n AS DOUBLE) - $MciZ * sqrt(CAST(n AS DOUBLE)))
-       |      / 2) AS BIGINT) AS l,
+       |    greatest(CAST(floor((CAST(n AS DOUBLE)
+       |      - $MciZ * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT), 1) AS l,
        |    CAST(floor((n + 1) / 2) AS BIGINT) AS m1,
        |    CAST(floor(n / 2 + 1) AS BIGINT) AS m2
        |  FROM n)
@@ -88,17 +92,24 @@ object Queries36 {
   // (boot1) trusts. One bucket aggregation; expected counts are exact
   // n/64 scalars; the statistic should hover near its df = 63 under
   // the null. An engine whose hash drifted would fail THIS row before
-  // the downstream operators' oracles moved.
+  // the downstream operators' oracles moved. The observed counts are
+  // left-joined onto the FULL 0..63 grid with coalesce(o, 0), so an
+  // empty bucket contributes its full (0 − e)²/e = e term and df = 63
+  // is honest even when n_buckets_hit < 64 (round-6 ADVICE).
   // ---------------------------------------------------------------------
   private[graft] val GofBuckets = 64
 
   def gof1HashUniformity(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = Tables.orders(spark, sfDir).select(
+    val hit = Tables.orders(spark, sfDir).select(
       floor(Sampling.bootUniform(col("o_orderkey"), lit(5)) * GofBuckets)
         .cast("int").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("__o"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__oh"))
+    val grid = spark.range(GofBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val b = grid.join(hit, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__oh"), lit(0L)).as("__o"))
     val n = b.agg(sum(col("__o")).as("__n"),
-      count(lit(1)).as("n_buckets_hit"))
+      count(when(col("__o") > 0, lit(1))).as("n_buckets_hit"))
     b.crossJoin(broadcast(n))
       .select(col("n_buckets_hit"), col("__n"),
         ((col("__o").cast("double") -
@@ -116,12 +127,18 @@ object Queries36 {
   val gof1HashUniformitySql: String = {
     val u = SamplingSql.bootUniform("o_orderkey", "5")
     val e = s"(CAST(n.n AS DOUBLE) / $GofBuckets)"
-    s"""WITH b AS (
+    s"""WITH hit AS (
        |  SELECT CAST(floor($u * $GofBuckets) AS INTEGER) AS bucket,
        |    CAST(COUNT(*) AS BIGINT) AS o
        |  FROM orders GROUP BY 1),
+       |b AS (
+       |  SELECT g.bucket, COALESCE(hit.o, 0) AS o
+       |  FROM (SELECT CAST(range AS INTEGER) AS bucket
+       |        FROM range($GofBuckets)) g
+       |  LEFT JOIN hit ON hit.bucket = g.bucket),
        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-       |        CAST(COUNT(*) AS BIGINT) AS hit FROM b)
+       |        CAST(COUNT(CASE WHEN o > 0 THEN 1 END) AS BIGINT) AS hit
+       |      FROM b)
        |SELECT n.n AS n, n.hit AS n_buckets_hit,
        |  ${GofBuckets - 1} AS df,
        |  round(CAST(SUM(CAST((CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE)

@@ -35,9 +35,9 @@ object Queries37 {
     val pairs = operators.Dedup.simhashPairs(
         Tables.documents(spark, sfDir), "doc_id", "text", maxDist = 3)
       .select(col("id1").as("src"), col("id2").as("dst"))
-    val (edges, _) = KTruss.truss(pairs, TrussK,
+    val r = KTruss.truss(pairs, TrussK,
       maxIters = TrussUnroll + 1, strict = true)
-    edges.select(col("a").as("id1"), col("b").as("id2"), col("support"))
+    r.edges.select(col("a").as("id1"), col("b").as("id2"), col("support"))
   }
 
   val tri2KtrussSql: String = {

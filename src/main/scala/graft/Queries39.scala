@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round 6 (cont. 10) — density-based outlier scoring: Local Outlier
@@ -15,14 +14,13 @@ object Queries39 {
 
   // ---------------------------------------------------------------------
   // LOF1: k = 5 LOF over vec_id < LofBlock by cosine distance.
-  // Dataflow: (1) pairwise distances on the bounded block (the dbs1
-  // stance: at corpus scale the candidate pairs come from the ANN
-  // bucket families, the LOF dataflow is unchanged); (2) per-point
-  // kNN window -> neighbour list + k-distance; (3) reachability
-  // distances via one join against the neighbour's k-distance;
-  // (4) lrd = 1 / mean reach-dist, DECIMAL-quantized; (5) LOF = mean
-  // neighbour-lrd / own lrd via one more join. Top LofTopK by score
-  // (total order: score desc, id asc). Expected shape on the fixture's
+  // The LOF dataflow itself lives in operators/Lof.scala behind the
+  // DBSCAN-style candidate-pair contract (round-6 VERDICT #4); this
+  // fixture query feeds it the bounded brute-force pair block — at
+  // corpus scale the ANN/SRP bucket families generate the candidates
+  // instead (LofSpec proves SRP candidates reproduce brute-force
+  // scores on a planted-outlier block). Top LofTopK by score (total
+  // order: score desc, id asc). Expected shape on the fixture's
   // near-orthogonal vectors: scores hover near 1 (uniform density)
   // with a thin tail — the SEMANTICS are under test, as in dbs1/mod1.
   // ---------------------------------------------------------------------
@@ -35,31 +33,15 @@ object Queries39 {
       .where(col("vec_id") < LofBlock)
       .select(col("vec_id").as("id"), col("embedding"))
       .localCheckpoint(true)
-    val d = block.select(col("id").as("p"), col("embedding").as("__e1"))
+    val pairs = block.select(col("id").as("p"), col("embedding").as("__e1"))
       .join(block.select(col("id").as("o"), col("embedding").as("__e2")),
         col("p") =!= col("o"))
       .select(col("p"), col("o"),
         (lit(1.0) - graft.functions.Native.cosineSim(col("__e1"), col("__e2")))
-          .as("__d"))
-    val w = Window.partitionBy(col("p")).orderBy(col("__d").asc, col("o").asc)
-    val knn = d.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= LofK)
-      .localCheckpoint(true) // k-dist + reach + two lrd joins consume it
-    val kdist = knn.groupBy(col("p").as("o")).agg(max(col("__d")).as("__kd"))
-    val reach = knn.join(kdist, Seq("o"))
-      .select(col("p"), col("o"), greatest(col("__kd"), col("__d")).as("__r"))
-    val lrd = reach.groupBy(col("p"))
-      .agg((count(lit(1)).cast("double") /
-        sum(col("__r").cast("decimal(28,14)")).cast("double")).as("__lrd"))
-    val lof = knn.select(col("p"), col("o"))
-      .join(lrd.select(col("p").as("o"), col("__lrd").as("__lrdo")), Seq("o"))
-      .groupBy(col("p"))
-      .agg((sum(col("__lrdo").cast("decimal(28,14)")).cast("double") /
-        count(lit(1)).cast("double")).as("__mlrd"))
-      .join(lrd, Seq("p"))
-      .select(col("p"), (col("__mlrd") / col("__lrd")).as("__lof"))
-    lof.orderBy(col("__lof").desc, col("p").asc).limit(LofTopK)
-      .select(col("p").as("vec_id"), round(col("__lof"), 6).as("lof"))
+          .as("d"))
+    graft.operators.Lof.score(pairs, LofK)
+      .orderBy(col("lof").desc, col("p").asc).limit(LofTopK)
+      .select(col("p").as("vec_id"), round(col("lof"), 6).as("lof"))
   }
 
   val lof1LocalOutliersSql: String = {

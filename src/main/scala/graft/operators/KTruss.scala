@@ -45,10 +45,19 @@ object KTruss {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
 
+  /** Truss decomposition result. `converged` distinguishes a true
+    * fixpoint from a maxIters-truncated peel (round-6 ADVICE: with
+    * strict = false the two were indistinguishable from the rows alone,
+    * so a non-strict caller could silently consume an unconverged
+    * truss). */
+  final case class TrussResult(edges: DataFrame, rounds: Int,
+      converged: Boolean)
+
   /** The k-truss: surviving canonical edges with their fixpoint support.
-    * Returns (edges(a, b, support), roundsUsed). */
+    * Returns the edge set (a, b, support), rounds used, and whether the
+    * peel reached a fixpoint within `maxIters`. */
   def truss(edges: DataFrame, k: Int, maxIters: Int,
-      strict: Boolean = false): (DataFrame, Int) = {
+      strict: Boolean = false): TrussResult = {
     require(k >= 3, "k-truss needs k >= 3")
     var e = canonical(edges).localCheckpoint(true)
     var n = e.count()
@@ -69,8 +78,9 @@ object KTruss {
       throw new IllegalStateException(
         s"k-truss did not converge within $maxIters rounds — " +
           "the oracle unroll no longer covers this graph")
-    (e.join(support(e), Seq("a", "b"), "left")
+    TrussResult(e.join(support(e), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support")), rounds)
+        coalesce(col("support"), lit(0L)).as("support")),
+      rounds, converged)
   }
 }

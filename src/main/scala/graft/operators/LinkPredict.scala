@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * a self-equi-join on b, Σ_b deg(b)² pairs, the wedge-enumeration cost
   * every common-neighbor method pays (the triangle counter's bound). A
   * hot b (a near-universal neighbor) inflates it quadratically AND
-  * carries near-zero AA weight — the standard remedy at 100 TB is a
-  * degree cap on b (drop b with deg(b) > D before the join), the same
-  * hot-bucket guard the MinHash join uses. Degrees of shared neighbors
-  * are ≥ 2 by construction, so ln(deg) > 0 always.
+  * carries near-zero AA weight — so `maxNeighborDeg` drops b with
+  * deg(b) > cap BEFORE the self-join (the same hot-bucket guard the
+  * MinHash join uses), bounding the wedge count at Σ_b min(deg(b), D)².
+  * A capped run is approximate-by-omission: dropped neighbors each
+  * carried weight 1/ln(deg) < 1/ln(D), so per-pair error ≤
+  * common/ln(D). [[droppedNeighbors]] reports exactly what a cap
+  * discards so callers can audit the truncation. Degrees of shared
+  * neighbors are ≥ 2 by construction, so ln(deg) > 0 always.
   *
   * Determinism: the 1/ln(deg) contributions are DECIMAL(28,14)-quantized
   * before the exact sum (the t16 pattern — both engines' `ln` agree far
@@ -31,10 +35,15 @@ import org.apache.spark.sql.functions._
 object LinkPredict {
 
   /** `edges`: distinct (a, b) pairs. Returns (a1, a2, common, aa_score)
-    * for a-side pairs with ≥ `minCommon` shared b-neighbors, a1 < a2. */
-  def adamicAdar(edges: DataFrame, minCommon: Long): DataFrame = {
+    * for a-side pairs with ≥ `minCommon` shared b-neighbors, a1 < a2.
+    * `maxNeighborDeg` is the hot-neighbor wedge guard (see class doc):
+    * shared neighbors with deg(b) > cap are excluded before the
+    * self-join. The default (`Long.MaxValue`) keeps the result exact. */
+  def adamicAdar(edges: DataFrame, minCommon: Long,
+      maxNeighborDeg: Long = Long.MaxValue): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     val deg = e.groupBy(col("b")).agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") <= maxNeighborDeg)
     val withDeg = e.join(deg, Seq("b"))
     val left = withDeg.select(col("b"), col("a").as("a1"), col("__deg"))
     val right = withDeg.select(col("b"), col("a").as("a2"))
@@ -48,4 +57,14 @@ object LinkPredict {
       .select(col("a1"), col("a2"), col("common"),
         round(col("__aa").cast("double"), 6).as("aa_score"))
   }
+
+  /** The audit companion to a capped [[adamicAdar]] run: the hot
+    * neighbors (b, deg) a `maxNeighborDeg` cap drops, so callers can
+    * COUNT and report the truncation instead of silently absorbing it.
+    * One aggregation over the edge list — cheap next to the wedge join
+    * it guards. */
+  def droppedNeighbors(edges: DataFrame, maxNeighborDeg: Long): DataFrame =
+    edges.select(col("a"), col("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") > maxNeighborDeg)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Local Outlier Factor (Breunig et al. 2000, "LOF: Identifying
+  * Density-Based Local Outliers") over CANDIDATE DISTANCE PAIRS — the
+  * same contract as [[Dbscan.cluster]]: the operator takes (p, o, d)
+  * rows and never generates pairs itself, so at corpus scale the
+  * LSH/SRP/ANN bucket families supply a candidate superset of each
+  * point's true k-NN and the dataflow below is unchanged, while
+  * fixtures may feed a bounded brute-force block. (Round-6 VERDICT #4:
+  * lof1 previously hard-coded its brute-force pair gen inside the
+  * query, an API asymmetry with DBSCAN.)
+  *
+  * Contract on `pairs`: directed candidate rows (p, o, d) with p ≠ o,
+  * d ≥ 0, no duplicate (p, o). Every point that appears as a NEIGHBOR
+  * (o of someone's k-NN) must also appear as a probe p with its own
+  * candidate rows, because LOF compares p's local reachability density
+  * against its neighbors' — band-join candidate generators satisfy
+  * this by construction when symmetrized. LOF is exact iff each
+  * point's candidates cover its true k-NN; a candidate family with
+  * misses degrades gracefully (k-NN computed within candidates), the
+  * standard ANN trade.
+  *
+  * Dataflow (one window + three keyed joins, no all-pairs anywhere):
+  * (1) per-point k-NN window over the candidates → neighbor list and
+  * k-distance; (2) reachability distance reach(p, o) =
+  * max(kdist(o), d(p, o)) via one join against the neighbor's
+  * k-distance; (3) lrd(p) = 1 / mean reach — DECIMAL-quantized sum so
+  * both engines agree; (4) LOF(p) = mean_{o ∈ kNN(p)} lrd(o) / lrd(p)
+  * via one more join. Scores hover near 1 in uniform density; > 1 is
+  * locally sparse.
+  */
+object Lof {
+
+  /** LOF scores from candidate pairs. Returns (p, lof) for every probe
+    * point with at least one candidate; ties in the k-NN window break
+    * on neighbor id so the result is a deterministic function of the
+    * input. */
+  def score(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "LOF needs k >= 1")
+    val d = pairs.select(col("p"), col("o"), col("d").as("__d"))
+    val w = Window.partitionBy(col("p")).orderBy(col("__d").asc, col("o").asc)
+    val knn = d.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .localCheckpoint(true) // k-dist + reach + two lrd joins consume it
+    val kdist = knn.groupBy(col("p").as("o")).agg(max(col("__d")).as("__kd"))
+    val reach = knn.join(kdist, Seq("o"))
+      .select(col("p"), col("o"), greatest(col("__kd"), col("__d")).as("__r"))
+    val lrd = reach.groupBy(col("p"))
+      .agg((count(lit(1)).cast("double") /
+        sum(col("__r").cast("decimal(28,14)")).cast("double")).as("__lrd"))
+    knn.select(col("p"), col("o"))
+      .join(lrd.select(col("p").as("o"), col("__lrd").as("__lrdo")), Seq("o"))
+      .groupBy(col("p"))
+      .agg((sum(col("__lrdo").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mlrd"))
+      .join(lrd, Seq("p"))
+      .select(col("p"), (col("__mlrd") / col("__lrd")).as("lof"))
+  }
+}

@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** The fused per-iteration in-flow — ONE edge-keyed join + one
+    * node-keyed aggregate, the whole point of the round-6 fusion (the
+    * unfused form joined edges ⋈ outDeg and then ⋈ rank, two edge-sized
+    * joins per iteration). `rank` must carry (node, __outd, rank); the
+    * per-node sending weight rank/outd is DECIMAL(28,10)-quantized
+    * BEFORE the edge join — same two ops (one IEEE divide, one decimal
+    * quantize) as the per-edge form, computed once per node instead of
+    * once per edge, then replicated by the join, so every summed term
+    * is bit-identical to the unfused plan's. Dangling rows divide null
+    * and are dropped by the inner join (they source no edge anyway).
+    * Factored out so [[ranks]] and [[personalized]] share it and
+    * PlanSpec can pin its physical shape (exactly one join, map-side
+    * partial aggregation, one shuffle). */
+  private[graft] def inflow(e: DataFrame, rank: DataFrame,
+      nodeSide: DataFrame => DataFrame): DataFrame =
+    e.join(nodeSide(rank.select(col("node").as("src"),
+        (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))),
+        Seq("src"))
+      .select(col("dst").as("node"), col("__c"))
+      .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
+
   /** PageRank after exactly `iters` power iterations, damping 0.85,
     * uniform init 1/N, teleport (1-0.85)/N. Input `edges` (src, dst) is
     * deduplicated defensively; every node reachable in the edge list
@@ -62,17 +83,7 @@ object PageRank {
       if (n <= broadcastMax) broadcast(df) else df
     var rank = nodesD.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      // per-node sending weight rank/outd, quantized BEFORE the edge join:
-      // same two ops (one IEEE divide, one decimal quantize) as the
-      // per-edge form — computed once per node instead of once per edge —
-      // then replicated by the join, so every summed term is bit-identical
-      // to the unfused plan's. Dangling rows divide null and are dropped
-      // by the inner join (they source no edge anyway).
-      val contrib = e.join(nodeSide(rank.select(col("node").as("src"),
-          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))),
-          Seq("src"))
-        .select(col("dst").as("node"), col("__c"))
-        .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
+      val contrib = inflow(e, rank, nodeSide)
       rank =
         if (nDangling == 0L) {
           nodesD.join(contrib, Seq("node"), "left")
@@ -139,11 +150,7 @@ object PageRank {
       if (n <= broadcastMax) broadcast(df) else df
     var rank = nodesD.withColumn("rank", col("__v"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(nodeSide(rank.select(col("node").as("src"),
-          (col("rank") / col("__outd")).cast("decimal(28,10)").as("__c"))),
-          Seq("src"))
-        .select(col("dst").as("node"), col("__c"))
-        .groupBy(col("node")).agg(sum(col("__c")).cast("double").as("__in"))
+      val contrib = inflow(e, rank, nodeSide)
       rank =
         if (nDangling == 0L) {
           nodesD.join(contrib, Seq("node"), "left")

@@ -107,7 +107,11 @@ object Sketches {
   }
 
   /** Point-query estimates for `keys` against a cell table: the min over
-    * the d row cells each key hashes into (>= truth always). */
+    * the d row cells each key hashes into (>= truth always). Cells the
+    * sketch never touched are implicit zeros, so the probe LEFT-joins and
+    * coalesces to 0 — a key absent from the sketched stream correctly
+    * returns est = 0 instead of vanishing (round-6 ADVICE: an inner join
+    * violated the one-sided guarantee for absent keys). */
   def cmQuery(cells: DataFrame, keys: DataFrame, key: Column, d: Int,
       w: Int): DataFrame = {
     val probes = (1 to d).map { r =>
@@ -115,8 +119,8 @@ object Sketches {
         floor(Sampling.bootUniform(key, lit(100 + r)) * w).cast("int")
           .as("bucket"))
     }.reduce(_ unionByName _)
-    probes.join(cells, Seq("row", "bucket"))
-      .groupBy(col("__k")).agg(min(col("c")).as("est"))
+    probes.join(cells, Seq("row", "bucket"), "left")
+      .groupBy(col("__k")).agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   def cmCellsSql(keyCountsRel: String, key: String, cnt: String, d: Int,

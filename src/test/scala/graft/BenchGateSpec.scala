@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The regression gate, replayed against the round-6 incident
+  * (BENCH_r06's two false `"reason":"undeclared"` rows): a shuffle-side
+  * co-tenant burst slowed pq1_pq_adc 1.005 → 2.073 s and
+  * v13_mmr_rerank 0.239 → 0.723 s while the scan canary moved the
+  * OPPOSITE way (0.460 → 0.368), so canary normalization amplified
+  * 2.06x raw into 2.57x "normalized" and fired on untouched code. The
+  * round-7 gate (max-of-estimators drift + end-of-run retry) must
+  * produce zero false rows on that replay and still catch a real
+  * regression on a quiet box. Pure functions — no SparkSession. */
+class BenchGateSpec extends AnyFunSuite {
+
+  // 18 quiet queries at ratio 1.0 + the two burst victims, the shape of
+  // the r6 common set compressed
+  private val quiet = (1 to 18).map(i => s"q$i" -> (0.2 + 0.05 * i)).toMap
+  private val prev = quiet ++ Map("pq1_pq_adc" -> 1.005,
+    "v13_mmr_rerank" -> 0.239)
+  private val burstNow = quiet ++ Map("pq1_pq_adc" -> 2.073,
+    "v13_mmr_rerank" -> 0.723)
+
+  test("r6 replay: shuffle canary sees the burst -> zero false rows") {
+    val med = Bench.medianRatio(burstNow, prev)
+    assert(med.exists(m => math.abs(m - 1.0) < 1e-9),
+      s"18 of 20 ratios are 1.0, median must be 1.0, got $med")
+    // scan canary moved OPPOSITE (0.8x), shuffle canary caught the burst
+    val drift = Bench.driftEstimate(Some(0.368 / 0.460), Some(2.2), med)
+    assert(drift == 2.2)
+    assert(Bench.gateFlags(burstNow, prev, drift).isEmpty,
+      "burst rows must not fire when the shuffle canary absorbed it")
+  }
+
+  test("r6 replay: canaries quiet, retry pass clears the burst") {
+    // worst case: the burst dodged BOTH canaries (it was transient).
+    // drift floors at 1.0 — the old gate's amplification (x1.25) is gone
+    val med = Bench.medianRatio(burstNow, prev)
+    val drift = Bench.driftEstimate(Some(0.368 / 0.460), Some(1.0), med)
+    assert(drift == 1.0)
+    val first = Bench.gateFlags(burstNow, prev, drift)
+    assert(first == Seq("pq1_pq_adc"),
+      s"pq1 trips the first pass (v13's 0.48 s excess is under the " +
+        s"0.5 s absolute filter), got $first")
+    // the end-of-run retry re-times flagged queries minutes later, when
+    // the burst has moved on; the final time is the min of both passes
+    val retimed = Map("pq1_pq_adc" -> 1.02) // the adjudicated clean value
+    val finalResults = burstNow ++ retimed.map { case (k, v) =>
+      k -> math.min(v, burstNow(k))
+    }
+    assert(Bench.gateFlags(finalResults, prev, drift).isEmpty,
+      "zero false regression rows after the retry pass")
+  }
+
+  test("a real regression on a quiet box still fires, and persists") {
+    val now = quiet ++ Map("pq1_pq_adc" -> 1.01, "v13_mmr_rerank" -> 0.24,
+      "lnk1_adamic_adar" -> 2.8)
+    val p = prev + ("lnk1_adamic_adar" -> 1.0)
+    val drift = Bench.driftEstimate(Some(1.0), Some(1.0),
+      Bench.medianRatio(now, p))
+    assert(drift == 1.0)
+    assert(Bench.gateFlags(now, p, drift) == Seq("lnk1_adamic_adar"))
+    // retry returns the same time (it is real): the flag persists
+    val finalResults = now + ("lnk1_adamic_adar" -> math.min(2.79, 2.8))
+    assert(Bench.gateFlags(finalResults, p, drift) ==
+      Seq("lnk1_adamic_adar"))
+  }
+
+  test("box-wide 1.5x slowdown: median carries the gate, no spray") {
+    val now = prev.map { case (k, v) => k -> v * 1.5 }
+    val med = Bench.medianRatio(now, prev)
+    assert(med.exists(m => math.abs(m - 1.5) < 1e-9))
+    // even with both canaries blind (ratio 1.0), the median relaxes it
+    val drift = Bench.driftEstimate(Some(1.0), Some(1.0), med)
+    assert(drift == 1.5)
+    assert(Bench.gateFlags(now, prev, drift).isEmpty)
+  }
+
+  test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
+    assert(Bench.driftEstimate(Some(0.7), Some(0.8), Some(0.9)) == 1.0)
+    assert(Bench.driftEstimate(None, None, None) == 1.0)
+    val tiny = (1 to 7).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.medianRatio(tiny, tiny).isEmpty)
+    assert(Bench.medianRatio(prev, Map.empty).isEmpty)
+  }
+}

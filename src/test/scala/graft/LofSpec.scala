@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Lof}
+
+/** The round-6 VERDICT #4 contract: Lof.score takes candidate pairs
+  * like Dbscan.cluster, so the SRP/LSH/ANN families can feed it at
+  * corpus scale. The planted-outlier test proves the SRP candidate
+  * family reproduces the brute-force scores exactly when its buckets
+  * cover every point's true k-NN — the degrade-gracefully ANN trade
+  * made measurable. */
+class LofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+  private val K = 3
+
+  /** Two tight 10-point clusters along fixed directions u (all-ones)
+    * and v (alternating signs), members fanned by a small multiple of
+    * a jitter direction, plus one outlier off cluster A at a much
+    * larger angle. Deterministic floats; cluster spread ≪ outlier
+    * distance ≪ cross-cluster distance. */
+  private def planted: DataFrame = {
+    val u = Array.fill(Dim)(1.0f)
+    val v = Array.tabulate(Dim)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    val w = Array.tabulate(Dim)(d => if (d % 3 == 0) 0.5f else -0.25f)
+    def mix(base: Array[Float], t: Float) =
+      Array.tabulate(Dim)(d => base(d) + t * w(d))
+    val a = (0 until 10).map(i => (i.toLong, mix(u, 0.02f * i)))
+    val b = (0 until 10).map(i => (100L + i, mix(v, 0.02f * i)))
+    val outlier = Seq((999L, mix(u, 0.6f)))
+    (a ++ b ++ outlier).toDF("vec_id", "embedding")
+  }
+
+  /** Symmetrized (p, o, d) cosine-distance pairs from a (id1, id2,
+    * cosine) candidate table. */
+  private def toPairs(cands: DataFrame): DataFrame = {
+    val d = cands.select(col("id1"), col("id2"),
+      (lit(1.0) - col("cosine")).as("d"))
+    d.select(col("id1").as("p"), col("id2").as("o"), col("d"))
+      .unionByName(d.select(col("id2").as("p"), col("id1").as("o"),
+        col("d")))
+  }
+
+  test("SRP-candidate LOF == brute-force LOF on a planted-outlier block") {
+    val vecs = planted.localCheckpoint(true)
+    // threshold -1 keeps every band-join candidate: the family under
+    // test is the BUCKETING, not the verify filter
+    val srp = Lof.score(toPairs(
+        Dedup.srpNearDups(vecs, "vec_id", "embedding", threshold = -1.0)), K)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val brute = Lof.score(toPairs(
+        Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+          threshold = -1.0)), K)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(brute.keySet == vecs.select("vec_id").as[Long].collect().toSet)
+    // the SRP buckets cover every point's true k-NN on this geometry,
+    // so the scores are IDENTICAL, not merely close
+    assert(srp.keySet == brute.keySet,
+      s"SRP candidates missed points: ${brute.keySet -- srp.keySet}")
+    srp.foreach { case (id, s) =>
+      assert(math.abs(s - brute(id)) < 1e-12, s"vec $id: $s vs ${brute(id)}")
+    }
+    // and the geometry does what it says: the planted outlier is the
+    // top score and clearly separated from the cluster band
+    val top = brute.maxBy(_._2)
+    assert(top._1 == 999L, s"expected outlier 999 on top, got $top")
+    assert(brute.filter(_._1 != 999L).values.forall(_ < top._2))
+  }
+
+  test("Lof.score matches the hand-run algebra on a 2-D block") {
+    // the Queries39Spec hand-run geometry, now THROUGH the operator:
+    // tight 8-point line at 0.01 steps + one far point, Euclidean pairs
+    val pts: Map[Long, (Double, Double)] =
+      (0L until 8L).map(i => i -> (i.toDouble * 0.01, 0.0)).toMap +
+        (99L -> (5.0, 5.0))
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val pairRows = for {
+      p <- pts.keys.toSeq; o <- pts.keys.toSeq if p != o
+    } yield (p, o, dist(pts(p), pts(o)))
+    val got = Lof.score(pairRows.toDF("p", "o", "d"), K)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference algebra (same as Queries39Spec's lofScores)
+    val ids = pts.keys.toSeq.sorted
+    val knn = ids.map { p =>
+      p -> ids.filter(_ != p)
+        .sortBy(o => (dist(pts(p), pts(o)), o)).take(K)
+    }.toMap
+    val kdist = ids.map(p => p -> dist(pts(p), pts(knn(p).last))).toMap
+    val lrd = ids.map { p =>
+      p -> knn(p).size.toDouble / knn(p)
+        .map(o => math.max(kdist(o), dist(pts(p), pts(o)))).sum
+    }.toMap
+    val want = ids.map(p => p -> knn(p).map(lrd).sum / knn(p).size / lrd(p))
+    want.foreach { case (p, s) =>
+      assert(math.abs(got(p) - s) < 1e-9, s"point $p: ${got(p)} vs $s")
+    }
+  }
+}

@@ -163,6 +163,36 @@ class Queries31Spec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - want) < 1e-6)
   }
 
+  test("adamicAdar: degree cap drops a planted hub, bounds wedge pairs") {
+    // planted hub: b=99 is shared by ALL of a=1..20 (deg 20, the
+    // near-universal neighbor) -> 190 wedge pairs from the hub alone;
+    // two honest shared neighbors b=10 (a=1,2) and b=20 (a=1,2,3).
+    val hub = (1L to 20L).map(a => (a, 99L))
+    val honest = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L))
+    val edges = (hub ++ honest).toDF("a", "b")
+    // cap 10 < deg(99) = 20: the hub is dropped BEFORE the self-join,
+    // so scores reduce to the honest wedges only
+    val capped = LinkPredict.adamicAdar(edges, minCommon = 1,
+        maxNeighborDeg = 10L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(capped.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(capped((1L, 2L))._1 == 2) // hub's contribution gone
+    val want12 = 1 / math.log(2.0) + 1 / math.log(3.0)
+    assert(math.abs(capped((1L, 2L))._2 - want12) < 1e-6)
+    assert(math.abs(capped((1L, 3L))._2 - 1 / math.log(3.0)) < 1e-6)
+    // the audit companion names exactly what the cap discarded
+    val dropped = LinkPredict.droppedNeighbors(edges, 10L).collect()
+    assert(dropped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((99L, 20L)))
+    // and a cap above every degree is exact: identical to the uncapped run
+    val exact = LinkPredict.adamicAdar(edges, minCommon = 1).collect()
+    val wide = LinkPredict.adamicAdar(edges, minCommon = 1,
+      maxNeighborDeg = 1000L).collect()
+    assert(exact.map(_.toSeq).toSet == wide.map(_.toSeq).toSet)
+    assert(LinkPredict.droppedNeighbors(edges, 1000L).count() == 0)
+  }
+
   // ------------------------------------------------------ rank1Als
 
   test("rank1Als: exactly rank-1 ratings recover the factors") {

@@ -18,7 +18,9 @@ class Queries37Spec extends SparkSpec {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
         (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
       .toDF("src", "dst")
-    val (truss, rounds) = KTruss.truss(edges, k = 4, maxIters = 10)
+    val r = KTruss.truss(edges, k = 4, maxIters = 10)
+    val (truss, rounds) = (r.edges, r.rounds)
+    assert(r.converged, "clique peel must reach a fixpoint")
     val got = truss.select("a", "b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)))
@@ -36,14 +38,22 @@ class Queries37Spec extends SparkSpec {
     intercept[IllegalStateException] {
       KTruss.truss(edges, k = 4, maxIters = 1, strict = true)
     }
+    // non-strict: same truncation must be VISIBLE via the converged flag
+    // (round-6 ADVICE — a truncated peel was indistinguishable from a
+    // fixpoint), and running to fixpoint flips it back
+    val truncated = KTruss.truss(edges, k = 4, maxIters = 1)
+    assert(!truncated.converged && truncated.rounds == 1)
+    assert(KTruss.truss(edges, k = 4, maxIters = 10).converged)
   }
 
   test("tri2: engine fixpoint sits within the oracle unroll at fixture scale") {
     val pairs = operators.Dedup.simhashPairs(
         Tables.documents(spark, sf), "doc_id", "text", maxDist = 3)
       .select(col("id1").as("src"), col("id2").as("dst"))
-    val (_, rounds) = KTruss.truss(pairs, Queries37.TrussK,
+    val r = KTruss.truss(pairs, Queries37.TrussK,
       maxIters = Queries37.TrussUnroll + 1, strict = true)
+    val rounds = r.rounds
+    assert(r.converged)
     assert(rounds <= Queries37.TrussUnroll,
       s"oracle unrolls ${Queries37.TrussUnroll} rounds, engine needed $rounds")
   }
