@@ -88,6 +88,25 @@ object Bench {
       medRatio: Option[Double]): Double =
     (Seq(1.0) ++ scanRatio ++ shuffleRatio ++ medRatio).max
 
+  /** The gate's one blind spot, surfaced instead of absorbed (round-7
+    * ADVICE): a CODE regression that slows the majority of queries moves
+    * the median ratio, which raises [[driftEstimate]] and silently
+    * relaxes the gate — indistinguishable, from timings alone, from a
+    * box-wide co-tenant slowdown. The two cases separate on the
+    * canaries: a slower BOX slows the pinned canaries too (their plans
+    * never change), while a code-wide regression slows registered
+    * queries but not the canary pair. So: median drift past 1.3 while
+    * both canaries sit under 1.15 yields an explicit warning string for
+    * the bench JSON — a human adjudicates (it cannot auto-fail: a
+    * deliberate engine-wide change, e.g. a config default, looks the
+    * same), but the pattern is no longer silent. */
+  def driftWarning(scanRatio: Option[Double], shuffleRatio: Option[Double],
+      medRatio: Option[Double]): Option[String] =
+    medRatio.filter(m => m > 1.3 &&
+        (Seq(1.0) ++ scanRatio ++ shuffleRatio).max < 1.15)
+      .map(m => f"median ratio $m%.2f with quiet canaries" +
+        " — box drift cannot explain this; suspect a code-wide slowdown")
+
   /** Names whose time exceeds 2x the drift-adjusted previous AND whose
     * absolute excess beyond drift*prev is > 0.5 s (sub-second jitter on
     * tiny queries never fires). Pure — BenchGateSpec replays the
@@ -248,7 +267,10 @@ object Bench {
         .map { case (k, v) => f""""$k":${v / canary}%.4f""" }.mkString("{", ",", "}")
     else "{}"
     val medJson = med.map(m => f"$m%.4f").getOrElse("null")
-    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f"""
+    val warnJson = driftWarning(prevCanary.map(canary / _),
+        prevCanaryShuffle.map(canaryShuffle / _), med)
+      .map(w => s""""$w"""").getOrElse("null")
+    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"regressions":$regJson,"queries":$full,"queries_norm":$fullNorm,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(40)

@@ -179,9 +179,12 @@ object Queries31 {
   // sf0.1 — probed 2026-08-14). Pairs need >= 4 shared parts. The
   // hot-neighbor wedge guard is ENGAGED at 256 — far above the
   // fixture's scale-stable max part-degree (49 at sf0.01, 53 at sf0.1,
-  // probed 2026-08-14), so the result stays exact and the uncapped
-  // oracle still matches, while a pathological near-universal part can
-  // no longer quadratically inflate the self-join.
+  // probed 2026-08-14), so the result stays exact, while a pathological
+  // near-universal part can no longer quadratically inflate the
+  // self-join. The oracle CTE `d` carries the SAME cap (round-7 ADVICE:
+  // an uncapped oracle computes a different function the moment a
+  // degree-distribution shift engages the guard, and the mismatch would
+  // surface as a confusing hash failure instead of a semantic choice).
   // ---------------------------------------------------------------------
   private[graft] val LnkMinCommon = 4L
   private[graft] val LnkMaxNeighborDeg = 256L
@@ -201,7 +204,8 @@ object Queries31 {
     s"""WITH p AS (
        |  SELECT DISTINCT o_custkey AS a, l_partkey AS b
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |d AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM p GROUP BY 1),
+       |d AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM p GROUP BY 1
+       |      HAVING COUNT(*) <= $LnkMaxNeighborDeg),
        |j AS (SELECT x.a AS a1, y.a AS a2, d.deg
        |      FROM p x JOIN p y ON x.b = y.b AND x.a < y.a
        |      JOIN d ON d.b = x.b)

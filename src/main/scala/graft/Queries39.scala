@@ -39,7 +39,9 @@ object Queries39 {
       .select(col("p"), col("o"),
         (lit(1.0) - graft.functions.Native.cosineSim(col("__e1"), col("__e2")))
           .as("d"))
-    graft.operators.Lof.score(pairs, LofK)
+    // strict: the brute-force block is symmetric by construction, so the
+    // contract check is a free null-guard — and a live consumer of it
+    graft.operators.Lof.score(pairs, LofK, strict = true)
       .orderBy(col("lof").desc, col("p").asc).limit(LofTopK)
       .select(col("p").as("vec_id"), round(col("lof"), 6).as("lof"))
   }

@@ -208,7 +208,11 @@ object Soak {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("a"), col("bb").as("b"))
         .distinct()
-      operators.LinkPredict.adamicAdar(pairs, Queries31.LnkMinCommon)
+      // same cap as the registered query (round-7 ADVICE: the scaled
+      // soak graph is exactly where a near-universal neighbor would
+      // inflate the wedge join, so the soak must exercise the guard)
+      operators.LinkPredict.adamicAdar(pairs, Queries31.LnkMinCommon,
+        Queries31.LnkMaxNeighborDeg)
     }),
     // rides the shifted-key lineitem replicas directly: quantity and
     // discount value tables SATURATE (bounded domains) while the price

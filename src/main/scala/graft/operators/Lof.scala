@@ -38,8 +38,18 @@ object Lof {
   /** LOF scores from candidate pairs. Returns (p, lof) for every probe
     * point with at least one candidate; ties in the k-NN window break
     * on neighbor id so the result is a deterministic function of the
-    * input. */
-  def score(pairs: DataFrame, k: Int): DataFrame = {
+    * input.
+    *
+    * `strict = true` enforces the pairs contract in-plan (round-7
+    * ADVICE): the kdist join becomes a LEFT join and a neighbor `o`
+    * that never appears as a probe `p` — a candidate generator that
+    * forgot to symmetrize — raises an error naming the offending id,
+    * instead of being silently dropped by the inner join and skewing
+    * every lrd/LOF it touches. Zero extra jobs when the contract holds
+    * (the check is one null-guard expression on the existing join);
+    * the default keeps the drop-silently inner join for generators
+    * that intentionally feed asymmetric candidates. */
+  def score(pairs: DataFrame, k: Int, strict: Boolean = false): DataFrame = {
     require(k >= 1, "LOF needs k >= 1")
     val d = pairs.select(col("p"), col("o"), col("d").as("__d"))
     val w = Window.partitionBy(col("p")).orderBy(col("__d").asc, col("o").asc)
@@ -47,7 +57,15 @@ object Lof {
       .where(col("__rn") <= k)
       .localCheckpoint(true) // k-dist + reach + two lrd joins consume it
     val kdist = knn.groupBy(col("p").as("o")).agg(max(col("__d")).as("__kd"))
-    val reach = knn.join(kdist, Seq("o"))
+    val joined =
+      if (strict) knn.join(kdist, Seq("o"), "left")
+        .withColumn("__kd", when(col("__kd").isNull,
+          raise_error(concat(lit("LOF pairs contract violated: neighbor o="),
+            col("o").cast("string"),
+            lit(" has no probe rows of its own — symmetrize the candidate"
+              + " generator")))).otherwise(col("__kd")))
+      else knn.join(kdist, Seq("o"))
+    val reach = joined
       .select(col("p"), col("o"), greatest(col("__kd"), col("__d")).as("__r"))
     val lrd = reach.groupBy(col("p"))
       .agg((count(lit(1)).cast("double") /

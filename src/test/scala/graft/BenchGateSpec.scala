@@ -74,6 +74,23 @@ class BenchGateSpec extends AnyFunSuite {
     val drift = Bench.driftEstimate(Some(1.0), Some(1.0), med)
     assert(drift == 1.5)
     assert(Bench.gateFlags(now, prev, drift).isEmpty)
+    // ...but no longer SILENTLY (round-7 ADVICE): quiet canaries with a
+    // 1.5x median is exactly the code-wide-slowdown signature, and the
+    // warning names it for adjudication instead of only absorbing it
+    assert(Bench.driftWarning(Some(1.0), Some(1.0), med).isDefined)
+  }
+
+  test("drift warning: fires only for quiet-canary median drift") {
+    // a genuinely slower box slows the canaries too -> no warning
+    assert(Bench.driftWarning(Some(1.5), Some(1.4), Some(1.5)).isEmpty)
+    // one hot canary (shuffle-side burst) explains the drift -> quiet
+    assert(Bench.driftWarning(Some(1.0), Some(1.6), Some(1.4)).isEmpty)
+    // flat median -> nothing to warn about, whatever the canaries do
+    assert(Bench.driftWarning(Some(1.0), Some(1.0), Some(1.05)).isEmpty)
+    assert(Bench.driftWarning(None, None, None).isEmpty)
+    // the round-7-ADVICE pattern itself: median 1.4, canaries ~1.0
+    val w = Bench.driftWarning(Some(1.02), Some(0.97), Some(1.4))
+    assert(w.exists(_.contains("code-wide")))
   }
 
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {

@@ -98,4 +98,30 @@ class LofSpec extends SparkSpec {
       assert(math.abs(got(p) - s) < 1e-9, s"point $p: ${got(p)} vs $s")
     }
   }
+
+  test("strict mode fails fast on an unsymmetrized candidate family") {
+    // o=3 appears only as a neighbor, never as a probe — the forgotten-
+    // symmetrize shape the round-7 ADVICE named. Default mode silently
+    // drops the rows (documented degrade); strict names the violator.
+    val asym = Seq((1L, 2L, 0.1), (1L, 3L, 0.2), (2L, 1L, 0.1),
+      (2L, 3L, 0.3)).toDF("p", "o", "d")
+    val e = intercept[Exception] {
+      Lof.score(asym, k = 2, strict = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("LOF pairs contract violated")),
+      s"wrong error: $e")
+    // the same input passes silently (with skewed semantics, by
+    // documented default) when strict is off
+    assert(Lof.score(asym, k = 2).collect().nonEmpty)
+    // and a contract-respecting input is unchanged by strict
+    val sym = Seq((1L, 2L, 0.1), (2L, 1L, 0.1), (1L, 3L, 0.2),
+      (3L, 1L, 0.2), (2L, 3L, 0.3), (3L, 2L, 0.3)).toDF("p", "o", "d")
+    val loose = Lof.score(sym, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val checked = Lof.score(sym, k = 2, strict = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(loose == checked)
+  }
 }

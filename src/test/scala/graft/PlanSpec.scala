@@ -124,4 +124,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
+
+  // The round-6 fusion bought pr1 6.80 -> 3.0 s by collapsing two
+  // edge-sized joins per iteration into one; these pins are the guard
+  // the `inflow` factoring promised (PageRank.scala doc) against a
+  // silent de-fusion. Both pr1 and ppr1 iterate through this exact
+  // function, so pinning it pins them.
+  test("PageRank.inflow (broadcast node side): one join, map-side partial" +
+      " aggregation, one shuffle") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val rank = Seq((1L, 2L, 0.4), (2L, 1L, 0.3), (3L, 1L, 0.3))
+      .toDF("node", "__outd", "rank")
+    val p = operators.PageRank.inflow(e, rank, broadcast)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(p).size == 1, s"expected exactly one join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"node side not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (the node-keyed aggregate):\n$p")
+  }
+
+  test("PageRank.inflow (shuffled node side, the beyond-broadcast scale" +
+      " path): still exactly one join") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rank = Seq((1L, 1L, 0.5), (2L, 1L, 0.5)).toDF("node", "__outd", "rank")
+    val p = operators.PageRank.inflow(e, rank, identity)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(p).size == 1, s"expected exactly one join:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+  }
+
+  test("src2_scored_topk: TopN + score + threshold absorb into the DSv2" +
+      " scan — no Spark-side sort over the store") {
+    val p = planN(Queries28.registry, "src2_scored_topk")
+    assert(p.contains("PushedTopN: ORDER BY [score DESC, id ASC] LIMIT 15"),
+      s"scored TopN not delegated to the store:\n$p")
+    assert(p.contains("PushedScore: cosine(embedding"),
+      s"scoring not delegated to the store:\n$p")
+    assert(p.contains("GreaterThanOrEqual(score,0.05)"),
+      s"threshold not pushed:\n$p")
+    // Spark's only sort is the nBuckets*k-row merge heap; a range
+    // exchange would mean the full store is being globally sorted
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort over the store:\n$p")
+  }
 }
