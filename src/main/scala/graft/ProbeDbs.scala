@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (round 8): decompose the dbs1 soak's x100 cost —
+  * candidate count, eps-pair count, and cross-replica leak share at the
+  * fixture threshold vs the d10 soak threshold. */
+object ProbeDbs {
+  def main(args: Array[String]): Unit = {
+    val spark = Soak.soakSession()
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val dir = s"/root/repo/tmp/soak$factor"
+    val embs = Tables.embeddings(spark, dir)
+    val baseMax = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .agg(max("vec_id")).head().getLong(0) + 1
+    for (thr <- Seq(0.35, 0.6)) {
+      val t0 = System.nanoTime()
+      val pairs = operators.Dedup.srpNearDups(embs, "vec_id", "embedding",
+          threshold = thr, nPlanes = Soak.planesFor(factor), bands = 4)
+        .select(col("id1"), col("id2"))
+        .withColumn("__cross",
+          floor(col("id1") / baseMax) =!= floor(col("id2") / baseMax))
+        .localCheckpoint(true)
+      val n = pairs.count()
+      val nCross = pairs.where(col("__cross")).count()
+      val tp = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val out = operators.Dbscan.cluster(
+        embs.select(col("vec_id").as("id")),
+        pairs.select(col("id1"), col("id2")), Queries32.DbsMinPts)
+      val nOut = out.count()
+      val nClust = out.where(col("cluster") >= 0).count()
+      val tc = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] x$factor thr=$thr eps_pairs=$n cross_replica=$nCross " +
+        f"pair_sec=$tp%.1f cluster_sec=$tc%.1f rows=$nOut clustered=$nClust")
+    }
+    spark.stop()
+  }
+}

@@ -65,6 +65,24 @@ object Soak {
         .repartition(32).write.parquet(s"$outDir/embeddings.parquet")
     }
 
+    // events, replicated with SHIFTED user and event ids at IDENTICAL
+    // timestamps: the streaming replays key their state by user, so the
+    // state store grows by the factor while the watermark clock, batch
+    // cadence, and per-user join fan-out stay exactly 1x — "same traffic
+    // shape, factor x more users", the way an event stream actually
+    // scales. (Shifting ts instead would stretch the simulated clock and
+    // measure a longer stream, not a bigger one.)
+    if (missing("events")) {
+      val ev = Tables.events(spark, baseDir)
+      val evMax = ev.agg(max("event_id")).head().getLong(0) + 1
+      val userMax = ev.agg(max("user_id")).head().getLong(0) + 1
+      (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * evMax))
+          .withColumn("user_id", col("user_id") + lit(i * userMax))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.parquet(s"$outDir/events.parquet")
+    }
+
     // the purchase graph, replicated with SHIFTED customer/supplier keys:
     // replica i is a disjoint component, so the graph itself (nodes AND
     // edges) grows by the factor — unlike ScaleProbe's 1x-dimension
@@ -219,6 +237,47 @@ object Soak {
     // value table grows by the factor — the soak exercises the
     // distinct-value prefix-sum + join-back rank machinery at 60M rows
     "spr1_spearman" -> SparkEntry.queries("spr1_spearman"),
+    // rides the shifted-key orders replicas: 5 EM rounds, each one full
+    // scan folding six DECIMAL moments per component + a scalar param
+    // broadcast back — per-unit cost should FALL (per-round job overhead
+    // amortizes over a factor-larger scan, the pr1 signature)
+    "gmm1_em_mixture" -> SparkEntry.queries("gmm1_em_mixture"),
+    // same replicas: replicas SHARE the calendar, so the daily series —
+    // and the pairwise-slope table, quadratic in DAYS by design — stay
+    // exactly 1x-sized while the scan feeding the daily aggregate grows
+    // by the factor. "Quadratic in days, flat in rows" made measurable.
+    "ts1_theil_sen" -> SparkEntry.queries("ts1_theil_sen"),
+    // the scale path the fixture query's doc comment names: eps-pairs
+    // from the SRP banded candidate join (d10's machinery, bits sized to
+    // N) over the FULL embedding corpus, feeding the identical clustering
+    // dataflow — BLOCKED per replica, because at threshold 0.35 in 64
+    // dims the eps-graph is genuinely dense at scale no matter how the
+    // corpus is built (cross-pair cosine ~ N(0, 1/64) puts 0.35 at 2.8
+    // sigma: ~0.26% of ALL pairs qualify, quadratic in N — measured
+    // round 8: 1.6M pairs at 200k vectors, 99% between unrelated
+    // replicas, the component peel inheriting the blowup). Blocking by
+    // shard/domain is the production posture for low-threshold density
+    // clustering; the block here is the replica, so the soak measures
+    // the dataflow on a linearly growing eps-graph, which is the
+    // operator's scale claim.
+    "dbs1_dbscan" -> ((s: SparkSession, dir: String) => {
+      val baseMax = Tables.embeddings(s, "/root/testdata/sf0.1")
+        .agg(max("vec_id")).head().getLong(0) + 1
+      val embs = Tables.embeddings(s, dir)
+        .withColumn("__blk", floor(col("vec_id") / baseMax))
+      val pairs = operators.Dedup.srpNearDups(embs, "vec_id", "embedding",
+          threshold = Queries32.DbsCos, nPlanes = planesFor(factor),
+          bands = 4, blockCol = Some("__blk"))
+        .select(col("id1"), col("id2"))
+      operators.Dbscan.cluster(embs.select(col("vec_id").as("id")), pairs,
+        Queries32.DbsMinPts)
+    }),
+    // shifted-user events replicas: the stream-stream LEFT OUTER replay's
+    // state store holds factor x more user keys per eviction horizon
+    // while replay cadence (6 chunks + dual sentinels) stays fixed — the
+    // heaviest streaming shape, soaked. Output grows by the factor (the
+    // memory-sink drain is the measured product, as in the 1x bench).
+    "e17_stream_outer_join" -> SparkEntry.queries("e17_stream_outer_join"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -248,9 +307,21 @@ object Soak {
     (t, rows)
   }
 
-  def main(args: Array[String]): Unit = {
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
-    val baseDir = "/root/testdata/sf0.1"
+  /** Shuffle partitions sized to the DECADE, not the box: a fixed 32 at
+    * the 100x scale hands each sort-merge-join task a ~2M-row sort whose
+    * sorter pages + pointer arrays (x32 concurrent tasks, x2 join sides)
+    * exhaust the unified memory pool — the second half of the kc1 100x
+    * OOM mechanism (round 8; the first half was the row-object edge pin,
+    * fixed in KCore). 32 at 1x/10x preserves comparability with every
+    * soak recorded before round 8; 320 at 100x puts ~200k rows in a
+    * shuffle partition — the same "partitions sized so tasks fit in
+    * memory" rule a production deployment applies as data grows. */
+  def shufflePartitionsFor(factor: Int): Int = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    cpus * math.max(1, factor / 10)
+  }
+
+  private[graft] def soakSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -261,6 +332,13 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
+    val baseDir = "/root/testdata/sf0.1"
+    val spark = soakSession()
     val dirs: Seq[(Int, String)] = (1, baseDir) +: factors.map { f =>
       val d = s"/root/repo/tmp/soak$f"
       buildSoak(spark, baseDir, d, f)
@@ -283,6 +361,7 @@ object Soak {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = names.filter(n => only.forall(_.exists(n.startsWith))).map { name =>
       val perScale = dirs.filter(_._1 <= maxFactor(name)).map { case (f, dir) =>
+        spark.conf.set("spark.sql.shuffle.partitions", shufflePartitionsFor(f))
         val fn = soakQueries(f).find(_._1 == name).get._2
         val runs = if (f >= 100) 1 else 2
         val (t, n) = time(spark, fn, dir, runs)
@@ -298,6 +377,88 @@ object Soak {
       s""""$name":{$inner}"""
     }.mkString(",")
     println(s"""{"metric":"soak","queries":{$js}}""")
+    spark.stop()
+  }
+}
+
+/** Dev main: lnk1's hot-neighbor wedge guard on a GENUINELY skewed graph
+  * (the unfinished half of round-6 ask #3). The planted-hub UNIT test
+  * (Queries31Spec) proves the cap's semantics; this soak proves the
+  * BOUND at scale: a near-universal neighbor is planted into the 10x
+  * re-disjointed co-purchase graph (one part bought by every 8th
+  * customer — deg ~ 19k against the organic max of ~53), and the capped
+  * and uncapped runs are timed side by side with their wedge counts.
+  *
+  * The wedge counts come from the degree table (Σ C(deg, 2) — the exact
+  * row count of the self-join's a1 < a2 output), so the blowup is
+  * reported analytically AND paid for real in the uncapped timing. The
+  * capped run must also equal the unplanted graph's output exactly: the
+  * guard drops the hub before the join, and a deg-19k neighbor carries
+  * AA weight 1/ln(19k) ≈ 0.10 — the approximate-by-omission contract.
+  *
+  * Usage: runMain graft.SoakHub [factor] (default 10)
+  */
+object SoakHub {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = "/root/testdata/sf0.1"
+    val spark = Soak.soakSession()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      Soak.shufflePartitionsFor(factor))
+    val dir = s"/root/repo/tmp/soak$factor"
+    Soak.buildSoak(spark, baseDir, dir, factor)
+    val cap = Queries31.LnkMaxNeighborDeg
+    // the same re-disjointed co-purchase pairs as Soak's lnk1 entry
+    val ordMax = Tables.orders(spark, baseDir)
+      .agg(max("o_orderkey")).head().getLong(0) + 1
+    val partMax = Tables.lineitem(spark, baseDir)
+      .agg(max("l_partkey").cast("long")).head().getLong(0) + 1
+    val organic = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_partkey").cast("long") +
+          floor(col("l_orderkey") / lit(ordMax)).cast("long") * lit(partMax))
+          .as("bb"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"), col("bb").as("b"))
+      .distinct()
+      .localCheckpoint(true) // consumed by both runs + the audit
+    val hub = organic.select(col("a")).distinct()
+      .where(pmod(col("a"), lit(8)) === 0)
+      .select(col("a"), lit(-1L).as("b"))
+    val skewed = organic.unionByName(hub).localCheckpoint(true)
+    // the audit companion: what does the cap drop? (expect exactly the hub)
+    val dropped = operators.LinkPredict.droppedNeighbors(skewed, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // analytic wedge counts Σ C(deg, 2): the self-join's exact output size
+    val deg = skewed.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    def wedges(d: DataFrame): Long = d
+      .agg(sum((col("deg") * (col("deg") - 1) / 2).cast("long"))).head().getLong(0)
+    val wUncapped = wedges(deg)
+    val wCapped = wedges(deg.where(col("deg") <= cap))
+    def timeCount(df: => DataFrame): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tCap, nCap) = timeCount(
+      operators.LinkPredict.adamicAdar(skewed, Queries31.LnkMinCommon, cap))
+    val (tUncap, nUncap) = timeCount(
+      operators.LinkPredict.adamicAdar(skewed, Queries31.LnkMinCommon))
+    // the guard's exactness-by-omission check: capped == unplanted graph
+    val (tOrganic, nOrganic) = timeCount(
+      operators.LinkPredict.adamicAdar(organic, Queries31.LnkMinCommon, cap))
+    val droppedJs = dropped.map { case (b, d) => s"""{"b":$b,"deg":$d}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"soak_hub","factor":$factor,"cap":$cap,""" +
+      s""""dropped":$droppedJs,""" +
+      s""""wedges_capped":$wCapped,"wedges_uncapped":$wUncapped,""" +
+      f""""capped_sec":$tCap%.2f,"capped_rows":$nCap,""" +
+      f""""uncapped_sec":$tUncap%.2f,"uncapped_rows":$nUncap,""" +
+      f""""organic_sec":$tOrganic%.2f,"organic_rows":$nOrganic}""")
     spark.stop()
   }
 }

@@ -565,6 +565,20 @@ object Dedup {
     * band while unrelated ones survive ~(1/2)^r per band — the standard
     * recall/cost dial. False negatives are inherent to LSH; callers
     * needing exact results at a low threshold use the blocked exact scan.
+    *
+    * `blockCol`: optional blocking column — candidates must additionally
+    * agree on it (it joins the band key), the standard blocked-LSH
+    * posture (dedup within language / domain / shard). This is also the
+    * scale lever for LOW thresholds in LOW dimensions: the cosine of two
+    * unrelated unit vectors in d dims concentrates as ~N(0, 1/d) — at
+    * d = 64, a 0.35 threshold sits at 2.8 sigma, so a corpus of N
+    * unrelated vectors carries ~0.26% * C(N, 2) GENUINE eps-pairs and
+    * the eps-graph densifies quadratically in N no matter how the data
+    * is constructed (measured round 8: 200k vectors at 0.35 -> 1.6M
+    * pairs, 99% between unrelated replicas, and DBSCAN's component peel
+    * inherits the blowup). Blocking caps the quadratic term at the
+    * block size; the alternative levers are a higher threshold or a
+    * higher embedding dimension.
     */
   def srpNearDups(
       df: DataFrame,
@@ -572,28 +586,32 @@ object Dedup {
       embCol: String,
       threshold: Double,
       nPlanes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      blockCol: Option[String] = None): DataFrame = {
     require(nPlanes % bands == 0, s"bands must divide nPlanes")
     val r = nPlanes / bands
     require(nPlanes <= 63, "long signature: at most 63 planes")
     val mask = (1L << r) - 1L
     val dim = 64
     val planes = srpPlanes(nPlanes, dim)
+    val blk = blockCol.map(col).getOrElse(lit(0L))
     val sig = df.select(col(idCol).as("__id"), col(embCol).as("__e"),
+        blk.as("__blk"),
         graft.functions.Native.codebookDots(col(embCol), planes).as("__dots"))
       .withColumn("__sig", (0 until nPlanes).map(j =>
         // LONG bit ops: an Int signature silently overflows past 31 planes
         when(element_at(col("__dots"), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _))
-    val banded = sig.select(col("__id"),
+    val banded = sig.select(col("__id"), col("__blk"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             (shiftright(col("__sig"), b * r).bitwiseAND(mask)).as("key"))): _*))
           .as("__bk"))
-      .select(col("__id"), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+      .select(col("__id"), col("__blk"),
+        col("__bk.band").as("__band"), col("__bk.key").as("__key"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__blk") <=> col("b.__blk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2")).distinct()
     val v = sig.select(col("__id"), col("__e"))
     cands

