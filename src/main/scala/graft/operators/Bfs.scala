@@ -31,8 +31,9 @@ object Bfs {
     */
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // pin the (possibly expensive) edge derivation ONCE — every round
-    // semi-joins it (the KCore edge-pinning measurement applies verbatim)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // semi-joins it; columnar persist per the kc1 100x OOM mechanism
+    // (GraphPlanning.pinEdges; BASELINE.md round 8)
+    val e = GraphPlanning.pinEdges(edges.select(col("src"), col("dst")))
     var settled = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))

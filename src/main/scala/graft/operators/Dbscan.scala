@@ -31,10 +31,13 @@ object Dbscan {
     * with cluster = −1 for noise. */
   def cluster(points: DataFrame, pairs: DataFrame, minPts: Int): DataFrame = {
     val ids = points.select(col("id"))
-    val sym = pairs.select(col("id1").as("__s"), col("id2").as("__d"))
-      .union(pairs.select(col("id2").as("__s"), col("id1").as("__d")))
-      .distinct()
-      .localCheckpoint(true) // three consumers below
+    // three consumers below; columnar persist, not localCheckpoint, for
+    // this static pair-sized pin — the kc1 100x OOM mechanism
+    // (GraphPlanning.pinEdges; BASELINE.md round 8)
+    val sym = GraphPlanning.pinEdges(
+      pairs.select(col("id1").as("__s"), col("id2").as("__d"))
+        .union(pairs.select(col("id2").as("__s"), col("id1").as("__d")))
+        .distinct())
     val core = ids
       .join(sym.groupBy(col("__s").as("id")).agg(count(lit(1)).as("__n")),
         Seq("id"), "left")

@@ -69,7 +69,9 @@ object GraphOps {
     * chosen plan together, never twice.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges).localCheckpoint(true)
+    // static edge pin: columnar persist, not localCheckpoint — the kc1
+    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8)
+    val e = GraphPlanning.pinEdges(canonicalEdges(edges))
     val deg = e.select(col("id1").as("v"))
       .unionAll(e.select(col("id2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

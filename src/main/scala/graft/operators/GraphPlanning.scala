@@ -1,10 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared planning constants for the iterative graph operators
   * ([[PageRank]], [[Hits]]). */
 private[operators] object GraphPlanning {
+
+  /** Pin a STATIC data-sized frame (an edge or pair list consumed by
+    * every iteration) with a columnar Dataset-level persist instead of
+    * an RDD-level localCheckpoint. localCheckpoint stores one
+    * deserialized row object per edge (~100 B against a 16 B payload),
+    * and at the 100x soak scale the 32 concurrent unroll buffers of
+    * that caching pass starve the hash aggregates sharing the stage —
+    * the kc1 OOM mechanism named in round 8 (BASELINE.md). Columnar
+    * batches are ~6x smaller, spill gracefully, and the lineage CUT
+    * the checkpoint also provides is unnecessary here: a static pin's
+    * lineage never grows (only per-round, re-assigned frames need the
+    * cut, and they stay on localCheckpoint). */
+  def pinEdges(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Rough serialized bytes per (node, score) row in a broadcast hashed
     * relation: an 8-16 byte key, an 8 byte double, UnsafeRow + relation

@@ -30,7 +30,11 @@ object Hits {
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "HITS needs at least one iteration")
-    val e = edges.select(col("c"), col("s")).distinct().localCheckpoint(true)
+    // static edge pin: columnar persist, not localCheckpoint — the kc1
+    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8);
+    // the round-5 soak's 48 GB heap requirement for hits1 100x was this
+    val e = GraphPlanning.pinEdges(
+      edges.select(col("c"), col("s")).distinct())
     val nNodes = e.select(col("c")).unionAll(e.select(col("s"))).distinct().count()
     val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
     def side(df: DataFrame) =

@@ -44,22 +44,15 @@ object KCore {
     * the graph grows by disjoint replication — the soak reports it). */
   def coreWithRounds(edges: DataFrame, k: Int, maxIters: Int = 64,
                      strict: Boolean = false): (DataFrame, Int) = {
-    // The edge pin is a DATASET-level persist (columnar, compressed,
-    // spillable), not an RDD-level localCheckpoint: localCheckpoint
-    // stores one deserialized row OBJECT per edge (~100 B each against
-    // the 16 B payload), and at the 100x soak scale (120M symmetrized
-    // edges) the 32 concurrent ~200 MB unroll buffers of that caching
-    // pass run inside the same stage whose join/distinct hash aggregates
-    // need execution memory — together they exhaust the unified pool
-    // and the aggregate's first 256 KB page allocation is denied
-    // (UNABLE_TO_ACQUIRE_MEMORY at HashAggregateExec.createHashMap,
-    // reproduced round 8 at 8 GB heap; 48 GB only papered over it).
-    // Columnar batches are ~6x smaller and evict gracefully. Lineage is
-    // static here (one join+distinct+union), so the checkpoint's
-    // lineage CUT is not needed for e — only `alive`, which grows a
-    // plan level per round, keeps it.
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Columnar persist, not localCheckpoint, for the static edge pin:
+    // at the 100x soak scale the checkpoint's row-object unroll starved
+    // the hash aggregates sharing its stage (UNABLE_TO_ACQUIRE_MEMORY
+    // at HashAggregateExec.createHashMap, reproduced round 8 at 8 GB —
+    // the mechanism behind the 48 GB soak-heap requirement; see
+    // GraphPlanning.pinEdges and BASELINE.md round 8). Only `alive`,
+    // which grows a plan level per round, needs the checkpoint's
+    // lineage cut.
+    val e = GraphPlanning.pinEdges(edges.select(col("src"), col("dst")))
     var alive = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var n = alive.count()

@@ -33,7 +33,9 @@ object LabelProp {
     * initialized to the node's own id. Returns (node, label).
     */
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // static edge pin: columnar persist, not localCheckpoint — the kc1
+    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8)
+    val e = GraphPlanning.pinEdges(edges.select(col("src"), col("dst")))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     val byVotes = Window.partitionBy(col("node"))

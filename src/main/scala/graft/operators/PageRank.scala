@@ -59,7 +59,10 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iteration count must be non-negative")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // static edge pin: columnar persist, not localCheckpoint — the kc1
+    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8)
+    val e = GraphPlanning.pinEdges(
+      edges.select(col("src"), col("dst")).distinct())
     // The out-degree is iteration-INVARIANT: join it into the node table
     // once and carry it in every rank row, so each iteration needs exactly
     // ONE edge-keyed join (edges ⋈ per-node weight) — not the two
@@ -129,7 +132,8 @@ object PageRank {
     */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iteration count must be non-negative")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = GraphPlanning.pinEdges(
+      edges.select(col("src"), col("dst")).distinct())
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__outd"))
     val s = seeds.select(col("node")).distinct().localCheckpoint(true)
     val nSeeds = s.count() // one scalar: the restart denominator
