@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.StatTests
+
+/** Round 8 — four classical tests closing the remaining gaps in the
+  * statistics family: the k-sample location test (Kruskal–Wallis,
+  * generalizing mw1), the portmanteau serial-correlation test
+  * (Ljung–Box, completing the acf1/pacf1/dw1 Box–Jenkins block), the
+  * order-sensitive randomness test (Wald–Wolfowitz runs), and the
+  * pairwise-sign rank correlation (Kendall τ-b, the companion to
+  * spr1's Spearman ρ). Same contract as [[Queries]]: exact LONG /
+  * DECIMAL accumulation, doubles only in fixed scalar trees mirrored
+  * token-for-token by the DuckDB oracles.
+  */
+object Queries50 {
+
+  // ---------------------------------------------------------------------
+  // KW1: does document length differ across the 5 languages? The
+  // k-sample question mw1 could only ask two-at-a-time. One value-keyed
+  // groupBy + the distributed prefix-sum ranks; H with the standard tie
+  // correction. Scale: data-sized work is the two groupBys; the rank
+  // prefix runs over distinct n_chars values, the H tree over 5 rows.
+  // ---------------------------------------------------------------------
+  def kw1KruskalWallis(spark: SparkSession, sfDir: String): DataFrame =
+    StatTests.kruskalWallis(Tables.documents(spark, sfDir),
+      col("lang"), col("n_chars"))
+
+  val kw1KruskalWallisSql: String =
+    """WITH v AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS val, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT val, cnt,
+      |    SUM(cnt) OVER (ORDER BY val
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM v),
+      |gv AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS val,
+      |    COUNT(*) AS gc
+      |  FROM documents GROUP BY 1, 2),
+      |pg AS (SELECT g, CAST(SUM(gc) AS BIGINT) AS ni,
+      |    SUM(CAST(gc AS DECIMAL(38,0)) * (2 * (cum - cnt) + cnt + 1))
+      |      AS r2a
+      |  FROM gv JOIN w ON gv.val = w.val GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(CAST((CAST(r2a AS DOUBLE) / 2.0) * (CAST(r2a AS DOUBLE) / 2.0)
+      |      / CAST(ni AS DOUBLE) AS DECIMAL(38,10))) AS sq
+      |  FROM pg),
+      |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt
+      |      AS DECIMAL(38,0))) AS tt
+      |  FROM w)
+      |SELECT s.k AS k_groups, g.n AS n, s.k - 1 AS dof,
+      |  round((12.0 / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1.0))
+      |      * CAST(s.sq AS DOUBLE) - 3.0 * (CAST(g.n AS DOUBLE) + 1.0))
+      |    / (1.0 - CAST(g.tt AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+      |        * CAST(g.n AS DOUBLE) - CAST(g.n AS DOUBLE))), 6) AS h_stat
+      |FROM s, g""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // LB1: Ljung–Box Q over acf1's 12-dp autocorrelations (lags 1..7) —
+  // "is the daily revenue series white noise?" Starting from the
+  // identically-rounded ACF keeps every downstream double bit-equal
+  // (the pacf1 precedent); per-lag r²/(n−k) terms are DECIMAL(38,20)-
+  // quantized before the 7-term sum. n − k is each lag's n_pairs (the
+  // calendar is gap-free, so they coincide; declared either way).
+  // ---------------------------------------------------------------------
+  def lb1LjungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    val acf = Queries30.acf1DailyRevenue(spark, sfDir)
+    val a = acf.agg(
+      max(col("lag").cast("long") + col("n_pairs")).as("__n"),
+      count(lit(1)).as("__h"),
+      sum((col("r") * col("r") / col("n_pairs").cast("double"))
+        .cast("decimal(38,20)")).as("__s"))
+    val nd = col("__n").cast("double")
+    a.select(col("__h").as("h_lags"), col("__n").as("n_days"),
+      round(nd * (nd + lit(2.0)) * col("__s").cast("double"), 6)
+        .as("q_stat"))
+  }
+
+  val lb1LjungBoxSql: String =
+    s"""WITH acf AS (${Queries30.acf1DailyRevenueSql}),
+       |a AS (SELECT CAST(MAX(lag + n_pairs) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS h,
+       |    SUM(CAST(r * r / CAST(n_pairs AS DOUBLE) AS DECIMAL(38,20)))
+       |      AS s
+       |  FROM acf)
+       |SELECT h AS h_lags, n AS n_days,
+       |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+       |    * CAST(s AS DOUBLE), 6) AS q_stat
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // RUN1: runs of daily order revenue above/below its median — the
+  // order-sensitive randomness check on the engine's temporal surface
+  // (cpd1 finds WHERE the level shifted; run1 tests WHETHER the
+  // sequence is exchangeable at all). Money in exact integer cents;
+  // the median is doubled (lo + hi order statistics) so no division
+  // touches the comparisons.
+  // ---------------------------------------------------------------------
+  def run1RunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("x"))
+    StatTests.runsTest(daily)
+  }
+
+  val run1RunsTestSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT t, x, ROW_NUMBER() OVER (ORDER BY x, t) AS rn FROM d),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      |m AS (SELECT
+      |    MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+      |      THEN x END) AS lo,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(n / 2.0) AS BIGINT) + 1
+      |      THEN x END) AS hi
+      |  FROM r, c),
+      |s AS (SELECT t, x * 2 > lo + hi AS up
+      |  FROM d, m WHERE x * 2 <> lo + hi),
+      |l AS (SELECT up, LAG(up) OVER (ORDER BY t) AS prev FROM s),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    1 + CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> up
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM l)
+      |SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+      |  round((CAST(r AS DOUBLE)
+      |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+      |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6)
+      |    AS z_score
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KT1: Kendall τ-b between daily order count and daily revenue —
+  // "does a busier day reliably mean a richer day, monotonically?"
+  // spr1 answers with rank moments; τ-b answers with pair signs and
+  // is what survives any monotone re-scaling of either series. Day
+  // pairs are quadratic in DAYS, flat in rows (the ts1 posture).
+  // ---------------------------------------------------------------------
+  def kt1KendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("t"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"))
+    StatTests.kendallTauB(daily)
+  }
+
+  val kt1KendallTauSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT
+      |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c,
+      |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dd
+      |  FROM d a JOIN d b ON a.t < b.t),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+      |tx AS (SELECT CAST(SUM(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+      |    AS tx
+      |  FROM (SELECT COUNT(*) AS c FROM d GROUP BY x)),
+      |ty AS (SELECT CAST(SUM(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+      |    AS ty
+      |  FROM (SELECT COUNT(*) AS c FROM d GROUP BY y))
+      |SELECT n.n AS n_days, p.c AS concordant, p.dd AS discordant,
+      |  round((CAST(p.c AS DOUBLE) - CAST(p.dd AS DOUBLE))
+      |    / sqrt((CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) / 2.0
+      |        - CAST(tx.tx AS DOUBLE))
+      |      * (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) / 2.0
+      |        - CAST(ty.ty AS DOUBLE))), 6) AS tau_b
+      |FROM p, n, tx, ty""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kw1_kruskal_wallis" -> (kw1KruskalWallis _),
+    "lb1_ljung_box"      -> (lb1LjungBox _),
+    "run1_runs_test"     -> (run1RunsTest _),
+    "kt1_kendall_tau"    -> (kt1KendallTau _))
+
+  val oracles: Map[String, String] = Map(
+    "kw1_kruskal_wallis" -> kw1KruskalWallisSql,
+    "lb1_ljung_box"      -> lb1LjungBoxSql,
+    "run1_runs_test"     -> run1RunsTestSql,
+    "kt1_kendall_tau"    -> kt1KendallTauSql)
+}

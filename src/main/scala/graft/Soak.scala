@@ -278,6 +278,22 @@ object Soak {
     // heaviest streaming shape, soaked. Output grows by the factor (the
     // memory-sink drain is the measured product, as in the 1x bench).
     "e17_stream_outer_join" -> SparkEntry.queries("e17_stream_outer_join"),
+    // the INNER interval-join replay (the bench's second-heaviest query):
+    // same shifted-user replicas — per-user purchase->click fan-out stays
+    // exactly 1x while the range-join state holds factor x more keys, so
+    // matches (the measured drain) grow linearly with zero cross-replica
+    // pairs by construction
+    "e10_stream_join" -> SparkEntry.queries("e10_stream_join"),
+    // late-data accounting: the % 7 = 0 late slice grows with the users;
+    // the contract (closed windows never reopen) must hold at every
+    // scale, so the soak both times the replay and re-proves the on-time-
+    // only output shape at factor x state
+    "e16_stream_late" -> SparkEntry.queries("e16_stream_late"),
+    // d13's replay over the token-suffixed document replicas: the static-
+    // corpus index and the new-crawl slice both grow by the factor while
+    // near-dup pairs stay intra-replica (the d2 soak argument applied to
+    // the incremental path)
+    "e15_stream_neardup" -> SparkEntry.queries("e15_stream_neardup"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured

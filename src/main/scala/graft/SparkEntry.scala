@@ -33,7 +33,7 @@ object SparkEntry {
       Queries31.registry ++ Queries32.registry ++ Queries33.registry ++
       Queries34.registry ++ Queries35.registry ++ Queries36.registry ++
       Queries37.registry ++ Queries38.registry ++ Queries39.registry ++
-      Queries40.registry ++ Queries41.registry ++ Queries42.registry ++ Queries43.registry ++ Queries44.registry ++ Queries45.registry ++ Queries46.registry ++ Queries47.registry ++ Queries48.registry ++ Queries49.registry
+      Queries40.registry ++ Queries41.registry ++ Queries42.registry ++ Queries43.registry ++ Queries44.registry ++ Queries45.registry ++ Queries46.registry ++ Queries47.registry ++ Queries48.registry ++ Queries49.registry ++ Queries50.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +51,5 @@ object SparkEntry {
       Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++
       Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++
       Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++
-      Queries40.oracles ++ Queries41.oracles ++ Queries42.oracles ++ Queries43.oracles ++ Queries44.oracles ++ Queries45.oracles ++ Queries46.oracles ++ Queries47.oracles ++ Queries48.oracles ++ Queries49.oracles
+      Queries40.oracles ++ Queries41.oracles ++ Queries42.oracles ++ Queries43.oracles ++ Queries44.oracles ++ Queries45.oracles ++ Queries46.oracles ++ Queries47.oracles ++ Queries48.oracles ++ Queries49.oracles ++ Queries50.oracles
 }

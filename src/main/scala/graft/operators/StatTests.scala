@@ -232,4 +232,150 @@ object StatTests {
         round(col("__ws").cast("double") / col("__n").cast("double"), 6)
           .as("winsor_mean"))
   }
+
+  /** Kruskal–Wallis H (tie-corrected) — the k-sample generalization of
+    * [[mannWhitneyU]] (Kruskal & Wallis 1952): does a LONG-valued
+    * measure differ in location across k groups? Same distributed-rank
+    * machinery: ranks are midranks from the per-VALUE count table
+    * (one groupBy + the prefix-sum primitive, no single-partition
+    * sort), held in HALF-UNITS so every rank-sum accumulates as exact
+    * DECIMAL(38,0); the per-group R_i²/n_i contribution is quantized
+    * to DECIMAL(38,10) before the order-proof sum (the chiSquare
+    * pattern); doubles appear only in the final fixed H tree
+    *   H = [12/(N(N+1)) · Σ R_i²/n_i − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)].
+    * Output: one row (k_groups, n, dof, h_stat). For k = 2 the
+    * tie-corrected H equals the [[mannWhitneyU]] z² (spec-pinned).
+    *
+    * Scale: the only data-sized stages are the two groupBys; the rank
+    * prefix runs over distinct values and everything after over k rows.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+    val byVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val cum = Ranks.withRunningSums(byVal, Seq("__cnt" -> "__cum"),
+      Seq(col("__v")))
+    // midrank of a tied block in half-units: 2*prior + cnt + 1
+    val ranks = cum.select(col("__v"), col("__cnt"),
+      (lit(2) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1))
+        .as("__r2"))
+    val byGroupVal = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    val perGroup = byGroupVal.join(ranks, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__gc")).as("__ni"),
+        sum(col("__gc").cast("decimal(38,0)") * col("__r2")).as("__r2a"))
+    // R_i²/n_i quantized before the exact cross-group sum
+    val term = ((col("__r2a").cast("double") / lit(2.0)) *
+      (col("__r2a").cast("double") / lit(2.0)) /
+      col("__ni").cast("double")).cast("decimal(38,10)")
+    val s = perGroup.agg(count(lit(1)).as("__k"), sum(term).as("__s"))
+    val glob = ranks.agg(sum(col("__cnt")).as("__n"),
+      sum((col("__cnt").cast("decimal(38,0)") * col("__cnt") * col("__cnt") -
+        col("__cnt")).cast("decimal(38,0)")).as("__tt"))
+    val nd = col("__n").cast("double")
+    val hraw = lit(12.0) / (nd * (nd + lit(1.0))) *
+      col("__s").cast("double") - lit(3.0) * (nd + lit(1.0))
+    val tieCorr = lit(1.0) -
+      col("__tt").cast("double") / (nd * nd * nd - nd)
+    s.crossJoin(broadcast(glob)) // scalar-broadcast pattern
+      .select(col("__k").as("k_groups"), col("__n").as("n"),
+        (col("__k") - 1).as("dof"),
+        round(hraw / tieCorr, 6).as("h_stat"))
+  }
+
+  /** Wald–Wolfowitz runs test for randomness of a LONG-valued series
+    * around its median (Wald & Wolfowitz 1940): too few runs = level
+    * drift / positive serial correlation, too many = oscillation — the
+    * order-sensitive companion to the order-blind location tests.
+    * Median-equal observations are dropped (the standard convention),
+    * with the median held DOUBLED (lo + hi middle order statistics, so
+    * cents stay integers — no decimal division anywhere). The order
+    * statistics come from the distributed rank primitive; the run
+    * boundary count uses a lag window over the CALENDAR-BOUNDED series
+    * (the acf1/dec1 single-partition-window adjudication). Doubles
+    * appear only in the final z tree: μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+    * Input: (t: date, x: long). Output: one row
+    * (n_above, n_below, n_runs, z_score).
+    */
+  def runsTest(series: DataFrame): DataFrame = {
+    val s = series.select(col("t"), col("x").cast("long").as("__x"))
+    val ranked = Ranks.withGlobalRank(s, "__rn",
+      Seq(col("__x"), col("t")))
+    val n = s.agg(count(lit(1)).as("__n"))
+    val med = ranked.crossJoin(broadcast(n))
+      .agg(
+        max(when(col("__rn") ===
+          floor((col("__n") + lit(1)) / lit(2.0)).cast("long"),
+          col("__x"))).as("__lo"),
+        max(when(col("__rn") ===
+          floor(col("__n") / lit(2.0)).cast("long") + lit(1),
+          col("__x"))).as("__hi"))
+    val signed = s.crossJoin(broadcast(med)) // scalar-broadcast pattern
+      .where(col("__x") * 2 =!= col("__lo") + col("__hi"))
+      .select(col("t"),
+        (col("__x") * 2 > col("__lo") + col("__hi")).as("__up"))
+    val wl = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val agg = signed
+      .withColumn("__prev", lag(col("__up"), 1).over(wl))
+      .agg(
+        sum(when(col("__up"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(!col("__up"), 1L).otherwise(0L)).as("__n2"),
+        (lit(1L) + sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__up"), 1L).otherwise(0L))).as("__r"))
+    val n1d = col("__n1").cast("double")
+    val n2d = col("__n2").cast("double")
+    val ndd = n1d + n2d
+    val two = lit(2.0) * n1d * n2d
+    val mu = two / ndd + lit(1.0)
+    val sig = sqrt(two * (two - ndd) / (ndd * ndd * (ndd - lit(1.0))))
+    agg.select(col("__n1").as("n_above"), col("__n2").as("n_below"),
+      col("__r").as("n_runs"),
+      round((col("__r").cast("double") - mu) / sig, 6).as("z_score"))
+  }
+
+  /** Kendall's τ-b rank correlation between two LONG-valued columns of
+    * a bounded series (Kendall 1945's tie adjustment): concordant minus
+    * discordant day pairs over √((n₀−t_x)(n₀−t_y)) — the pairwise-sign
+    * companion to Spearman's ρ (spr1), robust to any monotone
+    * transform of either axis. The pair join is t_a < t_b over the
+    * CALENDAR-BOUNDED series (quadratic in days, flat in rows — the
+    * Theil–Sen posture); tie terms come from two value-keyed groupBys.
+    * Everything is exact LONG counting until the final τ tree.
+    * Input: (t: date, x: long, y: long). Output: one row
+    * (n_days, concordant, discordant, tau_b).
+    */
+  def kendallTauB(series: DataFrame): DataFrame = {
+    val s = series.select(col("t"), col("x").cast("long").as("__x"),
+      col("y").cast("long").as("__y"))
+    val a = s.select(col("t").as("__ta"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = s.select(col("t").as("__tb"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val cd = a.join(b, col("__ta") < col("__tb"))
+      .agg(
+        sum(when((col("__xa") < col("__xb") && col("__ya") < col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") > col("__yb")), 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when((col("__xa") < col("__xb") && col("__ya") > col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") < col("__yb")), 1L)
+          .otherwise(0L)).as("__d"))
+    val n = s.agg(count(lit(1)).as("__n"))
+    val tx = s.groupBy(col("__x")).agg(count(lit(1)).as("__cx"))
+      .agg(sum((col("__cx") * (col("__cx") - 1) / 2).cast("long"))
+        .as("__tx"))
+    val ty = s.groupBy(col("__y")).agg(count(lit(1)).as("__cy"))
+      .agg(sum((col("__cy") * (col("__cy") - 1) / 2).cast("long"))
+        .as("__ty"))
+    val nd = col("__n").cast("double")
+    val n0 = nd * (nd - lit(1.0)) / lit(2.0)
+    cd.crossJoin(broadcast(n)) // scalar-broadcast pattern
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("__n").as("n_days"), col("__c").as("concordant"),
+        col("__d").as("discordant"),
+        round((col("__c").cast("double") - col("__d").cast("double")) /
+          sqrt((n0 - col("__tx").cast("double")) *
+            (n0 - col("__ty").cast("double"))), 6).as("tau_b"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatTests
+
+class Queries50Spec extends SparkSpec {
+
+  test("kruskal-wallis: hand-computed H on a tie-free two-group example") {
+    // values 1..6, groups A={1,2,3}, B={4,5,6}: R_A=6, R_B=15,
+    // H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 27/7
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = StatTests.kruskalWallis(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6 && r.getLong(2) == 1)
+    assert(math.abs(r.getDouble(3) - 27.0 / 7.0) < 1e-6) // 6-dp output
+  }
+
+  test("kruskal-wallis at k=2 equals the tie-corrected Mann-Whitney z^2") {
+    // the classical identity, on the real fixture with heavy ties:
+    // H (tie-corrected) == z^2 for two groups
+    val docs = Tables.documents(spark, sf001)
+    val h = StatTests.kruskalWallis(docs,
+      (col("lang") === "en").as("g"), col("n_chars"))
+      .head().getDouble(3)
+    val z = StatTests.mannWhitneyU(docs, col("n_chars"),
+      col("lang") === "en").head().getDouble(3)
+    assert(math.abs(h - z * z) < 1e-3, s"H=$h z^2=${z * z}")
+  }
+
+  test("kw1 on the fixture: 5 language groups, finite nonnegative H") {
+    val r = Queries50.kw1KruskalWallis(spark, sf001).head()
+    assert(r.getLong(0) == 5 && r.getLong(2) == 4)
+    assert(r.getDouble(3) >= 0 && !r.getDouble(3).isNaN)
+  }
+
+  test("lb1: Q recomposes from acf1's rows and is nonnegative") {
+    val acf = Queries30.acf1DailyRevenue(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = acf.map { case (lag, np, _) => lag + np }.max.toDouble
+    val expected = n * (n + 2.0) *
+      acf.map { case (_, np, r) => r * r / np }.sum
+    val row = Queries50.lb1LjungBox(spark, sf001).head()
+    assert(row.getLong(0) == acf.length)
+    assert(row.getLong(1) == n.toLong)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-4)
+    assert(row.getDouble(2) >= 0)
+  }
+
+  test("runs test: alternating series maximizes runs (hand z)") {
+    // 5 below / 5 above the median, perfectly alternating: R = 10,
+    // mu = 6, sigma^2 = 50*40/900, z = 4/sqrt(20/9) = 2.683282
+    import spark.implicits._
+    val days = (1 to 10).map(i => (java.sql.Date.valueOf(f"2020-01-$i%02d"),
+      if (i % 2 == 1) 10L + i else 90L + i))
+    val r = StatTests.runsTest(days.toDF("t", "x")).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 5 && r.getLong(2) == 10)
+    assert(math.abs(r.getDouble(3) - 2.683282) < 1e-6)
+  }
+
+  test("runs test: a monotone series collapses to 2 runs, z < 0") {
+    import spark.implicits._
+    val days = (1 to 10).map(i =>
+      (java.sql.Date.valueOf(f"2020-01-$i%02d"), i.toLong * 100))
+    val r = StatTests.runsTest(days.toDF("t", "x")).head()
+    assert(r.getLong(2) == 2 && r.getDouble(3) < 0)
+  }
+
+  test("kendall tau-b: monotone series hit +-1; tie example by hand") {
+    import spark.implicits._
+    def mk(xs: Seq[(Long, Long)]) = xs.zipWithIndex.map { case ((x, y), i) =>
+      (java.sql.Date.valueOf(f"2020-01-${i + 1}%02d"), x, y)
+    }.toDF("t", "x", "y")
+    val up = StatTests.kendallTauB(
+      mk((1L to 8L).map(i => (i, i * 10)))).head()
+    assert(math.abs(up.getDouble(3) - 1.0) < 1e-12)
+    val down = StatTests.kendallTauB(
+      mk((1L to 8L).map(i => (i, -i * 10)))).head()
+    assert(math.abs(down.getDouble(3) + 1.0) < 1e-12)
+    // x=[1,2,2,3], y=[1,2,3,4]: C=5, D=0, tx=1, ty=0,
+    // tau_b = 5/sqrt(5*6) = 0.912871
+    val tied = StatTests.kendallTauB(
+      mk(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)))).head()
+    assert(tied.getLong(1) == 5 && tied.getLong(2) == 0)
+    assert(math.abs(tied.getDouble(3) - 5.0 / math.sqrt(30.0)) < 1e-6)
+  }
+
+  test("kt1/run1/lb1 fixture runs: sane statistics at sf0.001") {
+    val kt = Queries50.kt1KendallTau(spark, sf0001).head()
+    assert(kt.getDouble(3) >= -1.0 && kt.getDouble(3) <= 1.0)
+    assert(kt.getLong(1) + kt.getLong(2) <=
+      kt.getLong(0) * (kt.getLong(0) - 1) / 2)
+    val rn = Queries50.run1RunsTest(spark, sf0001).head()
+    assert(rn.getLong(2) >= 1 &&
+      rn.getLong(2) <= rn.getLong(0) + rn.getLong(1))
+  }
+}
