@@ -172,4 +172,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"global sort over the store:\n$p")
   }
+
+  test("kw1_kruskal_wallis: data-sized stages are partial-aggregated" +
+      " equi-joins — no cartesian, no data-sized nested loop") {
+    val p = planN(Queries50.registry, "kw1_kruskal_wallis")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the plan:\n$p")
+    // the only nested loops allowed are the one-row scalar broadcasts
+    // (the crossJoin(broadcast(...)) idiom); the rank join must be hashed
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"rank join is not an equi-join:\n$p")
+  }
 }
