@@ -121,13 +121,74 @@ object Queries28 {
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |WHERE d.lang = 'en'""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // SRC4: a fact-side join against a store slice with NO broadcast hint —
+  // the join strategy is decided entirely by the statistics the scan
+  // REPORTS after pushdown (SupportsReportStatistics: exact footer row
+  // counts over the pruned file set, sized by the pruned read schema).
+  // Without reported stats a DSv2 relation costs defaultSizeInBytes and
+  // the planner must shuffle the fact side; with them the filtered slice
+  // broadcasts (PlanSpec pins the BroadcastHashJoin). The reference's
+  // store exposes exactly this introspection — collection point counts,
+  // src/vector_store.rs:300-310 — src4 is that number driving PLANNING.
+  // ---------------------------------------------------------------------
+  def src4StatsBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val slice = source(spark, sfDir)
+      .where(col("label") === 2)
+      .select(col("id"), col("label"))
+    Tables.documents(spark, sfDir)
+      .join(slice, col("doc_id") === col("id")) // no broadcast() hint
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val src4StatsBroadcastSql: String =
+    """SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE e.label = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // SRC5: runtime bucket pruning — the store on the probe side of a
+  // broadcast join against a SELECTIVELY FILTERED id set. Spark injects
+  // a dynamic-pruning runtime filter into the DSv2 scan
+  // (SupportsRuntimeFiltering); at execution time the broadcast ids run
+  // the writer's pmod(xxhash64(id), n) and whole bucket directories drop
+  // out before any file opens — "fetch the memories this batch
+  // references" touches the buckets those ids live in, not all of them.
+  // DppSpec pins the injected filter; this row pins the RESULTS.
+  // ---------------------------------------------------------------------
+  def src5RuntimePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.documents(spark, sfDir)
+      .where(col("lang") === "de" && col("n_chars") > 400)
+      .select(col("doc_id").as("id"))
+    source(spark, sfDir).join(dim, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+      .orderBy(col("label"))
+  }
+
+  val src5RuntimePruneSql: String =
+    """SELECT e.label AS label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(d.doc_id) AS max_id
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE d.lang = 'de' AND d.n_chars > 400
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_bucket_pushdown" -> (src1BucketPushdown _),
     "src2_scored_topk"     -> (src2ScoredTopk _),
-    "src3_agg_pushdown"    -> (src3AggPushdown _))
+    "src3_agg_pushdown"    -> (src3AggPushdown _),
+    "src4_stats_broadcast" -> (src4StatsBroadcast _),
+    "src5_runtime_prune"   -> (src5RuntimePrune _))
 
   val oracles: Map[String, String] = Map(
     "src1_bucket_pushdown" -> src1BucketPushdownSql,
     "src2_scored_topk"     -> src2ScoredTopkSql,
-    "src3_agg_pushdown"    -> src3AggPushdownSql)
+    "src3_agg_pushdown"    -> src3AggPushdownSql,
+    "src4_stats_broadcast" -> src4StatsBroadcastSql,
+    "src5_runtime_prune"   -> src5RuntimePruneSql)
 }

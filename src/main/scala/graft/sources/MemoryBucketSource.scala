@@ -51,6 +51,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Spark keeps the global cut.
   *  - `SupportsPushDownRequiredColumns`: the parquet read schema carries
   *    only requested columns.
+  *  - `SupportsReportStatistics`: exact footer row counts + pruned-size
+  *    estimates AFTER pushdown, so a filtered store slice can win an
+  *    automatic broadcast join (the store-side analog of the reference's
+  *    collection point-count introspection, src/vector_store.rs:300-310).
+  *  - `SupportsRuntimeFiltering`: a broadcast join's id set prunes
+  *    bucket directories at EXECUTION time (dynamic partition pruning
+  *    for the store layout).
   *
   * Usage: `spark.read.format("graft.sources.MemoryBucketSource")
   * .option("path", dir).option("nBuckets", 16).load()`.
@@ -565,7 +572,8 @@ private[sources] class MemoryScanBuilder(
 
   override def build(): Scan =
     new MemoryScan(path, required, predicate, buckets, limit, topN, pushed,
-      score, scorePreds, agg)
+      score, scorePreds, agg, idCol,
+      tableSchema.fields.find(_.name == idCol).map(_.dataType), nBuckets)
 }
 
 private[sources] case class FileInputPartition(file: String) extends InputPartition
@@ -578,9 +586,95 @@ private[sources] class MemoryScan(
     pushed: Array[Filter],
     score: Option[MemoryBucketSource.ScoreSpec],
     scorePreds: Seq[MemoryBucketSource.ScorePred],
-    agg: Option[Seq[MemoryBucketSource.AggSpec]]) extends Scan with Batch {
+    agg: Option[Seq[MemoryBucketSource.AggSpec]],
+    idCol: String, idType: Option[DataType], nBuckets: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private lazy val files = MemoryBucketSource.listFiles(path, buckets)
+
+  /** RUNTIME bucket pruning — the dynamic-partition-pruning analog for
+    * the bucketed store layout. When the store sits on the probe side of
+    * a broadcast join on its id column, Spark hands the BUILT side's id
+    * set back to the scan at execution time; the writer's
+    * pmod(xxhash64(id), n) arithmetic turns those ids into a bucket set,
+    * and whole bucket directories drop out of the scan BEFORE any file
+    * opens. At warehouse scale this is the difference between "fetch the
+    * 50 memories this batch references" touching 2 of 4096 buckets and
+    * touching all of them. Plan-time pruning ([[MemoryScanBuilder]]'s
+    * bucketsFor over pushed filters) and runtime pruning compose by
+    * intersection; an unbucketed layout or an id type outside the
+    * mirrored hash set reports no filterable attributes and is left
+    * alone. */
+  private var runtimeBuckets: Option[Set[Long]] = buckets
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (nBuckets.isDefined && idType.exists {
+          case LongType | IntegerType | StringType => true
+          case _ => false
+        })
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(idCol))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    for (n <- nBuckets; t <- idType) {
+      val sets = filters.flatMap(MemoryBucketSource.bucketsFor(_, idCol, t, n))
+      sets.reduceOption(_ intersect _).foreach { s =>
+        runtimeBuckets = Some(runtimeBuckets.fold(s)(_ intersect s))
+      }
+    }
+
+  /** Store-reported statistics AFTER pushdown — the planning half of the
+    * reference's collection introspection (the store knows its own point
+    * count, src/vector_store.rs:300-310). Without this a DSv2 relation
+    * costs `defaultSizeInBytes` (effectively infinite), so a join against
+    * the store can NEVER plan as a broadcast join no matter how hard the
+    * pushed filters shrink it — at warehouse scale that is a full shuffle
+    * of the fact side against a slice the store already knows is tiny.
+    *
+    * Row count is the EXACT parquet footer total of the SELECTED files
+    * (bucket pruning already applied), an upper bound under a pushed
+    * parquet predicate or score threshold — estimates must err toward
+    * "too big", never toward broadcasting something huge. A pushed
+    * limit/top-N caps rows at n per file (partial pushdown: each file
+    * returns at most n). A pushed aggregate collapses to one partial row
+    * per file. Size scales the compressed file bytes by the column
+    * fraction (the pruned read schema) and the row cap — the same
+    * convention as Spark's own FileScan sizing. */
+  private lazy val estimated: (Long, Long) = {
+    if (files.isEmpty) (0L, 0L)
+    else agg match {
+      case Some(specs) =>
+        (files.size.toLong, files.size.toLong * (8L + 16L * specs.size))
+      case None =>
+        var rows = 0L
+        var bytes = 0L
+        files.foreach { f =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), new Configuration()))
+          try rows += r.getRecordCount finally r.close()
+          bytes += new java.io.File(f).length()
+        }
+        val fileCols = math.max(1,
+          MemoryBucketSource.inferSchema(files.head).fields.length)
+        // n is bounded (TopNMax / a user limit) and files is a directory
+        // listing — the product stays far from Long overflow
+        val cap = topN.map(_._2.toLong).orElse(limit.map(_.toLong))
+        val capped = cap.fold(rows)(n => math.min(rows, n * files.size))
+        val colFrac = math.min(1.0,
+          required.fields.length.toDouble / fileCols)
+        val rowFrac = if (rows == 0L) 0.0 else capped.toDouble / rows
+        (capped, math.max(1L, (bytes * colFrac * rowFrac).toLong))
+    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): OptionalLong = OptionalLong.of(estimated._1)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(estimated._2)
+  }
   override def description(): String = {
     val b = buckets.fold("all")(s => s.toSeq.sorted.mkString("{", ",", "}"))
     val t = topN.fold("none") { case (specs, n) =>
@@ -597,7 +691,9 @@ private[sources] class MemoryScan(
       s"PushedScore: $sc, PushedAggregates: $ag, Buckets: $b"
   }
   override def planInputPartitions(): Array[InputPartition] =
-    MemoryBucketSource.listFiles(path, buckets)
+    // re-listed (not the cached stats snapshot): a runtime filter may
+    // have narrowed the bucket set since planning
+    MemoryBucketSource.listFiles(path, runtimeBuckets)
       .map(FileInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MemoryReaderFactory(required, predicate, limit, topN,

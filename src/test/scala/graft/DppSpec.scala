@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end dynamic pruning against the DSv2 store: Spark must inject
+  * a `dynamicpruning` runtime filter into the scan when the store sits
+  * on the probe side of a broadcast join over its id column — the
+  * execution-time half of the bucket-pruning story (plan-time pruning is
+  * pinned in MemoryBucketSourceSpec; the filter()-mechanics too). */
+class DppSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nBuckets = 8
+  private lazy val storeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    operators.MemoryOps.writeBucketed(
+      Tables.memories(spark, sf0001), dir, "id", nBuckets)
+    dir
+  }
+  private def source = spark.read.format("graft.sources.MemoryBucketSource")
+    .option("path", storeDir).option("nBuckets", nBuckets.toString)
+    .option("idCol", "id").load()
+
+  test("broadcast join over id injects a dynamic-pruning runtime filter" +
+      " into the store scan, and the pruned result is exact") {
+    val dim = Tables.documents(spark, sf0001)
+      .where($"lang" === "de" && $"n_chars" > 400)
+      .select($"doc_id".as("id"))
+    val j = source.join(dim, "id").groupBy($"lang")
+      .agg(count(lit(1)).as("n"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter reached the store scan:\n$p")
+    val got = j.orderBy($"lang").as[(String, Long)].collect().toSeq
+    val exp = operators.MemoryOps.readBucketed(spark, storeDir)
+      .join(dim, "id").groupBy($"lang").agg(count(lit(1)).as("n"))
+      .orderBy($"lang").as[(String, Long)].collect().toSeq
+    assert(got == exp && got.nonEmpty, s"got $got, expected $exp")
+  }
+
+  test("src5_runtime_prune carries the runtime filter in its plan") {
+    val p = Queries28.registry("src5_runtime_prune")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruning"),
+      s"src5 lost its runtime filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
+  }
+}

@@ -278,4 +278,91 @@ class MemoryBucketSourceSpec extends SparkSpec {
       MemoryOps.readBucketed(spark, storeDir).agg(avg($"label"))
         .as[Double].collect().head)
   }
+
+  private def scanStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r
+    }.getOrElse(fail("no DSv2 scan in the optimized plan"))
+    rel.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+  }
+
+  test("reported statistics: exact footer rows, shrinking under bucket" +
+      " pruning and top-N caps") {
+    val total = MemoryOps.readBucketed(spark, storeDir).count()
+    val full = scanStats(source.select($"id", $"label"))
+    assert(full.numRows().getAsLong == total, "full-scan rows must be exact")
+    assert(full.sizeInBytes().getAsLong > 0)
+    // id equality prunes to ONE bucket directory: rows shrink to that
+    // bucket's exact footer count, size shrinks with them
+    val pruned = scanStats(source.where($"id" === 7L).select($"id"))
+    assert(pruned.numRows().getAsLong < total && pruned.numRows().getAsLong > 0,
+      s"bucket pruning not reflected: ${pruned.numRows()} vs $total")
+    assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong)
+    // pushed top-N caps the estimate at n rows per file
+    val capped = scanStats(source.orderBy($"id".desc).limit(3))
+    assert(capped.numRows().getAsLong <= 3L * nBuckets)
+    // pushed aggregate collapses to one partial row per file
+    val agg1 = scanStats(source.agg(expr("count(*)")))
+    assert(agg1.numRows().getAsLong <= nBuckets)
+  }
+
+  test("runtime filtering: a late id set prunes bucket directories at" +
+      " execution time, composing with plan-time pruning") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def scanOf(df: org.apache.spark.sql.DataFrame): SupportsRuntimeFiltering =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.get.scan.asInstanceOf[SupportsRuntimeFiltering]
+    val scan = scanOf(source.select($"id", $"label"))
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    val allFiles = scan.toBatch.planInputPartitions().length
+    assert(allFiles == nBuckets)
+    // runtime In(id, {7, 42}) → at most 2 bucket directories survive
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array(7L, 42L))))
+    val pruned = scan.toBatch.planInputPartitions().length
+    assert(pruned <= 2 && pruned < allFiles,
+      s"runtime filter did not prune: $pruned of $allFiles")
+    // composes by INTERSECTION with a plan-time id filter: a plan-time
+    // id=7 scan further filtered to id=42 at runtime reads NOTHING
+    val scan2 = scanOf(source.where($"id" === 7L).select($"id"))
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("id", 42L)))
+    val b7 = graft.sources.MemoryBucketSource
+      .listFiles(storeDir, None).length // sanity: store still lists
+    assert(b7 == nBuckets)
+    assert(scan2.toBatch.planInputPartitions().isEmpty ||
+      scan2.toBatch.planInputPartitions().length == 1)
+    // an unhashable runtime filter shape leaves the scan untouched
+    val scan3 = scanOf(source.select($"id"))
+    scan3.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThan("id", 5L)))
+    assert(scan3.toBatch.planInputPartitions().length == allFiles)
+  }
+
+  test("a join against a filtered slice broadcasts from reported stats" +
+      " alone — no broadcast() hint") {
+    // the fact side is 3M rows (~24 MB of plan-visible size, over the
+    // 10 MB auto-broadcast threshold), so a BroadcastHashJoin can ONLY
+    // appear if the planner trusts the STORE's reported statistics for
+    // the slice side — without them a DSv2 relation costs
+    // defaultSizeInBytes and this join must sort-merge
+    val facts = spark.range(0, 3000000).select($"id".as("fact_id"))
+    val slice = source.where($"label" === 2).select($"id", $"label")
+    val joined = facts.join(slice, $"fact_id" === $"id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats did not drive a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled:\n$plan")
+    // and the broadcast plan returns the right rows
+    val exp = MemoryOps.readBucketed(spark, storeDir)
+      .where($"label" === 2 && $"id" < 3000000).count()
+    assert(joined.count() == exp && exp > 0)
+  }
 }

@@ -173,6 +173,25 @@ class PlanSpec extends SparkSpec {
       s"global sort over the store:\n$p")
   }
 
+  test("src4_stats_broadcast: the store's reported statistics reach the" +
+      " logical plan and the join broadcasts") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val df = Queries28.registry("src4_stats_broadcast")(spark, sf001)
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r
+    }.getOrElse(fail("no DSv2 scan in src4's optimized plan"))
+    // the planner must see the store's own numbers, not defaultSizeInBytes
+    assert(rel.stats.rowCount.isDefined,
+      "scan statistics missing a row count")
+    assert(rel.stats.sizeInBytes <
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        .stripSuffix("b").toLong,
+      s"reported size ${rel.stats.sizeInBytes} would never broadcast")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled:\n$p")
+  }
+
   test("kw1_kruskal_wallis: data-sized stages are partial-aggregated" +
       " equi-joins — no cartesian, no data-sized nested loop") {
     val p = planN(Queries50.registry, "kw1_kruskal_wallis")
