@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.StatTests
+import graft.operators.{Ranks, Sketches, StatTests}
 
 /** Round 8 — four classical tests closing the remaining gaps in the
   * statistics family: the k-sample location test (Kruskal–Wallis,
@@ -189,15 +189,59 @@ object Queries50 {
       |        - CAST(ty.ty AS DOUBLE))), 6) AS tau_b
       |FROM p, n, tx, ty""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // HQ1: histogram quantile sketch over order totals (integer cents) —
+  // the quantile member of the sketch family (hll1 distinct, cms1
+  // frequency): 1024 bin counts cross the wire instead of a full range
+  // shuffle, at the price of one-bin-width resolution. The exact value
+  // at each target rank rides along through the distributed rank
+  // primitive, so the error column is itself under the hash compare —
+  // the same auditable-error posture as hll1's rel_err and cms1's
+  // overestimate.
+  // ---------------------------------------------------------------------
+  private val HqBins = 1024
+  private val HqQs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  def hq1HistQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val est = Sketches.histQuantiles(v, col("cents"), HqBins, HqQs)
+    val ranked = Ranks.withGlobalRank(v, "__rn", Seq(col("cents")))
+    est.join(ranked, col("__rn") === col("target_rank"))
+      .select(col("q_label"), col("n"), col("target_rank"), col("bin"),
+        col("est"), col("cents").as("exact"),
+        round(col("est") - col("cents").cast("double"), 6).as("err"))
+  }
+
+  val hq1HistQuantilesSql: String = {
+    val specRows = HqQs.map { case (l, qn, qd) => s"('$l', $qn, $qd)" }
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS cents
+       |  FROM orders),
+       |q AS (${Sketches.histQuantilesSql("v", "cents", HqBins, HqQs)}),
+       |rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn
+       |  FROM v)
+       |SELECT q.q_label AS q_label, q.n AS n,
+       |  q.target_rank AS target_rank, q.bin AS bin, q.est AS est,
+       |  rk.cents AS exact,
+       |  round(q.est - CAST(rk.cents AS DOUBLE), 6) AS err
+       |FROM q JOIN rk ON rk.rn = q.target_rank""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kw1_kruskal_wallis" -> (kw1KruskalWallis _),
     "lb1_ljung_box"      -> (lb1LjungBox _),
     "run1_runs_test"     -> (run1RunsTest _),
-    "kt1_kendall_tau"    -> (kt1KendallTau _))
+    "kt1_kendall_tau"    -> (kt1KendallTau _),
+    "hq1_hist_quantiles" -> (hq1HistQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "kw1_kruskal_wallis" -> kw1KruskalWallisSql,
     "lb1_ljung_box"      -> lb1LjungBoxSql,
     "run1_runs_test"     -> run1RunsTestSql,
-    "kt1_kendall_tau"    -> kt1KendallTauSql)
+    "kt1_kendall_tau"    -> kt1KendallTauSql,
+    "hq1_hist_quantiles" -> hq1HistQuantilesSql)
 }

@@ -308,7 +308,57 @@ object Soak {
     // shifted-key orders replicas: the rank machinery's value table and
     // the order-statistic selections both grow by the factor
     "mci1_median_ci" -> SparkEntry.queries("mci1_median_ci"),
-    "tail1_hill_estimator" -> SparkEntry.queries("tail1_hill_estimator"))
+    "tail1_hill_estimator" -> SparkEntry.queries("tail1_hill_estimator"),
+    // ---- the DSv2 store's runtime bucket pruning, measured at scale ----
+    // The store is re-bucketed per decade (16 x factor directories — the
+    // production move as a store grows) and probed by a CONSTANT id
+    // batch (the base corpus's de/n_chars>400 slice, which lives in
+    // replica 0 at every scale). The id set touches a bounded bucket
+    // set while per-bucket size stays ~constant, so the PRUNED fetch
+    // should stay ~FLAT across two decades of store growth. The control
+    // runs the identical join with dynamic pruning disabled — it must
+    // scan every directory and grow ~linearly. Ordering matters: the
+    // control runs FIRST and leaves the conf off; the pruned entry
+    // re-enables it (and every other soak query runs with the default).
+    "src5_noprune_control" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      soakStoreFetch(s, dir, factor)
+    }),
+    "src5_runtime_prune" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      soakStoreFetch(s, dir, factor)
+    }))
+
+  /** Bucketed store for a soak dir, written once per (dir, buckets) to
+    * the repo tmp (the base fixture dir is read-only). */
+  private val soakStores =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  def ensureSoakStore(s: SparkSession, dir: String, nb: Int): String =
+    soakStores.getOrElseUpdate((dir, nb), {
+      val out = "/root/repo/tmp/soak_store_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nb"
+      if (!new java.io.File(out).exists())
+        operators.MemoryOps.writeBucketed(
+          Tables.memories(s, dir), out, "id", nb)
+      out
+    })
+
+  def soakBucketsFor(factor: Int): Int = 16 * factor
+
+  private def soakStoreFetch(s: SparkSession, dir: String,
+      factor: Int): DataFrame = {
+    val nb = soakBucketsFor(factor)
+    val store = ensureSoakStore(s, dir, nb)
+    val dim = Tables.documents(s, "/root/testdata/sf0.1")
+      .where(col("lang") === "de" && col("n_chars") > 400)
+      .select(col("doc_id").as("id"))
+    s.read.format("graft.sources.MemoryBucketSource")
+      .option("path", store).option("nBuckets", nb.toString)
+      .option("idCol", "id").load()
+      .join(dim, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+  }
 
   def time(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
            dir: String, runs: Int): (Double, Long) = {
@@ -375,7 +425,12 @@ object Soak {
       "pr1_pagerank" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = names.filter(n => only.forall(_.exists(n.startsWith))).map { name =>
+    val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
+    // the store fetch lane times the PROBE, not the one-off store write:
+    // materialize every (dir, buckets) store before any clock starts
+    if (selected.exists(_.startsWith("src5")))
+      dirs.foreach { case (f, d) => ensureSoakStore(spark, d, soakBucketsFor(f)) }
+    val results = selected.map { name =>
       val perScale = dirs.filter(_._1 <= maxFactor(name)).map { case (f, dir) =>
         spark.conf.set("spark.sql.shuffle.partitions", shufflePartitionsFor(f))
         val fn = soakQueries(f).find(_._1 == name).get._2

@@ -127,13 +127,21 @@ object MemoryOps {
   /** Write a keyed table hash-bucketed by id (`__bucket=k/` partition
     * dirs). This is the 100 TB layout: every keyed operation — upsert,
     * delete, point lookup — prunes to the buckets its keys hash into.
-    */
+    *
+    * Clustered on the bucket before the write so each directory holds
+    * ONE file, not one per upstream partition: a plain partitionBy from
+    * an N-partition frame writes N small files into EVERY bucket, and
+    * scan cost becomes per-file overhead × N × buckets instead of data
+    * size (the round-8 src5 soak measured exactly this — 31 files per
+    * bucket made a 50k-row scan file-bound). At warehouse scale the
+    * same rule is "compact buckets to bounded file counts". */
   def writeBucketed(
       df: DataFrame,
       path: String,
       idCol: String,
       nBuckets: Int): Unit =
     df.withColumn("__bucket", bucketOf(idCol, nBuckets))
+      .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
 
   /** Partition-pruned LWW upsert against a bucketed table: only the buckets

@@ -132,4 +132,116 @@ object Sketches {
     s"""SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS c FROM (
        |$arms) GROUP BY 1, 2""".stripMargin
   }
+
+  // -----------------------------------------------------------------------
+  // Histogram quantile sketch — the third classic next to HLL (distinct)
+  // and CM (frequency). KLL/t-digest answer the same question but their
+  // compaction is RUN-ORDER-dependent, which the partition-stable oracle
+  // regime cannot hash; fixed equi-width bins are order-independent,
+  // merge by + (bin counts add across executors/streams/days), and ship
+  // `bins` longs to the driver regardless of input size — the registers-
+  // not-rows wire shape. The price is resolution: the estimate is exact
+  // to one bin width (span/bins), against the exact-rank path's one full
+  // range shuffle.
+  // -----------------------------------------------------------------------
+
+  /** Bin-count table over a LONG-valued column: (b, cnt) with
+    * b = floor((x − lo)·bins / (hi − lo + 1)) in [0, bins). The (lo, hi)
+    * domain comes from one exact min/max scan (a second pass, same as
+    * every fixed-domain histogram); the products stay < 2^53 for any
+    * plausible cents column so the double floor is exact and identical
+    * across engines. One map-side-combined groupBy — mergeable by +. */
+  def histBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    val v = df.select(value.cast("long").as("__x"))
+    val ext = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    v.crossJoin(broadcast(ext)) // scalar-broadcast pattern
+      .select(floor((col("__x") - col("__lo")).cast("double") * bins /
+        (col("__hi") - col("__lo") + 1).cast("double")).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile answers from a bin-count table: for each (label, qn/qd)
+    * the target rank r = ceil(n·qn/qd) (exact integer arithmetic), the
+    * first bin whose cumulative count reaches r, and a linear
+    * interpolation inside it:
+    *   est = lo + span·b/bins + (span/bins)·(r − cum_prev)/cnt.
+    * The cumulative window and the rank→bin probe run over AT MOST
+    * `bins` rows — bounded sketch metadata, the codebook adjudication —
+    * so the single-partition window and the ≤-join are register-sized,
+    * never data-sized. Output: (q_label, n, target_rank, bin, est). */
+  def histQuantiles(df: DataFrame, value: Column, bins: Int,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(value.cast("long").as("__x"))
+    val ext = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"),
+      count(lit(1)).as("__n"))
+    val cells = histBins(df, value, bins)
+    // bounded: <= bins rows (sketch registers), never data-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val cum = cells.withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__prev", col("__cum") - col("cnt"))
+    val specs = qs.toDF("q_label", "__qn", "__qd")
+      .crossJoin(broadcast(ext))
+      .withColumn("__r",
+        floor((col("__n") * col("__qn") + col("__qd") - 1).cast("double") /
+          col("__qd").cast("double")).cast("long"))
+    val span = (col("__hi") - col("__lo") + 1).cast("double")
+    specs.join(cum, col("__cum") >= col("__r")) // <= |qs| x bins pairs
+      .groupBy(col("q_label"), col("__lo"), col("__hi"), col("__n"),
+        col("__r"))
+      .agg(min(col("b")).as("bin"))
+      .join(cum.select(col("b").as("bin"), col("cnt"), col("__prev")),
+        Seq("bin"))
+      .select(col("q_label"), col("__n").as("n"),
+        col("__r").as("target_rank"), col("bin"),
+        round(col("__lo").cast("double") +
+          span * col("bin").cast("double") / bins +
+          (span / bins) *
+            (col("__r") - col("__prev")).cast("double") /
+            col("cnt").cast("double"), 6).as("est"))
+  }
+
+  /** SQL mirrors (DuckDB), same integer arithmetic and double trees. */
+  def histBinsSql(rel: String, value: String, bins: Int): String =
+    s"""SELECT CAST(floor(CAST(($value - lo) AS DOUBLE) * $bins /
+       |    CAST((hi - lo + 1) AS DOUBLE)) AS BIGINT) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM $rel, (SELECT CAST(MIN($value) AS BIGINT) AS lo,
+       |            CAST(MAX($value) AS BIGINT) AS hi FROM $rel)
+       |GROUP BY 1""".stripMargin
+
+  def histQuantilesSql(rel: String, value: String, bins: Int,
+      qs: Seq[(String, Int, Int)]): String = {
+    val specRows = qs.map { case (l, qn, qd) => s"('$l', $qn, $qd)" }
+      .mkString(", ")
+    s"""WITH hb AS (${histBinsSql(rel, value, bins)}),
+       |hc AS (SELECT b, cnt,
+       |    SUM(cnt) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+       |      AS prev
+       |  FROM hb),
+       |hx AS (SELECT CAST(MIN($value) AS BIGINT) AS lo,
+       |    CAST(MAX($value) AS BIGINT) AS hi,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM $rel),
+       |hs AS (SELECT q_label, n,
+       |    CAST(floor(CAST((n * qn + qd - 1) AS DOUBLE)
+       |      / CAST(qd AS DOUBLE)) AS BIGINT) AS r, lo, hi
+       |  FROM (VALUES $specRows) q(q_label, qn, qd), hx),
+       |hm AS (SELECT hs.q_label, hs.n, hs.r, hs.lo, hs.hi,
+       |    MIN(hc.b) AS bin
+       |  FROM hs JOIN hc ON hc.cum >= hs.r
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT hm.q_label AS q_label, hm.n AS n, hm.r AS target_rank,
+       |  hm.bin AS bin,
+       |  round(CAST(hm.lo AS DOUBLE)
+       |    + CAST((hm.hi - hm.lo + 1) AS DOUBLE)
+       |      * CAST(hm.bin AS DOUBLE) / $bins
+       |    + (CAST((hm.hi - hm.lo + 1) AS DOUBLE) / $bins)
+       |      * CAST((hm.r - hc.prev) AS DOUBLE) / CAST(hc.cnt AS DOUBLE),
+       |    6) AS est
+       |FROM hm JOIN hc ON hc.b = hm.bin""".stripMargin
+  }
 }

@@ -386,6 +386,12 @@ object MemoryBucketSource {
     * TakeOrderedAndProject over the plain scan. */
   private[sources] val TopNMax = 65536
 
+  /** Max parquet footers [[MemoryScan.estimateStatistics]] opens:
+    * ≤ this many files → exact row counts; more → a sampled
+    * rows-per-byte density scaled by total file size. Bounds the
+    * DRIVER-side planning cost at any store size. */
+  private[sources] val StatsFooterSample = 64
+
   /** One pushed sort key: column, type, and OUTPUT-order semantics
     * (descending + where nulls land, as Spark's SortOrder states them). */
   /** One pushed aggregate call: `fn` in {count, min, max}; `column` is
@@ -635,10 +641,14 @@ private[sources] class MemoryScan(
     * pushed filters shrink it — at warehouse scale that is a full shuffle
     * of the fact side against a slice the store already knows is tiny.
     *
-    * Row count is the EXACT parquet footer total of the SELECTED files
-    * (bucket pruning already applied), an upper bound under a pushed
-    * parquet predicate or score threshold — estimates must err toward
-    * "too big", never toward broadcasting something huge. A pushed
+    * Row count comes from the parquet footers of the SELECTED files
+    * (bucket pruning already applied) — exact up to
+    * [[MemoryBucketSource.StatsFooterSample]] files, a sampled
+    * rows-per-byte density scaled by total size beyond that (driver-side
+    * planning IO must stay bounded at any store size) — and is an upper
+    * bound under a pushed parquet predicate or score threshold:
+    * estimates must err toward "too big", never toward broadcasting
+    * something huge. A pushed
     * limit/top-N caps rows at n per file (partial pushdown: each file
     * returns at most n). A pushed aggregate collapses to one partial row
     * per file. Size scales the compressed file bytes by the column
@@ -650,14 +660,31 @@ private[sources] class MemoryScan(
       case Some(specs) =>
         (files.size.toLong, files.size.toLong * (8L + 16L * specs.size))
       case None =>
-        var rows = 0L
-        var bytes = 0L
-        files.foreach { f =>
+        // Footer IO is DRIVER-side planning cost, so it must stay bounded
+        // no matter how many files the store holds (the first soak of
+        // this path opened all 5,120 footers sequentially and spent 75 s
+        // PLANNING a 2 s scan). Up to StatsFooterSample footers — evenly
+        // spread — give exact counts for small stores and a measured
+        // rows-per-byte density for big ones; everything else scales by
+        // file SIZE, which the directory listing already paid for.
+        val sizes = files.map(f => new java.io.File(f).length())
+        val bytes = sizes.sum
+        val k = MemoryBucketSource.StatsFooterSample
+        val sampleIdx =
+          if (files.length <= k) files.indices
+          else files.indices.by(math.max(1, files.length / k)).take(k)
+        var sRows = 0L
+        var sBytes = 0L
+        sampleIdx.foreach { i =>
           val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(f), new Configuration()))
-          try rows += r.getRecordCount finally r.close()
-          bytes += new java.io.File(f).length()
+            HadoopInputFile.fromPath(new Path(files(i)), new Configuration()))
+          try sRows += r.getRecordCount finally r.close()
+          sBytes += sizes(i)
         }
+        val rows =
+          if (files.length <= k) sRows
+          else if (sBytes == 0L) 0L
+          else math.round(bytes.toDouble * sRows / sBytes)
         val fileCols = math.max(1,
           MemoryBucketSource.inferSchema(files.head).fields.length)
         // n is bounded (TopNMax / a user limit) and files is a directory

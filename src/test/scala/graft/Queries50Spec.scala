@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.StatTests
+import graft.operators.{Sketches, StatTests}
 
 class Queries50Spec extends SparkSpec {
 
@@ -83,6 +83,54 @@ class Queries50Spec extends SparkSpec {
       mk(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)))).head()
     assert(tied.getLong(1) == 5 && tied.getLong(2) == 0)
     assert(math.abs(tied.getDouble(3) - 5.0 / math.sqrt(30.0)) < 1e-6)
+  }
+
+  test("hist quantile sketch: hand-computed bins and interpolation on" +
+      " uniform 1..1000") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("x")
+    // bins=10: each bin holds exactly 100 values; p50 r=500 crosses in
+    // bin 4 (cum 500), est = 1 + 1000*4/10 + 100*(500-400)/100 = 501
+    val qs = Seq(("p50", 1, 2), ("p99", 99, 100))
+    val rows = Sketches.histQuantiles(df, col("x"), 10, qs)
+      .orderBy(col("q_label")).collect()
+    val p50 = rows.find(_.getString(0) == "p50").get
+    assert(p50.getLong(1) == 1000 && p50.getLong(2) == 500 &&
+      p50.getLong(3) == 4)
+    assert(math.abs(p50.getDouble(4) - 501.0) < 1e-9)
+    // p99: r=990, bin 9 (cum 1000, prev 900), est = 1 + 900 + 90 = 991
+    val p99 = rows.find(_.getString(0) == "p99").get
+    assert(p99.getLong(2) == 990 && p99.getLong(3) == 9)
+    assert(math.abs(p99.getDouble(4) - 991.0) < 1e-9)
+    // bin counts are a partition of n (mergeable registers)
+    val cells = Sketches.histBins(df, col("x"), 10).collect()
+    assert(cells.map(_.getLong(1)).sum == 1000 && cells.length == 10)
+    assert(cells.forall(_.getLong(1) == 100))
+  }
+
+  test("hist quantile sketch: constant column collapses to bin 0, est" +
+      " within one bin width of the value") {
+    import spark.implicits._
+    val df = Seq.fill(50)(7777L).toDF("x")
+    val r = Sketches.histQuantiles(df, col("x"), 1024,
+      Seq(("p50", 1, 2))).head()
+    assert(r.getLong(3) == 0)
+    assert(math.abs(r.getDouble(4) - 7777.0) <= 1.0)
+  }
+
+  test("hq1 fixture: estimate within one bin width of the exact rank" +
+      " value at every quantile") {
+    val rows = Queries50.hq1HistQuantiles(spark, sf001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val est = r.getDouble(4); val exact = r.getLong(5)
+      // span/1024 bin width: bound |err| by span/1024 + interpolation
+      assert(est > 0 && math.abs(r.getDouble(6)) ==
+        math.abs(BigDecimal(est - exact.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      assert(math.abs(est - exact) / exact < 0.02,
+        s"${r.getString(0)}: est $est too far from exact $exact")
+    }
   }
 
   test("kt1/run1/lb1 fixture runs: sane statistics at sf0.001") {
