@@ -102,7 +102,11 @@ object Bench {
     * same), but the pattern is no longer silent. */
   def driftWarning(scanRatio: Option[Double], shuffleRatio: Option[Double],
       medRatio: Option[Double]): Option[String] =
+    // "quiet canaries" requires canaries that were MEASURED: with no
+    // previous canary baseline the warning would assert evidence that
+    // doesn't exist (round-8 review finding) — stay silent instead
     medRatio.filter(m => m > 1.3 &&
+        (scanRatio ++ shuffleRatio).nonEmpty &&
         (Seq(1.0) ++ scanRatio ++ shuffleRatio).max < 1.15)
       .map(m => f"median ratio $m%.2f with quiet canaries" +
         " — box drift cannot explain this; suspect a code-wide slowdown")
@@ -173,6 +177,12 @@ object Bench {
       // storage-memory pool of later queries. Outside the timed region.
       System.gc()
       (1 to runs).map { _ =>
+        // Dataset persists (the graph family's edge pins) are plan-keyed,
+        // so rep N+1 of the same query would read rep N's cache and time
+        // a cache hit instead of the query (round-8 review finding);
+        // clearing restores the pre-pin min-of-N semantics. Outside the
+        // timed region.
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable =>

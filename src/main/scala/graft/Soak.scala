@@ -365,6 +365,10 @@ object Soak {
     var rows = 0L
     val t = (1 to runs).map { _ =>
       System.gc()
+      // plan-keyed Dataset persists (edge pins) would hand run 2 a cache
+      // hit on run 1's derivation — clear so min-of-N times the QUERY
+      // (round-8 review finding; outside the timed region)
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       rows = df.count() // count forces full evaluation AND records output size

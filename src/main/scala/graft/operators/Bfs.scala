@@ -54,6 +54,9 @@ object Bfs {
       frontier = next.select(col("node"))
       frontierSize = next.count()
     }
+    // settled is a union of checkpointed frontiers — nothing downstream
+    // reads the pinned edges, so release them (pinEdges lifetime note)
+    GraphPlanning.unpin(e)
     settled
   }
 }

@@ -33,7 +33,9 @@ object Dbscan {
     val ids = points.select(col("id"))
     // three consumers below; columnar persist, not localCheckpoint, for
     // this static pair-sized pin — the kc1 100x OOM mechanism
-    // (GraphPlanning.pinEdges; BASELINE.md round 8)
+    // (GraphPlanning.pinEdges; BASELINE.md round 8). The lazy return
+    // still reads the pin, so release is the pin pool's job (pinEdges
+    // lifetime note), not an explicit unpin here.
     val sym = GraphPlanning.pinEdges(
       pairs.select(col("id1").as("__s"), col("id2").as("__d"))
         .union(pairs.select(col("id2").as("__s"), col("id1").as("__d")))

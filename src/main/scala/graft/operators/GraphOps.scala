@@ -70,7 +70,9 @@ object GraphOps {
     */
   def triangles(edges: DataFrame): DataFrame = {
     // static edge pin: columnar persist, not localCheckpoint — the kc1
-    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8)
+    // 100x OOM mechanism (GraphPlanning.pinEdges; BASELINE.md round 8).
+    // The RETURN is lazy and still reads the pin, so release is the pin
+    // pool's job (pinEdges lifetime note), not an explicit unpin here.
     val e = GraphPlanning.pinEdges(canonicalEdges(edges))
     val deg = e.select(col("id1").as("v"))
       .unionAll(e.select(col("id2").as("v")))

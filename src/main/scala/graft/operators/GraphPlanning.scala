@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared planning constants for the iterative graph operators
   * ([[PageRank]], [[Hits]]). */
-private[operators] object GraphPlanning {
+private[graft] object GraphPlanning {
 
   /** Pin a STATIC data-sized frame (an edge or pair list consumed by
     * every iteration) with a columnar Dataset-level persist instead of
@@ -16,9 +16,37 @@ private[operators] object GraphPlanning {
     * batches are ~6x smaller, spill gracefully, and the lineage CUT
     * the checkpoint also provides is unnecessary here: a static pin's
     * lineage never grows (only per-round, re-assigned frames need the
-    * cut, and they stay on localCheckpoint). */
-  def pinEdges(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * cut, and they stay on localCheckpoint).
+    *
+    * LIFETIME: unlike localCheckpoint blocks (reclaimed by the
+    * ContextCleaner once unreachable), a Dataset persist is held by the
+    * CacheManager until explicit unpersist — pinned frames would
+    * accumulate for the whole session across the hundreds of queries a
+    * verify/bench/soak run executes (round-8 review finding). Operators
+    * whose RESULT no longer references the pin call [[unpin]] on exit;
+    * the two whose lazy return still reads it (triangles, DBSCAN's
+    * symmetrized pairs) are covered by a bounded FIFO pool: at most
+    * [[MaxLivePins]] pins stay cached, older ones unpersist (a consumer
+    * holding an evicted plan just recomputes — correctness is
+    * unaffected). */
+  private val livePins = new java.util.ArrayDeque[DataFrame]()
+  private val MaxLivePins = 2
+
+  def pinEdges(df: DataFrame): DataFrame = synchronized {
+    val pinned =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    livePins.addLast(pinned)
+    while (livePins.size > MaxLivePins)
+      livePins.removeFirst().unpersist(false)
+    pinned
+  }
+
+  /** Release a pin deterministically — called by operators once their
+    * (eagerly materialized) result no longer reads the pinned frame. */
+  def unpin(df: DataFrame): Unit = synchronized {
+    livePins.remove(df)
+    df.unpersist(false)
+  }
 
   /** Rough serialized bytes per (node, score) row in a broadcast hashed
     * relation: an 8-16 byte key, an 8 byte double, UnsafeRow + relation

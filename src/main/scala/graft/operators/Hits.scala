@@ -65,6 +65,9 @@ object Hits {
       h = hr.crossJoin(broadcast(l1(hr, "__raw")))
         .select(col("c"), (col("__raw") / col("__z")).as("h"))
     }
+    // h/a are projections over the checkpointed raw tables — nothing
+    // downstream reads the pinned edges, so release them
+    GraphPlanning.unpin(e)
     h.select(lit("hub").as("role"), col("c").as("node"),
         round(col("h"), 6).as("score"))
       .unionAll(a.select(lit("auth").as("role"), col("s").as("node"),

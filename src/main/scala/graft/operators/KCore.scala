@@ -76,11 +76,16 @@ object KCore {
         s"k-core peel did not converge within $maxIters rounds " +
           s"(k=$k, ${n} nodes still alive and shrinking); the unrolled " +
           "oracle would silently diverge — raise the unroll bound")
-    // final degrees within the converged core (every survivor has >= k)
+    // final degrees within the converged core (every survivor has >= k).
+    // Node-sized eager checkpoint so the edge pin can be RELEASED here
+    // (GraphPlanning.pinEdges lifetime note) — the last edge pass lands
+    // in the checkpoint, and the session stops carrying the cached edges.
     val out = e
       .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint(true)
+    GraphPlanning.unpin(e)
     (out, it)
   }
 }

@@ -50,6 +50,7 @@ object LabelProp {
         .select(col("node"), col("label"))
         .localCheckpoint(true)
     }
+    GraphPlanning.unpin(e) // checkpointed result — pin released
     labels
   }
 }

@@ -114,6 +114,9 @@ object PageRank {
       // sf0.1, 4M edges: 9.4 s vs 7.4 s) and grows planning time
       rank = rank.localCheckpoint(true)
     }
+    // the final rank table is checkpointed — nothing downstream reads
+    // the pinned edges, so release them (pinEdges lifetime note)
+    GraphPlanning.unpin(e)
     rank.select(col("node"), col("rank"))
   }
 
@@ -174,6 +177,7 @@ object PageRank {
         }
       rank = rank.localCheckpoint(true)
     }
+    GraphPlanning.unpin(e) // checkpointed result — pin released
     rank.select(col("node"), col("rank"))
   }
 }

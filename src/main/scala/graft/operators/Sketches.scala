@@ -150,7 +150,11 @@ object Sketches {
     * domain comes from one exact min/max scan (a second pass, same as
     * every fixed-domain histogram); the products stay < 2^53 for any
     * plausible cents column so the double floor is exact and identical
-    * across engines. One map-side-combined groupBy — mergeable by +. */
+    * across engines. One map-side-combined groupBy — counts merge by +
+    * WITHIN a scan automatically; merging across batches/streams/days
+    * additionally requires the domain be PINNED once (the
+    * [[histBinsOver]] form), exactly as an ingest pipeline fixes its
+    * histogram domain when the first batch lands. */
   def histBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
     val v = df.select(value.cast("long").as("__x"))
     val ext = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
@@ -159,6 +163,19 @@ object Sketches {
         (col("__hi") - col("__lo") + 1).cast("double")).cast("long").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** [[histBins]] against a CALLER-PINNED domain — the cross-batch merge
+    * form: two batches binned over the same (lo, hi) produce register
+    * tables that merge by plain +, out-of-domain values clamp to the
+    * edge bins (the standard ingest-histogram convention, surfaced
+    * rather than dropped). */
+  def histBinsOver(df: DataFrame, value: Column, bins: Int,
+      lo: Long, hi: Long): DataFrame =
+    df.select(least(greatest(
+        floor((value.cast("long") - lit(lo)).cast("double") * bins /
+          lit(hi - lo + 1).cast("double")).cast("long"),
+        lit(0L)), lit(bins - 1L)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
 
   /** Quantile answers from a bin-count table: for each (label, qn/qd)
     * the target rank r = ceil(n·qn/qd) (exact integer arithmetic), the
@@ -176,7 +193,13 @@ object Sketches {
     val v = df.select(value.cast("long").as("__x"))
     val ext = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"),
       count(lit(1)).as("__n"))
-    val cells = histBins(df, value, bins)
+    // binned against the SAME (lo, hi, n) aggregate the rank targets use
+    // — one min/max scan, not two (histBins would re-aggregate its own
+    // domain; the shared subtree here dedupes under ReusedExchange)
+    val cells = v.crossJoin(broadcast(ext))
+      .select(floor((col("__x") - col("__lo")).cast("double") * bins /
+        (col("__hi") - col("__lo") + 1).cast("double")).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
     // bounded: <= bins rows (sketch registers), never data-sized
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
     val cum = cells.withColumn("__cum", sum(col("cnt")).over(w))

@@ -281,7 +281,11 @@ object StatTests {
     s.crossJoin(broadcast(glob)) // scalar-broadcast pattern
       .select(col("__k").as("k_groups"), col("__n").as("n"),
         (col("__k") - 1).as("dof"),
-        round(hraw / tieCorr, 6).as("h_stat"))
+        // degenerate inputs (every value tied → tieCorr = 0, or n = 1 →
+        // 0/0) yield a NULL statistic, not a silent NaN/Infinity; the
+        // fixture oracle never hits this branch (many distinct values)
+        when(col("__n") > 1 && tieCorr =!= 0.0,
+          round(hraw / tieCorr, 6)).as("h_stat"))
   }
 
   /** Wald–Wolfowitz runs test for randomness of a LONG-valued series
@@ -317,13 +321,21 @@ object StatTests {
       .select(col("t"),
         (col("__x") * 2 > col("__lo") + col("__hi")).as("__up"))
     val wl = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    // coalesce the empty-series case (every observation equals the
+    // median → the filter drops all rows → sum-over-empty is null): the
+    // counts become explicit zeros and z_score NULLs via the sig guard
+    // below, instead of null counts that NPE a Long getter
     val agg = signed
       .withColumn("__prev", lag(col("__up"), 1).over(wl))
       .agg(
-        sum(when(col("__up"), 1L).otherwise(0L)).as("__n1"),
-        sum(when(!col("__up"), 1L).otherwise(0L)).as("__n2"),
-        (lit(1L) + sum(when(col("__prev").isNotNull &&
-          col("__prev") =!= col("__up"), 1L).otherwise(0L))).as("__r"))
+        coalesce(sum(when(col("__up"), 1L).otherwise(0L)), lit(0L))
+          .as("__n1"),
+        coalesce(sum(when(!col("__up"), 1L).otherwise(0L)), lit(0L))
+          .as("__n2"),
+        when(count(lit(1)) > 0,
+          lit(1L) + sum(when(col("__prev").isNotNull &&
+            col("__prev") =!= col("__up"), 1L).otherwise(0L)))
+          .otherwise(lit(0L)).as("__r"))
     val n1d = col("__n1").cast("double")
     val n2d = col("__n2").cast("double")
     val ndd = n1d + n2d
@@ -332,7 +344,9 @@ object StatTests {
     val sig = sqrt(two * (two - ndd) / (ndd * ndd * (ndd - lit(1.0))))
     agg.select(col("__n1").as("n_above"), col("__n2").as("n_below"),
       col("__r").as("n_runs"),
-      round((col("__r").cast("double") - mu) / sig, 6).as("z_score"))
+      // one-sided or empty series → sigma is 0/NaN → NULL z, not NaN
+      when(col("__n1") > 0 && col("__n2") > 0,
+        round((col("__r").cast("double") - mu) / sig, 6)).as("z_score"))
   }
 
   /** Kendall's τ-b rank correlation between two LONG-valued columns of

@@ -91,6 +91,11 @@ class BenchGateSpec extends AnyFunSuite {
     // the round-7-ADVICE pattern itself: median 1.4, canaries ~1.0
     val w = Bench.driftWarning(Some(1.02), Some(0.97), Some(1.4))
     assert(w.exists(_.contains("code-wide")))
+    // UNMEASURED canaries are not QUIET canaries: an archive baseline
+    // with no canary fields must not produce a phantom warning
+    assert(Bench.driftWarning(None, None, Some(1.4)).isEmpty)
+    // one measured quiet canary is evidence enough
+    assert(Bench.driftWarning(Some(1.01), None, Some(1.4)).nonEmpty)
   }
 
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {

@@ -69,4 +69,32 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(tris == Set((0L, 1L, 2L)))
   }
+
+  test("edge pins are RELEASED: unpin drops the cache entry; the FIFO" +
+      " pool evicts past its bound") {
+    import org.apache.spark.sql.functions.col
+    val cm = spark.sharedState.cacheManager
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      cm.lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined
+    // distinct plans so the CacheManager can't alias them
+    def mk(n: Int) = (1 to n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val a = operators.GraphPlanning.pinEdges(mk(11))
+    assert(cached(a), "pinEdges must register a cache entry")
+    operators.GraphPlanning.unpin(a)
+    assert(!cached(a), "unpin must drop the entry deterministically")
+    // pool bound: the third pin evicts the first (MaxLivePins = 2)
+    val p1 = operators.GraphPlanning.pinEdges(mk(12))
+    val p2 = operators.GraphPlanning.pinEdges(mk(13))
+    val p3 = operators.GraphPlanning.pinEdges(mk(14))
+    assert(!cached(p1), "oldest pin must evict past the pool bound")
+    assert(cached(p2) && cached(p3), "newest pins stay cached")
+    operators.GraphPlanning.unpin(p2)
+    operators.GraphPlanning.unpin(p3)
+    // an operator round-trip through pin+unpin still computes correctly
+    val sym = mk(20).unionByName(
+      mk(20).select(col("dst").as("src"), col("src").as("dst")))
+    assert(operators.PageRank.ranks(sym, iters = 2).count() > 0)
+  }
 }

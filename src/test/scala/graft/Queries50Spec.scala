@@ -58,6 +58,19 @@ class Queries50Spec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.683282) < 1e-6)
   }
 
+  test("degenerate inputs: all-tied KW and constant runs series yield" +
+      " NULL statistics, never NaN or an NPE") {
+    import spark.implicits._
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val kw = StatTests.kruskalWallis(tied, col("g"), col("v")).head()
+    assert(kw.isNullAt(3), "all-tied input must yield NULL H, not NaN")
+    val const = (1 to 6).map(i =>
+      (java.sql.Date.valueOf(f"2020-01-$i%02d"), 42L)).toDF("t", "x")
+    val r = StatTests.runsTest(const).head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0)
+    assert(r.isNullAt(3), "constant series must yield NULL z, not NaN/NPE")
+  }
+
   test("runs test: a monotone series collapses to 2 runs, z < 0") {
     import spark.implicits._
     val days = (1 to 10).map(i =>
@@ -106,6 +119,24 @@ class Queries50Spec extends SparkSpec {
     val cells = Sketches.histBins(df, col("x"), 10).collect()
     assert(cells.map(_.getLong(1)).sum == 1000 && cells.length == 10)
     assert(cells.forall(_.getLong(1) == 100))
+  }
+
+  test("hist sketch cross-batch merge: two batches over a pinned domain" +
+      " sum to the whole; out-of-domain values clamp to edge bins") {
+    import spark.implicits._
+    val all = (1L to 1000L).toDF("x")
+    val odd = all.where($"x" % 2 === 1)
+    val even = all.where($"x" % 2 === 0)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.histBinsOver(df, col("x"), 10, 1L, 1000L)
+        .as[(Long, Long)].collect().toMap
+    val merged = (cells(odd).toSeq ++ cells(even).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == cells(all), "batch registers must merge by + to the whole")
+    // values outside the pinned domain land in the edge bins, not nowhere
+    val stray = Seq(-50L, 0L, 5000L).toDF("x")
+    val s = cells(stray)
+    assert(s.values.sum == 3 && s.keySet.subsetOf(Set(0L, 9L)))
   }
 
   test("hist quantile sketch: constant column collapses to bin 0, est" +
