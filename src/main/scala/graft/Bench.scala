@@ -225,7 +225,16 @@ object Bench {
     // (a burst is transient, a regression persists) and keep the min.
     // Deliberate rewrites are DECLARED here with their justification
     // rather than surfacing in the judge's diff.
-    val declaredRewrites = Map[String, String]()
+    val declaredRewrites = Map[String, String](
+      // Not a code regression: the round-8 timing-honesty fix. The
+      // graph family's new plan-keyed edge pins let min-of-N reps 2+
+      // read rep 1's cache, so the 2026-08-15-morning baseline recorded
+      // cache-HIT times for the pin-heavy queries (tri1 worst at 0.50 s
+      // vs its 1.45 s true cold cost; pr1/hits1/bfs1/lp1/gc1/kc1 were
+      // flattered 1.3-2.0x the same way). Caches are now cleared
+      // between reps; the promoted baseline carries the honest numbers.
+      "tri1_dup_triangles" ->
+        "min-of-N previously timed a rep-2 cache hit on the pinned edge list; clearCache-between-reps restored honest cold-rep timing")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "/root/repo/bench_prev.json")
     val (prevQueries, prevCanary, prevCanaryShuffle) = try {
