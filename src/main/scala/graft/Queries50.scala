@@ -231,17 +231,73 @@ object Queries50 {
        |FROM q JOIN rk ON rk.rn = q.target_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // HQ2: the sketch's MERGE path, oracle-checked — the production shape
+  // where each ingest day bins against a domain pinned at table creation
+  // and registers merge by + across days. Orders split at a date
+  // cutover, each half binned over the pinned cents domain, counts
+  // summed, and the merged table compared bin-for-bin against a direct
+  // whole-corpus binning: n_mismatch MUST be 0 (the chk1 self-checking
+  // parity posture). Out-of-domain values clamp to the edge bins, so
+  // the domain literal only needs to be sane, not exact.
+  // ---------------------------------------------------------------------
+  private val HqLo = 0L
+  private val HqHi = 60000000L // $600k in cents — clamps cover the rest
+  private val HqCut = "1995-01-01"
+
+  def hq2HistMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d"))
+    def slice(cond: org.apache.spark.sql.Column) =
+      Sketches.histBinsOver(o.where(cond), col("cents"), HqBins, HqLo, HqHi)
+    val merged = slice(col("d") < lit(HqCut))
+      .unionByName(slice(col("d") >= lit(HqCut)))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("cnt"))
+    val whole = Sketches.histBinsOver(o, col("cents"), HqBins, HqLo, HqHi)
+      .withColumnRenamed("cnt", "cnt_whole")
+    merged.join(whole, Seq("b"), "full")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(when(coalesce(col("cnt"), lit(0L)) =!=
+          coalesce(col("cnt_whole"), lit(0L)), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        sum(col("cnt")).as("total_cnt"))
+  }
+
+  val hq2HistMergeSql: String = {
+    def bins(rel: String) =
+      Sketches.histBinsOverSql(rel, "cents", HqBins, HqLo, HqHi)
+    s"""WITH o AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents,
+       |    CAST(o_orderdate AS DATE) AS d
+       |  FROM orders),
+       |oa AS (SELECT cents FROM o WHERE d < DATE '$HqCut'),
+       |ob AS (SELECT cents FROM o WHERE d >= DATE '$HqCut'),
+       |m AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |    ${bins("oa")} UNION ALL ${bins("ob")}) GROUP BY 1),
+       |w AS (SELECT b, cnt AS cnt_whole FROM (${bins("o")}))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |  CAST(SUM(CASE WHEN COALESCE(m.cnt, 0) <> COALESCE(w.cnt_whole, 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       |  CAST(SUM(m.cnt) AS BIGINT) AS total_cnt
+       |FROM m FULL JOIN w USING (b)""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kw1_kruskal_wallis" -> (kw1KruskalWallis _),
     "lb1_ljung_box"      -> (lb1LjungBox _),
     "run1_runs_test"     -> (run1RunsTest _),
     "kt1_kendall_tau"    -> (kt1KendallTau _),
-    "hq1_hist_quantiles" -> (hq1HistQuantiles _))
+    "hq1_hist_quantiles" -> (hq1HistQuantiles _),
+    "hq2_hist_merge"     -> (hq2HistMerge _))
 
   val oracles: Map[String, String] = Map(
     "kw1_kruskal_wallis" -> kw1KruskalWallisSql,
     "lb1_ljung_box"      -> lb1LjungBoxSql,
     "run1_runs_test"     -> run1RunsTestSql,
     "kt1_kendall_tau"    -> kt1KendallTauSql,
-    "hq1_hist_quantiles" -> hq1HistQuantilesSql)
+    "hq1_hist_quantiles" -> hq1HistQuantilesSql,
+    "hq2_hist_merge"     -> hq2HistMergeSql)
 }

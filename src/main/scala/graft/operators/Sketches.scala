@@ -225,6 +225,15 @@ object Sketches {
             col("cnt").cast("double"), 6).as("est"))
   }
 
+  /** SQL mirror of [[histBinsOver]] — same pinned domain and clamps. */
+  def histBinsOverSql(rel: String, value: String, bins: Int,
+      lo: Long, hi: Long): String =
+    s"""SELECT LEAST(GREATEST(CAST(floor(CAST(($value - $lo) AS DOUBLE)
+       |    * $bins / CAST(${hi - lo + 1} AS DOUBLE)) AS BIGINT),
+       |    0), ${bins - 1}) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM $rel GROUP BY 1""".stripMargin
+
   /** SQL mirrors (DuckDB), same integer arithmetic and double trees. */
   def histBinsSql(rel: String, value: String, bins: Int): String =
     s"""SELECT CAST(floor(CAST(($value - lo) AS DOUBLE) * $bins /

@@ -164,6 +164,13 @@ class Queries50Spec extends SparkSpec {
     }
   }
 
+  test("hq2 fixture: merged day-slice registers equal the whole-corpus" +
+      " binning bin-for-bin") {
+    val r = Queries50.hq2HistMerge(spark, sf001).head()
+    assert(r.getLong(1) == 0, "register merge must be exact")
+    assert(r.getLong(2) > 0 && r.getLong(0) > 0)
+  }
+
   test("kt1/run1/lb1 fixture runs: sane statistics at sf0.001") {
     val kt = Queries50.kt1KendallTau(spark, sf0001).head()
     assert(kt.getDouble(3) >= -1.0 && kt.getDouble(3) <= 1.0)
