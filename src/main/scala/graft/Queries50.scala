@@ -125,12 +125,17 @@ object Queries50 {
       |  FROM d, m WHERE x * 2 <> lo + hi),
       |l AS (SELECT up, LAG(up) OVER (ORDER BY t) AS prev FROM s),
       |a AS (SELECT
-      |    CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-      |    CAST(SUM(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-      |    1 + CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> up
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |    COALESCE(CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT),
+      |      0) AS n1,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT up THEN 1 ELSE 0 END)
+      |      AS BIGINT), 0) AS n2,
+      |    CASE WHEN COUNT(*) > 0
+      |      THEN 1 + CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> up
+      |        THEN 1 ELSE 0 END) AS BIGINT)
+      |      ELSE 0 END AS r
       |  FROM l)
       |SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
       |  round((CAST(r AS DOUBLE)
       |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
       |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
@@ -140,7 +145,7 @@ object Queries50 {
       |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
       |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
       |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6)
-      |    AS z_score
+      |  END AS z_score
       |FROM a""".stripMargin
 
   // ---------------------------------------------------------------------

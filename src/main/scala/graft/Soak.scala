@@ -337,7 +337,11 @@ object Soak {
     soakStores.getOrElseUpdate((dir, nb), {
       val out = "/root/repo/tmp/soak_store_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nb"
-      if (!new java.io.File(out).exists())
+      // Trust an existing directory only if the parquet commit marker is
+      // present: a run killed mid-writeBucketed leaves a partial store
+      // that would silently feed wrong rows (and flattering timings)
+      // into the src5 lanes. mode("overwrite") makes the rewrite safe.
+      if (!new java.io.File(out, "_SUCCESS").exists())
         operators.MemoryOps.writeBucketed(
           Tables.memories(s, dir), out, "id", nb)
       out

@@ -28,16 +28,40 @@ private[graft] object GraphPlanning {
     * symmetrized pairs) are covered by a bounded FIFO pool: at most
     * [[MaxLivePins]] pins stay cached, older ones unpersist (a consumer
     * holding an evicted plan just recomputes — correctness is
-    * unaffected). */
+    * unaffected).
+    *
+    * CONCURRENCY SCOPE: the 2-deep FIFO assumes SEQUENTIAL query
+    * execution — the shape of Verify/Bench/Soak and of a REPL. Under a
+    * driver issuing 3+ lazy-return graph queries CONCURRENTLY, each new
+    * pin evicts a peer's still-unread pin and every consumer silently
+    * recomputes its full canonicalize/symmetrize derivation: correct
+    * (lineage recompute) but potentially quadratic. The eviction is
+    * therefore never silent — each one logs a warning and bumps
+    * [[evictionCount]], so a recompute-heavy run is diagnosable from
+    * output (a concurrent driver should size the pool to its pipeline
+    * width or have operators unpin eagerly). */
   private val livePins = new java.util.ArrayDeque[DataFrame]()
   private val MaxLivePins = 2
+  private val evictions = new java.util.concurrent.atomic.AtomicLong
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(GraphPlanning.getClass)
+
+  /** Total pins evicted by the FIFO bound (not by deterministic
+    * [[unpin]]) since JVM start — a cheap thrash diagnostic: a count
+    * that grows with query count means consumers are recomputing. */
+  def evictionCount: Long = evictions.get()
 
   def pinEdges(df: DataFrame): DataFrame = synchronized {
     val pinned =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     livePins.addLast(pinned)
-    while (livePins.size > MaxLivePins)
+    while (livePins.size > MaxLivePins) {
       livePins.removeFirst().unpersist(false)
+      val n = evictions.incrementAndGet()
+      log.warn(s"graft edge-pin FIFO evicted a live pin (eviction #$n): " +
+        "any consumer still holding it will recompute its derivation; " +
+        "under a concurrent driver, widen the pool or unpin eagerly")
+    }
     pinned
   }
 

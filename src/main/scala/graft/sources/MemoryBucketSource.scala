@@ -670,9 +670,13 @@ private[sources] class MemoryScan(
         val sizes = files.map(f => new java.io.File(f).length())
         val bytes = sizes.sum
         val k = MemoryBucketSource.StatsFooterSample
+        // ceil-stride so the sample spans the WHOLE list: a floor stride
+        // of len/k is 1 whenever k < len < 2k, which samples only the
+        // contiguous first k files and biases the rows-per-byte density
+        // toward whichever buckets the listing happens to order first
         val sampleIdx =
           if (files.length <= k) files.indices
-          else files.indices.by(math.max(1, files.length / k)).take(k)
+          else files.indices.by((files.length + k - 1) / k).take(k)
         var sRows = 0L
         var sBytes = 0L
         sampleIdx.foreach { i =>

@@ -84,14 +84,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(cached(a), "pinEdges must register a cache entry")
     operators.GraphPlanning.unpin(a)
     assert(!cached(a), "unpin must drop the entry deterministically")
-    // pool bound: the third pin evicts the first (MaxLivePins = 2)
+    // pool bound: the third pin evicts the first (MaxLivePins = 2) —
+    // and the eviction is COUNTED (never silent), so a recompute-heavy
+    // concurrent run is diagnosable from output
+    val ev0 = operators.GraphPlanning.evictionCount
     val p1 = operators.GraphPlanning.pinEdges(mk(12))
     val p2 = operators.GraphPlanning.pinEdges(mk(13))
     val p3 = operators.GraphPlanning.pinEdges(mk(14))
     assert(!cached(p1), "oldest pin must evict past the pool bound")
     assert(cached(p2) && cached(p3), "newest pins stay cached")
+    // earlier tests' lazy-return ops may have left pins in the pool, so
+    // the exact delta varies — but evicting p1 must have bumped it
+    val ev1 = operators.GraphPlanning.evictionCount
+    assert(ev1 > ev0, "a FIFO eviction must bump the thrash counter")
+    // a consumer still holding the EVICTED frame recomputes via lineage
+    // and gets identical rows — correctness survives the eviction
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(mk(12).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted),
+      "an evicted holder must recompute the same rows")
     operators.GraphPlanning.unpin(p2)
     operators.GraphPlanning.unpin(p3)
+    assert(operators.GraphPlanning.evictionCount == ev1,
+      "unpin is a release, not an eviction")
     // an operator round-trip through pin+unpin still computes correctly
     val sym = mk(20).unionByName(
       mk(20).select(col("dst").as("src"), col("src").as("dst")))
