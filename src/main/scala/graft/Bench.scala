@@ -111,6 +111,63 @@ object Bench {
       .map(m => f"median ratio $m%.2f with quiet canaries" +
         " — box drift cannot explain this; suspect a code-wide slowdown")
 
+  /** Machine-adjudicable query FAMILIES: queries sharing load-bearing
+    * plan machinery move TOGETHER when that machinery changes, and the
+    * round-8 honest-number transition (the edge-pin cache fix moved
+    * seven graph queries 1.3-2.9x while pin-free queries tracked box
+    * drift) was adjudicated in prose because nothing in the gate knew
+    * which queries share the pin path. This tag makes the pattern a
+    * JSON field: every query that transitively calls
+    * [[operators.GraphPlanning.pinEdges]] (directly or through
+    * triangles / PageRank / HITS / k-core / BFS / label propagation /
+    * DBSCAN) carries family "edge-pin"; untagged queries are pin-free
+    * by definition. */
+  val queryFamilies: Map[String, String] = Seq(
+    "tri1_dup_triangles", "gc1_clustering_coeff", "pr1_pagerank",
+    "hits1_hubs_authorities", "kc1_kcore", "bfs1_hop_distance",
+    "lp1_label_prop", "ppr1_personalized", "dbs1_dbscan",
+    "dbs2_blocked_dbscan", "dia1_double_sweep")
+    .map(_ -> "edge-pin").toMap
+
+  /** One family-shift finding: the family's median now/prev ratio, the
+    * untagged queries' median ratio, the number of family members in
+    * the common set, and the declared reason (or "undeclared"). */
+  final case class FamilyShift(family: String, familyMedian: Double,
+      othersMedian: Double, members: Int, reason: String)
+
+  /** Family-level shift detector — the mechanical version of round 8's
+    * prose adjudication. For each family with >= 4 members in the
+    * common set: if the family's median ratio diverges from the
+    * untagged queries' median by more than 1.3x IN EITHER DIRECTION
+    * while the untagged median itself is within [1/1.15, 1.15] (the box
+    * is quiet), emit a named row. Both directions matter: family-slower
+    * is the honest-number transition (a shared cost became real);
+    * family-FASTER with a quiet box is the cache-hit signature — the
+    * exact bug the round-8 fix removed, resurfacing. Pure;
+    * BenchGateSpec replays both signatures against it. */
+  def familyShifts(now: Map[String, Double], prev: Map[String, Double],
+      families: Map[String, String],
+      declared: Map[String, String]): Seq[FamilyShift] = {
+    def medOf(ks: Seq[String], minN: Int): Option[Double] = {
+      val rs = ks.filter(k => now.contains(k) && prev.get(k).exists(_ > 0))
+        .map(k => now(k) / prev(k)).sorted
+      if (rs.size < minN) None else Some(rs(rs.size / 2))
+    }
+    val untagged = now.keys.toSeq.filterNot(families.contains)
+    families.values.toSeq.distinct.sorted.flatMap { fam =>
+      val members = families.collect { case (q, f) if f == fam => q }.toSeq
+      val n = members.count(k =>
+        now.contains(k) && prev.get(k).exists(_ > 0))
+      for {
+        fm <- medOf(members, 4)
+        om <- medOf(untagged, 8)
+        if om < 1.15 && om > 1.0 / 1.15 &&
+          (fm / om > 1.3 || fm / om < 1.0 / 1.3)
+      } yield FamilyShift(fam, fm, om, n,
+        declared.getOrElse(fam, "undeclared"))
+    }
+  }
+
   /** Names whose time exceeds 2x the drift-adjusted previous AND whose
     * absolute excess beyond drift*prev is > 0.5 s (sub-second jitter on
     * tiny queries never fires). Pure — BenchGateSpec replays the
@@ -271,6 +328,18 @@ object Bench {
         f"""{"name":"$n","prev":${prevQueries(n)}%.3f,"now":${results(n)}%.3f,"first_pass":$first%.3f,"drift":$drift%.3f,"reason":"$why"}"""
       }
     val regJson = regressions.mkString("[", ",", "]")
+    // Family-level adjudication (see familyShifts): a declared entry
+    // names a known mechanism; none are expected this round — the
+    // round-8 honest baseline already carries the pin family's true
+    // cold-rep costs, so any firing here is NEW signal to adjudicate.
+    val declaredFamilyShifts = Map.empty[String, String]
+    val famRows = familyShifts(results, prevQueries, queryFamilies,
+      declaredFamilyShifts)
+    val famJson = famRows.map(f =>
+      f"""{"family":"${f.family}","family_median":${f.familyMedian}%.4f,"others_median":${f.othersMedian}%.4f,"members":${f.members},"reason":"${f.reason}"}""")
+      .mkString("[", ",", "]")
+    val famTagJson = queryFamilies.toSeq.sorted
+      .map { case (q, f) => s""""$q":"$f"""" }.mkString("{", ",", "}")
     // FULL per-query JSON goes to a file: the harness that captures this
     // process keeps only a short stdout tail, which a 200-entry JSON line
     // overflows (r3's BENCH tail parsed null). The printed line stays
@@ -291,10 +360,10 @@ object Bench {
       .map(w => s""""$w"""").getOrElse("null")
     val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"regressions":$regJson,"queries":$full,"queries_norm":$fullNorm,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"regressions":$regJson,"family_shifts":$famJson,"families":$famTagJson,"queries":$full,"queries_norm":$fullNorm,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"full":"$fullPath","regressions":$regJson,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"full":"$fullPath","regressions":$regJson,"family_shifts":$famJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

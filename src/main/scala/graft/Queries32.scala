@@ -341,8 +341,89 @@ object Queries32 {
        |LEFT JOIN border ON border.id = e0.id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // DBS2: BLOCKED density clustering — the production posture dbs1's doc
+  // comment and the round-8 soak name. At cosine 0.35 in 64 dims the
+  // eps-graph is quadratic in N for geometric reasons (unrelated-pair
+  // cosine ~ N(0, 1/64) puts 0.35 at 2.8 sigma ⇒ ~0.26% of ALL pairs
+  // qualify), so at scale the candidate space is constrained FIRST —
+  // here by the fixture's label column (language/domain/shard in a real
+  // corpus), with eps-pairs mined by the SRP banded join (d10's
+  // machinery) inside each block and the identical clustering dataflow
+  // downstream. The oracle mirrors planes, bands, block key, verify, and
+  // the component peel, so LSH's false negatives cancel exactly. Same
+  // filter-before-score discipline as the reference's session-scoped
+  // search (src/memory.rs:112-116).
+  // ---------------------------------------------------------------------
+  def dbs2BlockedDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val pairs = operators.Dedup.srpNearDups(embs, "vec_id", "embedding",
+        threshold = DbsCos, nPlanes = 16, bands = 4,
+        blockCol = Some("label"))
+      .select(col("id1"), col("id2"))
+    operators.Dbscan.cluster(embs.select(col("vec_id").as("id")), pairs,
+        DbsMinPts)
+      .select(col("id").as("vec_id"), col("is_core"), col("cluster"))
+  }
+
+  val dbs2BlockedDbscanSql: String = {
+    val c = Queries.sqlCosine("x.embedding", "y.embedding")
+    s"""WITH RECURSIVE planes AS (
+       |  SELECT j, list((((1103515245 * (j * 64 + d) + 12345) % 2147483648)
+       |                  % 1000 - 500) / 500.0 ORDER BY d) AS h
+       |  FROM range(0, 16) tj(j), range(0, 64) td(d) GROUP BY j),
+       |dots AS (
+       |  SELECT e.vec_id, e.label, p.j,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.h[i])) AS dot
+       |  FROM embeddings e, planes p),
+       |sig AS (
+       |  SELECT vec_id, label,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM dots GROUP BY vec_id, label),
+       |banded AS (
+       |  SELECT vec_id, label, b, (sig >> (b * 4)) & 15 AS key
+       |  FROM sig, range(0, 4) tb(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+       |  FROM banded a JOIN banded c
+       |    ON a.b = c.b AND a.key = c.key AND a.label = c.label
+       |    AND a.vec_id < c.vec_id),
+       |p AS (
+       |  SELECT id1, id2 FROM cand
+       |  JOIN embeddings x ON x.vec_id = id1
+       |  JOIN embeddings y ON y.vec_id = id2
+       |  WHERE $c IS NOT NULL AND $c >= $DbsCos),
+       |e0 AS (SELECT vec_id AS id FROM embeddings),
+       |sym AS (SELECT id1 AS s, id2 AS d FROM p
+       |        UNION SELECT id2, id1 FROM p),
+       |cnt AS (SELECT e0.id, COUNT(sym.d) AS n
+       |        FROM e0 LEFT JOIN sym ON sym.s = e0.id GROUP BY 1),
+       |core AS (SELECT id FROM cnt WHERE n + 1 >= $DbsMinPts),
+       |ce AS (SELECT s, d FROM sym
+       |       WHERE s IN (SELECT id FROM core) AND d IN (SELECT id FROM core)),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM ce
+       |  UNION
+       |  SELECT ce.s, rr.r FROM ce JOIN reach rr ON rr.id = ce.d),
+       |comp AS (SELECT id, MIN(r) AS cmp FROM reach GROUP BY 1),
+       |corecl AS (SELECT core.id, COALESCE(comp.cmp, core.id) AS cluster
+       |           FROM core LEFT JOIN comp ON comp.id = core.id),
+       |border AS (SELECT sym.s AS id, MIN(corecl.cluster) AS cluster
+       |           FROM sym JOIN corecl ON corecl.id = sym.d
+       |           WHERE sym.s NOT IN (SELECT id FROM core) GROUP BY 1)
+       |SELECT e0.id AS vec_id,
+       |  (corecl.id IS NOT NULL) AS is_core,
+       |  COALESCE(corecl.cluster, border.cluster, -1) AS cluster
+       |FROM e0
+       |LEFT JOIN corecl ON corecl.id = e0.id
+       |LEFT JOIN border ON border.id = e0.id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dbs1_dbscan"          -> (dbs1Dbscan _),
+    "dbs2_blocked_dbscan"  -> (dbs2BlockedDbscan _),
     "bh1_fdr_nations"      -> (bh1FdrNations _),
     "rdv1_rendezvous"      -> (rdv1Rendezvous _),
     "ps1_priority_sample"  -> (ps1PrioritySample _),
@@ -351,6 +432,7 @@ object Queries32 {
 
   val oracles: Map[String, String] = Map(
     "dbs1_dbscan"          -> dbs1DbscanSql,
+    "dbs2_blocked_dbscan"  -> dbs2BlockedDbscanSql,
     "bh1_fdr_nations"      -> bh1FdrNationsSql,
     "rdv1_rendezvous"      -> rdv1RendezvousSql,
     "ps1_priority_sample"  -> ps1PrioritySampleSql,

@@ -98,6 +98,60 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.driftWarning(Some(1.01), None, Some(1.4)).nonEmpty)
   }
 
+  test("family shift: pin family moves together + pin-free flat fires" +
+      " a named row, not silence") {
+    // the round-8 honest-number transition, replayed: every edge-pin
+    // query 1.7x, every pin-free query ~1.0 — per-query gates stay
+    // silent (2x + 0.5s bar) but the FAMILY pattern must surface
+    val fams = Bench.queryFamilies
+    val pinPrev = fams.keys.map(_ -> 2.0).toMap
+    val p = quiet ++ pinPrev
+    val now = quiet ++ pinPrev.map { case (k, v) => k -> v * 1.7 }
+    val rows = Bench.familyShifts(now, p, fams, Map.empty)
+    assert(rows.map(_.family) == Seq("edge-pin"),
+      s"the family row must fire, got $rows")
+    assert(rows.head.members == fams.size)
+    assert(math.abs(rows.head.familyMedian - 1.7) < 1e-9)
+    assert(math.abs(rows.head.othersMedian - 1.0) < 1e-9)
+    assert(rows.head.reason == "undeclared")
+    // a declared mechanism rides along as the adjudication text
+    val declared = Bench.familyShifts(now, p, fams,
+      Map("edge-pin" -> "pin cost became real"))
+    assert(declared.head.reason == "pin cost became real")
+  }
+
+  test("family shift: family-wide SPEEDUP on a quiet box fires too" +
+      " (the cache-hit signature)") {
+    val fams = Bench.queryFamilies
+    val pinPrev = fams.keys.map(_ -> 2.0).toMap
+    val p = quiet ++ pinPrev
+    val now = quiet ++ pinPrev.map { case (k, v) => k -> v * 0.5 }
+    val rows = Bench.familyShifts(now, p, fams, Map.empty)
+    assert(rows.nonEmpty && rows.head.familyMedian < 0.6,
+      "a family reading half its baseline with flat pin-free queries" +
+        " is the rep-N-cache-hit bug resurfacing and must be named")
+  }
+
+  test("family shift: stays silent when the box moved or data is thin") {
+    val fams = Bench.queryFamilies
+    val pinPrev = fams.keys.map(_ -> 2.0).toMap
+    val p = quiet ++ pinPrev
+    // everything flat -> silence
+    assert(Bench.familyShifts(p, p, fams, Map.empty).isEmpty)
+    // box-wide 1.7x (family AND pin-free) -> box drift, not family signal
+    val boxWide = p.map { case (k, v) => k -> v * 1.7 }
+    assert(Bench.familyShifts(boxWide, p, fams, Map.empty).isEmpty)
+    // under 4 family members in the common set -> too thin to call
+    val thinPrev = quiet ++ pinPrev.take(3)
+    val thinNow = quiet ++ pinPrev.take(3).map { case (k, v) => k -> v * 1.7 }
+    assert(Bench.familyShifts(thinNow, thinPrev, fams, Map.empty).isEmpty)
+    // under 8 pin-free queries -> no stable "others" median
+    val fewOthers = (1 to 7).map(i => s"q$i" -> 1.0).toMap ++ pinPrev
+    val fewNow = (1 to 7).map(i => s"q$i" -> 1.0).toMap ++
+      pinPrev.map { case (k, v) => k -> v * 1.7 }
+    assert(Bench.familyShifts(fewNow, fewOthers, fams, Map.empty).isEmpty)
+  }
+
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
     assert(Bench.driftEstimate(Some(0.7), Some(0.8), Some(0.9)) == 1.0)
     assert(Bench.driftEstimate(None, None, None) == 1.0)
