@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (round 9): does the src6 skew lane's runtime filter
+  * actually reach the store scan, and how many files survive? */
+object ProbeSkew {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = Soak.soakSession()
+    val dir = if (factor == 1) "/root/testdata/sf0.1"
+      else s"/root/repo/tmp/soak$factor"
+    val nb = Soak.soakBucketsFor(factor)
+    val store = Soak.ensureSoakStore(spark, dir, nb)
+    val dim = spark.read.parquet(Soak.ensureSkewDim(spark, dir, nb))
+    println(s"[probe] dim rows=${dim.count()} distinct buckets=" +
+      dim.select(pmod(xxhash64(col("id")), lit(nb.toLong))).distinct().count())
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val st = spark.read.format("graft.sources.MemoryBucketSource")
+      .option("path", store).option("nBuckets", nb.toString)
+      .option("idCol", "id").load()
+    val q = st.join(dim.where(col("id") >= 0L), "id").groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    println("[probe] has runtime filter: " + plan.contains("RuntimeFilters: [dynamicpruning"))
+    println(plan.split("\n").filter(l => l.contains("MemoryScan") || l.contains("RuntimeFilters") || l.contains("Join")).mkString("\n"))
+    q.write.format("noop").mode("overwrite").save()
+    spark.stop()
+  }
+}

@@ -327,7 +327,47 @@ object Soak {
     "src5_runtime_prune" -> ((s: SparkSession, dir: String) => {
       s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
       soakStoreFetch(s, dir, factor)
-    }))
+    }),
+    // ---- adversarial probes for the same pruning path (round-9) ----
+    // (a) SKEW: every probe id hashes into buckets {0,1} of the decade's
+    // layout — the hot-key shape (one tenant, one shard, one hot
+    // memory's neighborhood). src5's near-uniform probe birthday-covers
+    // most directories; this one concentrates ALL keys in 2 of nb, so
+    // the pruned scan reads ~2 directories (~250 rows) at EVERY decade
+    // while the control still reads the whole store. Probe size is
+    // ~constant by construction: |ids| = rows * 2/nb = 2000*f * 2/(16f).
+    "src6_skew_control" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      soakSkewFetch(s, dir, factor)
+    }),
+    "src6_skew_prune" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      soakSkewFetch(s, dir, factor)
+    }),
+    // (b) FALLBACK: the join key is CAST(id AS DOUBLE) on the store
+    // side, so no bare scan attribute backs the join key and runtime
+    // filtering cannot engage (the same dead-end as an id type outside
+    // the mirrored hash set — the documented ignore-fallback). The
+    // contract under test: pruning-enabled on this shape costs the SAME
+    // as pruning-disabled — the fallback is a plain full scan, not a
+    // failed-planning penalty. Lanes should read ≈ equal at every scale.
+    "src7_fallback_control" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      soakFallbackFetch(s, dir, factor)
+    }),
+    "src7_fallback" -> ((s: SparkSession, dir: String) => {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      soakFallbackFetch(s, dir, factor)
+    }),
+    // ---- sketch family: registers-not-rows, measured (round-9) ----
+    // hq1 rides the shifted-key orders replicas: the binning scan grows
+    // by the factor while the register array stays 1024 ints and the
+    // quantile extraction stays register-bounded. hq2 times the MERGE
+    // path at scale: two date slices each factor-larger, two register
+    // arrays summed "+", compared bin-for-bin — flat merge cost over a
+    // growing corpus is the family's wire-shape claim, measured.
+    "hq1_hist_quantiles" -> SparkEntry.queries("hq1_hist_quantiles"),
+    "hq2_hist_merge" -> SparkEntry.queries("hq2_hist_merge"))
 
   /** Bucketed store for a soak dir, written once per (dir, buckets) to
     * the repo tmp (the base fixture dir is read-only). */
@@ -348,6 +388,57 @@ object Soak {
     })
 
   def soakBucketsFor(factor: Int): Int = 16 * factor
+
+  /** Skew-probe dim for src6: the store ids hashing into buckets {0,1}
+    * of the decade's layout (writer arithmetic mirrored exactly), written
+    * once per (dir, nb) as a tiny parquet OUTSIDE the timed region so the
+    * timed lane joins the same file-scan build side as src5. ~250 ids at
+    * every decade — all of them in 2 of nb directories. */
+  private val skewDims =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  def ensureSkewDim(s: SparkSession, dir: String, nb: Int): String =
+    skewDims.getOrElseUpdate((dir, nb), {
+      val out = "/root/repo/tmp/soak_skewdim_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nb"
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        Tables.memories(s, dir).select(col("id"))
+          .where(pmod(xxhash64(col("id")), lit(nb.toLong)) < 2)
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private def soakSkewFetch(s: SparkSession, dir: String,
+      factor: Int): DataFrame = {
+    val nb = soakBucketsFor(factor)
+    val store = ensureSoakStore(s, dir, nb)
+    // the trailing filter is a no-op on the data but load-bearing for
+    // the plan: Spark's partition-pruning rule only injects a runtime
+    // filter when the build side carries a LIKELY-SELECTIVE predicate
+    // (src5's dim has lang/n_chars filters; a bare dim scan gets none)
+    val dim = s.read.parquet(ensureSkewDim(s, dir, nb))
+      .where(col("id") >= 0L)
+    s.read.format("graft.sources.MemoryBucketSource")
+      .option("path", store).option("nBuckets", nb.toString)
+      .option("idCol", "id").load()
+      .join(dim, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+  }
+
+  private def soakFallbackFetch(s: SparkSession, dir: String,
+      factor: Int): DataFrame = {
+    val nb = soakBucketsFor(factor)
+    val store = ensureSoakStore(s, dir, nb)
+    val dim = Tables.documents(s, "/root/testdata/sf0.1")
+      .where(col("lang") === "de" && col("n_chars") > 400)
+      .select(col("doc_id").cast("double").as("idd"))
+    val st = s.read.format("graft.sources.MemoryBucketSource")
+      .option("path", store).option("nBuckets", nb.toString)
+      .option("idCol", "id").load()
+    st.join(dim, st("id").cast("double") === col("idd"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+  }
 
   private def soakStoreFetch(s: SparkSession, dir: String,
       factor: Int): DataFrame = {
@@ -434,10 +525,14 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
-    // the store fetch lane times the PROBE, not the one-off store write:
-    // materialize every (dir, buckets) store before any clock starts
-    if (selected.exists(_.startsWith("src5")))
+    // the store fetch lanes time the PROBE, not the one-off store (or
+    // skew-dim) write: materialize every (dir, buckets) artifact before
+    // any clock starts
+    if (selected.exists(n => n.startsWith("src5") || n.startsWith("src6") ||
+        n.startsWith("src7")))
       dirs.foreach { case (f, d) => ensureSoakStore(spark, d, soakBucketsFor(f)) }
+    if (selected.exists(_.startsWith("src6")))
+      dirs.foreach { case (f, d) => ensureSkewDim(spark, d, soakBucketsFor(f)) }
     val results = selected.map { name =>
       val perScale = dirs.filter(_._1 <= maxFactor(name)).map { case (f, dir) =>
         spark.conf.set("spark.sql.shuffle.partitions", shufflePartitionsFor(f))
