@@ -45,4 +45,30 @@ class DppSpec extends SparkSpec {
       s"src5 lost its runtime filter:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
   }
+
+  test("runtime filtering needs a LIKELY-SELECTIVE build-side predicate:" +
+      " a bare dim scan gets none, the same dim filtered gets one") {
+    // the round-9 src6 soak lesson, pinned: Spark's PartitionPruning
+    // rule only injects a dynamic filter when the build side carries a
+    // selective predicate. A probe built from a raw key list (no
+    // filter) silently scans the whole store — production probes need
+    // a real filter or a no-op one (id >= 0).
+    val keysDir =
+      java.nio.file.Files.createTempDirectory("graft_dpp_keys_").toString
+    Tables.documents(spark, sf0001).limit(20).select($"doc_id".as("id"))
+      .coalesce(1).write.mode("overwrite").parquet(keysDir)
+    val bare = spark.read.parquet(keysDir)
+    val bareP = source.join(bare, "id").groupBy($"lang")
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!bareP.contains("RuntimeFilters: [dynamicpruning"),
+      "Spark version change: a bare dim scan now gets a runtime" +
+        " filter — the src6 soak's no-op-filter workaround (and this" +
+        s" pin) can be retired:\n$bareP")
+    val filteredP = source.join(bare.where($"id" >= 0L), "id")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(filteredP.contains("RuntimeFilters: [dynamicpruning"),
+      s"the no-op id >= 0 filter no longer arms pruning:\n$filteredP")
+  }
 }
