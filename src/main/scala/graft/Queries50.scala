@@ -290,7 +290,49 @@ object Queries50 {
        |FROM m FULL JOIN w USING (b)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // D14 (round 9): BLOCKED MinHash-LSH near-dup — the text-side analog of
+  // dbs2's blocked clustering and the standard production posture for
+  // corpus dedup (dedup WITHIN language/domain/shard: blocking caps the
+  // candidate join's quadratic term at the block size, and a cross-
+  // language boilerplate collision is not a duplicate a pipeline wants to
+  // act on anyway). Same planes/bands/verify as d2; candidates must also
+  // agree on documents.lang, mirrored exactly by the oracle's
+  // IS NOT DISTINCT FROM join (the engine's null-safe <=>).
+  // ---------------------------------------------------------------------
+  def d14BlockedMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.minhashNearDups(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2,
+        blockCol = Some("lang"))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+
+  val d14BlockedMinhashSql: String = {
+    val sh = graft.operators.DedupSql.shingleSet("text", 2)
+    val sig = graft.operators.DedupSql.minhashSignature("text", 16, 2)
+    val jac = graft.operators.DedupSql.jaccard("x.sh", "y.sh")
+    s"""WITH base AS (
+       |  SELECT * FROM (SELECT doc_id, lang, $sh AS sh, $sig AS sig
+       |                 FROM documents)
+       |  WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, lang, b,
+       |    ${graft.operators.DedupSql.bandKey("sig", "b", 2)} AS key
+       |  FROM base, range(0, 8) t(b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key
+       |    AND a.lang IS NOT DISTINCT FROM b2.lang
+       |    AND a.doc_id < b2.doc_id)
+       |SELECT c.id1, c.id2, round($jac, 6) AS jaccard
+       |FROM cands c JOIN base x ON x.doc_id = c.id1
+       |JOIN base y ON y.doc_id = c.id2
+       |WHERE $jac >= 0.5""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_blocked_minhash" -> (d14BlockedMinhash _),
     "kw1_kruskal_wallis" -> (kw1KruskalWallis _),
     "lb1_ljung_box"      -> (lb1LjungBox _),
     "run1_runs_test"     -> (run1RunsTest _),
@@ -299,6 +341,7 @@ object Queries50 {
     "hq2_hist_merge"     -> (hq2HistMerge _))
 
   val oracles: Map[String, String] = Map(
+    "d14_blocked_minhash" -> d14BlockedMinhashSql,
     "kw1_kruskal_wallis" -> kw1KruskalWallisSql,
     "lb1_ljung_box"      -> lb1LjungBoxSql,
     "run1_runs_test"     -> run1RunsTestSql,

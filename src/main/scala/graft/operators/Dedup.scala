@@ -78,6 +78,14 @@ object Dedup {
     *   candidate join quadratic; members of an over-full bucket still pair
     *   up through their other, more selective bands. None = unguarded
     *   (exact LSH semantics — what the oracle checks).
+    * @param blockCol optional blocking column — candidates must also agree
+    *   on it (it joins the band key), the standard blocked-LSH posture for
+    *   text dedup (within language / domain / shard), mirroring
+    *   [[srpNearDups]]'s cosine-side blocking. Blocking caps the quadratic
+    *   candidate term at the block size AND is usually the SEMANTICS a
+    *   corpus pipeline wants (a de/en boilerplate collision is not a
+    *   duplicate to survive). The hot-bucket guard counts within
+    *   (band, key, block) when set, since only same-block members pair.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -87,7 +95,8 @@ object Dedup {
       nPerm: Int = 16,
       bands: Int = 8,
       shingleN: Int = 2,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      blockCol: Option[String] = None): DataFrame = {
     require(nPerm % bands == 0, "nPerm must divide into bands")
     val r = nPerm / bands
     // staged: shingle hashes materialize once, the signature reads the
@@ -97,18 +106,21 @@ object Dedup {
     // pass recomputes per consumer (exchange reuse only covers the
     // identically-shuffled self-join). At warehouse scale the analog is
     // persisting the signature table before the LSH join.
+    val blk = blockCol.map(col).getOrElse(lit(0L))
     val base = df.select(
         col(idCol).as("__id"),
+        blk.as("__blk"),
         graft.functions.Native.shingleHashes(col(textCol), shingleN).as("__sh"),
         graft.functions.Native.minhashSig(col(textCol), nPerm, shingleN).as("__sig"))
       .where(size(col("__sh")) > 0)
       .localCheckpoint(true)
-    val allBanded = base.select(col("__id"),
+    val allBanded = base.select(col("__id"), col("__blk"),
         posexplode(bandKeys(col("__sig"), bands, r)))
-      .select(col("__id"), col("pos").as("__band"), col("col").as("__key"))
+      .select(col("__id"), col("__blk"),
+        col("pos").as("__band"), col("col").as("__key"))
     val banded = maxBucketSize.fold(allBanded) { cap =>
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__band"), col("__key"))
+        .partitionBy(col("__band"), col("__key"), col("__blk"))
       allBanded.withColumn("__bucket_n", count(lit(1)).over(w))
         .where(col("__bucket_n") <= cap)
         .drop("__bucket_n")
@@ -116,6 +128,7 @@ object Dedup {
     val cands = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__key") === col("b.__key") &&
+          col("a.__blk") <=> col("b.__blk") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
       .distinct()

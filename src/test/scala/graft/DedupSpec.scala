@@ -265,4 +265,24 @@ class DedupSpec extends SparkSpec {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(const == unblocked)
   }
+
+  test("minhashNearDups blockCol: exactly the intra-block subset, and a" +
+      " constant block is a no-op (the text side of the blocked posture)") {
+    val docs = Tables.documents(spark, sf0001)
+    def pairs(blk: Option[String], d: org.apache.spark.sql.DataFrame = docs) =
+      graft.operators.Dedup
+        .minhashNearDups(d, "doc_id", "text", threshold = 0.5,
+          nPerm = 16, bands = 8, shingleN = 2, blockCol = blk)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val unblocked = pairs(None)
+    assert(unblocked.nonEmpty, "fixture has no near-dup pairs — vacuous")
+    val blocked = pairs(Some("__blk"),
+      docs.withColumn("__blk", pmod($"doc_id", lit(2))))
+    assert(blocked == unblocked.filter { case (a, b) => a % 2 == b % 2 },
+      "blocking must equal the intra-block subset of the unblocked pairs")
+    assert(unblocked.exists { case (a, b) => a % 2 != b % 2 },
+      "fixture has no cross-block pairs — the test is vacuous")
+    val const = pairs(Some("__blk"), docs.withColumn("__blk", lit(7L)))
+    assert(const == unblocked)
+  }
 }
