@@ -67,13 +67,16 @@ object Bench {
   /** Median now/prev ratio over the common query set — the robust
     * common-mode estimator (a handful of real regressions cannot move
     * the median of ~270 ratios; a box-wide slowdown moves all of them).
-    * None below 8 common queries: too few for a stable median. */
+    * None below `minN` common queries (default 8): too few for a stable
+    * median. The one shared median implementation — [[familyShifts]]
+    * computes its per-family and pin-free medians through it too, so a
+    * future change to the estimator moves every consumer together. */
   def medianRatio(now: Map[String, Double],
-      prev: Map[String, Double]): Option[Double] = {
+      prev: Map[String, Double], minN: Int = 8): Option[Double] = {
     val rs = now.keys.toSeq
       .filter(k => prev.get(k).exists(_ > 0))
       .map(k => now(k) / prev(k)).sorted
-    if (rs.size < 8) None else Some(rs(rs.size / 2))
+    if (rs.size < minN) None else Some(rs(rs.size / 2))
   }
 
   /** Common-mode drift estimate: the LARGEST of the scan-canary ratio,
@@ -148,19 +151,17 @@ object Bench {
   def familyShifts(now: Map[String, Double], prev: Map[String, Double],
       families: Map[String, String],
       declared: Map[String, String]): Seq[FamilyShift] = {
-    def medOf(ks: Seq[String], minN: Int): Option[Double] = {
-      val rs = ks.filter(k => now.contains(k) && prev.get(k).exists(_ > 0))
-        .map(k => now(k) / prev(k)).sorted
-      if (rs.size < minN) None else Some(rs(rs.size / 2))
-    }
-    val untagged = now.keys.toSeq.filterNot(families.contains)
+    def medOf(ks: Set[String], minN: Int): Option[Double] =
+      medianRatio(now.view.filterKeys(ks).toMap, prev, minN)
+    // the pin-free median is family-invariant: compute it once
+    val othersMed = medOf(now.keySet.filterNot(families.contains), 8)
     families.values.toSeq.distinct.sorted.flatMap { fam =>
-      val members = families.collect { case (q, f) if f == fam => q }.toSeq
+      val members = families.collect { case (q, f) if f == fam => q }.toSet
       val n = members.count(k =>
         now.contains(k) && prev.get(k).exists(_ > 0))
       for {
         fm <- medOf(members, 4)
-        om <- medOf(untagged, 8)
+        om <- othersMed
         if om < 1.15 && om > 1.0 / 1.15 &&
           (fm / om > 1.3 || fm / om < 1.0 / 1.3)
       } yield FamilyShift(fam, fm, om, n,
@@ -282,16 +283,14 @@ object Bench {
     // (a burst is transient, a regression persists) and keep the min.
     // Deliberate rewrites are DECLARED here with their justification
     // rather than surfacing in the judge's diff.
-    val declaredRewrites = Map[String, String](
-      // Not a code regression: the round-8 timing-honesty fix. The
-      // graph family's new plan-keyed edge pins let min-of-N reps 2+
-      // read rep 1's cache, so the 2026-08-15-morning baseline recorded
-      // cache-HIT times for the pin-heavy queries (tri1 worst at 0.50 s
-      // vs its 1.45 s true cold cost; pr1/hits1/bfs1/lp1/gc1/kc1 were
-      // flattered 1.3-2.0x the same way). Caches are now cleared
-      // between reps; the promoted baseline carries the honest numbers.
-      "tri1_dup_triangles" ->
-        "min-of-N previously timed a rep-2 cache hit on the pinned edge list; clearCache-between-reps restored honest cold-rep timing")
+    // A declared entry names a known, still-applicable mechanism for a
+    // flagged query; it must be REMOVED once the baseline it excused
+    // against is retired, or a FUTURE real regression inherits a stale
+    // excuse (round-9 review finding). The round-8 entry (tri1's
+    // cache-hit-vs-honest-cold shift) died with the round-9 baseline
+    // promotion: comparisons are now honest-vs-honest, so any flag is
+    // new signal. History lives in BASELINE.md, not here.
+    val declaredRewrites = Map.empty[String, String]
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "/root/repo/bench_prev.json")
     val (prevQueries, prevCanary, prevCanaryShuffle) = try {

@@ -388,7 +388,8 @@ object Queries32 {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
        |  FROM banded a JOIN banded c
-       |    ON a.b = c.b AND a.key = c.key AND a.label = c.label
+       |    ON a.b = c.b AND a.key = c.key
+       |    AND a.label IS NOT DISTINCT FROM c.label
        |    AND a.vec_id < c.vec_id),
        |p AS (
        |  SELECT id1, id2 FROM cand

@@ -670,13 +670,17 @@ private[sources] class MemoryScan(
         val sizes = files.map(f => new java.io.File(f).length())
         val bytes = sizes.sum
         val k = MemoryBucketSource.StatsFooterSample
-        // ceil-stride so the sample spans the WHOLE list: a floor stride
-        // of len/k is 1 whenever k < len < 2k, which samples only the
-        // contiguous first k files and biases the rows-per-byte density
-        // toward whichever buckets the listing happens to order first
+        // evenly spaced over the WHOLE list using the FULL k-footer
+        // budget: i*len/k for i < k yields exactly k distinct, strictly
+        // increasing indices spanning [0, len). (A floor STRIDE of len/k
+        // is 1 whenever k < len < 2k — sampling only the first k files
+        // and biasing density toward whichever buckets list first; a
+        // ceil stride spans the list but reads as few as half the
+        // budgeted footers, doubling estimator variance right where the
+        // estimate decides broadcast-vs-shuffle.)
         val sampleIdx =
           if (files.length <= k) files.indices
-          else files.indices.by((files.length + k - 1) / k).take(k)
+          else (0 until k).map(i => (i.toLong * files.length / k).toInt)
         var sRows = 0L
         var sBytes = 0L
         sampleIdx.foreach { i =>
