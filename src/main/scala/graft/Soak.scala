@@ -126,6 +126,26 @@ object Soak {
       operators.Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+    // the BLOCKED text-dedup posture (d14) on the same corpus and the
+    // same FIXED 16 perms: the block is the replica (shard/language in
+    // production), so chance cross-replica band collisions — the term
+    // that grows quadratically with corpus count at fixed bits — are
+    // dropped at the candidate join instead of surviving to the verify.
+    // Output must equal d2's lane exactly (true pairs are intra-replica
+    // by construction); the time difference at 100x is what blocking
+    // buys INSTEAD of growing the signature — the two levers a corpus
+    // pipeline chooses between.
+    "d14_blocked_minhash" -> ((s: SparkSession, dir: String) => {
+      val docMax = Tables.documents(s, "/root/testdata/sf0.1")
+        .agg(max("doc_id")).head().getLong(0) + 1
+      operators.Dedup.minhashNearDups(
+          Tables.documents(s, dir)
+            .withColumn("__blk", floor(col("doc_id") / docMax)),
+          "doc_id", "text",
+          threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2,
+          blockCol = Some("__blk"))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     // threshold 0.6 (vs the fixture query's 0.4): at 0.4 the sign-flip
     // replica construction itself leaks borderline cross-replica pairs
     // (an artifact of the corpus generator, not the plan); 0.6 keeps the
