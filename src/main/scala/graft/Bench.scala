@@ -169,6 +169,19 @@ object Bench {
     }
   }
 
+  /** Minimal JSON string escape for free-text fields (declared reasons,
+    * warning text) interpolated into the bench JSON — a quote or
+    * backslash in a future declared mechanism must not corrupt the line
+    * the harness tail-parses (r3's BENCH tail parsed null once already;
+    * round-9 review finding). Query names are identifier-safe and skip
+    * this. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Names whose time exceeds 2x the drift-adjusted previous AND whose
     * absolute excess beyond drift*prev is > 0.5 s (sub-second jitter on
     * tiny queries never fires). Pure — BenchGateSpec replays the
@@ -322,7 +335,7 @@ object Bench {
     val totalBatch = total - totalStreaming
     val regressions: Seq[String] =
       gateFlags(results, prevQueries, drift).map { n =>
-        val why = declaredRewrites.getOrElse(n, "undeclared")
+        val why = jsonEscape(declaredRewrites.getOrElse(n, "undeclared"))
         val first = firstPass(n)
         f"""{"name":"$n","prev":${prevQueries(n)}%.3f,"now":${results(n)}%.3f,"first_pass":$first%.3f,"drift":$drift%.3f,"reason":"$why"}"""
       }
@@ -335,7 +348,7 @@ object Bench {
     val famRows = familyShifts(results, prevQueries, queryFamilies,
       declaredFamilyShifts)
     val famJson = famRows.map(f =>
-      f"""{"family":"${f.family}","family_median":${f.familyMedian}%.4f,"others_median":${f.othersMedian}%.4f,"members":${f.members},"reason":"${f.reason}"}""")
+      f"""{"family":"${f.family}","family_median":${f.familyMedian}%.4f,"others_median":${f.othersMedian}%.4f,"members":${f.members},"reason":"${jsonEscape(f.reason)}"}""")
       .mkString("[", ",", "]")
     val famTagJson = queryFamilies.toSeq.sorted
       .map { case (q, f) => s""""$q":"$f"""" }.mkString("{", ",", "}")
@@ -356,7 +369,7 @@ object Bench {
     val medJson = med.map(m => f"$m%.4f").getOrElse("null")
     val warnJson = driftWarning(prevCanary.map(canary / _),
         prevCanaryShuffle.map(canaryShuffle / _), med)
-      .map(w => s""""$w"""").getOrElse("null")
+      .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
     val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"regressions":$regJson,"family_shifts":$famJson,"families":$famTagJson,"queries":$full,"queries_norm":$fullNorm,"sf":"$sfDir"}""")

@@ -2,28 +2,46 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Scratch probe (round 9): does the src6 skew lane's runtime filter
-  * actually reach the store scan, and how many files survive? */
+  * actually reach the store scan? Answers by planning the REAL lane
+  * ([[Soak.soakSkewFetch]] — not a hand copy, so the answer can't drift
+  * from the code it vouches for) and, as the negative control, the same
+  * join with the dim's selective predicate stripped — the shape that
+  * first ran with `RuntimeFilters: []` and motivated the lane's no-op
+  * `id >= 0` filter (BASELINE.md round 9; pinned in DppSpec).
+  *
+  * Usage: runMain graft.ProbeSkew [factor] (default 10; builds the soak
+  * dir if missing, like SoakHub). */
 object ProbeSkew {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val spark = Soak.soakSession()
     val dir = if (factor == 1) "/root/testdata/sf0.1"
-      else s"/root/repo/tmp/soak$factor"
+      else { val d = s"/root/repo/tmp/soak$factor"
+             Soak.buildSoak(spark, "/root/testdata/sf0.1", d, factor); d }
     val nb = Soak.soakBucketsFor(factor)
     val store = Soak.ensureSoakStore(spark, dir, nb)
     val dim = spark.read.parquet(Soak.ensureSkewDim(spark, dir, nb))
     println(s"[probe] dim rows=${dim.count()} distinct buckets=" +
       dim.select(pmod(xxhash64(col("id")), lit(nb.toLong))).distinct().count())
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // the real lane, planned
+    val lane = Soak.soakSkewFetch(spark, dir, factor)
+    val lanePlan = lane.queryExecution.executedPlan.toString
+    println("[probe] LANE has runtime filter: " +
+      lanePlan.contains("RuntimeFilters: [dynamicpruning"))
+    // negative control: same join, no selective predicate on the dim
     val st = spark.read.format("graft.sources.MemoryBucketSource")
       .option("path", store).option("nBuckets", nb.toString)
       .option("idCol", "id").load()
-    val q = st.join(dim.where(col("id") >= 0L), "id").groupBy(col("label"))
+    val bare = st.join(dim, "id").groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
-    val plan = q.queryExecution.executedPlan.toString
-    println("[probe] has runtime filter: " + plan.contains("RuntimeFilters: [dynamicpruning"))
-    println(plan.split("\n").filter(l => l.contains("MemoryScan") || l.contains("RuntimeFilters") || l.contains("Join")).mkString("\n"))
-    q.write.format("noop").mode("overwrite").save()
+    println("[probe] BARE-dim control has runtime filter: " +
+      bare.queryExecution.executedPlan.toString
+        .contains("RuntimeFilters: [dynamicpruning"))
+    println(lanePlan.split("\n")
+      .filter(l => l.contains("MemoryScan") || l.contains("RuntimeFilters"))
+      .mkString("\n"))
+    lane.write.format("noop").mode("overwrite").save()
     spark.stop()
   }
 }

@@ -36,10 +36,13 @@ private[graft] object GraphPlanning {
     * pin evicts a peer's still-unread pin and every consumer silently
     * recomputes its full canonicalize/symmetrize derivation: correct
     * (lineage recompute) but potentially quadratic. The eviction is
-    * therefore never silent — each one logs a warning and bumps
-    * [[evictionCount]], so a recompute-heavy run is diagnosable from
-    * output (a concurrent driver should size the pool to its pipeline
-    * width or have operators unpin eagerly). */
+    * therefore never silent — each one logs an INFO line and bumps
+    * [[evictionCount]], so a recompute-heavy run is diagnosable (a
+    * concurrent driver should size the pool to its pipeline width or
+    * have operators unpin eagerly). INFO, not WARN: in a healthy
+    * sequential run evictions are routine pool turnover (the evicted
+    * pin's consumer already materialized), and a per-query warning
+    * would train readers to ignore the one case it exists to surface. */
   private val livePins = new java.util.ArrayDeque[DataFrame]()
   private val MaxLivePins = 2
   private val evictions = new java.util.concurrent.atomic.AtomicLong
@@ -47,8 +50,11 @@ private[graft] object GraphPlanning {
     org.slf4j.LoggerFactory.getLogger(GraphPlanning.getClass)
 
   /** Total pins evicted by the FIFO bound (not by deterministic
-    * [[unpin]]) since JVM start — a cheap thrash diagnostic: a count
-    * that grows with query count means consumers are recomputing. */
+    * [[unpin]]) since JVM start. In a SEQUENTIAL run this grows with
+    * lazy-return query count — benign turnover, not a signal. The
+    * diagnostic read is the DELTA while reproducing a slow concurrent
+    * workload: evictions outpacing queries means consumers are
+    * recomputing evicted derivations. */
   def evictionCount: Long = evictions.get()
 
   def pinEdges(df: DataFrame): DataFrame = synchronized {
@@ -58,8 +64,8 @@ private[graft] object GraphPlanning {
     while (livePins.size > MaxLivePins) {
       livePins.removeFirst().unpersist(false)
       val n = evictions.incrementAndGet()
-      log.warn(s"graft edge-pin FIFO evicted a live pin (eviction #$n): " +
-        "any consumer still holding it will recompute its derivation; " +
+      log.info(s"graft edge-pin FIFO evicted a live pin (eviction #$n): " +
+        "a consumer still holding it will recompute its derivation; " +
         "under a concurrent driver, widen the pool or unpin eagerly")
     }
     pinned

@@ -152,6 +152,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.familyShifts(fewNow, fewOthers, fams, Map.empty).isEmpty)
   }
 
+  test("jsonEscape keeps free-text reasons from corrupting the bench" +
+      " JSON line") {
+    assert(Bench.jsonEscape("""min-of-N read a "cache hit"""") ==
+      """min-of-N read a \"cache hit\"""")
+    assert(Bench.jsonEscape("""back\slash""") == """back\\slash""")
+    assert(Bench.jsonEscape("tab\there") == "tab\\u0009here")
+    assert(Bench.jsonEscape("plain text 1.3x") == "plain text 1.3x")
+  }
+
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
     assert(Bench.driftEstimate(Some(0.7), Some(0.8), Some(0.9)) == 1.0)
     assert(Bench.driftEstimate(None, None, None) == 1.0)
