@@ -18,38 +18,55 @@ object SparkEntry {
       .select(col("id"), col("text"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** The per-file query registries in merge order — exposed (alongside
+    * [[oracleParts]]) so RegistrySpec can assert that `Map ++` merging
+    * never silently SHADOWS a query: a duplicate name across two files
+    * would drop one implementation from the verify/bench surface with
+    * no error anywhere else. */
+  private[graft] val registryParts
+      : Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    Queries.registry, Queries2.registry, Queries3.registry,
+    Queries4.registry, Queries5.registry, Queries6.registry,
+    Queries7.registry, Queries8.registry, Queries9.registry,
+    Queries10.registry, Queries11.registry, Queries12.registry,
+    Queries13.registry, Queries14.registry, Queries15.registry,
+    Queries16.registry, Queries17.registry, Queries18.registry,
+    Queries19.registry, Queries20.registry, Queries21.registry,
+    Queries22.registry, Queries23.registry, Queries24.registry,
+    Queries25.registry, Queries26.registry, Queries27.registry,
+    Queries28.registry, Queries29.registry, Queries30.registry,
+    Queries31.registry, Queries32.registry, Queries33.registry,
+    Queries34.registry, Queries35.registry, Queries36.registry,
+    Queries37.registry, Queries38.registry, Queries39.registry,
+    Queries40.registry, Queries41.registry, Queries42.registry,
+    Queries43.registry, Queries44.registry, Queries45.registry,
+    Queries46.registry, Queries47.registry, Queries48.registry,
+    Queries49.registry, Queries50.registry)
+
+  private[graft] val oracleParts: Seq[Map[String, String]] = Seq(
+    Queries.oracles, Queries2.oracles, Queries3.oracles,
+    Queries4.oracles, Queries5.oracles, Queries6.oracles,
+    Queries7.oracles, Queries8.oracles, Queries9.oracles,
+    Queries10.oracles, Queries11.oracles, Queries12.oracles,
+    Queries13.oracles, Queries14.oracles, Queries15.oracles,
+    Queries16.oracles, Queries17.oracles, Queries18.oracles,
+    Queries19.oracles, Queries20.oracles, Queries21.oracles,
+    Queries22.oracles, Queries23.oracles, Queries24.oracles,
+    Queries25.oracles, Queries26.oracles, Queries27.oracles,
+    Queries28.oracles, Queries29.oracles, Queries30.oracles,
+    Queries31.oracles, Queries32.oracles, Queries33.oracles,
+    Queries34.oracles, Queries35.oracles, Queries36.oracles,
+    Queries37.oracles, Queries38.oracles, Queries39.oracles,
+    Queries40.oracles, Queries41.oracles, Queries42.oracles,
+    Queries43.oracles, Queries44.oracles, Queries45.oracles,
+    Queries46.oracles, Queries47.oracles, Queries48.oracles,
+    Queries49.oracles, Queries50.oracles)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ Queries2.registry ++ Queries3.registry ++
-      Queries4.registry ++ Queries5.registry ++ Queries6.registry ++
-      Queries7.registry ++ Queries8.registry ++ Queries9.registry ++
-      Queries10.registry ++ Queries11.registry ++ Queries12.registry ++
-      Queries13.registry ++ Queries14.registry ++ Queries15.registry ++
-      Queries16.registry ++ Queries17.registry ++ Queries18.registry ++
-      Queries19.registry ++ Queries20.registry ++ Queries21.registry ++
-      Queries22.registry ++ Queries23.registry ++ Queries24.registry ++
-      Queries25.registry ++ Queries26.registry ++ Queries27.registry ++
-      Queries28.registry ++ Queries29.registry ++ Queries30.registry ++
-      Queries31.registry ++ Queries32.registry ++ Queries33.registry ++
-      Queries34.registry ++ Queries35.registry ++ Queries36.registry ++
-      Queries37.registry ++ Queries38.registry ++ Queries39.registry ++
-      Queries40.registry ++ Queries41.registry ++ Queries42.registry ++ Queries43.registry ++ Queries44.registry ++ Queries45.registry ++ Queries46.registry ++ Queries47.registry ++ Queries48.registry ++ Queries49.registry ++ Queries50.registry
+    registryParts.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Queries.oracles ++ Queries2.oracles ++ Queries3.oracles ++
-      Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++
-      Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++
-      Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++
-      Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++
-      Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++
-      Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++
-      Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++
-      Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++
-      Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++
-      Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++
-      Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++
-      Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++
-      Queries40.oracles ++ Queries41.oracles ++ Queries42.oracles ++ Queries43.oracles ++ Queries44.oracles ++ Queries45.oracles ++ Queries46.oracles ++ Queries47.oracles ++ Queries48.oracles ++ Queries49.oracles ++ Queries50.oracles
+  def oracleSql: Map[String, String] = oracleParts.reduce(_ ++ _)
 }

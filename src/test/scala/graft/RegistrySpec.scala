@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract registry's structural invariants — the coverage
+  * claims rest on these, and nothing else checks them:
+  *
+  *  1. No duplicate query names across the per-file registries: the
+  *     `Map ++` merge silently SHADOWS on collision, dropping one
+  *     implementation from the verify/bench surface with no error.
+  *  2. Every registered query has a DuckDB oracle and vice versa: a
+  *     query without an oracle silently downgrades to the driver's
+  *     weaker rows-only check (and an oracle without a query is dead
+  *     SQL). The contract allows omitting oracles for genuinely
+  *     non-SQL-expressible ops — such a query must be added to the
+  *     explicit exemption set here, so the downgrade is a reviewed
+  *     decision, never drift. (None exist today: 284/284.)
+  *
+  * Pure map algebra — no SparkSession. */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries whose semantics cannot be expressed in DuckDB SQL and are
+    * EXEMPT from the oracle-parity check — each entry needs a reason. */
+  private val oracleExempt: Set[String] = Set.empty
+
+  test("no query name is silently shadowed by the registry merge") {
+    val perFile = SparkEntry.registryParts.map(_.keySet)
+    val dups = perFile.flatten.groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query names across files: $dups")
+    assert(SparkEntry.queries.size == perFile.map(_.size).sum)
+    val oDups = SparkEntry.oracleParts.map(_.keySet).flatten
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(oDups.isEmpty, s"duplicate oracle names across files: $oDups")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o -- oracleExempt).isEmpty,
+      s"queries with no DuckDB oracle (add one, or exempt with a " +
+        s"reason): ${(q -- o -- oracleExempt).toSeq.sorted}")
+    assert((o -- q).isEmpty,
+      s"oracles with no query (dead SQL): ${(o -- q).toSeq.sorted}")
+    assert((oracleExempt -- q).isEmpty,
+      s"stale exemptions: ${(oracleExempt -- q).toSeq.sorted}")
+  }
+}
