@@ -35,14 +35,16 @@ private[graft] object GraphPlanning {
     * driver issuing 3+ lazy-return graph queries CONCURRENTLY, each new
     * pin evicts a peer's still-unread pin and every consumer silently
     * recomputes its full canonicalize/symmetrize derivation: correct
-    * (lineage recompute) but potentially quadratic. The eviction is
-    * therefore never silent — each one logs an INFO line and bumps
-    * [[evictionCount]], so a recompute-heavy run is diagnosable (a
-    * concurrent driver should size the pool to its pipeline width or
-    * have operators unpin eagerly). INFO, not WARN: in a healthy
-    * sequential run evictions are routine pool turnover (the evicted
-    * pin's consumer already materialized), and a per-query warning
-    * would train readers to ignore the one case it exists to surface. */
+    * (lineage recompute) but potentially quadratic. The PRIMARY
+    * diagnostic is [[evictionCount]] — poll its delta while reproducing
+    * a slow concurrent workload (the harness mains run at WARN
+    * verbosity, so a log line cannot be the load-bearing signal). Each
+    * eviction also logs at INFO for verbose runs; INFO, not WARN,
+    * because in a healthy sequential run evictions are routine pool
+    * turnover (the evicted pin's consumer already materialized) and a
+    * per-query warning would train readers to ignore the one
+    * concurrent-thrash case that matters. The fix for real thrash:
+    * size the pool to the pipeline width, or unpin eagerly. */
   private val livePins = new java.util.ArrayDeque[DataFrame]()
   private val MaxLivePins = 2
   private val evictions = new java.util.concurrent.atomic.AtomicLong

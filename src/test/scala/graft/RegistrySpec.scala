@@ -24,6 +24,11 @@ class RegistrySpec extends AnyFunSuite {
   private val oracleExempt: Set[String] = Set.empty
 
   test("no query name is silently shadowed by the registry merge") {
+    // Scope: this catches CROSS-FILE duplicates. A duplicate key inside
+    // one file's Map(...) literal is deduplicated (last binding wins) at
+    // construction, before any keySet exists — no runtime check can see
+    // it. Cross-file is the realistic hazard (50 files, names minted per
+    // round); within-file copy-paste lands adjacent in review diffs.
     val perFile = SparkEntry.registryParts.map(_.keySet)
     val dups = perFile.flatten.groupBy(identity)
       .collect { case (k, vs) if vs.size > 1 => k }
