@@ -1,0 +1,87 @@
+package graft
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev main: minhashNearDups' hot-bucket guard (`maxBucketSize`) on a
+  * genuinely degenerate corpus — the text-side analog of round-8's
+  * planted-hub soak (SoakHub). Boilerplate is THE degenerate case in
+  * corpus dedup: N identical documents share one signature, so every
+  * band folds them into the same (band, key) bucket and the candidate
+  * join owes C(N, 2) pairs — quadratic in the boilerplate count no
+  * matter how big the rest of the corpus is.
+  *
+  * Construction: UNION factor·5000/8 clones of one fixed paragraph onto
+  * the 10x soak corpus (fresh ids past the fence — organic docs are
+  * untouched, so row-level claims are exact):
+  *  - UNCAPPED planted run: pays the C(N,2) candidate blowup for real,
+  *    and emits the C(N,2) jaccard-1.0 clone pairs.
+  *  - CAPPED planted run: every one of the clones' buckets is over-full
+  *    and is dropped whole, so the output is ROW-IDENTICAL to the
+  *    capped UNPLANTED corpus's — planting contributes exactly zero
+  *    pairs under the guard, the lnk1 wedge-cap contract. (The cap also
+  *    trims a few organically over-full buckets — it applies the same
+  *    rule to home-grown degeneracy, so the baseline for row identity
+  *    is the capped unplanted run, not the uncapped one. For identical
+  *    text the "members still pair via their other bands" escape hatch
+  *    does NOT apply — all bands are degenerate together — which is
+  *    exactly right, because...)
+  *  - ...identical boilerplate belongs to the EXACT pass: d1's md5
+  *    group-by catches all C(N,2)-worth of clones in one cheap scan,
+  *    timed here as the production answer. Exact-dedup-first, then
+  *    capped LSH, is the pipeline discipline this soak demonstrates.
+  *
+  * Usage: runMain graft.SoakBoiler [factor] (default 10)
+  */
+object SoakBoiler {
+  private val Boiler =
+    "lorem ipsum boilerplate footer terms of service apply all rights " +
+      "reserved contact support for assistance unsubscribe preferences"
+  private val Cap = 64
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = Soak.soakSession()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      Soak.shufflePartitionsFor(factor))
+    val dir = s"/root/repo/tmp/soak$factor"
+    Soak.buildSoak(spark, "/root/testdata/sf0.1", dir, factor)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val fence = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val nPlant = (factor * 5000) / 8
+    val clones = spark.range(nPlant)
+      .select((col("id") + fence).as("doc_id"), lit(Boiler).as("text"))
+    val planted = docs.unionByName(clones).localCheckpoint(true)
+    println(f"[boiler] planted $nPlant clones => C(n,2) = " +
+      f"${nPlant.toLong * (nPlant - 1) / 2}%,d degenerate candidate pairs")
+
+    def run(label: String, d: DataFrame, cap: Option[Int]): Set[(Long, Long)] = {
+      System.gc(); spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val rows = operators.Dedup.minhashNearDups(d, "doc_id", "text",
+          threshold = 0.5, nPerm = 16, bands = 8, shingleN = 2,
+          maxBucketSize = cap)
+        .select(col("id1"), col("id2"))
+      val n = rows.count()
+      println(f"[boiler] $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n%,d pairs)")
+      // pair sets collected only for the row-identity audit at <=26k rows
+      if (n <= 50000)
+        rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      else Set.empty
+    }
+    run("unplanted", docs, None)
+    val cappedUnplanted = run("capped-unplanted", docs, Some(Cap))
+    val cappedPlanted = run("capped-planted", planted, Some(Cap))
+    run("uncapped-planted", planted, None)
+    println(s"[boiler] capped-planted == capped-unplanted row-identical: " +
+      (cappedPlanted == cappedUnplanted))
+    // the production answer for identical text: the exact pass
+    System.gc(); spark.sharedState.cacheManager.clearCache()
+    val t0 = System.nanoTime()
+    val exactGroups = operators.Dedup.exactDedup(planted, "doc_id", "text")
+      .where(col("n_dupes") >= 2).count()
+    println(f"[boiler] d1 exact pass    ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"($exactGroups dup groups — the clone cluster caught in one scan)")
+    spark.stop()
+  }
+}
