@@ -134,11 +134,22 @@ object Soak {
     *    by i*(base_max+1), so (dir_max+1)/factor == base_max+1 exactly,
     *    sparse key spaces included — the data carries its own stride. */
   private val strideCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Int, Long)]
   private def strideOf(df: => DataFrame, idCol: String, dir: String,
-      factor: Int): Long =
-    strideCache.getOrElseUpdate((dir, idCol),
-      (df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1) / factor)
+      factor: Int): Long = {
+    // The memoized value depends on factor, so a second caller asking
+    // for the same (dir, idCol) at a DIFFERENT factor must fail loudly
+    // instead of silently inheriting the first caller's stride
+    // (round-9 advisor finding). Today each dir maps to one factor;
+    // this assert keeps that a checked invariant, not an assumption.
+    val (f, stride) = strideCache.getOrElseUpdate((dir, idCol),
+      (factor,
+        (df.agg(max(col(idCol).cast("long"))).head().getLong(0) + 1) / factor))
+    require(f == factor,
+      s"stride for ($dir, $idCol) was memoized at factor $f; " +
+        s"a lookup at factor $factor would silently reuse it")
+    stride
+  }
   def docStride(s: SparkSession, dir: String, factor: Int): Long =
     strideOf(Tables.documents(s, dir), "doc_id", dir, factor)
   def orderStride(s: SparkSession, dir: String, factor: Int): Long =
@@ -414,6 +425,36 @@ object Soak {
     "hq1_hist_quantiles" -> SparkEntry.queries("hq1_hist_quantiles"),
     "hq2_hist_merge" -> SparkEntry.queries("hq2_hist_merge"))
 
+  /** Fingerprint of the SOURCE tables a derived tmp artifact is built
+    * from: every parquet part's (name, length, mtime) under the two
+    * tables `Tables.memories` joins. The _SUCCESS marker alone proves a
+    * COMPLETE write, not a CURRENT one — if a soak dir is deleted and
+    * rebuilt with different data, a surviving store/skew-dim would be
+    * silently reused (round-9 advisor finding; the same divergence
+    * class the dir-derived stride fix addressed). Driver-local listing,
+    * runs once per (dir, nb) outside every timed region. */
+  private[graft] def sourceFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- Seq("documents.parquet", "embeddings.parquet");
+         f <- walk(new java.io.File(dir, t)))
+      md.update(s"${f.getName}:${f.length}:${f.lastModified}\n"
+        .getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+  private[graft] def isFresh(out: String, fp: String): Boolean = {
+    val fpFile = new java.io.File(out, "_GRAFT_SRC_FP")
+    new java.io.File(out, "_SUCCESS").exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath),
+        "UTF-8") == fp
+  }
+  private[graft] def stampFingerprint(out: String, fp: String): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(out, "_GRAFT_SRC_FP").toPath, fp.getBytes("UTF-8"))
+
   /** Bucketed store for a soak dir, written once per (dir, buckets) to
     * the repo tmp (the base fixture dir is read-only). */
   private val soakStores =
@@ -423,12 +464,17 @@ object Soak {
       val out = "/root/repo/tmp/soak_store_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nb"
       // Trust an existing directory only if the parquet commit marker is
-      // present: a run killed mid-writeBucketed leaves a partial store
-      // that would silently feed wrong rows (and flattering timings)
-      // into the src5 lanes. mode("overwrite") makes the rewrite safe.
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      // present AND its source fingerprint matches the current soak dir:
+      // a run killed mid-writeBucketed leaves a partial store, and a
+      // rebuilt soak dir leaves a stale one — either would silently feed
+      // wrong rows (and flattering timings) into the src5 lanes.
+      // mode("overwrite") makes the rewrite safe.
+      val fp = sourceFingerprint(dir)
+      if (!isFresh(out, fp)) {
         operators.MemoryOps.writeBucketed(
           Tables.memories(s, dir), out, "id", nb)
+        stampFingerprint(out, fp)
+      }
       out
     })
 
@@ -445,10 +491,13 @@ object Soak {
     skewDims.getOrElseUpdate((dir, nb), {
       val out = "/root/repo/tmp/soak_skewdim_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nb"
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      val fp = sourceFingerprint(dir)
+      if (!isFresh(out, fp)) {
         Tables.memories(s, dir).select(col("id"))
           .where(pmod(xxhash64(col("id")), lit(nb.toLong)) < 2)
           .coalesce(1).write.mode("overwrite").parquet(out)
+        stampFingerprint(out, fp)
+      }
       out
     })
 

@@ -64,7 +64,7 @@ object SoakBoiler {
         .select(col("id1"), col("id2"))
       val n = rows.count()
       println(f"[boiler] $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n%,d pairs)")
-      // pair sets collected only for the row-identity audit at <=26k rows
+      // pair sets collected only for the row-identity audit at <=50k rows
       if (n <= 50000)
         rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       else Set.empty

@@ -7,15 +7,30 @@ import org.apache.spark.sql.functions._
   * on the probe side of a broadcast join over its id column — the
   * execution-time half of the bucket-pruning story (plan-time pruning is
   * pinned in MemoryBucketSourceSpec; the filter()-mechanics too). */
-class DppSpec extends SparkSpec {
+class DppSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
+  private def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
   private val nBuckets = 8
+  private var builtStore: Option[String] = None
   private lazy val storeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
     operators.MemoryOps.writeBucketed(
       Tables.memories(spark, sf0001), dir, "id", nBuckets)
+    builtStore = Some(dir)
     dir
+  }
+
+  override def afterAll(): Unit = {
+    builtStore.foreach(rmTree)
+    super.afterAll()
   }
   private def source = spark.read.format("graft.sources.MemoryBucketSource")
     .option("path", storeDir).option("nBuckets", nBuckets.toString)
@@ -55,6 +70,7 @@ class DppSpec extends SparkSpec {
     // a real filter or a no-op one (id >= 0).
     val keysDir =
       java.nio.file.Files.createTempDirectory("graft_dpp_keys_").toString
+    try {
     Tables.documents(spark, sf0001).limit(20).select($"doc_id".as("id"))
       .coalesce(1).write.mode("overwrite").parquet(keysDir)
     val bare = spark.read.parquet(keysDir)
@@ -70,5 +86,6 @@ class DppSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(filteredP.contains("RuntimeFilters: [dynamicpruning"),
       s"the no-op id >= 0 filter no longer arms pruning:\n$filteredP")
+    } finally rmTree(keysDir)
   }
 }

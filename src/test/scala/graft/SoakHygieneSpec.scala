@@ -1,0 +1,55 @@
+package graft
+
+/** Pins the two round-9 advisor findings on the soak harness's derived
+  * state: (1) a _SUCCESS marker proves a COMPLETE write but not a
+  * CURRENT one — derived tmp artifacts carry a source fingerprint and
+  * go stale when the source dir is rebuilt; (2) the memoized replica
+  * stride is factor-dependent, so a lookup at a different factor for
+  * the same (dir, column) must fail loudly instead of silently reusing
+  * the first caller's stride. */
+class SoakHygieneSpec extends SparkSpec {
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(): Unit
+  }
+  private def write(f: java.io.File, s: String): Unit =
+    java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8")): Unit
+
+  test("a rebuilt source dir invalidates a stamped derived artifact") {
+    val src = java.nio.file.Files.createTempDirectory("graft_fp_src_").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_fp_out_").toFile
+    try {
+      for (t <- Seq("documents.parquet", "embeddings.parquet")) {
+        val d = new java.io.File(src, t); d.mkdirs()
+        write(new java.io.File(d, "part-00000"), "v1")
+      }
+      write(new java.io.File(out, "_SUCCESS"), "")
+      val fp1 = Soak.sourceFingerprint(src.toString)
+      Soak.stampFingerprint(out.toString, fp1)
+      assert(Soak.isFresh(out.toString, fp1),
+        "a complete, stamped, current artifact must be fresh")
+
+      // rebuild one source table with different content (length change —
+      // robust to filesystem mtime granularity)
+      write(new java.io.File(new java.io.File(src, "documents.parquet"),
+        "part-00000"), "v2-rebuilt-longer")
+      val fp2 = Soak.sourceFingerprint(src.toString)
+      assert(fp2 != fp1, "the fingerprint must see the rebuilt source")
+      assert(!Soak.isFresh(out.toString, fp2),
+        "a stale stamp must force a rebuild even with _SUCCESS present")
+
+      // and a partial write (no _SUCCESS) is never fresh, stamp or not
+      assert(new java.io.File(out, "_SUCCESS").delete())
+      assert(!Soak.isFresh(out.toString, fp1))
+    } finally { rmTree(src); rmTree(out) }
+  }
+
+  test("a stride lookup at a mismatched factor fails loudly") {
+    Soak.docStride(spark, sf0001, 1)
+    val e = intercept[IllegalArgumentException] {
+      Soak.docStride(spark, sf0001, 2)
+    }
+    assert(e.getMessage.contains("memoized at factor"))
+  }
+}
