@@ -26,19 +26,19 @@ import org.apache.spark.sql.SparkSession
   *      min-of-3) at the end of the run, minutes after the first
   *      measurement — a transient burst has moved on, a real regression
   *      persists; the final time is the min of both passes;
-  *   5. batch and streaming lanes are totaled separately — the ten
-  *      e8-e17 micro-batch replays are fixed-cost by design (~20% of
-  *      the total) and would otherwise drown the batch engine's signal.
+  *   5. batch and streaming lanes are totaled separately — the e8-e18
+  *      micro-batch replays are fixed-cost by design (~20% of the
+  *      total) and would otherwise drown the batch engine's signal.
   */
 object Bench {
-  /** The nine Structured-Streaming replay oracles (write real parquet
+  /** The Structured-Streaming replay oracles (write real parquet
     * micro-batches through stateful queries; cost is replay-bound, not
     * engine-bound). Totaled as their own lane. */
   val streamingLane: Set[String] = Set(
     "e8_stream_replay", "e9_stream_funnel", "e10_stream_join",
     "e11_stream_window", "e12_hopping_window", "e13_stream_dedup",
     "e14_stream_hopping", "e15_stream_neardup", "e16_stream_late",
-    "e17_stream_outer_join")
+    "e17_stream_outer_join", "e18_stream_restart")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round 10 — restart-recovery: the streaming posture every production
+  * feed runs on (checkpointed incremental jobs) put under the DuckDB
+  * hash compare. The replay machinery and the contract live in
+  * [[graft.streaming.EventStream.replayRestart]]; the oracle is the
+  * batch windowed aggregation over the clean base table — redelivered
+  * events across the restart boundary must vanish, boundary-straddling
+  * windows must emit once with full counts.
+  */
+object Queries51 {
+
+  // ---------------------------------------------------------------------
+  // E18: checkpoint RESTART recovery. Two separate streaming queries,
+  // one checkpoint, one exactly-once parquet sink; a byte-identical
+  // redelivery of the first chunk arrives after the restart and must be
+  // dropped by RECOVERED dedup state. Result == e3's batch mirror.
+  // ---------------------------------------------------------------------
+  def e18StreamRestart(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayRestart(Tables.events(spark, sfDir))
+      .select(
+        date_format(col("window_start"), Queries.tsFmtSpark).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e18StreamRestartSql: String = Queries.e3EventWindowSql
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_stream_restart" -> (e18StreamRestart _))
+
+  val oracles: Map[String, String] = Map(
+    "e18_stream_restart" -> e18StreamRestartSql)
+}
