@@ -1,0 +1,54 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** The CONCURRENT-DRIVER posture. Every operator here is declarative,
+  * so a driver issuing queries from many threads must get the same
+  * answers as a sequential one even where performance degrades — the
+  * 2-deep edge-pin FIFO (GraphPlanning.scala) documents exactly one
+  * such mode: a third concurrent lazy-return pin evicts a peer's pin
+  * mid-flight and the holder silently recomputes its derivation,
+  * correct but slower. This spec runs that documented worst case for
+  * real: THREE lazy-return pin users (triangles, clustering
+  * coefficient, DBSCAN — one more than MaxLivePins) concurrently with
+  * deterministic unpinners (k-core, PageRank) and pin-free queries,
+  * on a fixed 8-thread pool, and requires row-identical results vs
+  * the same queries run sequentially. The eviction counter is
+  * reported for the diagnostic story, not asserted — pool turnover is
+  * benign by design. */
+class ConcurrencySpec extends SparkSpec {
+
+  private val names = Seq(
+    "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
+    "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
+    "d2_minhash_pairs", "v2_knn_topk")
+
+  private def str(v: Any): String = v match {
+    case a: Array[_] => a.map(str).mkString("[", ",", "]")
+    case s: Seq[_]   => s.map(str).mkString("[", ",", "]")
+    case x           => String.valueOf(x)
+  }
+  private def rowsOf(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(_.toSeq.map(str).mkString("|")).toSeq.sorted
+
+  test("eight queries incl. three lazy-return pin users (one past the" +
+      " FIFO bound) run concurrently and match sequential results") {
+    val sequential = names.map(n => n -> rowsOf(n)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val ev0 = operators.GraphPlanning.evictionCount
+    try {
+      val concurrent = Await.result(
+        Future.sequence(names.map(n => Future(n -> rowsOf(n)))),
+        15.minutes).toMap
+      info("pin-pool evictions during the concurrent pass: " +
+        (operators.GraphPlanning.evictionCount - ev0))
+      for (n <- names)
+        assert(concurrent(n) == sequential(n),
+          s"$n diverged under a concurrent driver")
+      assert(sequential.values.forall(_.nonEmpty))
+    } finally pool.shutdown()
+  }
+}
