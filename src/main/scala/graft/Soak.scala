@@ -350,6 +350,16 @@ object Soak {
     // near-dup pairs stay intra-replica (the d2 soak argument applied to
     // the incremental path)
     "e15_stream_neardup" -> SparkEntry.queries("e15_stream_neardup"),
+    // restart recovery at factor x state: shifted-user replicas grow
+    // what the SECOND query incarnation must recover from the checkpoint
+    // (exact-dedup ids + open windows) by the factor, while the replay
+    // cadence (two AvailableNow drains, fixed chunk count) stays 1x.
+    // Soaked to 10x: the exact-dedup state is O(distinct ids) BY DESIGN
+    // (the restart proof wants watermark-independent dedup; the bounded
+    // production form is e13's dropDuplicatesWithinWatermark), so the
+    // 100x decade would measure that named design choice, not the
+    // restart path.
+    "e18_stream_restart" -> SparkEntry.queries("e18_stream_restart"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -615,7 +625,8 @@ object Soak {
     // identical to hits1 which DOES carry the 100x decade for the graph
     // family); sem1 and hits1 run the full two decades.
     val maxFactor = Map("sp2_sparse_prefix" -> 10,
-      "pr1_pagerank" -> 10).withDefaultValue(Int.MaxValue)
+      "pr1_pagerank" -> 10,
+      "e18_stream_restart" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))

@@ -704,8 +704,20 @@ object EventStream {
     * two-watermark model: the late filter trails one batch behind —
     * see [[replayLateWindowed]]). Final rows == the batch windowed
     * aggregation over the clean base table (e3's oracle verbatim: base
-    * event_ids are unique, so every redelivered row must vanish). */
-  def replayRestart(events: DataFrame, chunks: Int = 6): DataFrame = {
+    * event_ids are unique, so every redelivered row must vanish).
+    *
+    * `betweenDrains(ckptDir, outDir)` runs after query 1 terminates and
+    * before query 2 starts — a no-op in production (and in the e18
+    * oracle row). EventStreamSpec uses it to simulate the CRASH WINDOW:
+    * deleting the newest entry of the checkpoint's commit log leaves a
+    * batch whose offsets are logged but whose completion is not — the
+    * exact state a crash between sink write and commit leaves behind —
+    * so query 2 must RE-EXECUTE that batch against a sink that already
+    * holds its output, and the sink's own commit log must keep the
+    * first attempt's files out of every read (re-run output replaces,
+    * never duplicates). */
+  def replayRestart(events: DataFrame, chunks: Int = 6,
+      betweenDrains: (String, String) => Unit = (_, _) => ()): DataFrame = {
     val spark = events.sparkSession
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val src = withSec(events.select(col("event_id"),
@@ -791,6 +803,7 @@ object EventStream {
       phase("write-phase1") {
         (0 until half).foreach(i => writeChunk(chunkDf(i))) }
       phase("drain-1")(drain()) // query 1: first tranche, then stops
+      betweenDrains(ckpt, outDir)
       phase("write-phase2") {
         writeChunk(chunkDf(0)) // byte-identical redelivery across the restart
         (half until chunks).foreach(i => writeChunk(chunkDf(i)))

@@ -252,4 +252,39 @@ class EventStreamSpec extends SparkSpec {
     assert(out == batch)
     assert(batch.nonEmpty)
   }
+
+  test("replayRestart survives the crash window: an uncommitted batch is" +
+      " re-executed against a sink that already wrote it, no duplicates") {
+    val ev = Tables.events(spark, sf0001)
+    var simulated = false
+    val out = EventStream.replayRestart(ev, chunks = 6,
+        betweenDrains = (ckpt, _) => {
+          // delete the NEWEST commit-log entry: offsets for that batch
+          // stay logged, its completion record vanishes — exactly what a
+          // crash between the sink write and the commit leaves behind.
+          // Query 2 must re-execute the batch from recovered state and
+          // the parquet sink's commit log must supersede the first
+          // attempt's files instead of duplicating them.
+          val commits = Option(new java.io.File(ckpt, "commits").listFiles())
+            .toSeq.flatten.filter(_.getName.forall(_.isDigit))
+            .sortBy(_.getName.toInt)
+          assert(commits.nonEmpty, "no commit log to crash")
+          val victim = commits.last
+          Seq(victim,
+              new java.io.File(victim.getParent, victim.getName + ".checksum"),
+              new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
+            .foreach(f => if (f.exists()) f.delete(): Unit)
+          simulated = true
+        })
+      .select($"window_start".cast("string"), $"event_type",
+        $"n_events", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(simulated)
+    val batch = EventStream.windowedAgg(ev)
+      .select($"window_start".cast("string"), $"event_type",
+        $"n_events", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(out == batch)
+    assert(batch.nonEmpty)
+  }
 }
