@@ -253,6 +253,54 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sessionizeStreaming recovers flatMapGroupsWithState state across" +
+      " a checkpoint restart") {
+    // e18 proves restart recovery for the dedup + windowed-agg state
+    // codepaths; this pins the third family — arbitrary user state under
+    // flatMapGroupsWithState. A user whose events straddle the restart
+    // must CONTINUE its session counts from recovered state: lost state
+    // shows up as reset n_events or a spurious session break at the
+    // boundary, and the per-user final state would diverge from the
+    // batch sessionizer.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"))
+      .withColumn("__sec", $"ts".cast("long"))
+    val b = ev.agg(min($"__sec"), max($"__sec")).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val root = java.nio.file.Files.createTempDirectory("es_sess_restart")
+    val inDir = root.resolve("in").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def deliver(cond: org.apache.spark.sql.Column): Unit =
+      ev.where(cond).select($"user_id", $"ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .parquet(inDir)
+      val q = EventStream
+        .sessionizeStreaming(stream.as[EventStream.SessionEvent]).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    deliver($"__sec" <= mid)
+    drain() // query 1 terminates
+    deliver($"__sec" > mid)
+    drain() // query 2: fresh plan, recovered per-user state
+    // both emitted counters are monotone, so the final state per user is
+    // the max over everything either query incarnation emitted
+    val got = spark.read.parquet(outDir).groupBy($"user_id")
+      .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = EventStream.sessionizeBatch(Tables.events(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
+
   test("replayRestart survives the crash window: an uncommitted batch is" +
       " re-executed against a sink that already wrote it, no duplicates") {
     val ev = Tables.events(spark, sf0001)
