@@ -1,0 +1,79 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import org.apache.spark.sql.SparkSession
+
+/** Dev main: MEASURE the concurrent-driver degradation mode the edge-pin
+  * FIFO documents (GraphPlanning.scala) and the knob that fixes it.
+  * ConcurrencySpec proves the posture is CORRECT (evicted holders
+  * recompute, results identical); this probe prices it and prices the
+  * mitigation — the same eight queries (three lazy-return pin users, one
+  * past the default MaxLivePins=2) run:
+  *   1. sequentially (the bench posture — per-query sum as the floor),
+  *   2. concurrently on an 8-thread pool with the default 2-deep pool
+  *      (documented thrash: pins evicted mid-flight, holders recompute),
+  *   3. concurrently with `graft.pins.max=8` — the pool sized to the
+  *      pipeline width, the documented fix.
+  * Caches are cleared between lanes; eviction deltas printed per lane.
+  *
+  * Usage: runMain graft.ProbeConcurrent [sfDir]
+  */
+object ProbeConcurrent {
+  private val names = Seq(
+    "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
+    "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
+    "d2_minhash_pairs", "v2_knn_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    def runOne(n: String): Unit =
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    def lane(label: String, pins: Option[Int])(body: => Unit): Double = {
+      pins match {
+        case Some(p) => System.setProperty("graft.pins.max", p.toString)
+        case None    => System.clearProperty("graft.pins.max"): Unit
+      }
+      System.gc(); spark.sharedState.cacheManager.clearCache()
+      val ev0 = operators.GraphPlanning.evictionCount
+      val t0 = System.nanoTime()
+      body
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[conc] $label%-24s $t%7.2f s  " +
+        f"(evictions ${operators.GraphPlanning.evictionCount - ev0})")
+      t
+    }
+    // warm plans + page cache once, un-timed
+    names.foreach(runOne)
+    spark.sharedState.cacheManager.clearCache()
+
+    val seq2 = lane("sequential", None)(names.foreach(runOne))
+    def concurrently(): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(names.map(n => Future(runOne(n)))), 30.minutes): Unit
+      finally pool.shutdown()
+    }
+    val c2 = lane("concurrent pins=2", None)(concurrently())
+    val c8 = lane("concurrent pins=8", Some(8))(concurrently())
+    System.clearProperty("graft.pins.max")
+    println(f"""{"metric":"probe_concurrent","sequential":$seq2%.2f,""" +
+      f""""concurrent_pins2":$c2%.2f,"concurrent_pins8":$c8%.2f}""")
+    spark.stop()
+  }
+}

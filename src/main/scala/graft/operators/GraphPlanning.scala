@@ -44,9 +44,15 @@ private[graft] object GraphPlanning {
     * turnover (the evicted pin's consumer already materialized) and a
     * per-query warning would train readers to ignore the one
     * concurrent-thrash case that matters. The fix for real thrash:
-    * size the pool to the pipeline width, or unpin eagerly. */
+    * size the pool to the pipeline width (`-Dgraft.pins.max=<width>`,
+    * measured in ProbeConcurrent — see BASELINE.md round 10), or unpin
+    * eagerly. */
   private val livePins = new java.util.ArrayDeque[DataFrame]()
-  private val MaxLivePins = 2
+  /** Pool depth: 2 covers every sequential harness; a concurrent driver
+    * sizes it to its pipeline width via the `graft.pins.max` system
+    * property (a driver-lifetime deployment setting, like executor
+    * memory — read per pin so a probe can A/B it in one JVM). */
+  private def MaxLivePins: Int = Integer.getInteger("graft.pins.max", 2)
   private val evictions = new java.util.concurrent.atomic.AtomicLong
   private val log =
     org.slf4j.LoggerFactory.getLogger(GraphPlanning.getClass)

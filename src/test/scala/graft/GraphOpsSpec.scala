@@ -112,4 +112,28 @@ class GraphOpsSpec extends SparkSpec {
       mk(20).select(col("dst").as("src"), col("src").as("dst")))
     assert(operators.PageRank.ranks(sym, iters = 2).count() > 0)
   }
+
+  test("graft.pins.max sizes the pool to the pipeline width:" +
+      " no evictions at width, restored default evicts again") {
+    def mk(n: Int) = (1 to n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    System.setProperty("graft.pins.max", "8")
+    val pinned = try {
+      val ev0 = operators.GraphPlanning.evictionCount
+      // three lazy-return-style pins — one past the DEFAULT bound — fit
+      // the widened pool with room (earlier tests leave at most the
+      // default 2 in the deque), so none may evict
+      val ps = (21 to 23).map(i => operators.GraphPlanning.pinEdges(mk(i)))
+      assert(operators.GraphPlanning.evictionCount == ev0,
+        "a pool sized to the pipeline width must not thrash")
+      ps
+    } finally System.clearProperty("graft.pins.max")
+    pinned.foreach(operators.GraphPlanning.unpin)
+    // back at the default bound the next over-pin evicts as before
+    val ev1 = operators.GraphPlanning.evictionCount
+    val again = (24 to 26).map(i => operators.GraphPlanning.pinEdges(mk(i)))
+    assert(operators.GraphPlanning.evictionCount > ev1,
+      "the restored default bound must evict past 2 pins")
+    again.foreach(operators.GraphPlanning.unpin)
+  }
 }
