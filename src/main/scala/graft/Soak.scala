@@ -135,6 +135,10 @@ object Soak {
     *    sparse key spaces included — the data carries its own stride. */
   private val strideCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (Int, Long)]
+  /** Test isolation: the cache is JVM-lifetime state, so a spec that
+    * exercises the factor-mismatch guard would otherwise poison every
+    * later suite in the forked test JVM (round-10 review finding). */
+  private[graft] def clearStrideCacheForTest(): Unit = strideCache.clear()
   private def strideOf(df: => DataFrame, idCol: String, dir: String,
       factor: Int): Long = {
     // The memoized value depends on factor, so a second caller asking

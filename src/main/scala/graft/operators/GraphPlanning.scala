@@ -51,8 +51,12 @@ private[graft] object GraphPlanning {
   /** Pool depth: 2 covers every sequential harness; a concurrent driver
     * sizes it to its pipeline width via the `graft.pins.max` system
     * property (a driver-lifetime deployment setting, like executor
-    * memory — read per pin so a probe can A/B it in one JVM). */
-  private def MaxLivePins: Int = Integer.getInteger("graft.pins.max", 2)
+    * memory — read per pin so a probe can A/B it in one JVM). Floored
+    * at 1: 0 or a negative value would make pinEdges evict the pin it
+    * just added and hand its own caller an unpersisted frame — the
+    * worst-case thrash the knob exists to remove. */
+  private def MaxLivePins: Int =
+    math.max(1, Integer.getInteger("graft.pins.max", 2))
   private val evictions = new java.util.concurrent.atomic.AtomicLong
   private val log =
     org.slf4j.LoggerFactory.getLogger(GraphPlanning.getClass)

@@ -299,6 +299,43 @@ object EventStream {
     * written last — a far-future row that advances the watermark past
     * every real window so append-mode aggregations flush. Returns the
     * directory. */
+  /** One-file-per-micro-batch writer: each write() appends ONE coalesced
+    * parquet file to `dir` and stamps it with a strictly increasing
+    * mtime, so a file source with maxFilesPerTrigger=1 (oldest-first)
+    * delivers every write as its own micro-batch. The ordering contract
+    * of the whole replay harness lives HERE and only here —
+    * [[chunkedReplayDir]] and [[replayRestart]] both write through it
+    * (round-10 review finding: two diverging copies of the stamp/seen
+    * machinery). */
+  private final class ChunkWriter(dir: String) {
+    private val t0 = System.currentTimeMillis()
+    private val seen = scala.collection.mutable.Set[String]()
+    private var i = 0
+    def write(df: DataFrame, outCols: Seq[String]): Unit = {
+      df.select(outCols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+      i += 1
+    }
+    def startMillis: Long = t0
+  }
+
+  /** Far-future watermark-carrier row, filtered back out of every
+    * result by its `__flush` type. Callers writing MORE than one
+    * sentinel into a pipeline that dedups on event_id must pass
+    * DISTINCT ids — with a shared id the second sentinel is silently
+    * dropped in-flight and the two-watermark handoff it exists for
+    * never happens (round-10 review finding on replayRestart). */
+  private def flushSentinel(spark: SparkSession, sec: Long,
+      id: Long = -1L): DataFrame = spark.range(1).select(
+    lit(id).as("event_id"),
+    timestamp_seconds(lit(sec)).as("ts"),
+    lit(-1L).as("user_id"),
+    lit("__flush").as("event_type"),
+    lit(0.0).as("value"))
+
   private def chunkedReplayDir(
       src: DataFrame,
       outCols: Seq[String],
@@ -313,34 +350,19 @@ object EventStream {
     val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
-    val t0 = System.currentTimeMillis()
-    val seen = scala.collection.mutable.Set[String]()
-    def stamp(i: Int): Unit =
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    val w = new ChunkWriter(dir)
     (0 until chunks).foreach { i =>
       val cLo = lo + span * i / chunks
       val cHi = lo + span * (i + 1) / chunks
-      src.where(col("__sec") >= cLo && col("__sec") < cHi)
-        .select(outCols.map(col): _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      stamp(i)
+      w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), outCols)
     }
-    sentinel.foreach { sf =>
-      sf.select(outCols.map(col): _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      stamp(chunks)
-    }
+    sentinel.foreach(sf => w.write(sf, outCols))
     // post-sentinel deliveries, one micro-batch each, in order
-    tail.zipWithIndex.foreach { case (tf, j) =>
-      tf.select(outCols.map(col): _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      stamp(chunks + 1 + j)
-    }
+    tail.foreach(tf => w.write(tf, outCols))
     src.unpersist()
     if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
-      println(s"[replay] chunk-write phase: ${(System.currentTimeMillis() - t0) / 1000.0} s")
+      println(s"[replay] chunk-write phase: " +
+        s"${(System.currentTimeMillis() - w.startMillis) / 1000.0} s")
     dir
   }
 
@@ -593,16 +615,12 @@ object EventStream {
     val onTime = src.where(col("event_id") % 7 =!= 0)
     val late = src.where(col("event_id") % 7 === 0)
     val bounds = src.agg(max(col("ts").cast("long"))).head()
-    def sentinel(offsetSec: Long) = spark.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_seconds(lit(bounds.getLong(0) + offsetSec)).as("ts"),
-      lit(-1L).as("user_id"),
-      lit("__flush").as("event_type"),
-      lit(0.0).as("value"))
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val dir = chunkedReplayDir(withSec(onTime), cols, chunks,
-      sentinel = Some(sentinel(10800L)),
-      tail = Seq(sentinel(10860L), late))
+      sentinel = Some(flushSentinel(spark, bounds.getLong(0) + 10800L,
+        id = -1L)),
+      tail = Seq(flushSentinel(spark, bounds.getLong(0) + 10860L, id = -2L),
+        late))
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -668,6 +686,19 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Restart-replay roots awaiting JVM-exit deletion (see the tmpfs
+    * note in [[replayRestart]]); the hook installs once. */
+  private val restartRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val restartCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      restartRoots.forEach(r =>
+        org.apache.commons.io.FileUtils.deleteQuietly(r): Unit)))
+  private def registerRestartRoot(root: java.io.File): Unit = {
+    restartCleanupHook
+    restartRoots.add(root): Unit
+  }
+
   /** E18 — RESTART RECOVERY: the exactly-once ingest pipeline (exact
     * streaming dedup in front of the watermarked tumbling-window
     * aggregation) run as TWO separate streaming queries over ONE
@@ -729,41 +760,29 @@ object EventStream {
     val span = math.max(1L, hi - lo + 1)
     // input chunks, sink, and checkpoint all live on tmpfs when
     // available: the replay is ~11 micro-batches of tiny files whose
-    // cost is fsync, not bytes (same rationale as memorySink's ckpt)
+    // cost is fsync, not bytes (same rationale as memorySink's ckpt).
+    // The root is registered for deletion at JVM exit — outDir must
+    // outlive this call (the returned DataFrame reads it lazily), so
+    // per-call cleanup can only reclaim ckpt and inDir; without the
+    // exit hook each verify/bench/soak rep would strand a RAM-resident
+    // sink dir until reboot (round-10 review finding).
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root = if (java.nio.file.Files.isDirectory(shm))
         java.nio.file.Files.createTempDirectory(shm, "graft_restart")
       else java.nio.file.Files.createTempDirectory("graft_restart")
+    registerRestartRoot(root.toFile)
     val inDir = root.resolve("in").toString
     val outDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
 
-    // same mtime staggering as chunkedReplayDir: the file source
-    // (maxFilesPerTrigger=1, oldest-first) turns each write into one
-    // micro-batch, across BOTH query incarnations
-    val t0 = System.currentTimeMillis()
-    val seen = scala.collection.mutable.Set[String]()
-    var stampI = 0
-    def writeChunk(df: DataFrame): Unit = {
-      df.select(cols.map(col): _*).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      new java.io.File(inDir).listFiles()
-        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f =>
-          f.setLastModified(t0 + stampI * 60000L); seen += f.getName }
-      stampI += 1
-    }
+    // one micro-batch per write, across BOTH query incarnations
+    val w = new ChunkWriter(inDir)
+    def writeChunk(df: DataFrame): Unit = w.write(df, cols)
     def chunkDf(i: Int): DataFrame = {
       val cLo = lo + span * i / chunks
       val cHi = lo + span * (i + 1) / chunks
       src.where(col("__sec") >= cLo && col("__sec") < cHi)
     }
-    def sentinel(offsetSec: Long): DataFrame = spark.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_seconds(lit(hi + offsetSec)).as("ts"),
-      lit(-1L).as("user_id"),
-      lit("__flush").as("event_type"),
-      lit(0.0).as("value"))
 
     // a fresh query per call — nothing driver-side survives between the
     // two drains except the checkpoint and the sink
@@ -807,8 +826,12 @@ object EventStream {
       phase("write-phase2") {
         writeChunk(chunkDf(0)) // byte-identical redelivery across the restart
         (half until chunks).foreach(i => writeChunk(chunkDf(i)))
-        writeChunk(sentinel(10800L))
-        writeChunk(sentinel(10860L))
+        // DISTINCT sentinel ids: the pipeline dedups on event_id, so a
+        // shared id would drop sentinel #2 in-flight and the
+        // two-watermark handoff would ride on the dedup's leniency
+        // instead of the documented mechanism (round-10 review finding)
+        writeChunk(flushSentinel(spark, hi + 10800L, id = -1L))
+        writeChunk(flushSentinel(spark, hi + 10860L, id = -2L))
       }
       phase("drain-2")(drain()) // query 2: fresh plan, recovered checkpoint
     } finally {
@@ -830,15 +853,9 @@ object EventStream {
     val src = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
     val bounds = src.agg(max(col("ts").cast("long"))).head()
-    val sentinel = spark.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_seconds(lit(bounds.getLong(0) + 10800L)).as("ts"),
-      lit(-1L).as("user_id"),
-      lit("__flush").as("event_type"),
-      lit(0.0).as("value"))
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val dir = chunkedReplayDir(withSec(src), cols, chunks,
-      sentinel = Some(sentinel))
+      sentinel = Some(flushSentinel(spark, bounds.getLong(0) + 10800L)))
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")

@@ -46,10 +46,15 @@ class SoakHygieneSpec extends SparkSpec {
   }
 
   test("a stride lookup at a mismatched factor fails loudly") {
-    Soak.docStride(spark, sf0001, 1)
-    val e = intercept[IllegalArgumentException] {
-      Soak.docStride(spark, sf0001, 2)
-    }
-    assert(e.getMessage.contains("memoized at factor"))
+    // the cache is JVM-lifetime state: clear before AND after so this
+    // test neither inherits another suite's memo nor poisons one
+    Soak.clearStrideCacheForTest()
+    try {
+      Soak.docStride(spark, sf0001, 1)
+      val e = intercept[IllegalArgumentException] {
+        Soak.docStride(spark, sf0001, 2)
+      }
+      assert(e.getMessage.contains("memoized at factor"))
+    } finally Soak.clearStrideCacheForTest()
   }
 }
