@@ -38,7 +38,7 @@ object Bench {
     "e8_stream_replay", "e9_stream_funnel", "e10_stream_join",
     "e11_stream_window", "e12_hopping_window", "e13_stream_dedup",
     "e14_stream_hopping", "e15_stream_neardup", "e16_stream_late",
-    "e17_stream_outer_join", "e18_stream_restart")
+    "e17_stream_outer_join", "e18_stream_restart", "e19_stream_upsert")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures

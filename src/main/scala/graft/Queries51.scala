@@ -27,9 +27,28 @@ object Queries51 {
 
   val e18StreamRestartSql: String = Queries.e3EventWindowSql
 
+  // ---------------------------------------------------------------------
+  // E19: continuous ingest into the versioned memory table — micro-batch
+  // LWW upsert with the per-batch latest-per-key reduction. The final
+  // version directory must equal the per-user argmax by (ts, event_id)
+  // over the whole events table.
+  // ---------------------------------------------------------------------
+  def e19StreamUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayUpsert(Tables.events(spark, sfDir))
+
+  val e19StreamUpsertSql: String =
+    """SELECT user_id, event_id, round(value, 6) AS value
+      |FROM (SELECT user_id, event_id, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e18_stream_restart" -> (e18StreamRestart _))
+    "e18_stream_restart" -> (e18StreamRestart _),
+    "e19_stream_upsert"  -> (e19StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
-    "e18_stream_restart" -> e18StreamRestartSql)
+    "e18_stream_restart" -> e18StreamRestartSql,
+    "e19_stream_upsert"  -> e19StreamUpsertSql)
 }

@@ -100,10 +100,17 @@ object EventStream {
     * version rewrite is partition-pruned to the id-buckets the batch
     * touched; a table format with native MERGE slots in here unchanged.
     */
+  /** `reduceBatch` collapses each micro-batch BEFORE the merge — the
+    * standard ingest discipline in front of a keyed upsert (reduce to
+    * the latest update per key with a deterministic tie-break), since
+    * [[graft.operators.MemoryOps.upsertById]] picks arbitrarily among
+    * same-id rows WITHIN one incoming batch. Identity by default. */
   def streamingUpsert(
       stream: DataFrame,
       tableRoot: String,
-      idCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      idCol: String,
+      reduceBatch: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -111,11 +118,12 @@ object EventStream {
         root.mkdirs()
         val versions = Option(root.list()).getOrElse(Array.empty)
           .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+        val incoming = reduceBatch(batch.toDF())
         val merged = versions.lastOption match {
           case Some(latest) =>
             graft.operators.MemoryOps.upsertById(
-              spark.read.parquet(s"$tableRoot/v$latest"), batch.toDF(), idCol)
-          case None => batch.toDF()
+              spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol)
+          case None => incoming
         }
         merged.write.mode("errorifexists")
           .parquet(s"$tableRoot/v${versions.lastOption.getOrElse(-1L) + 1}")
@@ -845,6 +853,44 @@ object EventStream {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
     }
     spark.read.parquet(outDir).where(col("event_type") =!= "__flush")
+  }
+
+  /** E19 — CONTINUOUS INGEST into the versioned memory table: the
+    * reference's upsert endpoint (src/vector_store.rs:215-255) run as a
+    * streaming feed end to end. The events table replays as real
+    * micro-batches; each batch is first reduced to its latest update
+    * per user with a deterministic (ts, event_id) struct-max tie-break
+    * — the ingest discipline [[graft.operators.MemoryOps.upsertById]]'s
+    * within-batch contract requires — then LWW-merged into a new
+    * immutable version directory (v0, v1, ...). Chunks split by event
+    * time, so a user's globally latest update lives in that user's
+    * last batch and survives every later merge: the FINAL version must
+    * equal the per-user argmax over the whole table, which is exactly
+    * what the oracle states. At scale each version rewrite is
+    * partition-pruned to the id-buckets the batch touched (see
+    * [[streamingUpsert]]); the replay proves the merge semantics. */
+  def replayUpsert(events: DataFrame, chunks: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val src = withSec(events.select(col("event_id"), col("ts"),
+      col("user_id"), col("value")))
+    val dir = chunkedReplayDir(src, cols, chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert_tbl").toString
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = streamingUpsert(stream, root, "user_id", reduceBatch = b =>
+      b.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.value").as("value")))
+    try q.processAllAvailable() finally q.stop()
+    val versions = new java.io.File(root).list().filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+    spark.read.parquet(s"$root/v${versions.last}")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
   }
 
   private def replayAggregated(events: DataFrame, chunks: Int,

@@ -301,6 +301,24 @@ class EventStreamSpec extends SparkSpec {
     assert(exp.nonEmpty)
   }
 
+  test("replayUpsert: versioned micro-batch ingest converges to the" +
+      " per-user argmax under the per-batch reduction") {
+    val ev = Tables.events(spark, sf0001)
+    val got = EventStream.replayUpsert(ev, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch mirror: the latest update per user by (ts, event_id) — the
+    // same deterministic tie-break the per-batch reduction applies, so
+    // same-second duplicate updates inside one chunk cannot make the
+    // merge order-dependent
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val exp = ev.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_id", round($"value", 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
+
   test("replayRestart survives the crash window: an uncommitted batch is" +
       " re-executed against a sink that already wrote it, no duplicates") {
     val ev = Tables.events(spark, sf0001)
