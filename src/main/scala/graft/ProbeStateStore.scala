@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev main: A/B the STATE-STORE PROVIDER on the restart-recovery
+  * replay — the posture decision every big-state streaming deployment
+  * makes. The default HDFS-backed provider keeps each partition's state
+  * as an in-memory map (fast at small state, heap-bound at large); the
+  * RocksDB provider spills state off-heap to local disk and is the
+  * standard answer once keyed state stops fitting in executor memory —
+  * exactly where e18's deliberately unbounded exact-dedup state lands
+  * at scale. e18 exercises the provider hardest: three stateful
+  * operators' state is written, checkpointed, RECOVERED by a second
+  * query incarnation, and grown 10x by the soak replicas.
+  *
+  * The provider is a per-query setting read at stream start, so one
+  * session can A/B it; results must be identical (the provider is a
+  * storage engine, not semantics — the row count printed per lane
+  * proves it).
+  *
+  * Usage: runMain graft.ProbeStateStore [factors...] (default: 1 10)
+  */
+object ProbeStateStore {
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val baseDir = "/root/testdata/sf0.1"
+    val spark = Soak.soakSession()
+    val dirs: Seq[(Int, String)] = factors.map {
+      case 1 => (1, baseDir)
+      case f =>
+        val d = s"/root/repo/tmp/soak$f"
+        Soak.buildSoak(spark, baseDir, d, f)
+        (f, d)
+    }
+    spark.read.parquet(s"$baseDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.get(key)
+    // one untimed pass warms codegen/classloading for BOTH providers so
+    // lane order stops mattering (the first timed lane otherwise pays
+    // the whole JVM warmup)
+    for (p <- Seq(default, RocksDb)) {
+      spark.conf.set(key, p)
+      SparkEntry.queries("e18_stream_restart")(spark, baseDir).count(): Unit
+    }
+    val lanes = Seq("hdfs-backed (default)" -> default, "rocksdb" -> RocksDb)
+    for ((label, provider) <- lanes; (f, dir) <- dirs) {
+      spark.conf.set(key, provider)
+      val (t, rows) = (1 to 2).map { _ =>
+        System.gc(); spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries("e18_stream_restart")(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
+      println(f"[statestore] $label%-22s x$f%-4d $t%7.2f s  ($rows rows)")
+    }
+    spark.conf.set(key, default)
+    spark.stop()
+  }
+}
