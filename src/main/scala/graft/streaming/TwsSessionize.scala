@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** The sessionizer on Spark 4's `transformWithState` — the successor
+  * API to `flatMapGroupsWithState` (SPARK-46815): typed per-key state
+  * handles (value/list/map), timers, and TTL, backed by the RocksDB
+  * state store. Semantics here are deliberately IDENTICAL to
+  * [[EventStream.sessionizeStreaming]] so the two APIs are directly
+  * comparable — same SessionState, same gap rule, same monotone
+  * emission — and the spec holds both to the same batch mirror.
+  *
+  * Scale posture: this is the API big-state deployments migrate to —
+  * state lives off-heap in RocksDB (the provider requirement), TTL
+  * evicts abandoned keys without a watermark, and the typed handles
+  * let one processor carry several state shapes. The engine keeps the
+  * mapGroupsWithState forms as the oracle-checked primary (they run on
+  * either provider); this form documents and tests the migration
+  * target. */
+object TwsSessionize {
+  import EventStream.{SessionEvent, SessionState, UserSessions}
+
+  /** One value-state cell per user, updated per micro-batch; emits the
+    * running (n_sessions, n_events) after each batch — monotone, so a
+    * final per-user max equals the final state (the replaySessionize
+    * read-out contract). */
+  class SessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, SessionEvent, UserSessions] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[UserSessions] = {
+      val gapMs = gapMinutes * 60L * 1000L
+      var s = if (state.exists()) state.get()
+        else SessionState(0L, 0L, Long.MinValue)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
+        s = SessionState(
+          s.sessionCount + (if (newSession) 1 else 0),
+          s.eventCount + 1, t)
+      }
+      state.update(s)
+      Iterator(UserSessions(user, s.sessionCount, s.eventCount))
+    }
+  }
+
+  def sessionize(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -142,6 +142,50 @@ class EventStreamSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("transformWithState sessionizer (Spark 4 TWS) streamed on RocksDB" +
+      " state matches the batch sessionizer") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val batch = EventStream.sessionizeBatch(Tables.events(spark, sf0001))
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // real micro-batched run: TWS requires the RocksDB provider — the
+    // state lives off-heap, split across batches, per-user max == batch.
+    // (No batch-mode lane: batch transformWithState wants a
+    // StateStoreCoordinator that only a streaming run registers.)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("es_tws")
+    try {
+      val ev = Tables.events(spark, sf0001)
+        .select($"user_id", date_trunc("second", $"ts").as("ts"))
+        .withColumn("__sec", $"ts".cast("long"))
+      val mid = ev.agg((min($"__sec") + max($"__sec")) / 2).head()
+        .getDouble(0).toLong
+      val inDir = root.resolve("in").toString
+      ev.where($"__sec" <= mid).select("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1100) // distinct mtimes -> two real micro-batches
+      ev.where($"__sec" > mid).select("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.TwsSessionize
+        .sessionize(stream.as[EventStream.SessionEvent]).toDF()
+        .writeStream.format("memory").queryName("es_tws_sink")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table("es_tws_sink").groupBy($"user_id")
+        .agg(max($"n_sessions").as("s"), max($"n_events").as("e"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("firstTouchStreaming (mapGroupsWithState) matches batch on the fixture") {
     val batch = EventStream.firstTouchBatch(Tables.events(spark, sf0001))
       .select("user_id", "first_event_id", "first_type", "first_sec")
