@@ -47,15 +47,31 @@ object ProbeStateStore {
       SparkEntry.queries("e18_stream_restart")(spark, baseDir).count(): Unit
     }
     val lanes = Seq("hdfs-backed (default)" -> default, "rocksdb" -> RocksDb)
+    // semantics-neutrality is ASSERTED, not eyeballed: an MD5 over the
+    // sorted result rows must match across providers per factor (a
+    // provider defect that corrupts a recovered value while preserving
+    // cardinality would slip past a bare count — round-10 review
+    // finding)
+    val refDigest = scala.collection.mutable.Map.empty[Int, String]
     for ((label, provider) <- lanes; (f, dir) <- dirs) {
       spark.conf.set(key, provider)
-      val (t, rows) = (1 to 2).map { _ =>
+      val (t, got) = (1 to 2).map { _ =>
         System.gc(); spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries("e18_stream_restart")(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val rows = SparkEntry.queries("e18_stream_restart")(spark, dir)
+          .collect()
+        ((System.nanoTime() - t0) / 1e9, rows)
       }.minBy(_._1)
-      println(f"[statestore] $label%-22s x$f%-4d $t%7.2f s  ($rows rows)")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      got.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+      val digest = md.digest().map("%02x".format(_)).mkString.take(12)
+      refDigest.get(f) match {
+        case Some(d0) => require(d0 == digest,
+          s"provider changed the ANSWER at x$f: $d0 vs $digest")
+        case None => refDigest(f) = digest
+      }
+      println(f"[statestore] $label%-22s x$f%-4d $t%7.2f s  " +
+        f"(${got.length} rows, md5 $digest)")
     }
     spark.conf.set(key, default)
     spark.stop()

@@ -36,11 +36,15 @@ object Queries51 {
   def e19StreamUpsert(spark: SparkSession, sfDir: String): DataFrame =
     graft.streaming.EventStream.replayUpsert(Tables.events(spark, sfDir))
 
+  // value joins the total order so a redelivered (ts, event_id) pair
+  // with a different value ties deterministically on both engines —
+  // mirroring the Spark side's max(struct(ts, event_id, value))
   val e19StreamUpsertSql: String =
     """SELECT user_id, event_id, round(value, 6) AS value
       |FROM (SELECT user_id, event_id, value,
       |        ROW_NUMBER() OVER (PARTITION BY user_id
-      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |                           ORDER BY ts DESC, event_id DESC,
+      |                                    value DESC) AS rn
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 

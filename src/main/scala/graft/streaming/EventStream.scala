@@ -99,8 +99,8 @@ object EventStream {
     * [[graft.operators.MemoryOps.upsertById]] machinery. At scale each
     * version rewrite is partition-pruned to the id-buckets the batch
     * touched; a table format with native MERGE slots in here unchanged.
-    */
-  /** `reduceBatch` collapses each micro-batch BEFORE the merge — the
+    *
+    * `reduceBatch` collapses each micro-batch BEFORE the merge — the
     * standard ingest discipline in front of a keyed upsert (reduce to
     * the latest update per key with a deterministic tie-break), since
     * [[graft.operators.MemoryOps.upsertById]] picks arbitrarily among
@@ -276,6 +276,24 @@ object EventStream {
     * (guaranteed by the fixture's single file; production would pre-sort
     * per micro-batch).
     */
+  /** The session gap rule — ONE implementation shared by the
+    * flatMapGroupsWithState form below and the transformWithState form
+    * ([[TwsSessionize]]), so their identical-semantics claim is true by
+    * construction instead of by hand-kept duplication (round-10 review
+    * finding). */
+  private[graft] def foldSessionEvents(s0: SessionState,
+      events: Iterator[SessionEvent], gapMs: Long): SessionState = {
+    var s = s0
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
+      s = SessionState(
+        s.sessionCount + (if (newSession) 1 else 0),
+        s.eventCount + 1, t)
+    }
+    s
+  }
+
   def sessionizeStreaming(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30): Dataset[UserSessions] = {
@@ -285,37 +303,24 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val gapMs = gapMinutes * 60L * 1000L
-          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          rows.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
-            s = SessionState(
-              s.sessionCount + (if (newSession) 1 else 0),
-              s.eventCount + 1, t)
-          }
+          val s = foldSessionEvents(
+            state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue)),
+            rows, gapMinutes * 60L * 1000L)
           state.update(s)
           Iterator(UserSessions(user, s.sessionCount, s.eventCount))
       }
   }
 
-  /** Shared replay-chunk writer: split `src` into `chunks` time-range
-    * parquet files (by its `__sec` column, which is NOT written) with
-    * staggered modification times, so the file source
-    * (maxFilesPerTrigger=1, oldest-first) delivers them as real
-    * micro-batches in event-time order. An optional `sentinel` frame is
-    * written last — a far-future row that advances the watermark past
-    * every real window so append-mode aggregations flush. Returns the
-    * directory. */
   /** One-file-per-micro-batch writer: each write() appends ONE coalesced
     * parquet file to `dir` and stamps it with a strictly increasing
     * mtime, so a file source with maxFilesPerTrigger=1 (oldest-first)
     * delivers every write as its own micro-batch. The ordering contract
     * of the whole replay harness lives HERE and only here —
-    * [[chunkedReplayDir]] and [[replayRestart]] both write through it
-    * (round-10 review finding: two diverging copies of the stamp/seen
-    * machinery). */
-  private final class ChunkWriter(dir: String) {
+    * [[chunkedReplayDir]], [[replayRestart]], and the specs' staged
+    * streams all write through it (round-10 review finding: diverging
+    * copies of the stamp/seen machinery, then a sleep-based copy in a
+    * spec). */
+  private[graft] final class ChunkWriter(dir: String) {
     private val t0 = System.currentTimeMillis()
     private val seen = scala.collection.mutable.Set[String]()
     private var i = 0
@@ -344,6 +349,13 @@ object EventStream {
     lit("__flush").as("event_type"),
     lit(0.0).as("value"))
 
+  /** Split `src` into `chunks` time-range parquet files (by its `__sec`
+    * column, which is NOT written) through [[ChunkWriter]], so the file
+    * source delivers them as real micro-batches in event-time order. An
+    * optional `sentinel` frame is written last — a far-future row that
+    * advances the watermark past every real window so append-mode
+    * aggregations flush — followed by any `tail` frames, one micro-batch
+    * each. Returns the directory. */
   private def chunkedReplayDir(
       src: DataFrame,
       outCols: Seq[String],
@@ -859,9 +871,12 @@ object EventStream {
     * reference's upsert endpoint (src/vector_store.rs:215-255) run as a
     * streaming feed end to end. The events table replays as real
     * micro-batches; each batch is first reduced to its latest update
-    * per user with a deterministic (ts, event_id) struct-max tie-break
-    * — the ingest discipline [[graft.operators.MemoryOps.upsertById]]'s
-    * within-batch contract requires — then LWW-merged into a new
+    * per user with a deterministic (ts, event_id, value) struct-max
+    * tie-break — the ingest discipline
+    * [[graft.operators.MemoryOps.upsertById]]'s within-batch contract
+    * requires; value participates so a redelivered (ts, event_id) pair
+    * carrying a different value still reduces deterministically on
+    * BOTH engines — then LWW-merged into a new
     * immutable version directory (v0, v1, ...). Chunks split by event
     * time, so a user's globally latest update lives in that user's
     * last batch and survives every later merge: the FINAL version must

@@ -35,16 +35,12 @@ object TwsSessionize {
 
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
         timerValues: TimerValues): Iterator[UserSessions] = {
-      val gapMs = gapMinutes * 60L * 1000L
-      var s = if (state.exists()) state.get()
-        else SessionState(0L, 0L, Long.MinValue)
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
-        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > gapMs
-        s = SessionState(
-          s.sessionCount + (if (newSession) 1 else 0),
-          s.eventCount + 1, t)
-      }
+      // the gap rule itself is EventStream.foldSessionEvents — shared
+      // with the flatMapGroupsWithState form, not duplicated
+      val s = EventStream.foldSessionEvents(
+        if (state.exists()) state.get()
+        else SessionState(0L, 0L, Long.MinValue),
+        rows, gapMinutes * 60L * 1000L)
       state.update(s)
       Iterator(UserSessions(user, s.sessionCount, s.eventCount))
     }

@@ -164,11 +164,12 @@ class EventStreamSpec extends SparkSpec {
       val mid = ev.agg((min($"__sec") + max($"__sec")) / 2).head()
         .getDouble(0).toLong
       val inDir = root.resolve("in").toString
-      ev.where($"__sec" <= mid).select("user_id", "ts")
-        .coalesce(1).write.mode("append").parquet(inDir)
-      Thread.sleep(1100) // distinct mtimes -> two real micro-batches
-      ev.where($"__sec" > mid).select("user_id", "ts")
-        .coalesce(1).write.mode("append").parquet(inDir)
+      // ChunkWriter stamps strictly increasing mtimes — two real
+      // micro-batches without a sleep-based second copy of the
+      // ordering contract (round-10 review finding)
+      val w = new EventStream.ChunkWriter(inDir)
+      w.write(ev.where($"__sec" <= mid), Seq("user_id", "ts"))
+      w.write(ev.where($"__sec" > mid), Seq("user_id", "ts"))
       val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = graft.streaming.TwsSessionize
@@ -350,12 +351,14 @@ class EventStreamSpec extends SparkSpec {
     val ev = Tables.events(spark, sf0001)
     val got = EventStream.replayUpsert(ev, chunks = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // batch mirror: the latest update per user by (ts, event_id) — the
-    // same deterministic tie-break the per-batch reduction applies, so
-    // same-second duplicate updates inside one chunk cannot make the
-    // merge order-dependent
+    // batch mirror: the latest update per user by (ts, event_id, value)
+    // — the same deterministic tie-break the per-batch reduction
+    // applies, so duplicate updates inside one chunk (even a redelivered
+    // (ts, event_id) with a different value) cannot make the merge
+    // order-dependent
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      .partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc, $"value".desc)
     val exp = ev.withColumn("rn", row_number().over(w)).where($"rn" === 1)
       .select($"user_id", $"event_id", round($"value", 6).as("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
