@@ -187,6 +187,54 @@ class EventStreamSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("transformWithState recovers its RocksDB value state across a" +
+      " checkpoint restart") {
+    // completes the restart-recovery family: dedup + windowed agg
+    // (e18), flatMapGroupsWithState (sessionizer spec), and now the
+    // TWS/RocksDB state codepath — a user straddling the restart must
+    // continue counts from recovered off-heap state
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("es_tws_restart")
+    try {
+      val ev = Tables.events(spark, sf0001)
+        .select($"user_id", date_trunc("second", $"ts").as("ts"))
+        .withColumn("__sec", $"ts".cast("long"))
+      val mid = ev.agg((min($"__sec") + max($"__sec")) / 2).head()
+        .getDouble(0).toLong
+      val inDir = root.resolve("in").toString
+      val outDir = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val w = new EventStream.ChunkWriter(inDir)
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+          .parquet(inDir)
+        val q = graft.streaming.TwsSessionize
+          .sessionize(stream.as[EventStream.SessionEvent]).toDF()
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      w.write(ev.where($"__sec" <= mid), Seq("user_id", "ts"))
+      drain() // query 1 terminates
+      w.write(ev.where($"__sec" > mid), Seq("user_id", "ts"))
+      drain() // query 2: fresh plan, recovered RocksDB state
+      val got = spark.read.parquet(outDir).groupBy($"user_id")
+        .agg(max($"n_sessions").as("s"), max($"n_events").as("e"))
+        .as[(Long, Long, Long)].collect().toSet
+      val exp = EventStream.sessionizeBatch(Tables.events(spark, sf0001))
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp)
+      assert(exp.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("firstTouchStreaming (mapGroupsWithState) matches batch on the fixture") {
     val batch = EventStream.firstTouchBatch(Tables.events(spark, sf0001))
       .select("user_id", "first_event_id", "first_type", "first_sec")
