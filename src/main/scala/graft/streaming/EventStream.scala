@@ -401,6 +401,15 @@ object EventStream {
     // drain; the state partition count is pinned into the query's
     // offset log at the first batch, so the restore cannot re-shape a
     // running query. Real deployments size this to their key space.
+    // CONCURRENCY SCOPE: this set/restore mutates the CALLER's session
+    // conf, so memorySink-based replays are sequential-only — a batch
+    // query interleaving with the drain would plan at 4 shuffle
+    // partitions (the same scope note as GraphPlanning's pin pool;
+    // ConcurrencySpec deliberately excludes the replays). replayRestart
+    // shows the concurrency-safe form: an isolated child session via
+    // spark.newSession(), possible there because it builds its own
+    // stream — here the df arrives already bound to the caller's
+    // session.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt = (if (java.nio.file.Files.isDirectory(shm))
@@ -804,10 +813,23 @@ object EventStream {
       src.where(col("__sec") >= cLo && col("__sec") < cHi)
     }
 
+    // The replay's conf (4 state partitions; no-data batches off — every
+    // emission here is data-driven, the dual sentinels carry the
+    // watermark, so AvailableNow's no-data flush batches are pure
+    // commit-cycle cost) lives on an ISOLATED CHILD SESSION: same
+    // SparkContext and catalog, private SQLConf. Nothing global is
+    // mutated and nothing needs restoring — unlike [[memorySink]]'s
+    // documented set/restore, this replay is safe under a concurrent
+    // driver. Both queries build from `runner`, so the checkpoint sees
+    // one consistent conf across the two incarnations.
+    val runner = spark.newSession()
+    runner.conf.set("spark.sql.shuffle.partitions", "4")
+    runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
     // a fresh query per call — nothing driver-side survives between the
     // two drains except the checkpoint and the sink
     def drain(): Unit = {
-      val stream = spark.readStream
+      val stream = runner.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
           "event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -820,16 +842,6 @@ object EventStream {
       q.awaitTermination()
     }
 
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    // every emission here is driven by DATA (the dual sentinels carry
-    // the watermark forward), so the no-data flush batches AvailableNow
-    // otherwise appends are pure commit-cycle cost — ~1 extra batch per
-    // drain. Restored after; semantics are unchanged because nothing in
-    // this pipeline emits on a timer.
-    val prevNoData =
-      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val dbg = sys.env.contains("GRAFT_REPLAY_DEBUG")
     def phase[T](label: String)(body: => T): T = {
       val p0 = System.nanoTime()
@@ -855,9 +867,6 @@ object EventStream {
       }
       phase("drain-2")(drain()) // query 2: fresh plan, recovered checkpoint
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        prevNoData)
       src.unpersist()
       // reclaim the tmpfs input and checkpoint; outDir stays — the
       // returned DataFrame reads it lazily through its commit log

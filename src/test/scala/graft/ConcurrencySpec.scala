@@ -19,10 +19,16 @@ import scala.concurrent.duration._
   * benign by design. */
 class ConcurrencySpec extends SparkSpec {
 
+  // e18 is the one STREAMING replay in the set: it runs its queries on
+  // an isolated child session (spark.newSession()), so its 4-partition
+  // state conf must never leak into the batch queries planning beside
+  // it — asserted below. The memorySink-based replays mutate the shared
+  // session conf by design and stay sequential-only (documented at
+  // EventStream.memorySink); they are deliberately NOT in this set.
   private val names = Seq(
     "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
     "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
-    "d2_minhash_pairs", "v2_knn_topk")
+    "d2_minhash_pairs", "v2_knn_topk", "e18_stream_restart")
 
   private def str(v: Any): String = v match {
     case a: Array[_] => a.map(str).mkString("[", ",", "]")
@@ -33,8 +39,10 @@ class ConcurrencySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .collect().map(_.toSeq.map(str).mkString("|")).toSeq.sorted
 
-  test("eight queries incl. three lazy-return pin users (one past the" +
-      " FIFO bound) run concurrently and match sequential results") {
+  test("nine queries incl. three lazy-return pin users (one past the" +
+      " FIFO bound) and a streaming replay run concurrently and match" +
+      " sequential results") {
+    val shufflePrev = spark.conf.get("spark.sql.shuffle.partitions")
     val sequential = names.map(n => n -> rowsOf(n)).toMap
     val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -49,6 +57,9 @@ class ConcurrencySpec extends SparkSpec {
         assert(concurrent(n) == sequential(n),
           s"$n diverged under a concurrent driver")
       assert(sequential.values.forall(_.nonEmpty))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == shufflePrev,
+        "the streaming replay's child-session conf leaked into the" +
+          " shared session")
     } finally pool.shutdown()
   }
 }
