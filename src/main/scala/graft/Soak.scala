@@ -364,6 +364,13 @@ object Soak {
     // 100x decade would measure that named design choice, not the
     // restart path.
     "e18_stream_restart" -> SparkEntry.queries("e18_stream_restart"),
+    // continuous versioned ingest at factor x keys: the per-batch LWW
+    // merge rewrites O(table), so with a fixed batch count the decade
+    // should cost ~the factor — the measured form of the operator's own
+    // caveat ("at scale each version rewrite is partition-pruned to the
+    // id-buckets the batch touched"; the unpruned rewrite is what this
+    // lane prices). Output = one row per user, grows by the factor.
+    "e19_stream_upsert" -> SparkEntry.queries("e19_stream_upsert"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -630,7 +637,8 @@ object Soak {
     // family); sem1 and hits1 run the full two decades.
     val maxFactor = Map("sp2_sparse_prefix" -> 10,
       "pr1_pagerank" -> 10,
-      "e18_stream_restart" -> 10).withDefaultValue(Int.MaxValue)
+      "e18_stream_restart" -> 10,
+      "e19_stream_upsert" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
