@@ -104,31 +104,60 @@ object EventStream {
     * standard ingest discipline in front of a keyed upsert (reduce to
     * the latest update per key with a deterministic tie-break), since
     * [[graft.operators.MemoryOps.upsertById]] picks arbitrarily among
-    * same-id rows WITHIN one incoming batch. Identity by default. */
+    * same-id rows WITHIN one incoming batch. Identity by default.
+    *
+    * CRASH CONTRACT (round-10 finding): foreachBatch is AT-LEAST-ONCE —
+    * after a crash between the version write and the checkpoint commit,
+    * Spark re-executes the batch. Versions are therefore named by the
+    * stable `batchId` (not by counting existing dirs, which would shift
+    * on retry), written with overwrite (a retry clobbers its own
+    * partial first attempt), and each merge reads the newest
+    * `_SUCCESS`-committed version with id < batchId — never a partial
+    * write, never the retry's own previous output (the LWW merge is
+    * content-idempotent, but overwrite-while-reading the same dir is
+    * not). The retried batch thus reproduces its version byte-for-byte
+    * and the table converges exactly once. */
   def streamingUpsert(
       stream: DataFrame,
       tableRoot: String,
       idCol: String,
-      reduceBatch: DataFrame => DataFrame = identity)
+      reduceBatch: DataFrame => DataFrame = identity,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    stream.writeStream.foreachBatch {
+    val writer = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val root = new java.io.File(tableRoot)
         root.mkdirs()
-        val versions = Option(root.list()).getOrElse(Array.empty)
-          .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+        val committedBefore = Option(root.list()).getOrElse(Array.empty)
+          .filter(_.startsWith("v")).map(_.drop(1).toLong)
+          .filter(v => v < batchId &&
+            new java.io.File(root, s"v$v/_SUCCESS").exists())
+          .sorted
         val incoming = reduceBatch(batch.toDF())
-        val merged = versions.lastOption match {
+        val merged = committedBefore.lastOption match {
           case Some(latest) =>
             graft.operators.MemoryOps.upsertById(
               spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol)
           case None => incoming
         }
-        merged.write.mode("errorifexists")
-          .parquet(s"$tableRoot/v${versions.lastOption.getOrElse(-1L) + 1}")
+        merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
         ()
-    }.start()
+    }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** Newest `_SUCCESS`-committed version directory under a
+    * [[streamingUpsert]] table root — the only read a consumer should
+    * do (a crash can leave a newer, uncommitted partial dir). */
+  def latestUpsertVersion(tableRoot: String): String = {
+    val root = new java.io.File(tableRoot)
+    val committed = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(v => new java.io.File(root, s"v$v/_SUCCESS").exists())
+    require(committed.nonEmpty, s"no committed version under $tableRoot")
+    s"$tableRoot/v${committed.max}"
   }
 
   // --- sessionization ----------------------------------------------------
@@ -910,9 +939,7 @@ object EventStream {
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"), col("m.value").as("value")))
     try q.processAllAvailable() finally q.stop()
-    val versions = new java.io.File(root).list().filter(_.startsWith("v"))
-      .map(_.drop(1).toLong).sorted
-    spark.read.parquet(s"$root/v${versions.last}")
+    spark.read.parquet(latestUpsertVersion(root))
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"))
   }

@@ -394,6 +394,59 @@ class EventStreamSpec extends SparkSpec {
     assert(exp.nonEmpty)
   }
 
+  test("streamingUpsert survives the crash window: a re-executed batch" +
+      " overwrites its own version idempotently, no phantom versions") {
+    // foreachBatch is at-least-once: a crash between the version write
+    // and the checkpoint commit re-executes the batch. Versions are
+    // named by batchId and merges read only _SUCCESS-committed
+    // predecessors (< batchId), so the retry reproduces v1 in place
+    // instead of minting a shifted v2 from its own first attempt.
+    val root = java.nio.file.Files.createTempDirectory("es_upsert_crash")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write(Seq((1L, "one"), (2L, "two")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    w.write(Seq((2L, "two-updated"), (3L, "three")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingUpsert(stream, tbl, "id",
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      // stop() deregisters asynchronously; the restart below must not
+      // race the active-run registry on the shared checkpoint
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    drain() // batches 0 and 1 committed
+    // crash simulation: batch 1's offsets stay logged, its commit
+    // record vanishes — the restart must RE-EXECUTE batch 1 against a
+    // table that already holds v1
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.map(_.getName).toSeq == Seq("0", "1"))
+    val victim = commits.last
+    assert(victim.delete())
+    // the checksum companions must go with it, or the retry's rename
+    // into the commit log fails on the stale .crc
+    Seq(new java.io.File(victim.getParent, victim.getName + ".checksum"),
+        new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
+      .foreach(f => if (f.exists()) f.delete(): Unit)
+    drain() // retry of batch 1
+    val versions = new java.io.File(tbl).list().filter(_.startsWith("v"))
+      .sorted.toSeq
+    assert(versions == Seq("v0", "v1"),
+      s"retry minted a phantom version: $versions")
+    val latest = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+      .as[(Long, String)].collect().toMap
+    assert(latest ==
+      Map(1L -> "one", 2L -> "two-updated", 3L -> "three"))
+  }
+
   test("replayUpsert: versioned micro-batch ingest converges to the" +
       " per-user argmax under the per-batch reduction") {
     val ev = Tables.events(spark, sf0001)
