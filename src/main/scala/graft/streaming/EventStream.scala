@@ -717,7 +717,7 @@ object EventStream {
       org.apache.spark.sql.types.StructField("jaccard",
         org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      pairSchema).write.mode("append").parquet(outDir)
+      pairSchema).write.mode("overwrite").parquet(s"$outDir/bseed")
     val stream = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -729,10 +729,15 @@ object EventStream {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         _: Long) =>
+                         batchId: Long) =>
+          // per-batch dir + overwrite = idempotent under foreachBatch's
+          // at-least-once contract: a batch re-executed after a crash
+          // clobbers its own first attempt instead of appending a
+          // duplicate slice into the accepted-pairs table (the
+          // streamingUpsert round-10 finding, applied here)
           graft.operators.Dedup.minhashNearDupsAgainst(
               corpus, batch, "doc_id", "text", threshold)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           ()
         }
         .option("checkpointLocation", ckpt).start()
@@ -741,7 +746,7 @@ object EventStream {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$outDir/b*")
   }
 
   /** Restart-replay roots awaiting JVM-exit deletion (see the tmpfs
