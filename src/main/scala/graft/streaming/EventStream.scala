@@ -116,7 +116,17 @@ object EventStream {
     * write, never the retry's own previous output (the LWW merge is
     * content-idempotent, but overwrite-while-reading the same dir is
     * not). The retried batch thus reproduces its version byte-for-byte
-    * and the table converges exactly once. */
+    * and the table converges exactly once.
+    *
+    * OWNERSHIP: batchId-naming makes a tableRoot single-owner — a FRESH
+    * query (new temp checkpoint, batchIds restarting at 0) started
+    * against a populated root would ignore and then overwrite the old
+    * run's versions. The root therefore carries an `_OWNER` marker (the
+    * checkpoint path when given — stable across checkpointed restarts —
+    * or a per-call token otherwise) and a mismatched writer FAILS FAST
+    * instead of silently clobbering. To continue a table across
+    * process restarts, pass the same `checkpoint`; batchIds then resume
+    * past every existing version. */
   def streamingUpsert(
       stream: DataFrame,
       tableRoot: String,
@@ -124,16 +134,26 @@ object EventStream {
       reduceBatch: DataFrame => DataFrame = identity,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = checkpoint.getOrElse(
+      "anon-" + java.util.UUID.randomUUID().toString)
     val writer = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val root = new java.io.File(tableRoot)
         root.mkdirs()
-        val committedBefore = Option(root.list()).getOrElse(Array.empty)
-          .filter(_.startsWith("v")).map(_.drop(1).toLong)
-          .filter(v => v < batchId &&
-            new java.io.File(root, s"v$v/_SUCCESS").exists())
-          .sorted
+        val marker = new java.io.File(root, "_OWNER").toPath
+        if (java.nio.file.Files.exists(marker)) {
+          val existing = new String(
+            java.nio.file.Files.readAllBytes(marker), "UTF-8")
+          require(existing == owner,
+            s"tableRoot $tableRoot belongs to another query run " +
+              s"(owner $existing); pass that run's checkpoint to " +
+              "continue it, or use a fresh root — a new run's batchIds " +
+              "restart at 0 and would overwrite its versions")
+        } else
+          java.nio.file.Files.write(marker, owner.getBytes("UTF-8")): Unit
+        val committedBefore =
+          committedVersions(root).filter(_ < batchId)
         val incoming = reduceBatch(batch.toDF())
         val merged = committedBefore.lastOption match {
           case Some(latest) =>
@@ -148,14 +168,27 @@ object EventStream {
       .start()
   }
 
-  /** Newest `_SUCCESS`-committed version directory under a
-    * [[streamingUpsert]] table root — the only read a consumer should
-    * do (a crash can leave a newer, uncommitted partial dir). */
-  def latestUpsertVersion(tableRoot: String): String = {
-    val root = new java.io.File(tableRoot)
-    val committed = Option(root.list()).getOrElse(Array.empty)
+  /** The commit-visibility rule, in ONE place for the writer's merge
+    * source and the consumer's read: a version exists once its parquet
+    * commit marker does. */
+  private def committedVersions(root: java.io.File): Seq[Long] =
+    Option(root.list()).getOrElse(Array.empty)
       .filter(_.startsWith("v")).map(_.drop(1).toLong)
       .filter(v => new java.io.File(root, s"v$v/_SUCCESS").exists())
+      .sorted.toSeq
+
+  /** Newest `_SUCCESS`-committed version directory under a
+    * [[streamingUpsert]] table root. A crash can leave a newer,
+    * UNCOMMITTED partial dir — never read it. CAVEAT: the newest
+    * committed version itself may still be rewritten in place if the
+    * crash landed between its parquet commit and the checkpoint commit
+    * (the retry overwrites byte-identically, but a reader holding the
+    * dir mid-rewrite can see missing files); a consumer needing strict
+    * read stability reads `committedVersions(root).dropRight(1)` — or,
+    * at warehouse scale, this whole layout is the hand-rolled fraction
+    * of what a snapshot-isolated table format provides natively. */
+  def latestUpsertVersion(tableRoot: String): String = {
+    val committed = committedVersions(new java.io.File(tableRoot))
     require(committed.nonEmpty, s"no committed version under $tableRoot")
     s"$tableRoot/v${committed.max}"
   }
@@ -392,6 +425,7 @@ object EventStream {
       sentinel: Option[DataFrame] = None,
       tail: Seq[DataFrame] = Nil): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    registerRestartRoot(root.toFile) // reclaim all replay inputs at exit
     val dir = root.resolve("in").toString
     // One scan feeds the bounds probe plus every chunk filter — without
     // the cache each chunk re-reads the source parquet.
@@ -708,6 +742,7 @@ object EventStream {
       batchSide.withColumn("__sec", col("doc_id")),
       Seq("doc_id", "text"), chunks)
     val outDir = java.nio.file.Files.createTempDirectory("graft_e15_out").toString
+    registerRestartRoot(new java.io.File(outDir))
     // seed the sink with the empty schema so an all-clean replay still reads
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("batch_id",
@@ -749,8 +784,10 @@ object EventStream {
     spark.read.parquet(s"$outDir/b*")
   }
 
-  /** Restart-replay roots awaiting JVM-exit deletion (see the tmpfs
-    * note in [[replayRestart]]); the hook installs once. */
+  /** Replay temp roots awaiting JVM-exit deletion — restart sinks on
+    * tmpfs (see [[replayRestart]]), chunked replay inputs, and upsert
+    * version tables; a returned DataFrame may read them lazily, so
+    * exit is the earliest safe reclaim point. The hook installs once. */
   private val restartRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   private lazy val restartCleanupHook: Unit =
@@ -935,6 +972,10 @@ object EventStream {
     val dir = chunkedReplayDir(src, cols, chunks)
     val root = java.nio.file.Files
       .createTempDirectory("graft_upsert_tbl").toString
+    // version snapshots are O(users) each and the soak runs this lane
+    // at 10x keys twice per factor — reclaimed at JVM exit like every
+    // replay root (round-10 review finding)
+    registerRestartRoot(new java.io.File(root))
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(dir)

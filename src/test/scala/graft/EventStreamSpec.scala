@@ -122,7 +122,8 @@ class EventStreamSpec extends SparkSpec {
     writeBatch(Seq((2L, "two-updated"), (3L, "three")))
     q.processAllAvailable()
     q.stop()
-    val versions = new java.io.File(s"$root/table").list().sorted.toSeq
+    val versions = new java.io.File(s"$root/table").list()
+      .filter(_.startsWith("v")).sorted.toSeq
     assert(versions == Seq("v0", "v1"))
     val latest = spark.read.parquet(s"$root/table/v1")
       .as[(Long, String)].collect().toMap
@@ -445,6 +446,39 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(latest ==
       Map(1L -> "one", 2L -> "two-updated", 3L -> "three"))
+  }
+
+  test("streamingUpsert fails fast on a tableRoot owned by another run" +
+      " instead of clobbering its versions") {
+    // batchId-named versions make a root single-owner: a FRESH query's
+    // batchIds restart at 0 and an unguarded write would overwrite the
+    // old run's v0 while ignoring its content. The _OWNER marker turns
+    // that silent data loss into a loud error; continuation is the
+    // checkpointed path (proven by the crash-window test above).
+    val root = java.nio.file.Files.createTempDirectory("es_upsert_owner")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .parquet(in)
+      val q = EventStream.streamingUpsert(stream, tbl, "id")
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((1L, "one")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(in)
+    drain() // run 1 commits v0 and stamps _OWNER
+    assert(new java.io.File(tbl, "v0/_SUCCESS").exists())
+    val before = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+      .as[(Long, String)].collect().toMap
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain() // run 2: new anonymous owner, same root — must refuse
+    }
+    assert(e.getMessage.contains("belongs to another query run"),
+      s"unexpected failure: ${e.getMessage}")
+    // and the refusal left the table untouched
+    val after = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+      .as[(Long, String)].collect().toMap
+    assert(after == before && before == Map(1L -> "one"))
   }
 
   test("replayUpsert: versioned micro-batch ingest converges to the" +
