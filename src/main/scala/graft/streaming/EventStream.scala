@@ -141,17 +141,7 @@ object EventStream {
         val spark = batch.sparkSession
         val root = new java.io.File(tableRoot)
         root.mkdirs()
-        val marker = new java.io.File(root, "_OWNER").toPath
-        if (java.nio.file.Files.exists(marker)) {
-          val existing = new String(
-            java.nio.file.Files.readAllBytes(marker), "UTF-8")
-          require(existing == owner,
-            s"tableRoot $tableRoot belongs to another query run " +
-              s"(owner $existing); pass that run's checkpoint to " +
-              "continue it, or use a fresh root — a new run's batchIds " +
-              "restart at 0 and would overwrite its versions")
-        } else
-          java.nio.file.Files.write(marker, owner.getBytes("UTF-8")): Unit
+        requireOwner(root, owner)
         val committedBefore =
           committedVersions(root).filter(_ < batchId)
         val incoming = reduceBatch(batch.toDF())
@@ -168,12 +158,47 @@ object EventStream {
       .start()
   }
 
+  /** Enforce (or establish) the root's single-owner contract. Creation
+    * is ATOMIC: the owner string is written to a temp file and
+    * hard-linked into place — link(2) fails atomically when the marker
+    * already exists, so two fresh queries racing the same empty root
+    * cannot both think they stamped it, and no reader can observe a
+    * truncated owner string (the round-10 advisor's check-then-write
+    * finding). The loser falls through to the read-and-compare path
+    * and fails the require like any other mismatched writer. */
+  private def requireOwner(root: java.io.File, owner: String): Unit = {
+    val marker = new java.io.File(root, "_OWNER").toPath
+    val existing: Option[String] =
+      if (java.nio.file.Files.exists(marker))
+        Some(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"))
+      else {
+        val tmp = java.nio.file.Files.createTempFile(
+          root.toPath, "._owner_", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, owner.getBytes("UTF-8"))
+          try { java.nio.file.Files.createLink(marker, tmp); None }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Some(new String(
+                java.nio.file.Files.readAllBytes(marker), "UTF-8"))
+          }
+        } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    existing.foreach(e => require(e == owner,
+      s"tableRoot $root belongs to another query run " +
+        s"(owner $e); pass that run's checkpoint to " +
+        "continue it, or use a fresh root — a new run's batchIds " +
+        "restart at 0 and would overwrite its versions"))
+  }
+
   /** The commit-visibility rule, in ONE place for the writer's merge
     * source and the consumer's read: a version exists once its parquet
-    * commit marker does. */
+    * commit marker does. Strictly `v<digits>` — a stray non-version
+    * file in the root (editor backup, notes) must be ignored, not
+    * parsed into a NumberFormatException inside foreachBatch. */
   private def committedVersions(root: java.io.File): Seq[Long] =
     Option(root.list()).getOrElse(Array.empty)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .filter(v => new java.io.File(root, s"v$v/_SUCCESS").exists())
       .sorted.toSeq
 
@@ -452,45 +477,68 @@ object EventStream {
   private def withSec(events: DataFrame): DataFrame =
     events.withColumn("__sec", col("ts").cast("long"))
 
-  private def memorySink(df: DataFrame, prefix: String,
-      mode: OutputMode): DataFrame = {
-    val spark = df.sparkSession
+  /** Isolated CHILD SESSION for a replay's streaming queries: same
+    * SparkContext and catalog, private SQLConf — nothing global is
+    * mutated and nothing needs restoring, so replays built on a runner
+    * are safe under a concurrent driver (ConcurrencySpec runs them).
+    *
+    * Replay state is tiny but per-batch cost scales with state
+    * partitions (a stream-stream join commits 4 stores per partition
+    * per batch): 4 partitions instead of the session's 32 cuts the
+    * commit count 8x. Real deployments size this to their key space.
+    * (No-data batches stay at the default here: the single-sentinel
+    * replays rely on the trailing no-data batch to flush their last
+    * windows — only [[replayRestart]]'s dual-sentinel design turns
+    * them off, on its own runner.)
+    *
+    * `newSession()` clones the parent's conf AS OF SESSION CREATION
+    * only for static defaults — runtime `spark.conf.set` overrides do
+    * NOT propagate (verified empirically on Spark 4.1.2; the round-10
+    * state-store A/B silently ran default-vs-default because of it).
+    * The caller's state-store choices are therefore copied explicitly:
+    * the provider class and every `stateStore.*` tuning knob set on
+    * the parent take effect on the runner's queries. */
+  private def isolatedRunner(spark: SparkSession): SparkSession = {
+    val runner = spark.newSession()
+    runner.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.getAll
+      .filter(_._1.startsWith("spark.sql.streaming.stateStore."))
+      .foreach { case (k, v) => runner.conf.set(k, v) }
+    runner
+  }
+
+  /** Drain a streaming plan into an in-memory sink and return the sink
+    * table. The plan is BUILT on an [[isolatedRunner]] child session
+    * (hence the builder parameter, not a DataFrame — a stream arrives
+    * bound to whatever session constructed it), so the replay's
+    * 4-partition state conf never touches the caller's session and the
+    * memorySink replays are concurrency-safe like replayRestart —
+    * ConcurrencySpec runs them beside batch queries. A tmpfs
+    * checkpoint keeps offset-log and state-delta fsyncs off disk, and
+    * is reclaimed the moment the drain ends; the returned table's rows
+    * live in the sink, not the checkpoint. */
+  private def memorySink(parent: SparkSession,
+      build: SparkSession => DataFrame,
+      prefix: String, mode: OutputMode): DataFrame = {
+    val runner = isolatedRunner(parent)
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    // Replay state is tiny but per-batch cost scales with state
-    // partitions (a stream-stream join commits 4 stores per partition
-    // per batch): 8 partitions instead of the session's 32 cuts the
-    // commit count 4x, and a tmpfs checkpoint keeps offset-log and
-    // state-delta fsyncs off disk. The conf is restored after the
-    // drain; the state partition count is pinned into the query's
-    // offset log at the first batch, so the restore cannot re-shape a
-    // running query. Real deployments size this to their key space.
-    // CONCURRENCY SCOPE: this set/restore mutates the CALLER's session
-    // conf, so memorySink-based replays are sequential-only — a batch
-    // query interleaving with the drain would plan at 4 shuffle
-    // partitions (the same scope note as GraphPlanning's pin pool;
-    // ConcurrencySpec deliberately excludes the replays). replayRestart
-    // shows the concurrency-safe form: an isolated child session via
-    // spark.newSession(), possible there because it builds its own
-    // stream — here the df arrives already bound to the caller's
-    // session.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt = (if (java.nio.file.Files.isDirectory(shm))
         java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
       else java.nio.file.Files.createTempDirectory("graft_ckpt")).toString
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = df.writeStream.format("memory").queryName(sink)
+      val q = build(runner).writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", ckpt)
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
       // the replay is done with its checkpoint the moment the drain ends —
       // reclaim the tmpfs space instead of accumulating a dir per replay
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
-    spark.table(sink)
+    // the sink registers in the runner's session catalog (temp views are
+    // session-scoped); the returned frame stays valid — same context
+    runner.table(sink)
   }
 
   /** E8 — deterministic FILE-STREAM REPLAY of a batch event table through
@@ -520,9 +568,10 @@ object EventStream {
       withSec(events.select(col("user_id"),
         date_trunc("second", col("ts")).as("ts"))),
       Seq("user_id", "ts"), chunks)
-    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    memorySink(sessionizeStreaming(stream.as[SessionEvent], gapMinutes).toDF(),
+    memorySink(spark, r => sessionizeStreaming(
+          r.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .as[SessionEvent], gapMinutes).toDF(),
         "graft_e8_", OutputMode.Append())
       .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
@@ -547,10 +596,11 @@ object EventStream {
     val spark = events.sparkSession
     val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
       replayCols, chunks)
-    def side(tpe: String) = spark.readStream.schema(replaySchema)
+    def side(r: SparkSession, tpe: String) = r.readStream.schema(replaySchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
       .where(col("event_type") === tpe)
-    memorySink(followsWithin(side("purchase"), side("click"), windowSec),
+    memorySink(spark,
+        r => followsWithin(side(r, "purchase"), side(r, "click"), windowSec),
         "graft_e10_", OutputMode.Append())
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
@@ -595,11 +645,12 @@ object EventStream {
       replayCols, chunks,
       sentinel = Some(sentinels(horizon)),
       tail = Seq(sentinels(horizon + 60)))
-    def side(tpe: String) = spark.readStream.schema(replaySchema)
+    def side(r: SparkSession, tpe: String) = r.readStream.schema(replaySchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
       .where(col("event_type") === tpe)
-    memorySink(
-        followsWithin(side("purchase"), side("click"), windowSec, "left_outer"),
+    memorySink(spark,
+        r => followsWithin(side(r, "purchase"), side(r, "click"), windowSec,
+          "left_outer"),
         "graft_e17_", OutputMode.Append())
       .where(col("p_user_id") >= 0)
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
@@ -622,9 +673,10 @@ object EventStream {
     import spark.implicits._
     val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
       replayCols, chunks)
-    val stream = spark.readStream.schema(replaySchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    memorySink(funnelStreaming(stream.as[FunnelEvent]).toDF(),
+    memorySink(spark, r => funnelStreaming(
+          r.readStream.schema(replaySchema)
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .as[FunnelEvent]).toDF(),
         "graft_e9_", OutputMode.Update())
       .groupBy(col("user_id"))
       .agg(max(col("funnel_stage")).as("funnel_stage"))
@@ -652,15 +704,15 @@ object EventStream {
       .withColumn("ts", timestamp_seconds(col("ts").cast("long") + 1800L))
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val dir = chunkedReplayDir(withSec(src.unionByName(retries)), cols, chunks)
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
-        "event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    val deduped = stream
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    memorySink(deduped, "graft_e13_", OutputMode.Append())
+    memorySink(spark, r => r.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      "graft_e13_", OutputMode.Append())
   }
 
   /** File-stream replay of the watermarked tumbling-window aggregation:
@@ -713,11 +765,11 @@ object EventStream {
         id = -1L)),
       tail = Seq(flushSentinel(spark, bounds.getLong(0) + 10860L, id = -2L),
         late))
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
-        "event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    memorySink(windowedAgg(stream), "graft_e16_", OutputMode.Append())
+    memorySink(spark, r => windowedAgg(r.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(dir)),
+        "graft_e16_", OutputMode.Append())
       .where(col("event_type") =!= "__flush")
   }
 
@@ -753,14 +805,16 @@ object EventStream {
         org.apache.spark.sql.types.DoubleType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       pairSchema).write.mode("overwrite").parquet(s"$outDir/bseed")
-    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+    // the stream (and so each foreachBatch invocation's planning) lives
+    // on an isolated child session — the 4-partition replay conf never
+    // touches the caller's session (same posture as memorySink)
+    val runner = isolatedRunner(spark)
+    val stream = runner.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt = (if (java.nio.file.Files.isDirectory(shm))
         java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
       else java.nio.file.Files.createTempDirectory("graft_ckpt")).toString
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -777,10 +831,8 @@ object EventStream {
         }
         .option("checkpointLocation", ckpt).start()
       try { q.processAllAvailable() } finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
     spark.read.parquet(s"$outDir/b*")
   }
 
@@ -884,17 +936,14 @@ object EventStream {
       src.where(col("__sec") >= cLo && col("__sec") < cHi)
     }
 
-    // The replay's conf (4 state partitions; no-data batches off — every
-    // emission here is data-driven, the dual sentinels carry the
-    // watermark, so AvailableNow's no-data flush batches are pure
-    // commit-cycle cost) lives on an ISOLATED CHILD SESSION: same
-    // SparkContext and catalog, private SQLConf. Nothing global is
-    // mutated and nothing needs restoring — unlike [[memorySink]]'s
-    // documented set/restore, this replay is safe under a concurrent
-    // driver. Both queries build from `runner`, so the checkpoint sees
-    // one consistent conf across the two incarnations.
-    val runner = spark.newSession()
-    runner.conf.set("spark.sql.shuffle.partitions", "4")
+    // Both queries build from one [[isolatedRunner]] child session, so
+    // the checkpoint sees one consistent conf across the two
+    // incarnations — and the caller's state-store provider choice
+    // actually reaches them (the round-10 A/B gap). No-data batches
+    // are off: every emission here is data-driven (the dual sentinels
+    // carry the watermark), so AvailableNow's no-data flush batches
+    // are pure commit-cycle cost.
+    val runner = isolatedRunner(spark)
     runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     // a fresh query per call — nothing driver-side survives between the
@@ -999,11 +1048,11 @@ object EventStream {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
     val dir = chunkedReplayDir(withSec(src), cols, chunks,
       sentinel = Some(flushSentinel(spark, bounds.getLong(0) + 10800L)))
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
-        "event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    memorySink(agg(stream), sinkPrefix, OutputMode.Append())
+    memorySink(spark, r => agg(r.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(dir)),
+        sinkPrefix, OutputMode.Append())
       .where(col("event_type") =!= "__flush")
   }
 }
