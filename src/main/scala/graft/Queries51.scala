@@ -36,6 +36,16 @@ object Queries51 {
   def e19StreamUpsert(spark: SparkSession, sfDir: String): DataFrame =
     graft.streaming.EventStream.replayUpsert(Tables.events(spark, sfDir))
 
+  // ---------------------------------------------------------------------
+  // E19B: the same continuous ingest through the BUCKETED table layout —
+  // every micro-batch merge partition-pruned to the id-buckets it
+  // touches (per-batch cost tracks the batch, not the table: the 100-TB
+  // posture). Same oracle; the layout must be invisible in the answer.
+  // ---------------------------------------------------------------------
+  def e19bStreamUpsertBucketed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayUpsertBucketed(
+      Tables.events(spark, sfDir))
+
   // value joins the total order so a redelivered (ts, event_id) pair
   // with a different value ties deterministically on both engines —
   // mirroring the Spark side's max(struct(ts, event_id, value))
@@ -50,9 +60,11 @@ object Queries51 {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e18_stream_restart" -> (e18StreamRestart _),
-    "e19_stream_upsert"  -> (e19StreamUpsert _))
+    "e19_stream_upsert"  -> (e19StreamUpsert _),
+    "e19b_stream_upsert_bucketed" -> (e19bStreamUpsertBucketed _))
 
   val oracles: Map[String, String] = Map(
     "e18_stream_restart" -> e18StreamRestartSql,
-    "e19_stream_upsert"  -> e19StreamUpsertSql)
+    "e19_stream_upsert"  -> e19StreamUpsertSql,
+    "e19b_stream_upsert_bucketed" -> e19StreamUpsertSql)
 }

@@ -121,7 +121,7 @@ object MemoryOps {
 
   // --- bucketed layout: partition-pruned merge ---------------------------
 
-  private def bucketOf(idCol: String, nBuckets: Int): Column =
+  private[graft] def bucketOf(idCol: String, nBuckets: Int): Column =
     pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
 
   /** Write a keyed table hash-bucketed by id (`__bucket=k/` partition

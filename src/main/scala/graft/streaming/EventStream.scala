@@ -138,24 +138,156 @@ object EventStream {
       "anon-" + java.util.UUID.randomUUID().toString)
     val writer = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
         val root = new java.io.File(tableRoot)
         root.mkdirs()
         requireOwner(root, owner)
-        val committedBefore =
-          committedVersions(root).filter(_ < batchId)
-        val incoming = reduceBatch(batch.toDF())
-        val merged = committedBefore.lastOption match {
-          case Some(latest) =>
-            graft.operators.MemoryOps.upsertById(
-              spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol)
-          case None => incoming
-        }
-        merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
-        ()
+        upsertBatchPlain(tableRoot, reduceBatch(batch.toDF()), batchId, idCol)
     }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+  }
+
+  /** One micro-batch of [[streamingUpsert]]'s merge, as a plain batch
+    * job (the foreachBatch body, shared with ProbeUpsert's lane timer):
+    * LWW-merge `incoming` against the newest `_SUCCESS`-committed
+    * version with id < batchId and overwrite `v<batchId>`. O(table) per
+    * batch — the simple form; [[upsertBatchBucketed]] is the pruned one. */
+  private[graft] def upsertBatchPlain(tableRoot: String, incoming: DataFrame,
+      batchId: Long, idCol: String): Unit = {
+    val spark = incoming.sparkSession
+    val committedBefore =
+      committedVersions(new java.io.File(tableRoot)).filter(_ < batchId)
+    val merged = committedBefore.lastOption match {
+      case Some(latest) =>
+        graft.operators.MemoryOps.upsertById(
+          spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol)
+      case None => incoming
+    }
+    merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
+  }
+
+  // --- bucketed streaming upsert: the partition-pruned 100-TB form --------
+
+  /** BUCKETED streaming upsert — [[streamingUpsert]] with the
+    * partition-pruned merge of
+    * [[graft.operators.MemoryOps.upsertBucketed]] wired into the
+    * micro-batch path. The table lives as `nBuckets` hash buckets of
+    * the id key (`b0..b{n-1}`), each versioned INDEPENDENTLY
+    * (`b<k>/v<batchId>`); a micro-batch reads and rewrites only the
+    * buckets its keys hash into, so the merge cost is bounded by
+    * (touched buckets) × (bucket size) — it tracks the BATCH, not the
+    * table (the reference's point-upsert contract: an upsert must not
+    * touch unrelated keys, src/vector_store.rs:215-255). At warehouse
+    * scale nBuckets grows with the table at fixed bucket size, making
+    * the per-update cost a constant; a table format with native MERGE
+    * subsumes this layout unchanged.
+    *
+    * Same crash discipline as the plain form, per bucket: versions are
+    * named by the stable batchId, each merge reads only
+    * `_SUCCESS`-committed predecessor versions (id < batchId) of its
+    * touched buckets — never a partial write, never the retry's own
+    * first attempt — and a retried batch clobbers its own staging and
+    * bucket-version dirs, so the table converges exactly once. The
+    * `_OWNER` guard is shared with [[streamingUpsert]]. */
+  def streamingUpsertBucketed(
+      stream: DataFrame,
+      tableRoot: String,
+      idCol: String,
+      nBuckets: Int = 16,
+      reduceBatch: DataFrame => DataFrame = identity,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = checkpoint.getOrElse(
+      "anon-" + java.util.UUID.randomUUID().toString)
+    val writer = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val root = new java.io.File(tableRoot)
+        root.mkdirs()
+        requireOwner(root, owner)
+        upsertBatchBucketed(tableRoot, reduceBatch(batch.toDF()), batchId,
+          idCol, nBuckets)
+    }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** One micro-batch of the bucketed merge (the foreachBatch body,
+    * shared with ProbeUpsert): prune to touched buckets, merge, write
+    * the next version of each touched bucket via staging + per-bucket
+    * promote. Untouched buckets' files are never read or written. */
+  private[graft] def upsertBatchBucketed(tableRoot: String, inc0: DataFrame,
+      batchId: Long, idCol: String, nBuckets: Int): Unit = {
+    val spark = inc0.sparkSession
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("__bucket",
+      graft.operators.MemoryOps.bucketOf(idCol, nBuckets))
+    val inc = bucketed(inc0)
+    // the touched-bucket list is table METADATA (≤ nBuckets small ints) —
+    // collecting it on the driver is the pruning step, not a data collect
+    val touched = inc.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    // newest committed predecessor PER BUCKET — buckets version
+    // independently, so each may sit at a different latest version
+    val currentPaths = touched.flatMap(k =>
+      committedVersions(new java.io.File(tableRoot, s"b$k"))
+        .filter(_ < batchId).lastOption.map(v => s"$tableRoot/b$k/v$v"))
+    val merged =
+      if (currentPaths.isEmpty) inc
+      else graft.operators.MemoryOps.upsertById(
+        // __bucket is a pure function of the id — recomputing beats
+        // persisting it into the data files
+        bucketed(spark.read.parquet(currentPaths.toIndexedSeq: _*)),
+        inc, idCol)
+    // ONE job writes every touched bucket's next version into staging
+    // (clustered on the bucket → one file per bucket dir); promotion is
+    // a per-bucket rename + commit marker. Leading underscore keeps
+    // parquet readers from ever listing the staging dir as data.
+    val staging = new java.io.File(tableRoot, s"_staging_v$batchId")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    merged.repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(staging.getPath)
+    touched.foreach { k =>
+      val src = new java.io.File(staging, s"__bucket=$k")
+      val dstDir = new java.io.File(tableRoot, s"b$k")
+      dstDir.mkdirs()
+      val dst = new java.io.File(dstDir, s"v$batchId")
+      org.apache.commons.io.FileUtils.deleteQuietly(dst)
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      new java.io.File(dst, "_SUCCESS").createNewFile(): Unit
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(staging): Unit
+  }
+
+  /** Current state of a [[streamingUpsertBucketed]] table: the newest
+    * `_SUCCESS`-committed version of every bucket. Same read-stability
+    * caveat as [[latestUpsertVersion]] — a crash-window retry rewrites
+    * the newest version in place (byte-identically); strict readers
+    * take each bucket's `dropRight(1)`, and a snapshot-isolated table
+    * format subsumes all of this at warehouse scale. */
+  def latestBucketedUpsert(spark: SparkSession, tableRoot: String): DataFrame = {
+    val root = new java.io.File(tableRoot)
+    val paths = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).sorted.flatMap(b =>
+        committedVersions(new java.io.File(root, b)).lastOption
+          .map(v => s"$tableRoot/$b/v$v"))
+    require(paths.nonEmpty, s"no committed bucket version under $tableRoot")
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Reclaim superseded bucket versions: everything but the newest
+    * committed version of each bucket. MAINTENANCE-WINDOW ONLY — a
+    * concurrently running merge may be reading the version this
+    * deletes (the newest < its batchId); real table formats solve the
+    * same problem with snapshot retention horizons. */
+  def vacuumBucketed(tableRoot: String): Unit = {
+    val root = new java.io.File(tableRoot)
+    Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).foreach { b =>
+        val dir = new java.io.File(root, b)
+        committedVersions(dir).dropRight(1).foreach(v =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dir, s"v$v")): Unit)
+      }
   }
 
   /** Enforce (or establish) the root's single-owner contract. Creation
@@ -1035,6 +1167,38 @@ object EventStream {
           col("m.event_id").as("event_id"), col("m.value").as("value")))
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(latestUpsertVersion(root))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
+  }
+
+  /** E19B — the BUCKETED form of [[replayUpsert]]: the same per-batch
+    * latest-per-key reduction and LWW semantics, ingested through
+    * [[streamingUpsertBucketed]] so every micro-batch merge is
+    * partition-pruned to the id-buckets it touches — the 100-TB ingest
+    * posture under the same DuckDB oracle as the plain form. The final
+    * state (newest committed version of every bucket) must equal the
+    * per-user argmax over the whole table, bucket layout invisible. */
+  def replayUpsertBucketed(events: DataFrame, chunks: Int = 6,
+      nBuckets: Int = 32): DataFrame = {
+    val spark = events.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val src = withSec(events.select(col("event_id"), col("ts"),
+      col("user_id"), col("value")))
+    val dir = chunkedReplayDir(src, cols, chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsertb_tbl").toString
+    registerRestartRoot(new java.io.File(root))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
+      reduceBatch = b =>
+        b.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value").as("value")))
+    try q.processAllAvailable() finally q.stop()
+    latestBucketedUpsert(spark, root)
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"))
   }

@@ -448,6 +448,48 @@ class EventStreamSpec extends SparkSpec {
       Map(1L -> "one", 2L -> "two-updated", 3L -> "three"))
   }
 
+  test("streamingUpsert RESUMES a half-ingested table across a process" +
+      " restart: same checkpoint, new query incarnation, batchIds continue" +
+      " past the existing versions") {
+    // the recovery path the _OWNER error message prescribes ("pass that
+    // run's checkpoint to continue it"), proven end to end: query 1
+    // ingests half the feed and terminates; query 2 — a fresh plan over
+    // the SAME checkpoint and root, the restarted-process shape — must
+    // pick up the owner marker, resume batch numbering past v0, merge
+    // against query 1's committed version, and converge to the same
+    // table a single uninterrupted run would have produced.
+    val root = java.nio.file.Files.createTempDirectory("es_upsert_resume")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingUpsert(stream, tbl, "id",
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    w.write(Seq((1L, "one"), (2L, "two")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    drain() // incarnation 1: commits v0, stamps _OWNER with the ckpt path
+    assert(new java.io.File(tbl, "v0/_SUCCESS").exists())
+    // the restart: new data arrives while the process is down
+    w.write(Seq((2L, "two-updated"), (3L, "three")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    drain() // incarnation 2: must resume as batch 1, not refuse or restart at 0
+    val versions = new java.io.File(tbl).list().filter(_.matches("v\\d+"))
+      .sorted.toSeq
+    assert(versions == Seq("v0", "v1"),
+      s"resume did not continue batch numbering: $versions")
+    val latest = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+      .as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "one", 2L -> "two-updated", 3L -> "three"))
+  }
+
   test("streamingUpsert fails fast on a tableRoot owned by another run" +
       " instead of clobbering its versions") {
     // batchId-named versions make a root single-owner: a FRESH query's
@@ -479,6 +521,115 @@ class EventStreamSpec extends SparkSpec {
     val after = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
       .as[(Long, String)].collect().toMap
     assert(after == before && before == Map(1L -> "one"))
+  }
+
+  test("streamingUpsertBucketed: a micro-batch rewrites ONLY the buckets" +
+      " its keys hash into; untouched buckets keep their old version") {
+    val nBuckets = 4
+    // resolve each id's bucket with the PRODUCTION hash — the test must
+    // not re-derive the bucketing rule
+    val bucketOfId = spark.range(1, 17)
+      .select($"id", operators.MemoryOps.bucketOf("id", nBuckets).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // all four buckets populated in batch 0, or the pruning assertion
+    // below is vacuous
+    assert(bucketOfId.values.toSet.size == nBuckets, s"fixture ids " +
+      s"1..16 no longer cover all $nBuckets buckets: $bucketOfId")
+    val target = bucketOfId(1L)
+    val updateIds = bucketOfId.collect { case (id, b) if b == target => id }
+    val root = java.nio.file.Files.createTempDirectory("es_upsertb")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write((1L to 16L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    w.write(updateIds.map(id => (id, s"p$id-v2")).toSeq.toDF("id", "payload"),
+      Seq("id", "payload"))
+    val stream = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", nBuckets)
+    try q.processAllAvailable() finally q.stop()
+    // THE pruning contract: batch 1 wrote v1 into the target bucket only
+    for (b <- 0 until nBuckets) {
+      val versions = Option(new java.io.File(tbl, s"b$b").list())
+        .getOrElse(Array.empty).filter(_.matches("v\\d+")).sorted.toSeq
+      if (b.toLong == target) assert(versions == Seq("v0", "v1"), s"b$b")
+      else assert(versions == Seq("v0"),
+        s"untouched bucket b$b was rewritten: $versions")
+    }
+    val latest = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    val exp = (1L to 16L).map(id =>
+      id -> (if (updateIds.toSet(id)) s"p$id-v2" else s"p$id")).toMap
+    assert(latest == exp)
+    // vacuum drops the superseded target-bucket version, answer unchanged
+    EventStream.vacuumBucketed(tbl)
+    assert(!new java.io.File(tbl, s"b$target/v0").exists())
+    assert(EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap == exp)
+  }
+
+  test("streamingUpsertBucketed survives the crash window: a re-executed" +
+      " batch reproduces its bucket versions idempotently") {
+    val nBuckets = 4
+    val root = java.nio.file.Files.createTempDirectory("es_upsertb_crash")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write((1L to 8L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    w.write(Seq((2L, "p2-v2"), (9L, "p9")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", nBuckets,
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    drain() // batches 0 and 1 committed
+    def layout(): Map[String, Seq[String]] =
+      (0 until nBuckets).map(b => s"b$b" ->
+        Option(new java.io.File(tbl, s"b$b").list()).getOrElse(Array.empty)
+          .filter(_.matches("v\\d+")).sorted.toSeq).toMap
+    val before = layout()
+    // crash simulation: batch 1's commit record vanishes; the restart
+    // must re-execute it against buckets that already hold its output
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.map(_.getName).toSeq == Seq("0", "1"))
+    val victim = commits.last
+    assert(victim.delete())
+    Seq(new java.io.File(victim.getParent, victim.getName + ".checksum"),
+        new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
+      .foreach(f => if (f.exists()) f.delete(): Unit)
+    drain() // retry of batch 1
+    assert(layout() == before,
+      s"retry changed the bucket-version layout: ${layout()} vs $before")
+    val latest = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    val exp = (1L to 9L).map(id =>
+      id -> (if (id == 2L) "p2-v2" else s"p$id")).toMap
+    assert(latest == exp)
+  }
+
+  test("replayUpsertBucketed: partition-pruned versioned ingest converges" +
+      " to the same per-user argmax as the plain form") {
+    val ev = Tables.events(spark, sf0001)
+    val got = EventStream.replayUpsertBucketed(ev, chunks = 4, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc, $"value".desc)
+    val exp = ev.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_id", round($"value", 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
   }
 
   test("replayUpsert: versioned micro-batch ingest converges to the" +
