@@ -58,13 +58,27 @@ object Queries51 {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // E20: the transformWithState sessionizer (the declared big-state
+  // migration API, RocksDB-backed typed state) through the e8 replay
+  // harness — the migration target must satisfy the same batch-mirror
+  // oracle as the flatMapGroupsWithState form it replaces.
+  // ---------------------------------------------------------------------
+  def e20TwsSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayTwsSessionize(
+      Tables.events(spark, sfDir))
+
+  val e20TwsSessionizeSql: String = Queries.e4SessionizeSql
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e18_stream_restart" -> (e18StreamRestart _),
     "e19_stream_upsert"  -> (e19StreamUpsert _),
-    "e19b_stream_upsert_bucketed" -> (e19bStreamUpsertBucketed _))
+    "e19b_stream_upsert_bucketed" -> (e19bStreamUpsertBucketed _),
+    "e20_tws_sessionize" -> (e20TwsSessionize _))
 
   val oracles: Map[String, String] = Map(
     "e18_stream_restart" -> e18StreamRestartSql,
     "e19_stream_upsert"  -> e19StreamUpsertSql,
-    "e19b_stream_upsert_bucketed" -> e19StreamUpsertSql)
+    "e19b_stream_upsert_bucketed" -> e19StreamUpsertSql,
+    "e20_tws_sessionize" -> e20TwsSessionizeSql)
 }

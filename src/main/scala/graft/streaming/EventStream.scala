@@ -710,6 +710,42 @@ object EventStream {
         max(col("n_events")).as("n_events"))
   }
 
+  /** E20 — the [[replaySessionize]] harness pointed at the
+    * `transformWithState` sessionizer ([[TwsSessionize]]): the declared
+    * big-state migration API carries the SAME DuckDB hash-compare
+    * evidence as the `flatMapGroupsWithState` primary it replaces (e4's
+    * batch-mirror SQL). Same truncation/ordering/read-out contract as
+    * e8 — the two forms share `foldSessionEvents`, so a divergence here
+    * isolates to the TWS state plumbing, not the gap rule.
+    *
+    * PROVIDER REQUIREMENT: `transformWithState` runs only on the
+    * RocksDB state store (its typed state handles are implemented
+    * against it) — set on the replay's ISOLATED runner session, never
+    * on the caller's. */
+  def replayTwsSessionize(
+      events: DataFrame,
+      chunks: Int = 8,
+      gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dir = chunkedReplayDir(
+      withSec(events.select(col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))),
+      Seq("user_id", "ts"), chunks)
+    memorySink(spark, { r =>
+        r.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        TwsSessionize.sessionize(
+          r.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .as[SessionEvent], gapMinutes).toDF()
+      }, "graft_e20_", OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
+
   private val replaySchema =
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
   private val replayCols = Seq("event_id", "ts", "user_id", "event_type")

@@ -19,16 +19,17 @@ import scala.concurrent.duration._
   * benign by design. */
 class ConcurrencySpec extends SparkSpec {
 
-  // e18 is the one STREAMING replay in the set: it runs its queries on
-  // an isolated child session (spark.newSession()), so its 4-partition
-  // state conf must never leak into the batch queries planning beside
-  // it — asserted below. The memorySink-based replays mutate the shared
-  // session conf by design and stay sequential-only (documented at
-  // EventStream.memorySink); they are deliberately NOT in this set.
+  // THREE streaming replays in the set: e18 (own child session since
+  // round 10) plus a memorySink replay (e11) and the TWS sessionizer
+  // replay (e20) — every replay now builds its streams on an isolated
+  // child session (EventStream.isolatedRunner), so their 4-partition
+  // state conf (and e20's RocksDB provider requirement) must never
+  // leak into the batch queries planning beside them — asserted below.
   private val names = Seq(
     "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
     "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
-    "d2_minhash_pairs", "v2_knn_topk", "e18_stream_restart")
+    "d2_minhash_pairs", "v2_knn_topk", "e18_stream_restart",
+    "e11_stream_window", "e20_tws_sessionize")
 
   private def str(v: Any): String = v match {
     case a: Array[_] => a.map(str).mkString("[", ",", "]")
@@ -39,10 +40,12 @@ class ConcurrencySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .collect().map(_.toSeq.map(str).mkString("|")).toSeq.sorted
 
-  test("nine queries incl. three lazy-return pin users (one past the" +
-      " FIFO bound) and a streaming replay run concurrently and match" +
-      " sequential results") {
+  test("eleven queries incl. three lazy-return pin users (one past the" +
+      " FIFO bound) and three streaming replays run concurrently and" +
+      " match sequential results") {
     val shufflePrev = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerPrev =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     val sequential = names.map(n => n -> rowsOf(n)).toMap
     val pool = java.util.concurrent.Executors.newFixedThreadPool(names.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -60,6 +63,9 @@ class ConcurrencySpec extends SparkSpec {
       assert(spark.conf.get("spark.sql.shuffle.partitions") == shufflePrev,
         "the streaming replay's child-session conf leaked into the" +
           " shared session")
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          == providerPrev,
+        "e20's RocksDB provider requirement leaked into the shared session")
     } finally pool.shutdown()
   }
 }
