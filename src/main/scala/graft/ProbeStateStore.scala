@@ -77,3 +77,88 @@ object ProbeStateStore {
     spark.stop()
   }
 }
+
+/** Dev main: FORCE the state-store crossover. The A/B above proves the
+  * providers semantics-neutral and prices the near side (default wins
+  * while state fits comfortably in heap); this lane sizes keyed state
+  * against the driver heap to put a number on the FAR side — where the
+  * HDFS-backed provider's in-heap maps (plus its retained prior
+  * version) crowd the old generation and RocksDB's off-heap storage
+  * stops paying rent and starts collecting it.
+  *
+  * Shape: K distinct long keys streamed as 4 real micro-batches through
+  * exact `dropDuplicates` into a noop sink — e18's unbounded-dedup
+  * state pattern with everything but state stripped away, so the lane
+  * times the provider, not a query. 4 state partitions (the replay
+  * posture); state grows to K keys by the final batch. Each lane runs
+  * in its own child session; input files are shared.
+  *
+  * Usage: runMain graft.ProbeStateForce [keyCounts...]
+  *        (default: 2000000 16000000; driver heap is 8g unless
+  *        SPARK_DRIVER_MEM overrides)
+  */
+object ProbeStateForce {
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val keyCounts =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(2000000L, 16000000L)
+    val spark = Soak.soakSession()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.get(key)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root = if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_force")
+      else java.nio.file.Files.createTempDirectory("graft_force")
+    def lane(k: Long, provider: String, dir: String): (Double, Long) = {
+      val runner = spark.newSession()
+      runner.conf.set(key, provider)
+      runner.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(root, "ckpt").toString
+      val t0 = System.nanoTime()
+      val q = runner.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .dropDuplicates("id")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val heap = (Runtime.getRuntime.totalMemory()
+        - Runtime.getRuntime.freeMemory()) / (1 << 20)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      (sec, heap)
+    }
+    try {
+      for (k <- keyCounts) {
+        val dir = root.resolve(s"in_$k").toString
+        val w = new graft.streaming.EventStream.ChunkWriter(dir)
+        (0 until 4).foreach(i => w.write(
+          spark.range(k * i / 4, k * (i + 1) / 4).toDF("id"), Seq("id")))
+        // untimed warmup at a sliver of the size so codegen/classloading
+        // never lands in a timed lane
+        val warmDir = root.resolve(s"warm_$k").toString
+        val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
+        ww.write(spark.range(1000).toDF("id"), Seq("id"))
+        for (p <- Seq(default, RocksDb)) lane(1000L, p, warmDir)
+        for ((label, p) <- Seq("hdfs-backed (default)" -> default,
+            "rocksdb" -> RocksDb)) {
+          val (sec, heap) = lane(k, p, dir)
+          println(f"[stateforce] $label%-22s keys=$k%-10d $sec%7.2f s  " +
+            f"(post-gc heap ${heap}M)")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(warmDir)): Unit
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      spark.stop()
+    }
+  }
+}

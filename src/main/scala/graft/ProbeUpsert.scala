@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: price the PER-BATCH MERGE COST of the two streaming-upsert
+  * layouts as the table grows with the batch size FIXED — the claim the
+  * bucketed form exists for (an upsert's cost must track the batch, not
+  * the table; reference: the point-upsert contract of
+  * src/vector_store.rs:215-255).
+  *
+  * Lanes share one batch-merge code path with the streaming writers
+  * ([[graft.streaming.EventStream.upsertBatchPlain]] /
+  * `upsertBatchBucketed` — the exact foreachBatch bodies), so the probe
+  * times the production merge, while the e19/e19b oracle rows prove the
+  * streaming wiring around it.
+  *
+  * Setup per factor f: table of N = 200k×f keys seeded as batch 0;
+  * three micro-batches of B = 100 updates each (deterministic id
+  * spread, identical across lanes), timed individually. The bucketed
+  * lane holds BUCKET SIZE constant (10k keys) and grows the bucket
+  * count with the table — the warehouse layout — so its per-batch cost
+  * is bounded by touched-buckets × bucket-size ≤ B × 10k rows
+  * regardless of N, while the plain lane rewrites all N rows every
+  * batch. Uniform random keys touch ~min(B, nBuckets) buckets, so the
+  * bound saturates once nBuckets > B; the honest shape is "saturates"
+  * (bucketed), not "constant from x1", vs "linear forever" (plain).
+  * Final table content is md5-asserted identical across lanes per
+  * factor — the layout must be invisible in the answer.
+  *
+  * Usage: runMain graft.ProbeUpsert [factors...] (default: 1 10 100)
+  */
+object ProbeUpsert {
+  private val BaseKeys = 200000L
+  private val KeysPerBucket = 10000L
+  private val BatchSize = 100
+  private val Batches = 3
+
+  private def updateIds(n: Long, batch: Int): Seq[Long] =
+    (0 until BatchSize)
+      .map(j => Math.floorMod(j * 2654435761L + batch * 7919L, n))
+      .distinct
+
+  /** Order-independent DISTRIBUTED content fingerprint — count plus the
+    * XOR of per-row xxhash64 over the name-sorted columns (rows are
+    * unique by id, so pair-cancellation cannot hide a difference; XOR
+    * cannot overflow under ANSI mode). Collecting the table to md5 it
+    * would itself be the anti-pattern this probe exists to price (and
+    * overflows maxResultSize at the x1000 lane). */
+  private def digestOf(df: DataFrame): String = {
+    val cols = df.columns.sorted.toIndexedSeq.map(col)
+    val r = df.select(xxhash64(cols: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+    s"n=${r.getLong(0)},x=${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
+    val spark = Soak.soakSession()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_probe_upsert")
+    try {
+      for (f <- factors) {
+        val n = BaseKeys * f
+        val nBuckets = (n / KeysPerBucket).toInt
+        val seed = spark.range(n).select(col("id"),
+          (col("id") * 1.0).as("value"), lit(0L).as("ver"))
+        def batchDf(b: Int): DataFrame =
+          updateIds(n, b).toDF("id").select(col("id"),
+            (col("id") * 1.5 + b).as("value"), lit(b.toLong).as("ver"))
+        val lanes: Seq[(String, String => (DataFrame, Long) => Unit)] = Seq(
+          "plain" -> (tbl => (df, b) =>
+            graft.streaming.EventStream.upsertBatchPlain(tbl, df, b, "id")),
+          "bucketed" -> (tbl => (df, b) =>
+            graft.streaming.EventStream.upsertBatchBucketed(
+              tbl, df, b, "id", nBuckets)))
+        val digests = scala.collection.mutable.Map.empty[String, String]
+        for ((label, mk) <- lanes) {
+          val tbl = root.resolve(s"x${f}_$label").toString
+          val merge = mk(tbl)
+          merge(seed, 0L) // seed batch — also the JVM/codegen warmup
+          val times = (1 to Batches).map { b =>
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            merge(batchDf(b), b.toLong)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val finalState = if (label == "plain")
+            spark.read.parquet(
+              graft.streaming.EventStream.latestUpsertVersion(tbl))
+          else
+            graft.streaming.EventStream.latestBucketedUpsert(spark, tbl)
+          digests(label) = digestOf(
+            finalState.select(col("id"), round(col("value"), 6), col("ver")))
+          println(f"[upsert] $label%-9s x$f%-4d keys=$n%-9d " +
+            f"buckets=${if (label == "plain") 1 else nBuckets}%-5d " +
+            f"batches=${times.map(t => f"$t%.2f").mkString("/")} s  " +
+            f"median=${times.sorted.apply(Batches / 2)}%.2f s  " +
+            s"(${digests(label)})")
+        }
+        require(digests("plain") == digests("bucketed"),
+          s"layout changed the ANSWER at x$f: $digests")
+        // reclaim before the next decade — the plain lane keeps every
+        // O(table) version on disk by design
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          root.resolve(s"x${f}_plain").toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          root.resolve(s"x${f}_bucketed").toFile): Unit
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      spark.stop()
+    }
+  }
+}
