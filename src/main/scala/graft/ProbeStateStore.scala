@@ -146,8 +146,11 @@ object ProbeStateForce {
         val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
         ww.write(spark.range(1000).toDF("id"), Seq("id"))
         for (p <- Seq(default, RocksDb)) lane(1000L, p, warmDir)
-        for ((label, p) <- Seq("hdfs-backed (default)" -> default,
-            "rocksdb" -> RocksDb)) {
+        // RocksDB first: in a constrained-heap run (SPARK_DRIVER_MEM
+        // small), the in-heap lane dies with the JVM — the bounded-heap
+        // lane's number must already be on stdout by then
+        for ((label, p) <- Seq("rocksdb" -> RocksDb,
+            "hdfs-backed (default)" -> default)) {
           val (sec, heap) = lane(k, p, dir)
           println(f"[stateforce] $label%-22s keys=$k%-10d $sec%7.2f s  " +
             f"(post-gc heap ${heap}M)")

@@ -652,6 +652,28 @@ class EventStreamSpec extends SparkSpec {
     assert(exp.nonEmpty)
   }
 
+  test("replayRestart's isolated runner INHERITS the caller's state-store" +
+      " provider (the round-10 A/B silently ran default-vs-default)") {
+    // newSession() does not see runtime conf overrides; isolatedRunner
+    // copies spark.sql.streaming.stateStore.* explicitly. Proof by
+    // poison: a bogus provider class on the CALLER must fail the
+    // replay's queries — it can only fail if the conf reached the
+    // child session the streams actually run on.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "graft.NoSuchProvider")
+    try {
+      val e = intercept[Exception] {
+        EventStream.replayRestart(Tables.events(spark, sf0001), chunks = 4)
+          .count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("NoSuchProvider")),
+        s"replay ran without the caller's provider: ${chain(e)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("replayRestart survives the crash window: an uncommitted batch is" +
       " re-executed against a sink that already wrote it, no duplicates") {
     val ev = Tables.events(spark, sf0001)
