@@ -371,6 +371,19 @@ object Soak {
     // id-buckets the batch touched"; the unpruned rewrite is what this
     // lane prices). Output = one row per user, grows by the factor.
     "e19_stream_upsert" -> SparkEntry.queries("e19_stream_upsert"),
+    // the BUCKETED ingest at factor x keys: in this replay shape each
+    // micro-batch is ~table/6 — far above the 32-bucket count — so
+    // every batch touches every bucket and pruning CANNOT help; what
+    // the lane prices is the bucketed path's staging + per-bucket
+    // promote overhead at a growing table (the regime where pruning
+    // wins, batch << table, is ProbeUpsert's four-decade lane).
+    "e19b_stream_upsert_bucketed" ->
+      SparkEntry.queries("e19b_stream_upsert_bucketed"),
+    // the transformWithState sessionizer at factor x users: RocksDB
+    // value-state cells grow by the factor (one per user) while the
+    // replay cadence (8 chunks) stays fixed — the declared big-state
+    // migration API soaked on the provider it requires.
+    "e20_tws_sessionize" -> SparkEntry.queries("e20_tws_sessionize"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -638,7 +651,9 @@ object Soak {
     val maxFactor = Map("sp2_sparse_prefix" -> 10,
       "pr1_pagerank" -> 10,
       "e18_stream_restart" -> 10,
-      "e19_stream_upsert" -> 10).withDefaultValue(Int.MaxValue)
+      "e19_stream_upsert" -> 10,
+      "e19b_stream_upsert_bucketed" -> 10,
+      "e20_tws_sessionize" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
