@@ -55,6 +55,7 @@ object ProbeUpsert {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("stream")) return streamMain(args.drop(1))
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
     val spark = Soak.soakSession()
     import spark.implicits._
@@ -106,6 +107,83 @@ object ProbeUpsert {
           root.resolve(s"x${f}_plain").toFile)
         org.apache.commons.io.FileUtils.deleteQuietly(
           root.resolve(s"x${f}_bucketed").toFile): Unit
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      spark.stop()
+    }
+  }
+
+  /** `runMain graft.ProbeUpsert stream [factors...]` — the same decades
+    * measured THROUGH the real streaming writers, at the production
+    * cadence the batch lanes can't exercise: drain 1 ingests the seed
+    * (untimed), the process "restarts" (fresh query, same checkpoint —
+    * the RESUME path), and drain 2 — three small update micro-batches
+    * through the checkpointed query — is the timed product. Includes
+    * everything the batch lanes skip: micro-batch scheduling, offset/
+    * commit-log writes, the owner guard, and the resume handshake. */
+  private def streamMain(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
+    val spark = Soak.soakSession()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_probe_upstream")
+    try {
+      for (f <- factors) {
+        val n = BaseKeys * f
+        val nBuckets = (n / KeysPerBucket).toInt
+        val lanes: Seq[(String, (DataFrame, String, String) =>
+            org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
+          "plain" -> ((s, tbl, ck) => graft.streaming.EventStream
+            .streamingUpsert(s, tbl, "id", checkpoint = Some(ck))),
+          "bucketed" -> ((s, tbl, ck) => graft.streaming.EventStream
+            .streamingUpsertBucketed(s, tbl, "id", nBuckets,
+              checkpoint = Some(ck))))
+        val digests = scala.collection.mutable.Map.empty[String, String]
+        for ((label, mkQuery) <- lanes) {
+          val in = root.resolve(s"x${f}_${label}_in").toString
+          val tbl = root.resolve(s"x${f}_${label}_tbl").toString
+          val ckpt = root.resolve(s"x${f}_${label}_ckpt").toString
+          val w = new graft.streaming.EventStream.ChunkWriter(in)
+          def drain(): Unit = {
+            val stream = spark.readStream
+              .schema("id LONG, value DOUBLE, ver LONG")
+              .option("maxFilesPerTrigger", 1).parquet(in)
+            val q = mkQuery(stream, tbl, ckpt)
+            try q.processAllAvailable() finally q.stop()
+            val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+            while (spark.streams.active.exists(_.runId == q.runId) &&
+                System.nanoTime() < deadline) Thread.sleep(50)
+          }
+          w.write(spark.range(n).select(col("id"),
+            (col("id") * 1.0).as("value"), lit(0L).as("ver")),
+            Seq("id", "value", "ver"))
+          drain() // seed drain — untimed (and the warmup)
+          (1 to Batches).foreach { b =>
+            w.write(updateIds(n, b).toDF("id").select(col("id"),
+              (col("id") * 1.5 + b).as("value"), lit(b.toLong).as("ver")),
+              Seq("id", "value", "ver"))
+          }
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          drain() // RESUMED query: 3 small update batches — the product
+          val sec = (System.nanoTime() - t0) / 1e9
+          val finalState = if (label == "plain")
+            spark.read.parquet(
+              graft.streaming.EventStream.latestUpsertVersion(tbl))
+          else
+            graft.streaming.EventStream.latestBucketedUpsert(spark, tbl)
+          digests(label) = digestOf(
+            finalState.select(col("id"), round(col("value"), 6), col("ver")))
+          println(f"[upsert-stream] $label%-9s x$f%-4d keys=$n%-9d " +
+            f"buckets=${if (label == "plain") 1 else nBuckets}%-5d " +
+            f"drain2=$sec%7.2f s  (${digests(label)})")
+          Seq(s"x${f}_${label}_in", s"x${f}_${label}_tbl",
+              s"x${f}_${label}_ckpt").foreach(d =>
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              root.resolve(d).toFile): Unit)
+        }
+        require(digests("plain") == digests("bucketed"),
+          s"layout changed the ANSWER at x$f: $digests")
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)

@@ -150,6 +150,12 @@ object MemoryOps {
     * The touched-bucket list is table METADATA (≤ nBuckets small ints) —
     * collecting it on the driver is a partition-pruning step, not a
     * data-path collect.
+    *
+    * This is the batch IN-PLACE form (one current state, overwritten);
+    * the streaming writer needs crash-window idempotence across
+    * at-least-once retries, so it layers per-bucket VERSIONING on the
+    * same pruning idea — see
+    * [[graft.streaming.EventStream.streamingUpsertBucketed]].
     */
   def upsertBucketed(
       spark: org.apache.spark.sql.SparkSession,

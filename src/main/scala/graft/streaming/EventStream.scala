@@ -96,9 +96,12 @@ object EventStream {
     * producing a new immutable version directory per batch (`v0, v1, ...`
     * under `tableRoot`) — the streaming form of the reference's upsert
     * endpoint (src/vector_store.rs:215-255) built from the same
-    * [[graft.operators.MemoryOps.upsertById]] machinery. At scale each
-    * version rewrite is partition-pruned to the id-buckets the batch
-    * touched; a table format with native MERGE slots in here unchanged.
+    * [[graft.operators.MemoryOps.upsertById]] machinery. Each version
+    * rewrite here is O(table) — the SIMPLE form for small keyed tables;
+    * once the table outgrows the batch, use [[streamingUpsertBucketed]],
+    * whose merge is partition-pruned to the id-buckets the batch touched
+    * (ProbeUpsert prices the crossover). A table format with native
+    * MERGE slots in here unchanged.
     *
     * `reduceBatch` collapses each micro-batch BEFORE the merge — the
     * standard ingest discipline in front of a keyed upsert (reduce to
