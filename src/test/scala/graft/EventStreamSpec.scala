@@ -617,6 +617,47 @@ class EventStreamSpec extends SparkSpec {
     assert(latest == exp)
   }
 
+  test("version listing ignores stray non-version files in the table root" +
+      " instead of failing the query on a file it never wrote") {
+    // the round-11 advisor finding: committedVersions parsed every
+    // v-prefixed entry, so a 'versions.txt' or editor backup threw
+    // NumberFormatException inside foreachBatch
+    val root = java.nio.file.Files.createTempDirectory("es_upsert_stray")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    Seq((1L, "one")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(in)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
+    // the strays a human or tool drops next to the data
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tbl, "versions.txt"), "notes")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tbl, "v0.bak"))
+    val stream = spark.readStream.schema("id LONG, payload STRING")
+      .parquet(in)
+    val q = EventStream.streamingUpsert(stream, tbl, "id")
+    try q.processAllAvailable() finally q.stop()
+    val latest = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+      .as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "one"))
+  }
+
+  test("streamingUpsertBucketed: an empty micro-batch writes nothing and" +
+      " mints no versions") {
+    val root = java.nio.file.Files.createTempDirectory("es_upsertb_empty")
+    val tbl = root.resolve("table").toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.StringType))))
+    EventStream.upsertBatchBucketed(tbl, empty, 0L, "id", 4)
+    assert(Option(new java.io.File(tbl).list()).getOrElse(Array.empty)
+      .isEmpty, "empty batch left artifacts in the table root")
+  }
+
   test("replayUpsertBucketed: partition-pruned versioned ingest converges" +
       " to the same per-user argmax as the plain form") {
     val ev = Tables.events(spark, sf0001)
