@@ -56,6 +56,7 @@ object ProbeUpsert {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("stream")) return streamMain(args.drop(1))
+    if (args.headOption.contains("rebucket")) return rebucketMain(args.drop(1))
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
     val spark = Soak.soakSession()
     import spark.implicits._
@@ -108,6 +109,71 @@ object ProbeUpsert {
         org.apache.commons.io.FileUtils.deleteQuietly(
           root.resolve(s"x${f}_bucketed").toFile): Unit
       }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      spark.stop()
+    }
+  }
+
+  /** `runMain graft.ProbeUpsert rebucket [factor]` (default 100) — price
+    * what [[graft.streaming.EventStream.rebucketUpsert]] buys. The
+    * bucketed layout's flat per-batch cost rests on bucket size staying
+    * bounded; a table that grew 100× past its seed layout has 100×
+    * buckets-too-fat, and every touched bucket drags its whole fat
+    * bucket through the merge — the pruned path silently degrading
+    * toward the plain one. The lane measures the three costs of the
+    * maintenance story: per-batch merge on the STALE layout (bucket
+    * count sized for x1, table at xF), the one-time rebucket rewrite
+    * (O(table) by design — the price paid once per growth decade), and
+    * per-batch merge on the REGROWN layout (bucket size back at the
+    * 10k target). Content digest asserted unchanged across the
+    * rebucket; the post-rebucket merges go through the SAME
+    * upsertBatchBucketed call with the STALE seed count — proving the
+    * generation's `_NBUCKETS` governs, exactly as in production. */
+  private def rebucketMain(args: Array[String]): Unit = {
+    val f = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = Soak.soakSession()
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_probe_rebucket")
+    try {
+      val n = BaseKeys * f
+      val staleBuckets = (BaseKeys / KeysPerBucket).toInt // sized for x1
+      val grownBuckets = (n / KeysPerBucket).toInt
+      val tbl = root.resolve("tbl").toString
+      def merge(df: DataFrame, b: Long): Unit =
+        graft.streaming.EventStream.upsertBatchBucketed(
+          tbl, df, b, "id", staleBuckets) // seed count NEVER updated
+      def batchDf(b: Int): DataFrame =
+        updateIds(n, b).toDF("id").select(col("id"),
+          (col("id") * 1.5 + b).as("value"), lit(b.toLong).as("ver"))
+      def timed(bs: Range): Seq[Double] = bs.map { b =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        merge(batchDf(b), b.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+      merge(spark.range(n).select(col("id"), (col("id") * 1.0).as("value"),
+        lit(0L).as("ver")), 0L) // seed + warmup
+      val stale = timed(1 to Batches)
+      def digest(): String = digestOf(
+        graft.streaming.EventStream.latestBucketedUpsert(spark, tbl)
+          .select(col("id"), round(col("value"), 6), col("ver")))
+      val before = digest()
+      val t0 = System.nanoTime()
+      graft.streaming.EventStream.rebucketUpsert(spark, tbl, "id", grownBuckets)
+      val rebucketSec = (System.nanoTime() - t0) / 1e9
+      require(digest() == before,
+        s"rebucket changed the ANSWER: ${digest()} vs $before")
+      val regrown = timed(Batches + 1 to 2 * Batches)
+      def fmt(ts: Seq[Double]) =
+        f"${ts.map(t => f"$t%.2f").mkString("/")} s median=" +
+          f"${ts.sorted.apply(ts.size / 2)}%.2f"
+      println(f"[rebucket] x$f keys=$n stale($staleBuckets buckets, " +
+        f"${n / staleBuckets} keys/bucket): ${fmt(stale)}")
+      println(f"[rebucket] x$f rewrite to $grownBuckets buckets: " +
+        f"$rebucketSec%.2f s (one-time, O(table))")
+      println(f"[rebucket] x$f regrown($grownBuckets buckets, " +
+        f"${KeysPerBucket} keys/bucket): ${fmt(regrown)}")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       spark.stop()

@@ -59,6 +59,18 @@ object Queries51 {
       |WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // E19C: the bucketed ingest interrupted mid-feed by the table-growth
+  // maintenance op — stop clean, rebucketUpsert to 4x the buckets (the
+  // generation-pointer rewrite), resume the SAME checkpoint with the
+  // stale seed count. The new generation's _NBUCKETS must govern the
+  // resumed merges and the final state must satisfy the same oracle:
+  // the maintenance window is invisible in the data.
+  // ---------------------------------------------------------------------
+  def e19cStreamRebucket(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.replayUpsertRebucket(
+      Tables.events(spark, sfDir))
+
+  // ---------------------------------------------------------------------
   // E20: the transformWithState sessionizer (the declared big-state
   // migration API, RocksDB-backed typed state) through the e8 replay
   // harness — the migration target must satisfy the same batch-mirror
@@ -74,11 +86,13 @@ object Queries51 {
     "e18_stream_restart" -> (e18StreamRestart _),
     "e19_stream_upsert"  -> (e19StreamUpsert _),
     "e19b_stream_upsert_bucketed" -> (e19bStreamUpsertBucketed _),
+    "e19c_stream_rebucket" -> (e19cStreamRebucket _),
     "e20_tws_sessionize" -> (e20TwsSessionize _))
 
   val oracles: Map[String, String] = Map(
     "e18_stream_restart" -> e18StreamRestartSql,
     "e19_stream_upsert"  -> e19StreamUpsertSql,
     "e19b_stream_upsert_bucketed" -> e19StreamUpsertSql,
+    "e19c_stream_rebucket" -> e19StreamUpsertSql,
     "e20_tws_sessionize" -> e20TwsSessionizeSql)
 }

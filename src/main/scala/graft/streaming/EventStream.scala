@@ -191,7 +191,16 @@ object EventStream {
     * touched buckets — never a partial write, never the retry's own
     * first attempt — and a retried batch clobbers its own staging and
     * bucket-version dirs, so the table converges exactly once. The
-    * `_OWNER` guard is shared with [[streamingUpsert]]. */
+    * `_OWNER` guard is shared with [[streamingUpsert]].
+    *
+    * BUCKET-COUNT GOVERNANCE: `nBuckets` only SEEDS a fresh table. The
+    * authoritative count lives in the table's `_NBUCKETS` metadata
+    * file, stamped on the first batch and re-read every batch — so a
+    * maintenance-window [[rebucketUpsert]] (which rewrites the layout
+    * into a new committed generation with a different count) takes
+    * effect on the next resumed incarnation even if the caller still
+    * passes the stale seed value. Two writers racing different counts
+    * onto one root is already excluded by the `_OWNER` guard. */
   def streamingUpsertBucketed(
       stream: DataFrame,
       tableRoot: String,
@@ -217,18 +226,29 @@ object EventStream {
   /** One micro-batch of the bucketed merge (the foreachBatch body,
     * shared with ProbeUpsert): prune to touched buckets, merge, write
     * the next version of each touched bucket via staging + per-bucket
-    * promote. Untouched buckets' files are never read or written. */
-  private[graft] def upsertBatchBucketed(tableRoot: String, inc0: DataFrame,
+    * promote. Untouched buckets' files are never read or written. All
+    * paths resolve through the ACTIVE GENERATION (see
+    * [[rebucketUpsert]]) and the bucket count through its `_NBUCKETS`
+    * metadata — `nBuckets` is only the seed for a fresh table. */
+  private[graft] def upsertBatchBucketed(tableRoot0: String, inc0: DataFrame,
       batchId: Long, idCol: String, nBuckets: Int): Unit = {
     val spark = inc0.sparkSession
+    val dir = activeBucketedDir(new java.io.File(tableRoot0))
+    val tableRoot = dir.getPath
+    val n = readNBuckets(dir).getOrElse(nBuckets)
     def bucketed(df: DataFrame): DataFrame = df.withColumn("__bucket",
-      graft.operators.MemoryOps.bucketOf(idCol, nBuckets))
+      graft.operators.MemoryOps.bucketOf(idCol, n))
     val inc = bucketed(inc0)
     // the touched-bucket list is table METADATA (≤ nBuckets small ints) —
     // collecting it on the driver is the pruning step, not a data collect
     val touched = inc.select("__bucket").distinct()
       .collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
+    // the authoritative bucket count is stamped with the first real
+    // write (an empty batch leaves no artifacts at all)
+    if (readNBuckets(dir).isEmpty) {
+      dir.mkdirs(); writeMetaFile(dir, "_NBUCKETS", n.toString)
+    }
     // newest committed predecessor PER BUCKET — buckets version
     // independently, so each may sit at a different latest version
     val currentPaths = touched.flatMap(k =>
@@ -262,35 +282,279 @@ object EventStream {
   }
 
   /** Current state of a [[streamingUpsertBucketed]] table: the newest
-    * `_SUCCESS`-committed version of every bucket. Same read-stability
-    * caveat as [[latestUpsertVersion]] — a crash-window retry rewrites
-    * the newest version in place (byte-identically); strict readers
-    * take each bucket's `dropRight(1)`, and a snapshot-isolated table
+    * `_SUCCESS`-committed version of every bucket of the active
+    * generation. Same read-stability caveat as
+    * [[latestUpsertVersion]] — a crash-window retry rewrites the
+    * newest version in place (byte-identically); strict readers take
+    * each bucket's `dropRight(1)`, and a snapshot-isolated table
     * format subsumes all of this at warehouse scale. */
   def latestBucketedUpsert(spark: SparkSession, tableRoot: String): DataFrame = {
-    val root = new java.io.File(tableRoot)
+    val root = activeBucketedDir(new java.io.File(tableRoot))
     val paths = Option(root.list()).getOrElse(Array.empty)
       .filter(_.matches("b\\d+")).sorted.flatMap(b =>
         committedVersions(new java.io.File(root, b)).lastOption
-          .map(v => s"$tableRoot/$b/v$v"))
+          .map(v => s"${root.getPath}/$b/v$v"))
     require(paths.nonEmpty, s"no committed bucket version under $tableRoot")
     spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
-  /** Reclaim superseded bucket versions: everything but the newest
-    * committed version of each bucket. MAINTENANCE-WINDOW ONLY — a
-    * concurrently running merge may be reading the version this
-    * deletes (the newest < its batchId); real table formats solve the
-    * same problem with snapshot retention horizons. */
-  def vacuumBucketed(tableRoot: String): Unit = {
-    val root = new java.io.File(tableRoot)
+  /** TIME TRAVEL over a [[streamingUpsertBucketed]] table: its state
+    * as of micro-batch `asOfBatch` — per bucket, the newest committed
+    * version with id ≤ asOfBatch (a bucket untouched since then is
+    * unchanged by definition; a bucket whose FIRST version is newer
+    * held no data yet and is skipped). Buckets version independently,
+    * which is what makes the pruned writer cheap — this read is where
+    * the per-bucket version axes are stitched back into one table-wide
+    * snapshot. Fails loudly when `asOfBatch` predates the retention
+    * horizon ([[vacuumBucketed]] / [[rebucketUpsert]] destroy history;
+    * answering from partial remains would be silently wrong). */
+  def bucketedUpsertAsOf(spark: SparkSession, tableRoot: String,
+      asOfBatch: Long): DataFrame = {
+    val root = activeBucketedDir(new java.io.File(tableRoot))
+    val horizon = readHorizon(root)
+    require(asOfBatch > horizon,
+      s"as-of $asOfBatch predates the retention horizon $horizon of " +
+        s"$tableRoot — that history has been vacuumed or rebucketed away")
+    val paths = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).sorted.flatMap(b =>
+        committedVersions(new java.io.File(root, b))
+          .filter(_ <= asOfBatch).lastOption
+          .map(v => s"${root.getPath}/$b/v$v"))
+    require(paths.nonEmpty,
+      s"no committed bucket version ≤ $asOfBatch under $tableRoot")
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Reclaim superseded bucket versions, keeping the newest `keep`
+    * committed versions of each bucket (the retention horizon — as-of
+    * reads stay answerable within it), plus any superseded GENERATION
+    * left behind by a [[rebucketUpsert]] whose post-commit cleanup
+    * crashed. MAINTENANCE-WINDOW ONLY — a concurrently running merge
+    * may be reading the version this deletes (the newest < its
+    * batchId); real table formats solve the same problem with
+    * snapshot retention horizons.
+    *
+    * Raises `_RETENTION_HORIZON` to (lowest kept version − 1) over the
+    * buckets that lost versions: a bucket's state BELOW its lowest
+    * kept version is unanswerable, and one unanswerable bucket poisons
+    * the whole table-wide as-of (the stitched read above would
+    * silently drop that bucket's rows). */
+  def vacuumBucketed(tableRoot: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val top = new java.io.File(tableRoot)
+    val root = activeBucketedDir(top)
+    var floor = -1L
     Option(root.list()).getOrElse(Array.empty)
       .filter(_.matches("b\\d+")).foreach { b =>
         val dir = new java.io.File(root, b)
-        committedVersions(dir).dropRight(1).foreach(v =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
+        val versions = committedVersions(dir)
+        val doomed = versions.dropRight(keep)
+        if (doomed.nonEmpty) {
+          floor = math.max(floor, versions.drop(doomed.size).head - 1)
+          doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(dir, s"v$v")): Unit)
+        }
       }
+    if (floor > readHorizon(root))
+      writeMetaFile(root, "_RETENTION_HORIZON", floor.toString)
+    // stale generations: every gen dir except the active one is either
+    // superseded (committed, older) or a crashed rebucket's leftover
+    // staging (uncommitted) — both reclaimable inside the maintenance
+    // window this op already requires
+    Option(top.list()).getOrElse(Array.empty).filter(_.matches("gen\\d+"))
+      .map(g => new java.io.File(top, g)).filter(_ != root)
+      .foreach(g => org.apache.commons.io.FileUtils.deleteQuietly(g): Unit)
+    if (root != top) // pre-rebucket root-level layout, superseded too
+      Option(top.list()).getOrElse(Array.empty)
+        .filter(e => e.matches("b\\d+") || e == "_NBUCKETS" ||
+          e == "_RETENTION_HORIZON")
+        .foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(top, e)): Unit)
+  }
+
+  /** GROW (or shrink) a bucketed upsert table's bucket count — the
+    * maintenance half of the "at warehouse scale nBuckets grows with
+    * the table at fixed bucket size" contract the pruned writer's cost
+    * model rests on: rebucket keeps bucket size bounded as the table
+    * grows, so the per-batch merge cost stays a constant instead of
+    * degrading into the plain layout's O(table) as buckets fatten.
+    *
+    * An in-place swap cannot be made crash-safe (mid-swap, an old
+    * `b<k>/v<V>` and a new one are indistinguishable), so the rewrite
+    * commits through a GENERATION POINTER — the snapshot-pointer trick
+    * every real table format uses: the re-hashed state is fully
+    * written into a fresh `gen<n>` dir (buckets at version V = the max
+    * committed version, `_NBUCKETS` = the new count, horizon = V − 1
+    * since per-version history below V is not re-hashed), then made
+    * active by ONE atomic `_GEN_COMMIT` marker creation. Readers and
+    * the streaming writer resolve the newest committed generation
+    * first, so a crash anywhere before the marker leaves the old
+    * layout untouched and a re-run simply redoes the staging; a crash
+    * after it leaves reclaimable garbage ([[vacuumBucketed]] sweeps
+    * superseded generations).
+    *
+    * MAINTENANCE-WINDOW ONLY, and the stream must have stopped CLEAN:
+    * a crashed batch B retries on resume and merges against the newest
+    * committed versions < B — which this rewrite destroys (the new
+    * generation starts at V ≥ B). Checkpointed tables are guarded
+    * mechanically: the `_OWNER` marker records the checkpoint path, so
+    * rebucket compares its offsets log against its commits log and
+    * REFUSES while a batch is in flight (resume the query once to
+    * drain it). Anonymous tables need no guard — their temp checkpoint
+    * dies with the incarnation, so no retry can ever target them. */
+  def rebucketUpsert(spark: SparkSession, tableRoot: String, idCol: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val top = new java.io.File(tableRoot)
+    requireDrainedCheckpoint(top)
+    val cur = activeBucketedDir(top)
+    val buckets = Option(cur.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+"))
+    require(buckets.nonEmpty,
+      s"$tableRoot is not a bucketed upsert table (no b<k> dirs)")
+    val maxV = buckets.map(b =>
+      committedVersions(new java.io.File(cur, b)).lastOption.getOrElse(-1L)).max
+    require(maxV >= 0, s"no committed bucket version under $tableRoot")
+    val state = latestBucketedUpsert(spark, tableRoot)
+      .withColumn("__bucket",
+        graft.operators.MemoryOps.bucketOf(idCol, newBuckets))
+    val genId = (Option(top.list()).getOrElse(Array.empty)
+      .filter(_.matches("gen\\d+")).map(_.drop(3).toLong) :+ 0L).max + 1
+    val gen = new java.io.File(top, s"gen$genId")
+    org.apache.commons.io.FileUtils.deleteQuietly(gen) // crashed prior run
+    val staging = new java.io.File(gen, "_staging")
+    state.repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(staging.getPath)
+    Option(staging.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("__bucket=")).foreach { part =>
+        val k = part.stripPrefix("__bucket=")
+        val dst = new java.io.File(gen, s"b$k/v$maxV")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(
+          new java.io.File(staging, part).toPath, dst.toPath)
+        new java.io.File(dst, "_SUCCESS").createNewFile(): Unit
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    writeMetaFile(gen, "_NBUCKETS", newBuckets.toString)
+    writeMetaFile(gen, "_RETENTION_HORIZON",
+      math.max(maxV - 1, readHorizon(cur)).toString)
+    // THE commit point: one atomic marker creation flips the table to
+    // the new generation; everything before this line was invisible
+    require(new java.io.File(gen, "_GEN_COMMIT").createNewFile(),
+      s"generation $gen already committed — concurrent rebucket?")
+    // post-commit cleanup of the superseded layout; a crash here only
+    // strands garbage that vacuumBucketed reclaims
+    if (cur == top)
+      Option(top.list()).getOrElse(Array.empty)
+        .filter(e => e.matches("b\\d+") || e == "_NBUCKETS" ||
+          e == "_RETENTION_HORIZON")
+        .foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(top, e)): Unit)
+    else org.apache.commons.io.FileUtils.deleteQuietly(cur): Unit
+  }
+
+  /** Reclaim superseded PLAIN-layout versions, keeping the newest
+    * `keep` committed ones — each plain version is a full table copy,
+    * so an unvacuumed ingest's footprint grows O(batches × table): at
+    * warehouse scale retention is not optional. Raises the horizon
+    * like [[vacuumBucketed]]; MAINTENANCE-WINDOW ONLY for the same
+    * reason. */
+  def vacuumUpsert(tableRoot: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val root = new java.io.File(tableRoot)
+    val versions = committedVersions(root)
+    val doomed = versions.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val floor = versions.drop(doomed.size).head - 1
+      if (floor > readHorizon(root))
+        writeMetaFile(root, "_RETENTION_HORIZON", floor.toString)
+      doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root, s"v$v")): Unit)
+    }
+  }
+
+  /** TIME TRAVEL over a [[streamingUpsert]] table: the newest
+    * committed version dir with id ≤ asOfBatch — the table's state
+    * after that micro-batch. Fails loudly past the retention horizon
+    * (see [[bucketedUpsertAsOf]]) or before the first version. */
+  def upsertVersionAsOf(tableRoot: String, asOfBatch: Long): String = {
+    val root = new java.io.File(tableRoot)
+    val horizon = readHorizon(root)
+    require(asOfBatch > horizon,
+      s"as-of $asOfBatch predates the retention horizon $horizon of " +
+        s"$tableRoot — that history has been vacuumed away")
+    val committed = committedVersions(root).filter(_ <= asOfBatch)
+    require(committed.nonEmpty,
+      s"no committed version ≤ $asOfBatch under $tableRoot")
+    s"$tableRoot/v${committed.max}"
+  }
+
+  /** The generation-pointer read side (see [[rebucketUpsert]]): the
+    * newest `gen<n>` dir whose `_GEN_COMMIT` marker exists is the
+    * table; with none, the root itself is (every table starts
+    * root-level; only a rebucket mints generations). An uncommitted
+    * gen dir is a crashed rebucket's invisible staging. */
+  private[graft] def activeBucketedDir(top: java.io.File): java.io.File = {
+    val committed = Option(top.list()).getOrElse(Array.empty)
+      .filter(_.matches("gen\\d+")).map(_.drop(3).toLong)
+      .filter(g => new java.io.File(top, s"gen$g/_GEN_COMMIT").exists())
+    if (committed.isEmpty) top else new java.io.File(top, s"gen${committed.max}")
+  }
+
+  private def readNBuckets(dir: java.io.File): Option[Int] = {
+    val f = new java.io.File(dir, "_NBUCKETS")
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim.toInt)
+    else None
+  }
+
+  /** Highest version id whose table state is UNANSWERABLE (destroyed
+    * by vacuum or rebucket); −1 = full history intact. */
+  private def readHorizon(dir: java.io.File): Long = {
+    val f = new java.io.File(dir, "_RETENTION_HORIZON")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  /** Atomic small-metadata write: temp file + ATOMIC_MOVE, so a reader
+    * never observes a truncated value (same rationale as the `_OWNER`
+    * marker's link-based creation, minus the lose-the-race semantics —
+    * metadata files are owner-serialized overwrites). */
+  private def writeMetaFile(dir: java.io.File, name: String,
+      value: String): Unit = {
+    dir.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "._meta_", ".tmp")
+    java.nio.file.Files.write(tmp, value.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Refuse destructive maintenance while the owning checkpoint holds
+    * an in-flight batch (offsets logged past commits): that batch WILL
+    * re-execute on resume and must find its committed predecessors,
+    * which the maintenance op is about to destroy. The `_OWNER` marker
+    * stores the checkpoint path (anonymous owners have no resumable
+    * checkpoint — nothing can retry against them). */
+  private def requireDrainedCheckpoint(top: java.io.File): Unit = {
+    val marker = new java.io.File(top, "_OWNER")
+    if (!marker.exists()) return
+    val owner = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    if (owner.startsWith("anon-")) return
+    def newest(sub: String): Long = {
+      val d = new java.io.File(owner, sub)
+      Option(d.list()).getOrElse(Array.empty)
+        .filter(f => f.nonEmpty && f.forall(_.isDigit))
+        .map(_.toLong).sorted.lastOption.getOrElse(-1L)
+    }
+    val (off, com) = (newest("offsets"), newest("commits"))
+    require(off <= com,
+      s"checkpoint $owner has batch $off in flight (newest commit: " +
+        s"$com) — it will re-execute on resume against history this " +
+        "maintenance op destroys; resume the query once to drain it first")
   }
 
   /** Enforce (or establish) the root's single-owner contract. Creation
@@ -1238,6 +1502,69 @@ object EventStream {
             col("m.event_id").as("event_id"), col("m.value").as("value")))
     try q.processAllAvailable() finally q.stop()
     latestBucketedUpsert(spark, root)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
+  }
+
+  /** E19C — REBUCKET MID-INGEST: the bucketed ingest of
+    * [[replayUpsertBucketed]] interrupted after its first tranche by
+    * the table-growth maintenance cadence — stop the query clean,
+    * [[rebucketUpsert]] the layout to 4× the buckets (the fixed-
+    * bucket-size response to a table that grew), then RESUME the same
+    * checkpoint. The resumed incarnation still passes the stale seed
+    * count; the new generation's `_NBUCKETS` must govern, its merges
+    * must prune against the re-hashed buckets, and the final state
+    * must equal the same per-user argmax oracle as e19/e19b — the
+    * whole maintenance window invisible in the data. */
+  def replayUpsertRebucket(events: DataFrame, chunks: Int = 6,
+      nBuckets: Int = 8, newBuckets: Int = 32): DataFrame = {
+    val spark = events.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val src = withSec(events.select(col("event_id"), col("ts"),
+      col("user_id"), col("value")))
+    src.persist()
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsertr_tbl")
+    registerRestartRoot(root.toFile)
+    val inDir = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new ChunkWriter(inDir)
+    def writeChunk(i: Int): Unit = {
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), cols)
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      // the seed bucket count is passed UNCHANGED across the rebucket —
+      // proving the metadata, not the call site, owns the layout
+      val q = streamingUpsertBucketed(stream, tbl, "user_id", nBuckets,
+        reduceBatch = b =>
+          b.groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value")),
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    try {
+      val half = chunks / 2
+      (0 until half).foreach(writeChunk)
+      drain() // incarnation 1 at the seed layout
+      rebucketUpsert(spark, tbl, "user_id", newBuckets)
+      (half until chunks).foreach(writeChunk)
+      drain() // incarnation 2: resumed checkpoint, rebucketed generation
+    } finally src.unpersist(): Unit
+    latestBucketedUpsert(spark, tbl)
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"))
   }

@@ -749,4 +749,148 @@ class EventStreamSpec extends SparkSpec {
     assert(out == batch)
     assert(batch.nonEmpty)
   }
+
+  test("rebucketUpsert grows the bucket count through a committed" +
+      " generation; a resumed stream with the stale seed honors the new" +
+      " layout and the data is unchanged") {
+    val nSeed = 4
+    val root = java.nio.file.Files.createTempDirectory("es_rebucket")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      // the seed count stays 4 across the rebucket: the generation's
+      // _NBUCKETS, not the call site, must govern the resumed merges
+      val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", nSeed,
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    w.write((1L to 16L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    drain() // batch 0 at the seed layout
+    EventStream.rebucketUpsert(spark, tbl, "id", 8)
+    // the rewrite committed as generation 1 and retired the root layout
+    assert(new java.io.File(tbl, "gen1/_GEN_COMMIT").exists())
+    assert(Option(new java.io.File(tbl).list()).getOrElse(Array.empty)
+      .forall(!_.matches("b\\d+")), "root-level buckets survived rebucket")
+    val mid = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    assert(mid == (1L to 16L).map(id => id -> s"p$id").toMap,
+      "rebucket changed the data")
+    // resume the same checkpoint; its batch 1 must merge against gen1
+    w.write(Seq((3L, "p3-v2"), (17L, "p17")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    drain()
+    val gen1 = new java.io.File(tbl, "gen1")
+    val touchedDirs = Option(gen1.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).filter(b =>
+        new java.io.File(gen1, s"$b/v1/_SUCCESS").exists())
+    val bucketOfId = spark.range(1, 18)
+      .select($"id", operators.MemoryOps.bucketOf("id", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val expTouched = Set(3L, 17L).map(bucketOfId).map(b => s"b$b")
+    assert(touchedDirs.toSet == expTouched,
+      s"batch 1 touched ${touchedDirs.toSet}, expected $expTouched " +
+        "(8-bucket hashing) — the stale 4-bucket seed leaked through")
+    val fin = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    val exp = ((1L to 17L).map(id => id -> s"p$id").toMap
+      + (3L -> "p3-v2"))
+    assert(fin == exp)
+  }
+
+  test("rebucketUpsert REFUSES while the checkpoint holds an in-flight" +
+      " batch, and an uncommitted generation is invisible to readers") {
+    val root = java.nio.file.Files.createTempDirectory("es_rebucket_guard")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write((1L to 8L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    w.write(Seq((2L, "p2-v2")).toDF("id", "payload"), Seq("id", "payload"))
+    val stream = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", 4,
+      checkpoint = Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    // crash simulation (same shape as the crash-window spec): batch 1's
+    // commit record vanishes, so it is IN FLIGHT — it will re-execute
+    // on resume and must find the history a rebucket would destroy
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val victim = commits.last
+    Seq(victim,
+        new java.io.File(victim.getParent, victim.getName + ".checksum"),
+        new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
+      .foreach(f => if (f.exists()) f.delete(): Unit)
+    val e = intercept[IllegalArgumentException] {
+      EventStream.rebucketUpsert(spark, tbl, "id", 8)
+    }
+    assert(e.getMessage.contains("in flight"), e.getMessage)
+    // a crashed rebucket's leftover — a gen dir with NO commit marker —
+    // must not hijack reads (the atomic-commit half of the contract)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tbl, "gen9/b0/v99"))
+    val latest = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    val exp = (1L to 8L).map(id =>
+      id -> (if (id == 2L) "p2-v2" else s"p$id")).toMap
+    assert(latest == exp)
+    // vacuum reclaims the stray uncommitted generation
+    EventStream.vacuumBucketed(tbl)
+    assert(!new java.io.File(tbl, "gen9").exists())
+  }
+
+  test("as-of reads time-travel both layouts within the retention" +
+      " horizon and fail loudly past it") {
+    // PLAIN: three versions, each a full table copy
+    val root = java.nio.file.Files.createTempDirectory("es_asof")
+    val tbl = root.resolve("plain").toString
+    def df(rows: (Long, String)*) = rows.toDF("id", "payload")
+    EventStream.upsertBatchPlain(tbl, df(1L -> "a"), 0L, "id")
+    EventStream.upsertBatchPlain(tbl, df(1L -> "b", 2L -> "x"), 1L, "id")
+    EventStream.upsertBatchPlain(tbl, df(2L -> "y"), 2L, "id")
+    def readPlain(asOf: Long): Map[Long, String] =
+      spark.read.parquet(EventStream.upsertVersionAsOf(tbl, asOf))
+        .as[(Long, String)].collect().toMap
+    assert(readPlain(0L) == Map(1L -> "a"))
+    assert(readPlain(1L) == Map(1L -> "b", 2L -> "x"))
+    assert(readPlain(5L) == Map(1L -> "b", 2L -> "y")) // newest <= 5 is v2
+    EventStream.vacuumUpsert(tbl, keep = 2) // drops v0, horizon 0
+    assert(readPlain(1L) == Map(1L -> "b", 2L -> "x"))
+    val e1 = intercept[IllegalArgumentException](readPlain(0L))
+    assert(e1.getMessage.contains("retention horizon"), e1.getMessage)
+
+    // BUCKETED: buckets version independently; the as-of read stitches
+    // each bucket's newest version <= asOf into one table-wide snapshot
+    val btbl = root.resolve("bucketed").toString
+    EventStream.upsertBatchBucketed(btbl,
+      (1L to 8L).map(id => (id, "v0")).toDF("id", "payload"), 0L, "id", 4)
+    // batch 1 touches only id 1's bucket; the rest stay at v0
+    EventStream.upsertBatchBucketed(btbl,
+      df(1L -> "v1"), 1L, "id", 4)
+    EventStream.upsertBatchBucketed(btbl,
+      df(1L -> "v2", 2L -> "v2"), 2L, "id", 4)
+    def readB(asOf: Long): Map[Long, String] =
+      EventStream.bucketedUpsertAsOf(spark, btbl, asOf)
+        .as[(Long, String)].collect().toMap
+    val base = (1L to 8L).map(_ -> "v0").toMap
+    assert(readB(0L) == base)
+    assert(readB(1L) == base + (1L -> "v1"))
+    assert(readB(2L) == base + (1L -> "v2") + (2L -> "v2"))
+    // keep=1 leaves id 1's bucket with only v2: every bucket's lowest
+    // kept version bounds the horizon, or a stitched read below it
+    // would silently drop that bucket's rows
+    EventStream.vacuumBucketed(btbl, keep = 1)
+    assert(readB(2L) == base + (1L -> "v2") + (2L -> "v2"))
+    val e2 = intercept[IllegalArgumentException](readB(1L))
+    assert(e2.getMessage.contains("retention horizon"), e2.getMessage)
+  }
 }
