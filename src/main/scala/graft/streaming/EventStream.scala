@@ -129,13 +129,26 @@ object EventStream {
     * or a per-call token otherwise) and a mismatched writer FAILS FAST
     * instead of silently clobbering. To continue a table across
     * process restarts, pass the same `checkpoint`; batchIds then resume
-    * past every existing version. */
+    * past every existing version.
+    *
+    * RETENTION: every version is a full table copy, so an unbounded
+    * ingest's footprint grows O(batches × table). `retainVersions` = k
+    * ≥ 1 bounds it IN the writer — safe where the out-of-band
+    * [[vacuumUpsert]] needs a maintenance window, because the single
+    * owner serializes the vacuum with the merges that read old
+    * versions. The writer always keeps the newest max(k−1, 1) versions
+    * BELOW the batch it just committed: the immediate predecessor is
+    * the crash-window retry's merge source and is never deleted before
+    * the NEXT batch commits past it (so k=1 holds two dirs steady-
+    * state, not one). The retention horizon rises with the deletions —
+    * as-of reads stay loud past it. 0 (default) keeps everything. */
   def streamingUpsert(
       stream: DataFrame,
       tableRoot: String,
       idCol: String,
       reduceBatch: DataFrame => DataFrame = identity,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      retainVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = checkpoint.getOrElse(
       "anon-" + java.util.UUID.randomUUID().toString)
@@ -144,7 +157,8 @@ object EventStream {
         val root = new java.io.File(tableRoot)
         root.mkdirs()
         requireOwner(root, owner)
-        upsertBatchPlain(tableRoot, reduceBatch(batch.toDF()), batchId, idCol)
+        upsertBatchPlain(tableRoot, reduceBatch(batch.toDF()), batchId, idCol,
+          retainVersions)
     }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -156,10 +170,10 @@ object EventStream {
     * version with id < batchId and overwrite `v<batchId>`. O(table) per
     * batch — the simple form; [[upsertBatchBucketed]] is the pruned one. */
   private[graft] def upsertBatchPlain(tableRoot: String, incoming: DataFrame,
-      batchId: Long, idCol: String): Unit = {
+      batchId: Long, idCol: String, retainVersions: Int = 0): Unit = {
     val spark = incoming.sparkSession
-    val committedBefore =
-      committedVersions(new java.io.File(tableRoot)).filter(_ < batchId)
+    val root = new java.io.File(tableRoot)
+    val committedBefore = committedVersions(root).filter(_ < batchId)
     val merged = committedBefore.lastOption match {
       case Some(latest) =>
         graft.operators.MemoryOps.upsertById(
@@ -167,6 +181,27 @@ object EventStream {
       case None => incoming
     }
     merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
+    if (retainVersions >= 1)
+      retireOlderVersions(root, batchId, retainVersions)
+  }
+
+  /** The in-writer retention step (see [[streamingUpsert]]): drop
+    * committed versions below `batchId` beyond the newest
+    * max(retain−1, 1) — the predecessor survives as the crash-window
+    * retry's merge source — and raise the horizon first, so a
+    * concurrent as-of reader racing the deletion gets the loud error,
+    * never a partially-deleted read. */
+  private def retireOlderVersions(root: java.io.File, batchId: Long,
+      retain: Int): Unit = {
+    val older = committedVersions(root).filter(_ < batchId)
+    val doomed = older.dropRight(math.max(retain - 1, 1))
+    if (doomed.nonEmpty) {
+      val floor = older.drop(doomed.size).head - 1 // lowest kept − 1
+      if (floor > readHorizon(root))
+        writeMetaFile(root, "_RETENTION_HORIZON", floor.toString)
+      doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root, s"v$v")): Unit)
+    }
   }
 
   // --- bucketed streaming upsert: the partition-pruned 100-TB form --------
@@ -200,14 +235,22 @@ object EventStream {
     * into a new committed generation with a different count) takes
     * effect on the next resumed incarnation even if the caller still
     * passes the stale seed value. Two writers racing different counts
-    * onto one root is already excluded by the `_OWNER` guard. */
+    * onto one root is already excluded by the `_OWNER` guard.
+    *
+    * RETENTION: `retainVersions` = k ≥ 1 bounds each TOUCHED bucket to
+    * its newest max(k−1, 1) versions below the batch just committed,
+    * under the same keep-the-retry's-merge-source rule as the plain
+    * writer (see [[streamingUpsert]]). Untouched buckets keep their
+    * history until touched — bounded all the same, since a bucket's
+    * version count only grows when it is written. */
   def streamingUpsertBucketed(
       stream: DataFrame,
       tableRoot: String,
       idCol: String,
       nBuckets: Int = 16,
       reduceBatch: DataFrame => DataFrame = identity,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      retainVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = checkpoint.getOrElse(
       "anon-" + java.util.UUID.randomUUID().toString)
@@ -217,7 +260,7 @@ object EventStream {
         root.mkdirs()
         requireOwner(root, owner)
         upsertBatchBucketed(tableRoot, reduceBatch(batch.toDF()), batchId,
-          idCol, nBuckets)
+          idCol, nBuckets, retainVersions)
     }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -231,7 +274,8 @@ object EventStream {
     * [[rebucketUpsert]]) and the bucket count through its `_NBUCKETS`
     * metadata — `nBuckets` is only the seed for a fresh table. */
   private[graft] def upsertBatchBucketed(tableRoot0: String, inc0: DataFrame,
-      batchId: Long, idCol: String, nBuckets: Int): Unit = {
+      batchId: Long, idCol: String, nBuckets: Int,
+      retainVersions: Int = 0): Unit = {
     val spark = inc0.sparkSession
     val dir = activeBucketedDir(new java.io.File(tableRoot0))
     val tableRoot = dir.getPath
@@ -278,7 +322,29 @@ object EventStream {
       java.nio.file.Files.move(src.toPath, dst.toPath)
       new java.io.File(dst, "_SUCCESS").createNewFile(): Unit
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(staging): Unit
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    if (retainVersions >= 1) {
+      // per touched bucket: doom everything below the newest
+      // max(retain−1, 1) older versions (the retry's merge source
+      // survives until the next batch commits past it); horizon is
+      // table-wide and rises BEFORE any deletion, so an as-of reader
+      // racing this never sees a partially-deleted stitch
+      val plans = touched.map { k =>
+        val bdir = new java.io.File(tableRoot, s"b$k")
+        val older = committedVersions(bdir).filter(_ < batchId)
+        val doomed = older.dropRight(math.max(retainVersions - 1, 1))
+        val floorB = if (doomed.isEmpty) -1L
+          else older.drop(doomed.size).head - 1
+        (bdir, doomed, floorB)
+      }
+      val floor = plans.map(_._3).max
+      if (floor > readHorizon(dir))
+        writeMetaFile(dir, "_RETENTION_HORIZON", floor.toString)
+      plans.foreach { case (bdir, doomed, _) =>
+        doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(bdir, s"v$v")): Unit)
+      }
+    }
   }
 
   /** Current state of a [[streamingUpsertBucketed]] table: the newest

@@ -848,6 +848,94 @@ class EventStreamSpec extends SparkSpec {
     assert(!new java.io.File(tbl, "gen9").exists())
   }
 
+  test("in-writer retention bounds the plain table's footprint, keeps" +
+      " the crash-retry's merge source, and survives the crash window") {
+    val root = java.nio.file.Files.createTempDirectory("es_retain")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingUpsert(stream, tbl, "id",
+        checkpoint = Some(ckpt), retainVersions = 1)
+      try q.processAllAvailable() finally q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.runId == q.runId) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    (0 to 3).foreach(b => w.write(
+      Seq((1L, s"one-b$b"), (b.toLong + 10L, s"new-b$b"))
+        .toDF("id", "payload"), Seq("id", "payload")))
+    drain() // four batches, retention riding along
+    def versions(): Seq[String] = new java.io.File(tbl).list()
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    // every version is a full table copy; retention holds the newest
+    // plus the retry's merge source — two dirs, not four
+    assert(versions() == Seq("v2", "v3"), versions().toString)
+    val exp = Map(1L -> "one-b3", 10L -> "new-b0", 11L -> "new-b1",
+      12L -> "new-b2", 13L -> "new-b3")
+    def latest(): Map[Long, String] =
+      spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+        .as[(Long, String)].collect().toMap
+    assert(latest() == exp)
+    // vacuumed history fails loudly, the kept predecessor still reads
+    intercept[IllegalArgumentException](
+      EventStream.upsertVersionAsOf(tbl, 1L))
+    assert(spark.read.parquet(EventStream.upsertVersionAsOf(tbl, 2L))
+      .count() == 4)
+    // crash window ON a retention-enabled table: batch 3's commit
+    // record vanishes; the retry must find v2 (the kept merge source)
+    // and reproduce v3 without resurrecting or doubling anything
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val victim = commits.last
+    Seq(victim,
+        new java.io.File(victim.getParent, victim.getName + ".checksum"),
+        new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
+      .foreach(f => if (f.exists()) f.delete(): Unit)
+    drain() // retry of batch 3
+    assert(versions() == Seq("v2", "v3"), versions().toString)
+    assert(latest() == exp)
+  }
+
+  test("in-writer retention bounds each touched bucket; untouched" +
+      " buckets keep their history until written") {
+    val root = java.nio.file.Files.createTempDirectory("es_retain_b")
+    val tbl = root.resolve("table").toString
+    def df(rows: (Long, String)*) = rows.toDF("id", "payload")
+    // seed all buckets (ids 1..16 cover all four — pinned by the
+    // pruning spec above), then hammer id 1's bucket three more times
+    EventStream.upsertBatchBucketed(tbl,
+      (1L to 16L).map(id => (id, "v0")).toDF("id", "payload"),
+      0L, "id", 4, retainVersions = 1)
+    (1 to 3).foreach(b => EventStream.upsertBatchBucketed(tbl,
+      df(1L -> s"v$b"), b.toLong, "id", 4, retainVersions = 1))
+    val bucketOfId = spark.range(1, 17)
+      .select($"id", operators.MemoryOps.bucketOf("id", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val hot = bucketOfId(1L)
+    for (b <- 0 until 4) {
+      val vs = Option(new java.io.File(tbl, s"b$b").list())
+        .getOrElse(Array.empty).filter(_.matches("v\\d+")).sorted.toSeq
+      if (b.toLong == hot)
+        assert(vs == Seq("v2", "v3"), s"hot bucket b$b: $vs")
+      else assert(vs == Seq("v0"), s"cold bucket b$b: $vs")
+    }
+    val latest = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    assert(latest == (1L to 16L).map(id =>
+      id -> (if (id == 1L) "v3" else "v0")).toMap)
+    // horizon rose to (hot bucket's lowest kept − 1): stitched as-of
+    // below it would silently drop the hot bucket's rows
+    intercept[IllegalArgumentException](
+      EventStream.bucketedUpsertAsOf(spark, tbl, 1L))
+    val asOf2 = EventStream.bucketedUpsertAsOf(spark, tbl, 2L)
+      .as[(Long, String)].collect().toMap
+    assert(asOf2(1L) == "v2")
+  }
+
   test("as-of reads time-travel both layouts within the retention" +
       " horizon and fail loudly past it") {
     // PLAIN: three versions, each a full table copy
