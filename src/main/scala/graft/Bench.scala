@@ -371,6 +371,10 @@ object Bench {
         prevCanaryShuffle.map(canaryShuffle / _), med)
       .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
     val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
+    // a missing parent dir must not cost the whole 20-minute run at the
+    // final write (a gitignored tmp/ target can vanish between rounds)
+    Option(java.nio.file.Paths.get(fullPath).getParent)
+      .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       s"""{"metric":"total","value":$total,"unit":"sec",$lanes,"n_queries":${results.size},"regressions":$regJson,"family_shifts":$famJson,"families":$famTagJson,"queries":$full,"queries_norm":$fullNorm,"sf":"$sfDir"}""")
     val top = results.toSeq.sortBy(-_._2).take(40)

@@ -48,12 +48,19 @@ object MemoryOps {
     * the same id; ids only in one side pass through. The window shuffles
     * once on the id key — at scale the table is already hash-partitioned by
     * id, so only the incoming side moves.
-    */
-  def upsertById(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame = {
+    *
+    * `tolerateDrift` = true accepts ADDITIVE schema drift: a column
+    * present on only one side null-fills on the other, so a feed that
+    * gained a field widens the table instead of killing the query. The
+    * LWW row contract is unchanged — an incoming row that doesn't carry
+    * a column replaces the whole row with that field null (rows win,
+    * not fields). Default false: unexpected drift should fail fast. */
+  def upsertById(existing: DataFrame, incoming: DataFrame, idCol: String,
+      tolerateDrift: Boolean = false): DataFrame = {
     val v = "__graft_version"
     val rn = "__graft_rn"
     val merged = existing.withColumn(v, lit(0))
-      .unionByName(incoming.withColumn(v, lit(1)))
+      .unionByName(incoming.withColumn(v, lit(1)), tolerateDrift)
     merged
       .withColumn(rn, row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col(v).desc)))

@@ -141,14 +141,23 @@ object EventStream {
     * the crash-window retry's merge source and is never deleted before
     * the NEXT batch commits past it (so k=1 holds two dirs steady-
     * state, not one). The retention horizon rises with the deletions —
-    * as-of reads stay loud past it. 0 (default) keeps everything. */
+    * as-of reads stay loud past it. 0 (default) keeps everything.
+    *
+    * SCHEMA DRIFT: by default a micro-batch whose schema differs from
+    * the table kills the query (fail fast on the unexpected).
+    * `tolerateSchemaDrift` = true accepts ADDITIVE drift instead: a
+    * column on only one side null-fills on the other and the table
+    * widens — the long-lived-feed reality. The LWW contract stays
+    * row-wise: an update that doesn't carry a column replaces the
+    * whole row with that field null (rows win, not fields). */
   def streamingUpsert(
       stream: DataFrame,
       tableRoot: String,
       idCol: String,
       reduceBatch: DataFrame => DataFrame = identity,
       checkpoint: Option[String] = None,
-      retainVersions: Int = 0)
+      retainVersions: Int = 0,
+      tolerateSchemaDrift: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = checkpoint.getOrElse(
       "anon-" + java.util.UUID.randomUUID().toString)
@@ -158,7 +167,7 @@ object EventStream {
         root.mkdirs()
         requireOwner(root, owner)
         upsertBatchPlain(tableRoot, reduceBatch(batch.toDF()), batchId, idCol,
-          retainVersions)
+          retainVersions, tolerateSchemaDrift)
     }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -170,14 +179,16 @@ object EventStream {
     * version with id < batchId and overwrite `v<batchId>`. O(table) per
     * batch — the simple form; [[upsertBatchBucketed]] is the pruned one. */
   private[graft] def upsertBatchPlain(tableRoot: String, incoming: DataFrame,
-      batchId: Long, idCol: String, retainVersions: Int = 0): Unit = {
+      batchId: Long, idCol: String, retainVersions: Int = 0,
+      tolerateSchemaDrift: Boolean = false): Unit = {
     val spark = incoming.sparkSession
     val root = new java.io.File(tableRoot)
     val committedBefore = committedVersions(root).filter(_ < batchId)
     val merged = committedBefore.lastOption match {
       case Some(latest) =>
         graft.operators.MemoryOps.upsertById(
-          spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol)
+          spark.read.parquet(s"$tableRoot/v$latest"), incoming, idCol,
+          tolerateSchemaDrift)
       case None => incoming
     }
     merged.write.mode("overwrite").parquet(s"$tableRoot/v$batchId")
@@ -242,7 +253,15 @@ object EventStream {
     * under the same keep-the-retry's-merge-source rule as the plain
     * writer (see [[streamingUpsert]]). Untouched buckets keep their
     * history until touched — bounded all the same, since a bucket's
-    * version count only grows when it is written. */
+    * version count only grows when it is written.
+    *
+    * SCHEMA DRIFT: same contract as [[streamingUpsert]] —
+    * `tolerateSchemaDrift` = true widens on additive drift instead of
+    * failing the query. Buckets then sit at different schema ERAS
+    * until next touched (a bucket's schema only changes when written),
+    * so the drift-tolerant merge reads its predecessors with parquet
+    * `mergeSchema`, and the stitched readers
+    * ([[latestBucketedUpsert]] / [[bucketedUpsertAsOf]]) always do. */
   def streamingUpsertBucketed(
       stream: DataFrame,
       tableRoot: String,
@@ -250,7 +269,8 @@ object EventStream {
       nBuckets: Int = 16,
       reduceBatch: DataFrame => DataFrame = identity,
       checkpoint: Option[String] = None,
-      retainVersions: Int = 0)
+      retainVersions: Int = 0,
+      tolerateSchemaDrift: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = checkpoint.getOrElse(
       "anon-" + java.util.UUID.randomUUID().toString)
@@ -260,7 +280,7 @@ object EventStream {
         root.mkdirs()
         requireOwner(root, owner)
         upsertBatchBucketed(tableRoot, reduceBatch(batch.toDF()), batchId,
-          idCol, nBuckets, retainVersions)
+          idCol, nBuckets, retainVersions, tolerateSchemaDrift)
     }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
@@ -275,7 +295,7 @@ object EventStream {
     * metadata — `nBuckets` is only the seed for a fresh table. */
   private[graft] def upsertBatchBucketed(tableRoot0: String, inc0: DataFrame,
       batchId: Long, idCol: String, nBuckets: Int,
-      retainVersions: Int = 0): Unit = {
+      retainVersions: Int = 0, tolerateSchemaDrift: Boolean = false): Unit = {
     val spark = inc0.sparkSession
     val dir = activeBucketedDir(new java.io.File(tableRoot0))
     val tableRoot = dir.getPath
@@ -302,9 +322,13 @@ object EventStream {
       if (currentPaths.isEmpty) inc
       else graft.operators.MemoryOps.upsertById(
         // __bucket is a pure function of the id — recomputing beats
-        // persisting it into the data files
-        bucketed(spark.read.parquet(currentPaths.toIndexedSeq: _*)),
-        inc, idCol)
+        // persisting it into the data files. Under drift tolerance the
+        // touched buckets may sit at different schema eras, so the
+        // multi-dir read must union their footers, not sample one.
+        bucketed(spark.read
+          .option("mergeSchema", tolerateSchemaDrift.toString)
+          .parquet(currentPaths.toIndexedSeq: _*)),
+        inc, idCol, tolerateSchemaDrift)
     // ONE job writes every touched bucket's next version into staging
     // (clustered on the bucket → one file per bucket dir); promotion is
     // a per-bucket rename + commit marker. Leading underscore keeps
@@ -353,7 +377,13 @@ object EventStream {
     * [[latestUpsertVersion]] — a crash-window retry rewrites the
     * newest version in place (byte-identically); strict readers take
     * each bucket's `dropRight(1)`, and a snapshot-isolated table
-    * format subsumes all of this at warehouse scale. */
+    * format subsumes all of this at warehouse scale.
+    *
+    * Reads with parquet `mergeSchema`: under drift-tolerant ingest the
+    * buckets sit at different schema eras (a bucket's schema only
+    * changes when written), and sampling one footer would silently
+    * drop the other eras' columns. Costs one footer read per bucket —
+    * bounded by the bucket count, which this layout already bounds. */
   def latestBucketedUpsert(spark: SparkSession, tableRoot: String): DataFrame = {
     val root = activeBucketedDir(new java.io.File(tableRoot))
     val paths = Option(root.list()).getOrElse(Array.empty)
@@ -361,7 +391,7 @@ object EventStream {
         committedVersions(new java.io.File(root, b)).lastOption
           .map(v => s"${root.getPath}/$b/v$v"))
     require(paths.nonEmpty, s"no committed bucket version under $tableRoot")
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
   /** TIME TRAVEL over a [[streamingUpsertBucketed]] table: its state
@@ -388,7 +418,7 @@ object EventStream {
           .map(v => s"${root.getPath}/$b/v$v"))
     require(paths.nonEmpty,
       s"no committed bucket version ≤ $asOfBatch under $tableRoot")
-    spark.read.parquet(paths.toIndexedSeq: _*)
+    spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
   /** Reclaim superseded bucket versions, keeping the newest `keep`

@@ -936,6 +936,73 @@ class EventStreamSpec extends SparkSpec {
     assert(asOf2(1L) == "v2")
   }
 
+  test("schema drift: the default writer fails fast on a drifted batch;" +
+      " tolerateSchemaDrift widens the table with row-wise LWW nulls") {
+    val root = java.nio.file.Files.createTempDirectory("es_drift")
+    def df2(rows: (Long, String)*) = rows.toDF("id", "payload")
+    def df3(rows: (Long, String, Double)*) =
+      rows.toDF("id", "payload", "score")
+    // default: a batch that gained a column must fail the merge loudly
+    // (a file stream's declared schema would project the drift away
+    // before the sink — the strict contract bites where drift actually
+    // arrives, e.g. evolving upstream frames through foreachBatch)
+    val strictTbl = root.resolve("strict").toString
+    EventStream.upsertBatchPlain(strictTbl, df2(1L -> "a"), 0L, "id")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      EventStream.upsertBatchPlain(strictTbl, df3((1L, "b", 0.5)), 1L, "id")
+    }
+    assert(e.getMessage.toLowerCase.contains("union"), e.getMessage)
+    // tolerant: the batch-level merge widens; an update that doesn't
+    // carry the new column replaces the whole row with it null
+    val tbl = root.resolve("tolerant").toString
+    EventStream.upsertBatchPlain(tbl, df2(1L -> "a", 2L -> "b"), 0L, "id",
+      tolerateSchemaDrift = true)
+    EventStream.upsertBatchPlain(tbl, df3((1L, "a2", 0.9)), 1L, "id",
+      tolerateSchemaDrift = true)
+    EventStream.upsertBatchPlain(tbl, df2(1L -> "a3"), 2L, "id",
+      tolerateSchemaDrift = true)
+    val out = spark.read.parquet(EventStream.latestUpsertVersion(tbl))
+    assert(out.columns.sorted.toSeq == Seq("id", "payload", "score"))
+    val rows = out.select($"id", $"payload", $"score")
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map(1L -> (("a3", None)), 2L -> (("b", None))))
+  }
+
+  test("schema drift (bucketed): buckets sit at different schema eras;" +
+      " the stitched read and later merges union them") {
+    val root = java.nio.file.Files.createTempDirectory("es_drift_b")
+    val tbl = root.resolve("table").toString
+    EventStream.upsertBatchBucketed(tbl,
+      (1L to 16L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      0L, "id", 4, tolerateSchemaDrift = true)
+    // batch 1 carries a NEW column and touches only id 1's bucket: the
+    // other three buckets stay at the two-column era
+    EventStream.upsertBatchBucketed(tbl,
+      Seq((1L, "p1-v2", 0.7)).toDF("id", "payload", "score"),
+      1L, "id", 4, tolerateSchemaDrift = true)
+    val out = EventStream.latestBucketedUpsert(spark, tbl)
+    assert(out.columns.sorted.toSeq == Seq("id", "payload", "score"),
+      "stitched read sampled one era instead of unioning the footers")
+    val rows = out.select($"id", $"payload", $"score")
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == (("p1-v2", Some(0.7))))
+    assert(rows(2L) == (("p2", None)))
+    assert(rows.size == 16)
+    // a later merge touching an OLD-era bucket must read across eras
+    // (mergeSchema) and write that bucket forward into the new era
+    EventStream.upsertBatchBucketed(tbl,
+      Seq((2L, "p2-v2", 0.3)).toDF("id", "payload", "score"),
+      2L, "id", 4, tolerateSchemaDrift = true)
+    val rows2 = EventStream.latestBucketedUpsert(spark, tbl)
+      .select($"id", $"payload", $"score")
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows2(2L) == (("p2-v2", Some(0.3))))
+    assert(rows2(1L) == (("p1-v2", Some(0.7))))
+  }
+
   test("as-of reads time-travel both layouts within the retention" +
       " horizon and fail loudly past it") {
     // PLAIN: three versions, each a full table copy
