@@ -421,6 +421,32 @@ object EventStream {
     spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
+  /** POINT LOOKUP on a [[streamingUpsertBucketed]] table: hash the id
+    * with the table's own bucket count, read ONLY that bucket's newest
+    * committed version, filter — O(bucket size), not O(table), the
+    * read-side half of the reference's get-by-id served straight from
+    * the ingested store (src/memory.rs point reads). The bucket number
+    * comes from the PRODUCTION hash evaluated on a one-row frame —
+    * re-deriving the bucketing rule driver-side would silently break
+    * the moment the hash changes. Returns an empty frame (correct
+    * schema) when the id's bucket doesn't exist yet. */
+  def bucketedPointLookup(spark: SparkSession, tableRoot: String,
+      idCol: String, id: Any): DataFrame = {
+    val root = activeBucketedDir(new java.io.File(tableRoot))
+    val n = readNBuckets(root).getOrElse(sys.error(
+      s"$tableRoot has no _NBUCKETS metadata — not a bucketed upsert table"))
+    val k = spark.range(1).select(lit(id).as(idCol))
+      .select(graft.operators.MemoryOps.bucketOf(idCol, n))
+      .head().getLong(0)
+    committedVersions(new java.io.File(root, s"b$k")).lastOption match {
+      case Some(v) =>
+        spark.read.parquet(s"${root.getPath}/b$k/v$v")
+          .where(col(idCol) === lit(id))
+      case None => // bucket never written: the id cannot exist
+        latestBucketedUpsert(spark, tableRoot).where(lit(false))
+    }
+  }
+
   /** Reclaim superseded bucket versions, keeping the newest `keep`
     * committed versions of each bucket (the retention horizon — as-of
     * reads stay answerable within it), plus any superseded GENERATION

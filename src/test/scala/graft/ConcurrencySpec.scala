@@ -19,17 +19,21 @@ import scala.concurrent.duration._
   * benign by design. */
 class ConcurrencySpec extends SparkSpec {
 
-  // THREE streaming replays in the set: e18 (own child session since
-  // round 10) plus a memorySink replay (e11) and the TWS sessionizer
-  // replay (e20) — every replay now builds its streams on an isolated
-  // child session (EventStream.isolatedRunner), so their 4-partition
-  // state conf (and e20's RocksDB provider requirement) must never
-  // leak into the batch queries planning beside them — asserted below.
+  // FOUR streaming replays in the set: e18 (own child session since
+  // round 10) plus a memorySink replay (e11), the TWS sessionizer
+  // replay (e20), and the mid-ingest rebucket replay (e19c — two query
+  // incarnations, an owner-guarded versioned table, and a maintenance
+  // rewrite between them, all on per-call temp roots) — every replay
+  // builds its streams on an isolated child session
+  // (EventStream.isolatedRunner) or touches only its own table root,
+  // so their 4-partition state conf (and e20's RocksDB provider
+  // requirement) must never leak into the batch queries planning
+  // beside them — asserted below.
   private val names = Seq(
     "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
     "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
     "d2_minhash_pairs", "v2_knn_topk", "e18_stream_restart",
-    "e11_stream_window", "e20_tws_sessionize")
+    "e11_stream_window", "e20_tws_sessionize", "e19c_stream_rebucket")
 
   private def str(v: Any): String = v match {
     case a: Array[_] => a.map(str).mkString("[", ",", "]")
@@ -40,9 +44,9 @@ class ConcurrencySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .collect().map(_.toSeq.map(str).mkString("|")).toSeq.sorted
 
-  test("eleven queries incl. three lazy-return pin users (one past the" +
-      " FIFO bound) and three streaming replays run concurrently and" +
-      " match sequential results") {
+  test("twelve queries incl. three lazy-return pin users (one past the" +
+      " FIFO bound) and four streaming replays (one with a mid-ingest" +
+      " rebucket) run concurrently and match sequential results") {
     val shufflePrev = spark.conf.get("spark.sql.shuffle.partitions")
     val providerPrev =
       spark.conf.get("spark.sql.streaming.stateStore.providerClass")

@@ -936,6 +936,36 @@ class EventStreamSpec extends SparkSpec {
     assert(asOf2(1L) == "v2")
   }
 
+  test("bucketedPointLookup reads exactly one bucket's newest version —" +
+      " the get-by-id read served from the ingested store at O(bucket)") {
+    val root = java.nio.file.Files.createTempDirectory("es_pointlookup")
+    val tbl = root.resolve("table").toString
+    EventStream.upsertBatchBucketed(tbl,
+      (1L to 16L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      0L, "id", 4)
+    EventStream.upsertBatchBucketed(tbl,
+      Seq((3L, "p3-v2")).toDF("id", "payload"), 1L, "id", 4)
+    val hit = EventStream.bucketedPointLookup(spark, tbl, "id", 3L)
+    // THE pruning contract: every file the lookup plans over lives in
+    // id 3's bucket — the other buckets' files are never touched
+    val bucketOfId = spark.range(1, 17)
+      .select($"id", operators.MemoryOps.bucketOf("id", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val k = bucketOfId(3L)
+    val files = hit.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"/b$k/")),
+      s"lookup read outside bucket b$k: ${files.mkString(",")}")
+    // and it reads that bucket's NEWEST version, post-update
+    assert(files.forall(_.contains("/v1/")), files.mkString(","))
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((3L, "p3-v2")))
+    // an id hashing to an untouched bucket still resolves (v0), a
+    // missing id returns empty with the right schema
+    assert(EventStream.bucketedPointLookup(spark, tbl, "id", 2L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "p2")))
+    val miss = EventStream.bucketedPointLookup(spark, tbl, "id", 999L)
+    assert(miss.columns.toSeq == Seq("id", "payload") && miss.isEmpty)
+  }
+
   test("schema drift: the default writer fails fast on a drifted batch;" +
       " tolerateSchemaDrift widens the table with row-wise LWW nulls") {
     val root = java.nio.file.Files.createTempDirectory("es_drift")
