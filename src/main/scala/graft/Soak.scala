@@ -379,6 +379,12 @@ object Soak {
     // wins, batch << table, is ProbeUpsert's four-decade lane).
     "e19b_stream_upsert_bucketed" ->
       SparkEntry.queries("e19b_stream_upsert_bucketed"),
+    // the MID-INGEST REBUCKET cadence at factor x keys: the one-time
+    // generation rewrite is O(table) by design (what rebucket trades a
+    // decade of fat-bucket merges for), so the lane should track e19b
+    // plus ~one extra table pass; the checkpoint resume, the _NBUCKETS
+    // handoff, and the in-flight guard all ride at factor x state.
+    "e19c_stream_rebucket" -> SparkEntry.queries("e19c_stream_rebucket"),
     // the transformWithState sessionizer at factor x users: RocksDB
     // value-state cells grow by the factor (one per user) while the
     // replay cadence (8 chunks) stays fixed — the declared big-state
@@ -653,6 +659,7 @@ object Soak {
       "e18_stream_restart" -> 10,
       "e19_stream_upsert" -> 10,
       "e19b_stream_upsert_bucketed" -> 10,
+      "e19c_stream_rebucket" -> 10,
       "e20_tws_sessionize" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
