@@ -418,6 +418,15 @@ object EventStream {
           .map(v => s"${root.getPath}/$b/v$v"))
     require(paths.nonEmpty,
       s"no committed bucket version ≤ $asOfBatch under $tableRoot")
+    // RE-CHECK after resolution: in-writer retention raises the horizon
+    // before it deletes, so a reader that resolved its paths just ahead
+    // of a retirement must notice the horizon moved past it here — the
+    // loud error instead of a silently partial stitch
+    val horizon2 = readHorizon(root)
+    require(asOfBatch > horizon2,
+      s"as-of $asOfBatch was overtaken by the retention horizon " +
+        s"(now $horizon2) while resolving $tableRoot — retry with a " +
+        "newer as-of")
     spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
@@ -426,24 +435,43 @@ object EventStream {
     * committed version, filter — O(bucket size), not O(table), the
     * read-side half of the reference's get-by-id served straight from
     * the ingested store (src/memory.rs point reads). The bucket number
-    * comes from the PRODUCTION hash evaluated on a one-row frame —
-    * re-deriving the bucketing rule driver-side would silently break
-    * the moment the hash changes. Returns an empty frame (correct
-    * schema) when the id's bucket doesn't exist yet. */
+    * comes from the PRODUCTION hash evaluated on a one-row frame, with
+    * the literal CAST to the table's stored id type first — xxhash64
+    * hashes an Int and a Long differently, so a type-mismatched caller
+    * literal would otherwise hash into the wrong bucket and silently
+    * miss an existing row (the bucketing rule must never be re-derived
+    * driver-side, and neither must the id's type). Returns an empty
+    * frame when the id's bucket doesn't exist yet (schema from a
+    * reference bucket — one footer, still O(1)). Under drift-tolerant
+    * ingest the hit carries the id's BUCKET's schema era — columns
+    * added to the table after that bucket's last write are absent;
+    * table-wide schema is [[latestBucketedUpsert]]'s job. */
   def bucketedPointLookup(spark: SparkSession, tableRoot: String,
       idCol: String, id: Any): DataFrame = {
     val root = activeBucketedDir(new java.io.File(tableRoot))
     val n = readNBuckets(root).getOrElse(sys.error(
       s"$tableRoot has no _NBUCKETS metadata — not a bucketed upsert table"))
-    val k = spark.range(1).select(lit(id).as(idCol))
+    // one committed version anywhere in the table gives the stored id
+    // type (and the miss path's schema) for a single footer read
+    val refPath = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).sorted.iterator
+      .flatMap(b => committedVersions(new java.io.File(root, b)).lastOption
+        .map(v => s"${root.getPath}/$b/v$v"))
+      .nextOption().getOrElse(sys.error(
+        s"no committed bucket version under $tableRoot — empty table"))
+    val refSchema = spark.read.parquet(refPath).schema
+    val idType = refSchema(idCol).dataType
+    val idLit = lit(id).cast(idType)
+    val k = spark.range(1).select(idLit.as(idCol))
       .select(graft.operators.MemoryOps.bucketOf(idCol, n))
       .head().getLong(0)
     committedVersions(new java.io.File(root, s"b$k")).lastOption match {
       case Some(v) =>
         spark.read.parquet(s"${root.getPath}/b$k/v$v")
-          .where(col(idCol) === lit(id))
+          .where(col(idCol) === idLit)
       case None => // bucket never written: the id cannot exist
-        latestBucketedUpsert(spark, tableRoot).where(lit(false))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], refSchema)
     }
   }
 
@@ -465,20 +493,26 @@ object EventStream {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val top = new java.io.File(tableRoot)
     val root = activeBucketedDir(top)
-    var floor = -1L
-    Option(root.list()).getOrElse(Array.empty)
-      .filter(_.matches("b\\d+")).foreach { b =>
+    // plan all deletions first and raise the horizon BEFORE any of them
+    // (the in-writer retention's ordering): a crash mid-vacuum must
+    // leave the horizon covering whatever was destroyed, or a later
+    // as-of would silently skip the half-vacuumed bucket
+    val plans = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).toSeq.map { b =>
         val dir = new java.io.File(root, b)
         val versions = committedVersions(dir)
         val doomed = versions.dropRight(keep)
-        if (doomed.nonEmpty) {
-          floor = math.max(floor, versions.drop(doomed.size).head - 1)
-          doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(dir, s"v$v")): Unit)
-        }
+        val floorB = if (doomed.isEmpty) -1L
+          else versions.drop(doomed.size).head - 1
+        (dir, doomed, floorB)
       }
+    val floor = (plans.map(_._3) :+ -1L).max
     if (floor > readHorizon(root))
       writeMetaFile(root, "_RETENTION_HORIZON", floor.toString)
+    plans.foreach { case (dir, doomed, _) =>
+      doomed.foreach(v => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir, s"v$v")): Unit)
+    }
     // stale generations: every gen dir except the active one is either
     // superseded (committed, older) or a crashed rebucket's leftover
     // staging (uncommitted) — both reclaimable inside the maintenance
@@ -487,12 +521,21 @@ object EventStream {
       .map(g => new java.io.File(top, g)).filter(_ != root)
       .foreach(g => org.apache.commons.io.FileUtils.deleteQuietly(g): Unit)
     if (root != top) // pre-rebucket root-level layout, superseded too
-      Option(top.list()).getOrElse(Array.empty)
-        .filter(e => e.matches("b\\d+") || e == "_NBUCKETS" ||
-          e == "_RETENTION_HORIZON")
-        .foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(top, e)): Unit)
+      retireRootLayout(top)
   }
+
+  /** Delete a superseded ROOT-LEVEL bucket layout (data dirs + the
+    * metadata files that travel with a layout) after a generation has
+    * replaced it — one list of what constitutes "the layout", shared by
+    * [[rebucketUpsert]]'s post-commit cleanup and [[vacuumBucketed]]'s
+    * stale sweep so the two can never drift apart. `_OWNER` stays: root
+    * ownership spans generations. */
+  private def retireRootLayout(top: java.io.File): Unit =
+    Option(top.list()).getOrElse(Array.empty)
+      .filter(e => e.matches("b\\d+") || e == "_NBUCKETS" ||
+        e == "_RETENTION_HORIZON")
+      .foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(top, e)): Unit)
 
   /** GROW (or shrink) a bucketed upsert table's bucket count — the
     * maintenance half of the "at warehouse scale nBuckets grows with
@@ -515,15 +558,21 @@ object EventStream {
     * after it leaves reclaimable garbage ([[vacuumBucketed]] sweeps
     * superseded generations).
     *
-    * MAINTENANCE-WINDOW ONLY, and the stream must have stopped CLEAN:
+    * MAINTENANCE-WINDOW ONLY, and the stream must have STOPPED clean:
     * a crashed batch B retries on resume and merges against the newest
     * committed versions < B — which this rewrite destroys (the new
-    * generation starts at V ≥ B). Checkpointed tables are guarded
+    * generation starts at V ≥ B). The crashed-in-flight case is caught
     * mechanically: the `_OWNER` marker records the checkpoint path, so
     * rebucket compares its offsets log against its commits log and
     * REFUSES while a batch is in flight (resume the query once to
-    * drain it). Anonymous tables need no guard — their temp checkpoint
-    * dies with the incarnation, so no retry can ever target them. */
+    * drain it), and refuses BLIND maintenance too — an unresolvable
+    * checkpoint fails closed. What no filesystem guard can see is a
+    * STILL-RUNNING idle query starting a fresh batch mid-rewrite (it
+    * would commit into the old layout the generation flip then
+    * abandons) — stopping the stream first is the non-negotiable half
+    * of the contract. Anonymous tables need no drain guard — their
+    * temp checkpoint dies with the incarnation, so no retry can ever
+    * target them. */
   def rebucketUpsert(spark: SparkSession, tableRoot: String, idCol: String,
       newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
@@ -566,12 +615,7 @@ object EventStream {
       s"generation $gen already committed — concurrent rebucket?")
     // post-commit cleanup of the superseded layout; a crash here only
     // strands garbage that vacuumBucketed reclaims
-    if (cur == top)
-      Option(top.list()).getOrElse(Array.empty)
-        .filter(e => e.matches("b\\d+") || e == "_NBUCKETS" ||
-          e == "_RETENTION_HORIZON")
-        .foreach(e => org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(top, e)): Unit)
+    if (cur == top) retireRootLayout(top)
     else org.apache.commons.io.FileUtils.deleteQuietly(cur): Unit
   }
 
@@ -659,24 +703,49 @@ object EventStream {
     * re-execute on resume and must find its committed predecessors,
     * which the maintenance op is about to destroy. The `_OWNER` marker
     * stores the checkpoint path (anonymous owners have no resumable
-    * checkpoint — nothing can retry against them). */
+    * checkpoint — nothing can retry against them).
+    *
+    * FAILS CLOSED: a checkpoint path that doesn't resolve from this
+    * host (deleted, moved, relative from another cwd, unmounted) is
+    * indistinguishable from one hiding an in-flight batch, and the op
+    * behind this guard is destructive — so an unlistable offsets log
+    * REFUSES rather than proceeding blind. A checkpoint that is truly
+    * gone forever means no retry can ever arrive; the operator records
+    * that judgment by deleting the `_OWNER` marker, not by this guard
+    * guessing.
+    *
+    * This guard covers the CRASHED-in-flight case only. It cannot see
+    * a STILL-RUNNING idle query (offsets == commits) that starts a new
+    * batch mid-rewrite — stopping the stream first is the non-
+    * negotiable half of the maintenance-window contract. */
   private def requireDrainedCheckpoint(top: java.io.File): Unit = {
     val marker = new java.io.File(top, "_OWNER")
     if (!marker.exists()) return
     val owner = new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
     if (owner.startsWith("anon-")) return
-    def newest(sub: String): Long = {
+    def newest(sub: String): Option[Long] = {
       val d = new java.io.File(owner, sub)
-      Option(d.list()).getOrElse(Array.empty)
+      Option(d.list()).map(_
         .filter(f => f.nonEmpty && f.forall(_.isDigit))
-        .map(_.toLong).sorted.lastOption.getOrElse(-1L)
+        .map(_.toLong).sorted.lastOption.getOrElse(-1L))
     }
-    val (off, com) = (newest("offsets"), newest("commits"))
-    require(off <= com,
-      s"checkpoint $owner has batch $off in flight (newest commit: " +
-        s"$com) — it will re-execute on resume against history this " +
-        "maintenance op destroys; resume the query once to drain it first")
+    (newest("offsets"), newest("commits")) match {
+      case (Some(off), com) =>
+        require(off <= com.getOrElse(-1L),
+          s"checkpoint $owner has batch $off in flight (newest commit: " +
+            s"${com.getOrElse(-1L)}) — it will re-execute on resume " +
+            "against history this maintenance op destroys; resume the " +
+            "query once to drain it first")
+      case (None, _) =>
+        throw new IllegalArgumentException(
+          s"cannot list offsets log of checkpoint $owner (recorded in " +
+            s"$top/_OWNER) — refusing destructive maintenance blind: an " +
+            "unresolvable checkpoint may still hide an in-flight batch. " +
+            "Run from a host where the checkpoint resolves, or — if it " +
+            "is gone forever — delete the _OWNER marker to record that " +
+            "no retry can ever arrive")
+    }
   }
 
   /** Enforce (or establish) the root's single-owner contract. Creation
@@ -1585,11 +1654,8 @@ object EventStream {
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = streamingUpsert(stream, root, "user_id", reduceBatch = b =>
-      b.groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-        .select(col("user_id"), col("m.ts").as("ts"),
-          col("m.event_id").as("event_id"), col("m.value").as("value")))
+    val q = streamingUpsert(stream, root, "user_id",
+      reduceBatch = lwwReduceByUser)
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(latestUpsertVersion(root))
       .select(col("user_id"), col("event_id"),
@@ -1617,16 +1683,24 @@ object EventStream {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
-      reduceBatch = b =>
-        b.groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"),
-            col("m.event_id").as("event_id"), col("m.value").as("value")))
+      reduceBatch = lwwReduceByUser)
     try q.processAllAvailable() finally q.stop()
     latestBucketedUpsert(spark, root)
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"))
   }
+
+  /** The e19-family per-batch reduction, in ONE place for all three
+    * ingest replays (plain, bucketed, rebucket): collapse a micro-batch
+    * to its latest update per user with the deterministic
+    * (ts, event_id, value) struct-max tie-break — the contract the
+    * DuckDB oracle mirrors token-for-token; a copy drifting in one
+    * replay would silently diverge that lane from its siblings. */
+  private def lwwReduceByUser(b: DataFrame): DataFrame =
+    b.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
 
   /** E19C — REBUCKET MID-INGEST: the bucketed ingest of
     * [[replayUpsertBucketed]] interrupted after its first tranche by
@@ -1667,12 +1741,7 @@ object EventStream {
       // the seed bucket count is passed UNCHANGED across the rebucket —
       // proving the metadata, not the call site, owns the layout
       val q = streamingUpsertBucketed(stream, tbl, "user_id", nBuckets,
-        reduceBatch = b =>
-          b.groupBy(col("user_id"))
-            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-            .select(col("user_id"), col("m.ts").as("ts"),
-              col("m.event_id").as("event_id"), col("m.value").as("value")),
-        checkpoint = Some(ckpt))
+        reduceBatch = lwwReduceByUser, checkpoint = Some(ckpt))
       try q.processAllAvailable() finally q.stop()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (spark.streams.active.exists(_.runId == q.runId) &&

@@ -846,6 +846,21 @@ class EventStreamSpec extends SparkSpec {
     // vacuum reclaims the stray uncommitted generation
     EventStream.vacuumBucketed(tbl)
     assert(!new java.io.File(tbl, "gen9").exists())
+    // FAIL CLOSED: an _OWNER whose checkpoint path doesn't resolve from
+    // this host may still hide an in-flight batch — destructive
+    // maintenance must refuse rather than proceed blind
+    val blindTbl = root.resolve("blind").toString
+    EventStream.upsertBatchBucketed(blindTbl,
+      (1L to 4L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      0L, "id", 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(blindTbl, "_OWNER"),
+      root.resolve("no_such_ckpt").toString)
+    val blind = intercept[IllegalArgumentException] {
+      EventStream.rebucketUpsert(spark, blindTbl, "id", 4)
+    }
+    assert(blind.getMessage.contains("refusing destructive maintenance"),
+      blind.getMessage)
   }
 
   test("in-writer retention bounds the plain table's footprint, keeps" +
@@ -964,6 +979,12 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((2L, "p2")))
     val miss = EventStream.bucketedPointLookup(spark, tbl, "id", 999L)
     assert(miss.columns.toSeq == Seq("id", "payload") && miss.isEmpty)
+    // a TYPE-mismatched literal must still find the row: xxhash64
+    // hashes Int and Long differently, so the lookup casts the literal
+    // to the STORED id type before hashing — an Int 3 against a LONG
+    // column landing in the wrong bucket was the round-11 review find
+    assert(EventStream.bucketedPointLookup(spark, tbl, "id", 3)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "p3-v2")))
   }
 
   test("schema drift: the default writer fails fast on a drifted batch;" +
