@@ -112,7 +112,9 @@ object ProbeStateForce {
     val root = if (java.nio.file.Files.isDirectory(shm))
         java.nio.file.Files.createTempDirectory(shm, "graft_force")
       else java.nio.file.Files.createTempDirectory("graft_force")
-    def lane(k: Long, provider: String, dir: String): (Double, Long) = {
+    // the input dir fully determines lane size; no size parameter, or a
+    // reader mis-models what the lane times (round-11 review finding)
+    def lane(provider: String, dir: String): (Double, Long) = {
       val runner = spark.newSession()
       runner.conf.set(key, provider)
       runner.conf.set("spark.sql.shuffle.partitions", "4")
@@ -128,9 +130,15 @@ object ProbeStateForce {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      // heap FIRST (the held-state figure this probe reports), THEN
+      // unload: providers leave the JVM-wide cache on the MAINTENANCE
+      // cycle, not at query termination, so without the explicit stop
+      // the NEXT lane's post-gc figure carries this lane's state maps
+      // (round-11 review finding)
       System.gc()
       val heap = (Runtime.getRuntime.totalMemory()
         - Runtime.getRuntime.freeMemory()) / (1 << 20)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       (sec, heap)
     }
@@ -145,13 +153,13 @@ object ProbeStateForce {
         val warmDir = root.resolve(s"warm_$k").toString
         val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
         ww.write(spark.range(1000).toDF("id"), Seq("id"))
-        for (p <- Seq(default, RocksDb)) lane(1000L, p, warmDir)
+        for (p <- Seq(default, RocksDb)) lane(p, warmDir)
         // RocksDB first: in a constrained-heap run (SPARK_DRIVER_MEM
         // small), the in-heap lane dies with the JVM — the bounded-heap
         // lane's number must already be on stdout by then
         for ((label, p) <- Seq("rocksdb" -> RocksDb,
             "hdfs-backed (default)" -> default)) {
-          val (sec, heap) = lane(k, p, dir)
+          val (sec, heap) = lane(p, dir)
           println(f"[stateforce] $label%-22s keys=$k%-10d $sec%7.2f s  " +
             f"(post-gc heap ${heap}M)")
         }

@@ -214,11 +214,8 @@ object ProbeUpsert {
             val stream = spark.readStream
               .schema("id LONG, value DOUBLE, ver LONG")
               .option("maxFilesPerTrigger", 1).parquet(in)
-            val q = mkQuery(stream, tbl, ckpt)
-            try q.processAllAvailable() finally q.stop()
-            val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-            while (spark.streams.active.exists(_.runId == q.runId) &&
-                System.nanoTime() < deadline) Thread.sleep(50)
+            graft.streaming.EventStream.drainAndAwait(spark,
+              mkQuery(stream, tbl, ckpt))
           }
           w.write(spark.range(n).select(col("id"),
             (col("id") * 1.0).as("value"), lit(0L).as("ver")),

@@ -131,6 +131,20 @@ object MemoryOps {
   private[graft] def bucketOf(idCol: String, nBuckets: Int): Column =
     pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
 
+  /** The PRUNE STEP shared by the batch and streaming bucketed merges:
+    * tag `incoming` with its id-buckets and collect the DISTINCT
+    * bucket list to the driver. That collect is table METADATA (≤
+    * nBuckets small ints) — it IS the partition pruning, not a
+    * data-path collect. One copy, or the batch and streaming forms
+    * silently diverge on the rule (round-11 review finding). */
+  private[graft] def tagTouchedBuckets(incoming: DataFrame, idCol: String,
+      nBuckets: Int): (DataFrame, Seq[Long]) = {
+    val inc = incoming.withColumn("__bucket", bucketOf(idCol, nBuckets))
+    val touched = inc.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    (inc, touched)
+  }
+
   /** Write a keyed table hash-bucketed by id (`__bucket=k/` partition
     * dirs). This is the 100 TB layout: every keyed operation — upsert,
     * delete, point lookup — prunes to the buckets its keys hash into.
@@ -170,9 +184,7 @@ object MemoryOps {
       incoming: DataFrame,
       idCol: String,
       nBuckets: Int): Unit = {
-    val inc = incoming.withColumn("__bucket", bucketOf(idCol, nBuckets))
-    val touched = inc.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val (inc, touched) = tagTouchedBuckets(incoming, idCol, nBuckets)
     val current = spark.read.parquet(path)
       .where(col("__bucket").isin(touched: _*)) // partition-pruned scan
     val merged = upsertById(current, inc, idCol)

@@ -302,11 +302,9 @@ object EventStream {
     val n = readNBuckets(dir).getOrElse(nBuckets)
     def bucketed(df: DataFrame): DataFrame = df.withColumn("__bucket",
       graft.operators.MemoryOps.bucketOf(idCol, n))
-    val inc = bucketed(inc0)
-    // the touched-bucket list is table METADATA (≤ nBuckets small ints) —
-    // collecting it on the driver is the pruning step, not a data collect
-    val touched = inc.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // prune step shared with the batch form (MemoryOps.upsertBucketed)
+    val (inc, touched) =
+      graft.operators.MemoryOps.tagTouchedBuckets(inc0, idCol, n)
     if (touched.isEmpty) return
     // the authoritative bucket count is stamped with the first real
     // write (an empty batch leaves no artifacts at all)
@@ -479,19 +477,28 @@ object EventStream {
     * committed versions of each bucket (the retention horizon — as-of
     * reads stay answerable within it), plus any superseded GENERATION
     * left behind by a [[rebucketUpsert]] whose post-commit cleanup
-    * crashed. MAINTENANCE-WINDOW ONLY — a concurrently running merge
-    * may be reading the version this deletes (the newest < its
-    * batchId); real table formats solve the same problem with
-    * snapshot retention horizons.
+    * crashed. MAINTENANCE-WINDOW ONLY, and the stream must have
+    * STOPPED CLEAN — enforced like [[rebucketUpsert]]: a batch that
+    * committed its bucket versions but not its checkpoint entry WILL
+    * re-execute on resume and must find its merge source (the newest
+    * committed versions below it), which a keep-1 vacuum run in that
+    * downtime would have deleted — silent data loss on the retry. The
+    * drain guard refuses that window, fails closed on an unresolvable
+    * checkpoint, and cannot see a still-running idle query (same
+    * contract, same reasons). Real table formats solve all of this
+    * with snapshot retention horizons.
     *
     * Raises `_RETENTION_HORIZON` to (lowest kept version − 1) over the
     * buckets that lost versions: a bucket's state BELOW its lowest
     * kept version is unanswerable, and one unanswerable bucket poisons
     * the whole table-wide as-of (the stitched read above would
-    * silently drop that bucket's rows). */
+    * silently drop that bucket's rows). The horizon is raised BEFORE
+    * any deletion, so a crash mid-vacuum can't leave destroyed history
+    * uncovered. */
   def vacuumBucketed(tableRoot: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val top = new java.io.File(tableRoot)
+    requireDrainedCheckpoint(top)
     val root = activeBucketedDir(top)
     // plan all deletions first and raise the horizon BEFORE any of them
     // (the in-writer retention's ordering): a crash mid-vacuum must
@@ -623,11 +630,14 @@ object EventStream {
     * `keep` committed ones — each plain version is a full table copy,
     * so an unvacuumed ingest's footprint grows O(batches × table): at
     * warehouse scale retention is not optional. Raises the horizon
-    * like [[vacuumBucketed]]; MAINTENANCE-WINDOW ONLY for the same
-    * reason. */
+    * like [[vacuumBucketed]] and carries the same drained-checkpoint
+    * guard for the same reason: a crashed-but-table-committed batch
+    * retries on resume against the very version a keep-1 vacuum would
+    * delete. */
   def vacuumUpsert(tableRoot: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val root = new java.io.File(tableRoot)
+    requireDrainedCheckpoint(root)
     val versions = committedVersions(root)
     val doomed = versions.dropRight(keep)
     if (doomed.nonEmpty) {
@@ -997,6 +1007,20 @@ object EventStream {
     * streams all write through it (round-10 review finding: diverging
     * copies of the stamp/seen machinery, then a sleep-based copy in a
     * spec). */
+  /** Drain a file-fed query and wait for it to DEREGISTER from the
+    * session: `stop()` returns before `spark.streams.active` drops the
+    * query, and a follow-up incarnation (restart/resume/rebucket
+    * cadences) must not race the old one's teardown. One copy of the
+    * deadline loop — the round-11 review found it pasted into four
+    * sites and growing. */
+  private[graft] def drainAndAwait(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try q.processAllAvailable() finally q.stop()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.runId == q.runId) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+  }
+
   private[graft] final class ChunkWriter(dir: String) {
     private val t0 = System.currentTimeMillis()
     private val seen = scala.collection.mutable.Set[String]()
@@ -1742,10 +1766,7 @@ object EventStream {
       // proving the metadata, not the call site, owns the layout
       val q = streamingUpsertBucketed(stream, tbl, "user_id", nBuckets,
         reduceBatch = lwwReduceByUser, checkpoint = Some(ckpt))
-      try q.processAllAvailable() finally q.stop()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.streams.active.exists(_.runId == q.runId) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      drainAndAwait(spark, q)
     }
     try {
       val half = chunks / 2

@@ -468,10 +468,7 @@ class EventStreamSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = EventStream.streamingUpsert(stream, tbl, "id",
         checkpoint = Some(ckpt))
-      try q.processAllAvailable() finally q.stop()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.streams.active.exists(_.runId == q.runId) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      EventStream.drainAndAwait(spark, q)
     }
     w.write(Seq((1L, "one"), (2L, "two")).toDF("id", "payload"),
       Seq("id", "payload"))
@@ -586,10 +583,7 @@ class EventStreamSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", nBuckets,
         checkpoint = Some(ckpt))
-      try q.processAllAvailable() finally q.stop()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.streams.active.exists(_.runId == q.runId) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      EventStream.drainAndAwait(spark, q)
     }
     drain() // batches 0 and 1 committed
     def layout(): Map[String, Seq[String]] =
@@ -766,10 +760,7 @@ class EventStreamSpec extends SparkSpec {
       // _NBUCKETS, not the call site, must govern the resumed merges
       val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", nSeed,
         checkpoint = Some(ckpt))
-      try q.processAllAvailable() finally q.stop()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.streams.active.exists(_.runId == q.runId) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      EventStream.drainAndAwait(spark, q)
     }
     w.write((1L to 16L).map(id => (id, s"p$id")).toDF("id", "payload"),
       Seq("id", "payload"))
@@ -826,6 +817,7 @@ class EventStreamSpec extends SparkSpec {
     val commits = new java.io.File(ckpt, "commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     val victim = commits.last
+    val victimBytes = java.nio.file.Files.readAllBytes(victim.toPath)
     Seq(victim,
         new java.io.File(victim.getParent, victim.getName + ".checksum"),
         new java.io.File(victim.getParent, "." + victim.getName + ".crc"))
@@ -834,6 +826,13 @@ class EventStreamSpec extends SparkSpec {
       EventStream.rebucketUpsert(spark, tbl, "id", 8)
     }
     assert(e.getMessage.contains("in flight"), e.getMessage)
+    // vacuum carries the SAME drain guard: a keep-1 vacuum in this
+    // window would delete the retry's merge source (round-11 review —
+    // silent data loss on the re-executed batch)
+    val ev = intercept[IllegalArgumentException] {
+      EventStream.vacuumBucketed(tbl)
+    }
+    assert(ev.getMessage.contains("in flight"), ev.getMessage)
     // a crashed rebucket's leftover — a gen dir with NO commit marker —
     // must not hijack reads (the atomic-commit half of the contract)
     java.nio.file.Files.createDirectories(
@@ -843,7 +842,10 @@ class EventStreamSpec extends SparkSpec {
     val exp = (1L to 8L).map(id =>
       id -> (if (id == 2L) "p2-v2" else s"p$id")).toMap
     assert(latest == exp)
-    // vacuum reclaims the stray uncommitted generation
+    // the crash window clears when the batch's commit record is back
+    // (production: resume the query once); vacuum then reclaims the
+    // stray uncommitted generation
+    java.nio.file.Files.write(victim.toPath, victimBytes)
     EventStream.vacuumBucketed(tbl)
     assert(!new java.io.File(tbl, "gen9").exists())
     // FAIL CLOSED: an _OWNER whose checkpoint path doesn't resolve from
@@ -875,10 +877,7 @@ class EventStreamSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = EventStream.streamingUpsert(stream, tbl, "id",
         checkpoint = Some(ckpt), retainVersions = 1)
-      try q.processAllAvailable() finally q.stop()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.streams.active.exists(_.runId == q.runId) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      EventStream.drainAndAwait(spark, q)
     }
     (0 to 3).foreach(b => w.write(
       Seq((1L, s"one-b$b"), (b.toLong + 10L, s"new-b$b"))
