@@ -46,6 +46,31 @@ object Bench {
     * query by it cancels the common-mode drift. */
   val canaryName = "q2_date_filter"
 
+  /** IO canary: 32 MB written and fsync'd to local disk through a raw
+    * FileChannel — no Spark in the loop, so it prices exactly one
+    * thing: disk-write + fsync latency. The round-11 session recorded
+    * a drift shape the other two canaries cannot see (CPU canaries at
+    * session-best while every lane that writes real bytes — edge-pin
+    * localCheckpoints, streaming checkpoints/sinks — degraded 1.4-2.5x
+    * together: an IO-side co-tenant). REPORTED ONLY for now
+    * (`canary_io_sec`): it joins the drift estimate once bench_prev
+    * carries a pin for it, not before — an unpinned estimator divides
+    * by nothing. */
+  def ioCanary(): Unit = {
+    val p = java.nio.file.Files.createTempFile("graft_io_canary", ".bin")
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20) // zeros; content is irrelevant
+      var i = 0
+      while (i < 32) { buf.rewind(); ch.write(buf): Unit; i += 1 }
+      ch.force(true)
+    } finally {
+      ch.close()
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+  }
+
   /** Shuffle-bound canary: a fixed repartition + two keyed aggregates
     * over lineitem — all exchange and hash-agg, almost no scan, the
     * complement of [[canaryName]]. Catches the co-tenant burst mode the
@@ -287,6 +312,7 @@ object Bench {
     val canaryShuffle = timeThunk("canary_shuffle", () =>
       shuffleCanary(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
+    val canaryIo = timeThunk("canary_io", () => ioCanary())
     val firstPass: Map[String, Double] = names.map { n =>
       n -> (if (n == canaryName) canary else time(n))
     }.toMap
@@ -370,7 +396,7 @@ object Bench {
     val warnJson = driftWarning(prevCanary.map(canary / _),
         prevCanaryShuffle.map(canaryShuffle / _), med)
       .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
-    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
+    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
     // a missing parent dir must not cost the whole 20-minute run at the
     // final write (a gitignored tmp/ target can vanish between rounds)
     Option(java.nio.file.Paths.get(fullPath).getParent)
