@@ -1483,7 +1483,13 @@ object EventStream {
       try { q.processAllAvailable() } finally q.stop()
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)): Unit
-    spark.read.parquet(s"$outDir/b*")
+    // explicit batch-dir list, not the "$outDir/b*" glob: DataSource
+    // probes a glob path for a FileStreamSink metadata dir and logs a
+    // WARN + full stack trace on the miss — ~700 of them per bench run
+    val batchDirs = Option(new java.io.File(outDir).list())
+      .getOrElse(Array.empty).filter(_.matches("b\\w+")).sorted
+      .map(b => s"$outDir/$b")
+    spark.read.parquet(batchDirs.toIndexedSeq: _*)
   }
 
   /** Replay temp roots awaiting JVM-exit deletion — restart sinks on
