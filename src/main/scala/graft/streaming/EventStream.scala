@@ -320,11 +320,15 @@ object EventStream {
       if (currentPaths.isEmpty) inc
       else graft.operators.MemoryOps.upsertById(
         // __bucket is a pure function of the id — recomputing beats
-        // persisting it into the data files. Under drift tolerance the
-        // touched buckets may sit at different schema eras, so the
-        // multi-dir read must union their footers, not sample one.
+        // persisting it into the data files. mergeSchema UNCONDITIONALLY:
+        // a table widened by an earlier drift-tolerant run leaves its
+        // buckets at mixed schema eras, and a later STRICT resume that
+        // sampled one footer would silently null the other eras' columns
+        // before the strict unionByName ever saw the mismatch — the
+        // fail-fast point is the merge below, never the read (round-11
+        // advisor finding).
         bucketed(spark.read
-          .option("mergeSchema", tolerateSchemaDrift.toString)
+          .option("mergeSchema", "true")
           .parquet(currentPaths.toIndexedSeq: _*)),
         inc, idCol, tolerateSchemaDrift)
     // ONE job writes every touched bucket's next version into staging
@@ -998,15 +1002,6 @@ object EventStream {
       }
   }
 
-  /** One-file-per-micro-batch writer: each write() appends ONE coalesced
-    * parquet file to `dir` and stamps it with a strictly increasing
-    * mtime, so a file source with maxFilesPerTrigger=1 (oldest-first)
-    * delivers every write as its own micro-batch. The ordering contract
-    * of the whole replay harness lives HERE and only here —
-    * [[chunkedReplayDir]], [[replayRestart]], and the specs' staged
-    * streams all write through it (round-10 review finding: diverging
-    * copies of the stamp/seen machinery, then a sleep-based copy in a
-    * spec). */
   /** Drain a file-fed query and wait for it to DEREGISTER from the
     * session: `stop()` returns before `spark.streams.active` drops the
     * query, and a follow-up incarnation (restart/resume/rebucket
@@ -1021,6 +1016,15 @@ object EventStream {
         System.nanoTime() < deadline) Thread.sleep(50)
   }
 
+  /** One-file-per-micro-batch writer: each write() appends ONE coalesced
+    * parquet file to `dir` and stamps it with a strictly increasing
+    * mtime, so a file source with maxFilesPerTrigger=1 (oldest-first)
+    * delivers every write as its own micro-batch. The ordering contract
+    * of the whole replay harness lives HERE and only here —
+    * [[chunkedReplayDir]], [[replayRestart]], and the specs' staged
+    * streams all write through it (round-10 review finding: diverging
+    * copies of the stamp/seen machinery, then a sleep-based copy in a
+    * spec). */
   private[graft] final class ChunkWriter(dir: String) {
     private val t0 = System.currentTimeMillis()
     private val seen = scala.collection.mutable.Set[String]()
