@@ -38,7 +38,13 @@ object Bench {
     "e8_stream_replay", "e9_stream_funnel", "e10_stream_join",
     "e11_stream_window", "e12_hopping_window", "e13_stream_dedup",
     "e14_stream_hopping", "e15_stream_neardup", "e16_stream_late",
-    "e17_stream_outer_join", "e18_stream_restart", "e19_stream_upsert")
+    "e17_stream_outer_join", "e18_stream_restart", "e19_stream_upsert",
+    // round 12: the e19b/e19c/e20 replays had been mis-totaled into the
+    // batch lane since they registered; the lane split is reporting
+    // only (the gate is per-query), but the batch total should measure
+    // the batch engine (BASELINE.md round-12 notes the re-lane)
+    "e19b_stream_upsert_bucketed", "e19c_stream_rebucket",
+    "e20_tws_sessionize", "e21_upsert_asof", "e22_upsert_drift")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures

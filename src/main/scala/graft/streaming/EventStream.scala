@@ -1724,6 +1724,145 @@ object EventStream {
         round(col("value"), 6).as("value"))
   }
 
+  /** E21 — TIME TRAVEL under the oracle: the bucketed ingest of
+    * [[replayUpsertBucketed]], then [[bucketedUpsertAsOf]] read at a
+    * MID-FEED batch boundary. Chunk construction is deterministic
+    * (time-range split over `[lo, hi]`), so batch `asOfBatch` = chunk
+    * `asOfBatch`, and the snapshot after it must equal the per-user
+    * argmax restricted to the EVENT PREFIX of the first
+    * `asOfBatch + 1` chunks — exactly the SQL the DuckDB oracle
+    * states (`floor-second < lo + span·(asOfBatch+1)/chunks`). The
+    * reference's versioned memory table IS this store; a
+    * point-in-time read is the natural extension the spec-only
+    * maintenance surface still owed the hash compare (round-11 ask).
+    *
+    * The LOUD-HORIZON lane rides in the same row: after the snapshot
+    * is materialized, a keep-1 [[vacuumBucketed]] destroys the
+    * history it stitched, and the SAME as-of read must now fail
+    * loudly on the raised `_RETENTION_HORIZON` — never a silently
+    * partial stitch. Both halves are asserted on every verify and
+    * bench run, not only in a spec. */
+  def replayUpsertAsOf(events: DataFrame, chunks: Int = 6,
+      asOfBatch: Long = 2, nBuckets: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val src = withSec(events.select(col("event_id"), col("ts"),
+      col("user_id"), col("value")))
+    val dir = chunkedReplayDir(src, cols, chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upserta_tbl").toString
+    registerRestartRoot(new java.io.File(root))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
+      reduceBatch = lwwReduceByUser)
+    try q.processAllAvailable() finally q.stop()
+    // materialize the snapshot BEFORE the horizon lane destroys the
+    // versions it stitches — the parquet read is lazy
+    val snapshot = bucketedUpsertAsOf(spark, root, asOfBatch)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
+      .localCheckpoint(true)
+    vacuumBucketed(root, keep = 1)
+    val loud =
+      try { bucketedUpsertAsOf(spark, root, asOfBatch); false }
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("retention horizon") => true
+      }
+    require(loud, s"as-of $asOfBatch must fail LOUDLY once vacuum " +
+      "raised the retention horizon past it — a quiet answer here " +
+      "would be a silently partial stitch")
+    snapshot
+  }
+
+  /** E22 — SCHEMA-DRIFT-TOLERANT ingest under the oracle: the bucketed
+    * feed of [[replayUpsertBucketed]] run as TWO incarnations over one
+    * checkpoint and one table, where the SECOND incarnation's chunks
+    * carry an ADDED column (`etype`) — the long-lived-feed reality the
+    * `tolerateSchemaDrift` flag exists for (a file stream's schema is
+    * fixed per query, so a feed that gains a field arrives as a
+    * restart with a wider reader — exactly how production rolls it
+    * out). The widening contract this row pins, against the DuckDB
+    * mirror with explicit null-fill:
+    *  - the table WIDENS instead of killing the query (additive drift);
+    *  - LWW stays ROW-wise: a user whose latest update predates the
+    *    new column gets `etype` NULL (rows win, not fields), and a
+    *    user updated after it gets that update's value;
+    *  - era stitching: buckets last written before the drift read back
+    *    null-filled through the mergeSchema readers.
+    *
+    * The era-2 feed EXCLUDES the `user_id % 5 = 0` cohort (they
+    * churned before the field shipped) — without it every fixture
+    * user's latest event lands after the boundary and the
+    * null-etype branch of the contract would go untested; with it
+    * ~20% of the final rows must carry the era-1 NULL. */
+  def replayUpsertDrift(events: DataFrame, chunks: Int = 6,
+      nBuckets: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    val src = withSec(events.select(col("event_id"), col("ts"),
+      col("user_id"), col("value"),
+      col("event_type").as("etype")))
+    src.persist()
+    val bounds = src.agg(min(col("__sec")), max(col("__sec"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsertd_tbl")
+    registerRestartRoot(root.toFile)
+    val inDir = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new ChunkWriter(inDir)
+    def writeChunk(i: Int, outCols: Seq[String],
+        cohort: org.apache.spark.sql.Column = lit(true)): Unit = {
+      val cLo = lo + span * i / chunks
+      val cHi = lo + span * (i + 1) / chunks
+      w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi)
+        .where(cohort), outCols)
+    }
+    // the per-batch latest-per-key reduction, era-aware: the struct-max
+    // tie-break is (ts, event_id, value) exactly as in the sibling
+    // replays (event_ids are unique, so the order is already total);
+    // the added column rides BEHIND the tie-break fields and never
+    // participates in it
+    def reduce(b: DataFrame): DataFrame = {
+      val extras = b.columns.toSeq
+        .filterNot(Set("user_id", "ts", "event_id", "value"))
+      val fields = Seq("ts", "event_id", "value") ++ extras
+      b.groupBy(col("user_id"))
+        .agg(max(struct(fields.map(col): _*)).as("m"))
+        .select(col("user_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
+    }
+    def drain(schema: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = streamingUpsertBucketed(stream, tbl, "user_id", nBuckets,
+        reduceBatch = reduce, checkpoint = Some(ckpt),
+        tolerateSchemaDrift = true)
+      drainAndAwait(spark, q)
+    }
+    try {
+      val half = chunks / 2
+      // era 1: the feed before the field existed
+      (0 until half).foreach(writeChunk(_,
+        Seq("event_id", "ts", "user_id", "value")))
+      drain("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      // era 2: the feed gained `etype`; the restarted reader is wider
+      // (the checkpoint's seen-files log keeps era-1 files out of it).
+      // The %5 cohort churned in era 1 — their final rows must read
+      // back with the era-1 NULL
+      (half until chunks).foreach(writeChunk(_,
+        Seq("event_id", "ts", "user_id", "value", "etype"),
+        cohort = col("user_id") % 5 =!= 0))
+      drain("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, " +
+        "etype STRING")
+    } finally src.unpersist(): Unit
+    latestBucketedUpsert(spark, tbl)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"), col("etype"))
+  }
+
   /** The e19-family per-batch reduction, in ONE place for all three
     * ingest replays (plain, bucketed, rebucket): collapse a micro-batch
     * to its latest update per user with the deterministic

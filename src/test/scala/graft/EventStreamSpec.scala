@@ -1098,4 +1098,62 @@ class EventStreamSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](readB(1L))
     assert(e2.getMessage.contains("retention horizon"), e2.getMessage)
   }
+
+  test("replayUpsertAsOf: the mid-feed snapshot equals the argmax over" +
+      " the event prefix, and the post-vacuum loud-horizon lane holds") {
+    val ev = Tables.events(spark, sf0001)
+    // asOfBatch=2 of 6 time-range chunks == events in the first 3/6 of
+    // the span; the mirror reproduces chunkedReplayDir's integer
+    // arithmetic on floor-second timestamps
+    val got = EventStream.replayUpsertAsOf(ev, chunks = 6, asOfBatch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = ev.agg(min($"ts".cast("long")), max($"ts".cast("long"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = lo + (hi - lo + 1) * 3 / 6
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc, $"value".desc)
+    val exp = ev.where($"ts".cast("long") < cut)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_id", round($"value", 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+    // the full-table argmax must DIFFER from the prefix argmax, or this
+    // test would pass with time travel silently reading latest
+    val full = ev.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_id", round($"value", 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got != full, "prefix snapshot indistinguishable from latest — " +
+      "the fixture no longer exercises time travel")
+  }
+
+  test("replayUpsertDrift: the feed gains a column mid-stream; the table" +
+      " widens, rows win (era-1 users read NULL), eras stitch") {
+    val ev = Tables.events(spark, sf0001)
+    val got = EventStream.replayUpsertDrift(ev, chunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    val b = ev.agg(min($"ts".cast("long")), max($"ts".cast("long"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = lo + (hi - lo + 1) * 3 / 6
+    // mirror: era-1 events ∪ era-2 events minus the churned cohort;
+    // etype carried only by era-2 events
+    val src = ev.where($"ts".cast("long") < cut || $"user_id" % 5 =!= 0)
+      .withColumn("etype",
+        when($"ts".cast("long") >= cut, $"event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc, $"value".desc)
+    val exp = src.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_id", round($"value", 6).as("value"),
+        $"etype")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    assert(got == exp)
+    // both branches of the rows-win contract must actually fire
+    assert(got.exists(_._4.isEmpty), "no era-1 NULL rows — the churn " +
+      "cohort no longer exercises the null-fill branch")
+    assert(got.exists(_._4.nonEmpty), "no era-2 rows")
+  }
 }
