@@ -58,10 +58,12 @@ object Bench {
     * a drift shape the other two canaries cannot see (CPU canaries at
     * session-best while every lane that writes real bytes — edge-pin
     * localCheckpoints, streaming checkpoints/sinks — degraded 1.4-2.5x
-    * together: an IO-side co-tenant). REPORTED ONLY for now
-    * (`canary_io_sec`): it joins the drift estimate once bench_prev
-    * carries a pin for it, not before — an unpinned estimator divides
-    * by nothing. */
+    * together: an IO-side co-tenant). Reported as `canary_io_sec` and,
+    * since round 12, PINNED: its now/prev ratio joins [[driftEstimate]]
+    * and [[driftWarning]] whenever bench_prev carries the pin, so the
+    * third drift shape is adjudicated mechanically instead of by hand
+    * (it never fires before the first promoted run pins it — an
+    * unpinned canary contributes nothing). */
   def ioCanary(): Unit = {
     val p = java.nio.file.Files.createTempFile("graft_io_canary", ".bin")
     val ch = java.nio.channels.FileChannel.open(p,
@@ -110,17 +112,26 @@ object Bench {
     if (rs.size < minN) None else Some(rs(rs.size / 2))
   }
 
-  /** Common-mode drift estimate: the LARGEST of the scan-canary ratio,
-    * shuffle-canary ratio, and median per-query ratio, floored at 1.0.
+  /** Common-mode drift estimate: the LARGEST of every pinned canary's
+    * now/prev ratio and the median per-query ratio, floored at 1.0.
     * Floored because a faster box must never amplify (round 6: the scan
     * canary sped up 0.460 → 0.368 while a shuffle burst slowed two
     * queries, and dividing by the canary amplified 2.06x raw into 2.57x
     * "normalized"); taking the max means the gate only ever RELAXES for
     * box-wide slowdowns, which is the direction false positives come
-    * from. A real code regression shows up against every estimator. */
-  def driftEstimate(scanRatio: Option[Double], shuffleRatio: Option[Double],
+    * from. A real code regression shows up against every estimator.
+    *
+    * `canaryRatios` is a Seq so a NEW drift dimension joins by adding a
+    * pin, not a signature: round 11 hit a disk-side co-tenant shape the
+    * scan/shuffle pair cannot see (CPU canaries at session-best while
+    * every lane writing real bytes degraded 1.4-2.5x together; dbs1
+    * tripped the raw gate as `undeclared` and was adjudicated by hand)
+    * — the IO canary's ratio now sits in this max, so that shape
+    * relaxes the gate mechanically like the other two. An unpinned
+    * canary contributes None and is simply absent. */
+  def driftEstimate(canaryRatios: Seq[Option[Double]],
       medRatio: Option[Double]): Double =
-    (Seq(1.0) ++ scanRatio ++ shuffleRatio ++ medRatio).max
+    (Seq(1.0) ++ canaryRatios.flatten ++ medRatio).max
 
   /** The gate's one blind spot, surfaced instead of absorbed (round-7
     * ADVICE): a CODE regression that slows the majority of queries moves
@@ -134,14 +145,14 @@ object Bench {
     * the bench JSON — a human adjudicates (it cannot auto-fail: a
     * deliberate engine-wide change, e.g. a config default, looks the
     * same), but the pattern is no longer silent. */
-  def driftWarning(scanRatio: Option[Double], shuffleRatio: Option[Double],
+  def driftWarning(canaryRatios: Seq[Option[Double]],
       medRatio: Option[Double]): Option[String] =
     // "quiet canaries" requires canaries that were MEASURED: with no
     // previous canary baseline the warning would assert evidence that
     // doesn't exist (round-8 review finding) — stay silent instead
     medRatio.filter(m => m > 1.3 &&
-        (scanRatio ++ shuffleRatio).nonEmpty &&
-        (Seq(1.0) ++ scanRatio ++ shuffleRatio).max < 1.15)
+        canaryRatios.flatten.nonEmpty &&
+        (1.0 +: canaryRatios.flatten).max < 1.15)
       .map(m => f"median ratio $m%.2f with quiet canaries" +
         " — box drift cannot explain this; suspect a code-wide slowdown")
 
@@ -338,7 +349,7 @@ object Bench {
     val declaredRewrites = Map.empty[String, String]
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "/root/repo/bench_prev.json")
-    val (prevQueries, prevCanary, prevCanaryShuffle) = try {
+    val (prevQueries, prevCanary, prevCanaryShuffle, prevCanaryIo) = try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(prevPath))
       val node = root.get("queries")
@@ -348,15 +359,18 @@ object Bench {
       (qs,
         Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0),
         Option(root.get("canary_shuffle_sec")).map(_.asDouble())
-          .filter(_ > 0))
+          .filter(_ > 0),
+        Option(root.get("canary_io_sec")).map(_.asDouble()).filter(_ > 0))
     } catch {
       case _: Exception => (Map.empty[String, Double],
-        Option.empty[Double], Option.empty[Double])
+        Option.empty[Double], Option.empty[Double], Option.empty[Double])
     }
     val med = medianRatio(firstPass, prevQueries)
-    val drift = driftEstimate(
+    val canaryRatios = Seq(
       prevCanary.map(canary / _),
-      prevCanaryShuffle.map(canaryShuffle / _), med)
+      prevCanaryShuffle.map(canaryShuffle / _),
+      prevCanaryIo.map(canaryIo / _))
+    val drift = driftEstimate(canaryRatios, med)
     val retried = gateFlags(firstPass, prevQueries, drift)
       .map(n => n -> time(n)).toMap
     val results = firstPass ++ retried.map { case (k, v) =>
@@ -399,8 +413,7 @@ object Bench {
         .map { case (k, v) => f""""$k":${v / canary}%.4f""" }.mkString("{", ",", "}")
     else "{}"
     val medJson = med.map(m => f"$m%.4f").getOrElse("null")
-    val warnJson = driftWarning(prevCanary.map(canary / _),
-        prevCanaryShuffle.map(canaryShuffle / _), med)
+    val warnJson = driftWarning(canaryRatios, med)
       .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
     val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
     // a missing parent dir must not cost the whole 20-minute run at the

@@ -26,7 +26,7 @@ class BenchGateSpec extends AnyFunSuite {
     assert(med.exists(m => math.abs(m - 1.0) < 1e-9),
       s"18 of 20 ratios are 1.0, median must be 1.0, got $med")
     // scan canary moved OPPOSITE (0.8x), shuffle canary caught the burst
-    val drift = Bench.driftEstimate(Some(0.368 / 0.460), Some(2.2), med)
+    val drift = Bench.driftEstimate(Seq(Some(0.368 / 0.460), Some(2.2)), med)
     assert(drift == 2.2)
     assert(Bench.gateFlags(burstNow, prev, drift).isEmpty,
       "burst rows must not fire when the shuffle canary absorbed it")
@@ -36,7 +36,7 @@ class BenchGateSpec extends AnyFunSuite {
     // worst case: the burst dodged BOTH canaries (it was transient).
     // drift floors at 1.0 — the old gate's amplification (x1.25) is gone
     val med = Bench.medianRatio(burstNow, prev)
-    val drift = Bench.driftEstimate(Some(0.368 / 0.460), Some(1.0), med)
+    val drift = Bench.driftEstimate(Seq(Some(0.368 / 0.460), Some(1.0)), med)
     assert(drift == 1.0)
     val first = Bench.gateFlags(burstNow, prev, drift)
     assert(first == Seq("pq1_pq_adc"),
@@ -56,7 +56,7 @@ class BenchGateSpec extends AnyFunSuite {
     val now = quiet ++ Map("pq1_pq_adc" -> 1.01, "v13_mmr_rerank" -> 0.24,
       "lnk1_adamic_adar" -> 2.8)
     val p = prev + ("lnk1_adamic_adar" -> 1.0)
-    val drift = Bench.driftEstimate(Some(1.0), Some(1.0),
+    val drift = Bench.driftEstimate(Seq(Some(1.0), Some(1.0)),
       Bench.medianRatio(now, p))
     assert(drift == 1.0)
     assert(Bench.gateFlags(now, p, drift) == Seq("lnk1_adamic_adar"))
@@ -71,31 +71,31 @@ class BenchGateSpec extends AnyFunSuite {
     val med = Bench.medianRatio(now, prev)
     assert(med.exists(m => math.abs(m - 1.5) < 1e-9))
     // even with both canaries blind (ratio 1.0), the median relaxes it
-    val drift = Bench.driftEstimate(Some(1.0), Some(1.0), med)
+    val drift = Bench.driftEstimate(Seq(Some(1.0), Some(1.0)), med)
     assert(drift == 1.5)
     assert(Bench.gateFlags(now, prev, drift).isEmpty)
     // ...but no longer SILENTLY (round-7 ADVICE): quiet canaries with a
     // 1.5x median is exactly the code-wide-slowdown signature, and the
     // warning names it for adjudication instead of only absorbing it
-    assert(Bench.driftWarning(Some(1.0), Some(1.0), med).isDefined)
+    assert(Bench.driftWarning(Seq(Some(1.0), Some(1.0)), med).isDefined)
   }
 
   test("drift warning: fires only for quiet-canary median drift") {
     // a genuinely slower box slows the canaries too -> no warning
-    assert(Bench.driftWarning(Some(1.5), Some(1.4), Some(1.5)).isEmpty)
+    assert(Bench.driftWarning(Seq(Some(1.5), Some(1.4)), Some(1.5)).isEmpty)
     // one hot canary (shuffle-side burst) explains the drift -> quiet
-    assert(Bench.driftWarning(Some(1.0), Some(1.6), Some(1.4)).isEmpty)
+    assert(Bench.driftWarning(Seq(Some(1.0), Some(1.6)), Some(1.4)).isEmpty)
     // flat median -> nothing to warn about, whatever the canaries do
-    assert(Bench.driftWarning(Some(1.0), Some(1.0), Some(1.05)).isEmpty)
-    assert(Bench.driftWarning(None, None, None).isEmpty)
+    assert(Bench.driftWarning(Seq(Some(1.0), Some(1.0)), Some(1.05)).isEmpty)
+    assert(Bench.driftWarning(Seq(None, None), None).isEmpty)
     // the round-7-ADVICE pattern itself: median 1.4, canaries ~1.0
-    val w = Bench.driftWarning(Some(1.02), Some(0.97), Some(1.4))
+    val w = Bench.driftWarning(Seq(Some(1.02), Some(0.97)), Some(1.4))
     assert(w.exists(_.contains("code-wide")))
     // UNMEASURED canaries are not QUIET canaries: an archive baseline
     // with no canary fields must not produce a phantom warning
-    assert(Bench.driftWarning(None, None, Some(1.4)).isEmpty)
+    assert(Bench.driftWarning(Seq(None, None), Some(1.4)).isEmpty)
     // one measured quiet canary is evidence enough
-    assert(Bench.driftWarning(Some(1.01), None, Some(1.4)).nonEmpty)
+    assert(Bench.driftWarning(Seq(Some(1.01), None), Some(1.4)).nonEmpty)
   }
 
   test("family shift: pin family moves together + pin-free flat fires" +
@@ -161,9 +161,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.jsonEscape("plain text 1.3x") == "plain text 1.3x")
   }
 
+  test("r11 replay: the disk-side drift shape is adjudicated by the IO" +
+      " canary, mechanically") {
+    // the round-11 incident shape: CPU canaries at session-best (scan
+    // 0.97x, shuffle 1.01x) while the disk-writing lanes degraded
+    // 1.4-2.5x together — dbs1 tripped the raw gate as `undeclared` and
+    // a human had to adjudicate it from the BASELINE notes. Here the
+    // victim sits at the top of that band (2.2x) so it clears the raw
+    // 2x gate; with the IO canary PINNED, its 1.7x ratio sits in the
+    // drift max and the gate relaxes on its own.
+    val ioPrev = prev + ("dbs1_dbscan" -> 3.0)
+    val ioNow = burstNow - "pq1_pq_adc" - "v13_mmr_rerank" ++
+      Map("pq1_pq_adc" -> 1.005, "v13_mmr_rerank" -> 0.239,
+        "dbs1_dbscan" -> 3.0 * 2.2)
+    val med = Bench.medianRatio(ioNow, ioPrev)
+    // without the io pin (the round-11 reality): dbs1 fires undeclared
+    val blind = Bench.driftEstimate(Seq(Some(0.97), Some(1.01)), med)
+    assert(Bench.gateFlags(ioNow, ioPrev, blind) == Seq("dbs1_dbscan"))
+    // with it: the io ratio explains the shape and no row fires
+    val seen = Bench.driftEstimate(Seq(Some(0.97), Some(1.01), Some(1.7)), med)
+    assert(seen == 1.7)
+    assert(Bench.gateFlags(ioNow, ioPrev, seen).isEmpty)
+    // and a hot io canary also counts as a NON-quiet canary for the
+    // code-wide-slowdown warning (it explains the median drift)
+    assert(Bench.driftWarning(Seq(Some(1.0), Some(1.0), Some(1.7)),
+      Some(1.4)).isEmpty)
+  }
+
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
-    assert(Bench.driftEstimate(Some(0.7), Some(0.8), Some(0.9)) == 1.0)
-    assert(Bench.driftEstimate(None, None, None) == 1.0)
+    assert(Bench.driftEstimate(Seq(Some(0.7), Some(0.8)), Some(0.9)) == 1.0)
+    assert(Bench.driftEstimate(Seq(None, None), None) == 1.0)
     val tiny = (1 to 7).map(i => s"q$i" -> 1.0).toMap
     assert(Bench.medianRatio(tiny, tiny).isEmpty)
     assert(Bench.medianRatio(prev, Map.empty).isEmpty)
