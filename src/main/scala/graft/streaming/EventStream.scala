@@ -169,8 +169,10 @@ object EventStream {
         upsertBatchPlain(tableRoot, reduceBatch(batch.toDF()), batchId, idCol,
           retainVersions, tolerateSchemaDrift)
     }
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), q)
+    q
   }
 
   /** One micro-batch of [[streamingUpsert]]'s merge, as a plain batch
@@ -282,8 +284,10 @@ object EventStream {
         upsertBatchBucketed(tableRoot, reduceBatch(batch.toDF()), batchId,
           idCol, nBuckets, retainVersions, tolerateSchemaDrift)
     }
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), q)
+    q
   }
 
   /** One micro-batch of the bucketed merge (the foreachBatch body,
@@ -487,10 +491,11 @@ object EventStream {
     * re-execute on resume and must find its merge source (the newest
     * committed versions below it), which a keep-1 vacuum run in that
     * downtime would have deleted — silent data loss on the retry. The
-    * drain guard refuses that window, fails closed on an unresolvable
-    * checkpoint, and cannot see a still-running idle query (same
-    * contract, same reasons). Real table formats solve all of this
-    * with snapshot retention horizons.
+    * drain guard refuses that window and fails closed on an
+    * unresolvable checkpoint; the still-running idle query is refused
+    * by the live-writer marker ([[requireNoLiveWriter]], same contract
+    * as rebucket). Real table formats solve all of this with snapshot
+    * retention horizons.
     *
     * Raises `_RETENTION_HORIZON` to (lowest kept version − 1) over the
     * buckets that lost versions: a bucket's state BELOW its lowest
@@ -502,6 +507,7 @@ object EventStream {
   def vacuumBucketed(tableRoot: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val top = new java.io.File(tableRoot)
+    requireNoLiveWriter(top)
     requireDrainedCheckpoint(top)
     val root = activeBucketedDir(top)
     // plan all deletions first and raise the horizon BEFORE any of them
@@ -577,17 +583,20 @@ object EventStream {
     * rebucket compares its offsets log against its commits log and
     * REFUSES while a batch is in flight (resume the query once to
     * drain it), and refuses BLIND maintenance too — an unresolvable
-    * checkpoint fails closed. What no filesystem guard can see is a
-    * STILL-RUNNING idle query starting a fresh batch mid-rewrite (it
-    * would commit into the old layout the generation flip then
-    * abandons) — stopping the stream first is the non-negotiable half
-    * of the contract. Anonymous tables need no drain guard — their
-    * temp checkpoint dies with the incarnation, so no retry can ever
-    * target them. */
+    * checkpoint fails closed. The STILL-RUNNING idle query (a fresh
+    * batch started mid-rewrite would commit into the old layout the
+    * generation flip then abandons) is caught by the live-writer
+    * marker: [[requireNoLiveWriter]] refuses while `_WRITER` exists,
+    * and the writer's termination listener removes it on any clean or
+    * failed stop (see [[trackLiveWriter]] for the one residual
+    * cross-process caveat). Anonymous tables need no drain guard —
+    * their temp checkpoint dies with the incarnation, so no retry can
+    * ever target them. */
   def rebucketUpsert(spark: SparkSession, tableRoot: String, idCol: String,
       newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
     val top = new java.io.File(tableRoot)
+    requireNoLiveWriter(top)
     requireDrainedCheckpoint(top)
     val cur = activeBucketedDir(top)
     val buckets = Option(cur.list()).getOrElse(Array.empty)
@@ -634,13 +643,15 @@ object EventStream {
     * `keep` committed ones — each plain version is a full table copy,
     * so an unvacuumed ingest's footprint grows O(batches × table): at
     * warehouse scale retention is not optional. Raises the horizon
-    * like [[vacuumBucketed]] and carries the same drained-checkpoint
-    * guard for the same reason: a crashed-but-table-committed batch
-    * retries on resume against the very version a keep-1 vacuum would
-    * delete. */
+    * like [[vacuumBucketed]] and carries the same live-writer and
+    * drained-checkpoint guards for the same reasons: an idle live
+    * query's next merge reads the very version a keep-1 vacuum would
+    * delete, and so does a crashed-but-table-committed batch retried
+    * on resume. */
   def vacuumUpsert(tableRoot: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val root = new java.io.File(tableRoot)
+    requireNoLiveWriter(root)
     requireDrainedCheckpoint(root)
     val versions = committedVersions(root)
     val doomed = versions.dropRight(keep)
@@ -710,6 +721,98 @@ object EventStream {
     java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Stamp the root's LIVE-WRITER marker and arrange its removal at the
+    * query's termination — the mechanism behind the half of the
+    * maintenance-window contract that used to be prose ("stop the
+    * stream first"): [[requireDrainedCheckpoint]] catches a CRASHED
+    * in-flight batch from the offsets/commits logs, but a STILL-RUNNING
+    * idle query is invisible to any filesystem log — it would commit
+    * its next batch into the layout a concurrent [[rebucketUpsert]]
+    * abandons. `_WRITER` holds the query's runId from `start()` until
+    * the session's listener sees that runId terminate (clean stop OR
+    * failure), so [[requireNoLiveWriter]] can refuse mechanically.
+    *
+    * A JVM crash leaves the marker behind BY DESIGN: maintenance then
+    * fails closed until the operator confirms the process is gone and
+    * deletes it — the same record-the-judgment contract as a
+    * forever-gone checkpoint under the `_OWNER` guard. Removal is
+    * compare-by-content (only this query's own runId), so a lagging
+    * listener of a PREVIOUS incarnation can never reap the marker a
+    * newer incarnation just stamped. The one residual blind spot is
+    * cross-process: a live writer in ANOTHER JVM holds the marker and
+    * is correctly refused, but nothing here can distinguish it from a
+    * crash — the operator's deletion judgment covers both. */
+  private def trackLiveWriter(session: SparkSession, root: java.io.File,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    writeMetaFile(root, "_WRITER", q.runId.toString)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.runId == q.runId) {
+          clearWriterIf(root, q.runId.toString)
+          session.streams.removeListener(this)
+        }
+    }
+    session.streams.addListener(listener)
+    // the query may have terminated before the listener registered — the
+    // event then never fires; reap the marker here instead
+    if (!session.streams.active.exists(_.runId == q.runId))
+      clearWriterIf(root, q.runId.toString)
+  }
+
+  /** Remove the live-writer marker iff it still carries `runId` — the
+    * compare keeps a lagging terminated-listener from reaping a NEWER
+    * incarnation's marker (stamps and reaps are not atomic as a pair;
+    * the worst interleaving loses a marker, never data). */
+  private def clearWriterIf(root: java.io.File, runId: String): Unit = {
+    val f = new java.io.File(root, "_WRITER")
+    try {
+      if (f.exists() && new String(java.nio.file.Files.readAllBytes(
+          f.toPath), "UTF-8").trim == runId)
+        java.nio.file.Files.deleteIfExists(f.toPath): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Refuse destructive maintenance while a writer query is LIVE on
+    * this root — even idle: an idle query's next batch would commit
+    * into the old layout a rebucket's generation flip abandons, or
+    * merge against versions a vacuum deletes. A clean stop removes the
+    * marker through the termination listener, which fires moments
+    * after `stop()` returns — so a marker that exists right now gets a
+    * short grace poll before this refuses (the just-stopped-query
+    * case, e.g. a maintenance cadence running immediately after
+    * [[drainAndAwait]]). */
+  /** How long [[requireNoLiveWriter]] waits for a just-stopped query's
+    * termination listener to reap the marker before refusing. Only the
+    * REFUSAL path ever waits this long (the happy path exits the poll
+    * the moment the marker disappears); specs that assert the refusal
+    * shrink it so the suite doesn't pay three full graces. */
+  @volatile private[graft] var liveWriterGraceMs: Long = 10000L
+
+  private def requireNoLiveWriter(top: java.io.File): Unit = {
+    val f = new java.io.File(top, "_WRITER")
+    if (!f.exists()) return
+    val deadline = System.nanoTime() + liveWriterGraceMs * 1000 * 1000
+    while (f.exists() && System.nanoTime() < deadline) Thread.sleep(50)
+    if (f.exists()) {
+      val runId = try new String(java.nio.file.Files.readAllBytes(
+        f.toPath), "UTF-8").trim
+        catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalArgumentException(
+        s"tableRoot $top has a LIVE writer (query run $runId): a " +
+          "still-running query — even an idle one — would commit its " +
+          "next batch into the layout this maintenance op destroys. " +
+          "Stop the query first; if its process is gone (a crash " +
+          s"leaves the marker behind), delete $top/_WRITER to record " +
+          "that judgment — the drained-checkpoint guard still covers " +
+          "the crashed batch itself")
+    }
   }
 
   /** Refuse destructive maintenance while the owning checkpoint holds
@@ -1757,7 +1860,7 @@ object EventStream {
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
       reduceBatch = lwwReduceByUser)
-    try q.processAllAvailable() finally q.stop()
+    drainAndAwait(spark, q)
     // materialize the snapshot BEFORE the horizon lane destroys the
     // versions it stitches — the parquet read is lazy
     val snapshot = bucketedUpsertAsOf(spark, root, asOfBatch)

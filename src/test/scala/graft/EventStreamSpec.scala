@@ -865,6 +865,66 @@ class EventStreamSpec extends SparkSpec {
       blind.getMessage)
   }
 
+  test("maintenance REFUSES while a writer query is LIVE — even idle —" +
+      " and a crash-left marker fails closed until deleted") {
+    val root = java.nio.file.Files.createTempDirectory("es_live_writer")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write((1L to 8L).map(id => (id, s"p$id")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    val stream = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.streamingUpsertBucketed(stream, tbl, "id", 4,
+      checkpoint = Some(ckpt))
+    val grace = EventStream.liveWriterGraceMs
+    EventStream.liveWriterGraceMs = 300L
+    try {
+      // drained AND idle: offsets == commits, so the drained-checkpoint
+      // guard is blind here — exactly the round-11 documented blind
+      // spot the _WRITER marker closes
+      q.processAllAvailable()
+      assert(new java.io.File(tbl, "_WRITER").exists(),
+        "the writer must stamp its live marker")
+      val e = intercept[IllegalArgumentException] {
+        EventStream.rebucketUpsert(spark, tbl, "id", 8)
+      }
+      assert(e.getMessage.contains("LIVE writer"), e.getMessage)
+      val ev = intercept[IllegalArgumentException] {
+        EventStream.vacuumBucketed(tbl)
+      }
+      assert(ev.getMessage.contains("LIVE writer"), ev.getMessage)
+      // the refused rebucket must not have flipped the layout
+      assert(!new java.io.File(tbl).list().exists(_.startsWith("gen")),
+        "a refused rebucket left generation artifacts")
+    } finally {
+      EventStream.liveWriterGraceMs = grace
+      EventStream.drainAndAwait(spark, q)
+    }
+    // clean stop: the termination listener reaps the marker and the
+    // same maintenance proceeds (the guard's grace poll absorbs the
+    // listener's asynchrony — this is the e19c cadence)
+    EventStream.rebucketUpsert(spark, tbl, "id", 8)
+    val latest = EventStream.latestBucketedUpsert(spark, tbl)
+      .as[(Long, String)].collect().toMap
+    assert(latest == (1L to 8L).map(id => id -> s"p$id").toMap)
+    // crash-left marker: a dead JVM never fires the listener; the
+    // guard fails closed until the operator confirms the process is
+    // gone and deletes the marker — the record-the-judgment contract
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tbl, "_WRITER"), "dead-run-id")
+    EventStream.liveWriterGraceMs = 300L
+    try {
+      val ec = intercept[IllegalArgumentException] {
+        EventStream.vacuumBucketed(tbl)
+      }
+      assert(ec.getMessage.contains("dead-run-id"), ec.getMessage)
+    } finally EventStream.liveWriterGraceMs = grace
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tbl, "_WRITER"))
+    EventStream.vacuumBucketed(tbl) // the judgment recorded, it proceeds
+  }
+
   test("in-writer retention bounds the plain table's footprint, keeps" +
       " the crash-retry's merge source, and survives the crash window") {
     val root = java.nio.file.Files.createTempDirectory("es_retain")
