@@ -173,3 +173,113 @@ object ProbeStateForce {
     }
   }
 }
+
+/** Dev main: drive the SESSIONIZER through the state cliff —
+  * [[ProbeStateForce]]'s shape (K keys, 4 real micro-batches, state
+  * grows to K by the final batch, noop sink, per-lane child sessions,
+  * explicit `StateStore.stop()` heap attribution) pointed at the two
+  * sessionizer forms instead of `dropDuplicates`:
+  *
+  *  - `sessionizeStreaming` (flatMapGroupsWithState) on the DEFAULT
+  *    in-heap provider — the oracle-checked primary, which holds one
+  *    SessionState per user on the executor heap and must die at the
+  *    same ~heap/bytes-per-key boundary ProbeStateForce measured;
+  *  - `TwsSessionize` (transformWithState) on RocksDB — the DECLARED
+  *    big-state migration target, which must complete in bounded heap
+  *    at key counts where the in-heap form kills the JVM.
+  *
+  * e20 proves the TWS form's SEMANTICS equal the primary's (same
+  * DuckDB oracle); this lane prices the reason it exists. RocksDB
+  * lane runs FIRST so its number is on stdout before a constrained
+  * heap (SPARK_DRIVER_MEM) kills the in-heap lane's JVM.
+  *
+  * Each batch delivers K/4 FRESH users, one event each — state size
+  * is the point, so every row is a new key (the dedup probe's shape;
+  * a second event per user would grow the input, not the state).
+  *
+  * Usage: runMain graft.ProbeTwsForce [keyCounts...]
+  *        (default: 2000000 16000000; driver heap 8g unless
+  *        SPARK_DRIVER_MEM overrides)
+  */
+object ProbeTwsForce {
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val keyCounts =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(2000000L, 16000000L)
+    val spark = Soak.soakSession()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.get(key)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root = if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_twsforce")
+      else java.nio.file.Files.createTempDirectory("graft_twsforce")
+    def sessionEvents(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.Dataset[graft.streaming.EventStream.SessionEvent] =
+      df.as[graft.streaming.EventStream.SessionEvent](
+        org.apache.spark.sql.Encoders.product)
+    // the two sessionizer forms share the gap rule (foldSessionEvents);
+    // this lane varies ONLY the state API + provider underneath it
+    val forms: Seq[(String, String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      ("tws rocksdb", RocksDb,
+        df => graft.streaming.TwsSessionize.sessionize(sessionEvents(df)).toDF()),
+      ("fmgws in-heap (default)", default,
+        df => graft.streaming.EventStream.sessionizeStreaming(
+          sessionEvents(df)).toDF()))
+    def lane(provider: String,
+        form: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        dir: String): (Double, Long) = {
+      val runner = spark.newSession()
+      runner.conf.set(key, provider)
+      runner.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(root, "ckpt").toString
+      val t0 = System.nanoTime()
+      val q = form(runner.readStream.schema("user_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val heap = (Runtime.getRuntime.totalMemory()
+        - Runtime.getRuntime.freeMemory()) / (1 << 20)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      (sec, heap)
+    }
+    try {
+      for (k <- keyCounts) {
+        val dir = root.resolve(s"in_$k").toString
+        val w = new graft.streaming.EventStream.ChunkWriter(dir)
+        def rows(a: Long, b: Long) = spark.range(a, b)
+          .select(col("id").as("user_id"),
+            timestamp_seconds(lit(1700000000L) + col("id") % 86400L).as("ts"))
+        (0 until 4).foreach(i => w.write(
+          rows(k * i / 4, k * (i + 1) / 4), Seq("user_id", "ts")))
+        val warmDir = root.resolve(s"warm_$k").toString
+        val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
+        ww.write(rows(0, 1000), Seq("user_id", "ts"))
+        for ((_, p, form) <- forms) lane(p, form, warmDir)
+        for ((label, p, form) <- forms) {
+          val (sec, heap) = lane(p, form, dir)
+          println(f"[twsforce] $label%-24s keys=$k%-10d $sec%7.2f s  " +
+            f"(post-gc heap ${heap}M)")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(warmDir)): Unit
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      spark.stop()
+    }
+  }
+}

@@ -390,6 +390,17 @@ object Soak {
     // replay cadence (8 chunks) stays fixed — the declared big-state
     // migration API soaked on the provider it requires.
     "e20_tws_sessionize" -> SparkEntry.queries("e20_tws_sessionize"),
+    // the AS-OF cadence at factor x keys: the mid-feed stitch reads one
+    // version per bucket (fixed bucket count, fatter buckets — O(prefix
+    // table)), then the keep-1 vacuum and the loud-horizon assertion
+    // ride at factor x version sizes; should track e19b minus the
+    // second half's merges plus ~one prefix-table read.
+    "e21_upsert_asof" -> SparkEntry.queries("e21_upsert_asof"),
+    // the DRIFT cadence at factor x keys: two incarnations over one
+    // checkpoint, cross-era mergeSchema merges in the second — should
+    // track e19c (same two-drain shape) without the rebucket's one-time
+    // table rewrite.
+    "e22_upsert_drift" -> SparkEntry.queries("e22_upsert_drift"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -660,7 +671,9 @@ object Soak {
       "e19_stream_upsert" -> 10,
       "e19b_stream_upsert_bucketed" -> 10,
       "e19c_stream_rebucket" -> 10,
-      "e20_tws_sessionize" -> 10).withDefaultValue(Int.MaxValue)
+      "e20_tws_sessionize" -> 10,
+      "e21_upsert_asof" -> 10,
+      "e22_upsert_drift" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
