@@ -98,34 +98,118 @@ object ProbeStateStore {
   *        SPARK_DRIVER_MEM overrides)
   */
 object ProbeStateForce {
-  private val RocksDb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
   def main(args: Array[String]): Unit = {
     val keyCounts =
       if (args.nonEmpty) args.map(_.toLong).toSeq
       else Seq(2000000L, 16000000L)
+    StateForceHarness.run("stateforce", "graft_force", keyCounts,
+      schema = "id LONG", outCols = Seq("id"),
+      rows = (spark, a, b) => spark.range(a, b).toDF("id"),
+      lanes = Seq(
+        ("rocksdb", Some(StateForceHarness.RocksDb),
+          df => df.dropDuplicates("id")),
+        ("hdfs-backed (default)", None,
+          df => df.dropDuplicates("id"))))
+  }
+}
+
+/** Dev main: drive the SESSIONIZER through the state cliff —
+  * [[ProbeStateForce]]'s shape pointed at the two sessionizer forms
+  * instead of `dropDuplicates`:
+  *
+  *  - `sessionizeStreaming` (flatMapGroupsWithState) on the DEFAULT
+  *    in-heap provider — the oracle-checked primary, which holds one
+  *    SessionState per user on the executor heap and must die at the
+  *    same ~heap/bytes-per-key boundary ProbeStateForce measured;
+  *  - `TwsSessionize` (transformWithState) on RocksDB — the DECLARED
+  *    big-state migration target, which must complete in bounded heap
+  *    at key counts where the in-heap form kills the JVM.
+  *
+  * e20 proves the TWS form's SEMANTICS equal the primary's (same
+  * DuckDB oracle); this lane prices the reason it exists. The two
+  * forms share the gap rule (foldSessionEvents) — the probe varies
+  * ONLY the state API + provider underneath it. Each batch delivers
+  * K/4 FRESH users, one event each: state size is the point, so every
+  * row is a new key (a second event per user would grow the input,
+  * not the state).
+  *
+  * Usage: runMain graft.ProbeTwsForce [keyCounts...]
+  *        (default: 2000000 16000000; driver heap 8g unless
+  *        SPARK_DRIVER_MEM overrides)
+  */
+object ProbeTwsForce {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val keyCounts =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(2000000L, 16000000L)
+    def sessionEvents(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.Dataset[graft.streaming.EventStream.SessionEvent] =
+      df.as[graft.streaming.EventStream.SessionEvent](
+        org.apache.spark.sql.Encoders.product)
+    StateForceHarness.run("twsforce", "graft_twsforce", keyCounts,
+      schema = "user_id LONG, ts TIMESTAMP", outCols = Seq("user_id", "ts"),
+      rows = (spark, a, b) => spark.range(a, b)
+        .select(col("id").as("user_id"),
+          timestamp_seconds(lit(1700000000L) + col("id") % 86400L).as("ts")),
+      lanes = Seq(
+        ("tws rocksdb", Some(StateForceHarness.RocksDb),
+          df => graft.streaming.TwsSessionize.sessionize(
+            sessionEvents(df)).toDF()),
+        ("fmgws in-heap (default)", None,
+          df => graft.streaming.EventStream.sessionizeStreaming(
+            sessionEvents(df)).toDF())))
+  }
+}
+
+/** The ONE copy of the crossover-forcing lane discipline behind
+  * [[ProbeStateForce]] and [[ProbeTwsForce]] (round-12 review: the TWS
+  * probe had copy-pasted the harness, and the copy had already dropped
+  * the load-bearing heap-attribution ordering note — two probes must
+  * not be able to drift on WHAT they measure). K keys arrive as 4 real
+  * micro-batches of fresh keys; 4 state partitions (the replay
+  * posture); per-lane child sessions; noop sink in append mode; an
+  * untimed warmup lane per form at a sliver of the size so
+  * codegen/classloading never lands in a timed lane. Lanes run in the
+  * given order — put the lane expected to SURVIVE a constrained heap
+  * (SPARK_DRIVER_MEM) first, so its number is on stdout before an
+  * in-heap lane kills the JVM. */
+private[graft] object StateForceHarness {
+  val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** (print label, provider class or None = session default, the
+    * stateful plan under test). */
+  type Lane = (String, Option[String],
+    org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+
+  def run(tag: String, tmpPrefix: String, keyCounts: Seq[Long],
+      schema: String, outCols: Seq[String],
+      rows: (SparkSession, Long, Long) => org.apache.spark.sql.DataFrame,
+      lanes: Seq[Lane]): Unit = {
     val spark = Soak.soakSession()
     val key = "spark.sql.streaming.stateStore.providerClass"
     val default = spark.conf.get(key)
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root = if (java.nio.file.Files.isDirectory(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_force")
-      else java.nio.file.Files.createTempDirectory("graft_force")
+        java.nio.file.Files.createTempDirectory(shm, tmpPrefix)
+      else java.nio.file.Files.createTempDirectory(tmpPrefix)
     // the input dir fully determines lane size; no size parameter, or a
     // reader mis-models what the lane times (round-11 review finding)
-    def lane(provider: String, dir: String): (Double, Long) = {
+    def lane(provider: Option[String],
+        form: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        dir: String): (Double, Long) = {
       val runner = spark.newSession()
-      runner.conf.set(key, provider)
+      runner.conf.set(key, provider.getOrElse(default))
       runner.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = java.nio.file.Files
         .createTempDirectory(root, "ckpt").toString
       val t0 = System.nanoTime()
-      val q = runner.readStream.schema("id LONG")
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-        .dropDuplicates("id")
+      val q = form(runner.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -147,130 +231,14 @@ object ProbeStateForce {
         val dir = root.resolve(s"in_$k").toString
         val w = new graft.streaming.EventStream.ChunkWriter(dir)
         (0 until 4).foreach(i => w.write(
-          spark.range(k * i / 4, k * (i + 1) / 4).toDF("id"), Seq("id")))
-        // untimed warmup at a sliver of the size so codegen/classloading
-        // never lands in a timed lane
+          rows(spark, k * i / 4, k * (i + 1) / 4), outCols))
         val warmDir = root.resolve(s"warm_$k").toString
         val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
-        ww.write(spark.range(1000).toDF("id"), Seq("id"))
-        for (p <- Seq(default, RocksDb)) lane(p, warmDir)
-        // RocksDB first: in a constrained-heap run (SPARK_DRIVER_MEM
-        // small), the in-heap lane dies with the JVM — the bounded-heap
-        // lane's number must already be on stdout by then
-        for ((label, p) <- Seq("rocksdb" -> RocksDb,
-            "hdfs-backed (default)" -> default)) {
-          val (sec, heap) = lane(p, dir)
-          println(f"[stateforce] $label%-22s keys=$k%-10d $sec%7.2f s  " +
-            f"(post-gc heap ${heap}M)")
-        }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(warmDir)): Unit
-      }
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
-      spark.stop()
-    }
-  }
-}
-
-/** Dev main: drive the SESSIONIZER through the state cliff —
-  * [[ProbeStateForce]]'s shape (K keys, 4 real micro-batches, state
-  * grows to K by the final batch, noop sink, per-lane child sessions,
-  * explicit `StateStore.stop()` heap attribution) pointed at the two
-  * sessionizer forms instead of `dropDuplicates`:
-  *
-  *  - `sessionizeStreaming` (flatMapGroupsWithState) on the DEFAULT
-  *    in-heap provider — the oracle-checked primary, which holds one
-  *    SessionState per user on the executor heap and must die at the
-  *    same ~heap/bytes-per-key boundary ProbeStateForce measured;
-  *  - `TwsSessionize` (transformWithState) on RocksDB — the DECLARED
-  *    big-state migration target, which must complete in bounded heap
-  *    at key counts where the in-heap form kills the JVM.
-  *
-  * e20 proves the TWS form's SEMANTICS equal the primary's (same
-  * DuckDB oracle); this lane prices the reason it exists. RocksDB
-  * lane runs FIRST so its number is on stdout before a constrained
-  * heap (SPARK_DRIVER_MEM) kills the in-heap lane's JVM.
-  *
-  * Each batch delivers K/4 FRESH users, one event each — state size
-  * is the point, so every row is a new key (the dedup probe's shape;
-  * a second event per user would grow the input, not the state).
-  *
-  * Usage: runMain graft.ProbeTwsForce [keyCounts...]
-  *        (default: 2000000 16000000; driver heap 8g unless
-  *        SPARK_DRIVER_MEM overrides)
-  */
-object ProbeTwsForce {
-  private val RocksDb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
-  def main(args: Array[String]): Unit = {
-    import org.apache.spark.sql.functions._
-    val keyCounts =
-      if (args.nonEmpty) args.map(_.toLong).toSeq
-      else Seq(2000000L, 16000000L)
-    val spark = Soak.soakSession()
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val default = spark.conf.get(key)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val root = if (java.nio.file.Files.isDirectory(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_twsforce")
-      else java.nio.file.Files.createTempDirectory("graft_twsforce")
-    def sessionEvents(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.Dataset[graft.streaming.EventStream.SessionEvent] =
-      df.as[graft.streaming.EventStream.SessionEvent](
-        org.apache.spark.sql.Encoders.product)
-    // the two sessionizer forms share the gap rule (foldSessionEvents);
-    // this lane varies ONLY the state API + provider underneath it
-    val forms: Seq[(String, String, org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame)] = Seq(
-      ("tws rocksdb", RocksDb,
-        df => graft.streaming.TwsSessionize.sessionize(sessionEvents(df)).toDF()),
-      ("fmgws in-heap (default)", default,
-        df => graft.streaming.EventStream.sessionizeStreaming(
-          sessionEvents(df)).toDF()))
-    def lane(provider: String,
-        form: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-        dir: String): (Double, Long) = {
-      val runner = spark.newSession()
-      runner.conf.set(key, provider)
-      runner.conf.set("spark.sql.shuffle.partitions", "4")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(root, "ckpt").toString
-      val t0 = System.nanoTime()
-      val q = form(runner.readStream.schema("user_id LONG, ts TIMESTAMP")
-          .option("maxFilesPerTrigger", 1).parquet(dir))
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.gc()
-      val heap = (Runtime.getRuntime.totalMemory()
-        - Runtime.getRuntime.freeMemory()) / (1 << 20)
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      (sec, heap)
-    }
-    try {
-      for (k <- keyCounts) {
-        val dir = root.resolve(s"in_$k").toString
-        val w = new graft.streaming.EventStream.ChunkWriter(dir)
-        def rows(a: Long, b: Long) = spark.range(a, b)
-          .select(col("id").as("user_id"),
-            timestamp_seconds(lit(1700000000L) + col("id") % 86400L).as("ts"))
-        (0 until 4).foreach(i => w.write(
-          rows(k * i / 4, k * (i + 1) / 4), Seq("user_id", "ts")))
-        val warmDir = root.resolve(s"warm_$k").toString
-        val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
-        ww.write(rows(0, 1000), Seq("user_id", "ts"))
-        for ((_, p, form) <- forms) lane(p, form, warmDir)
-        for ((label, p, form) <- forms) {
+        ww.write(rows(spark, 0, 1000), outCols)
+        for ((_, p, form) <- lanes) lane(p, form, warmDir)
+        for ((label, p, form) <- lanes) {
           val (sec, heap) = lane(p, form, dir)
-          println(f"[twsforce] $label%-24s keys=$k%-10d $sec%7.2f s  " +
+          println(f"[$tag] $label%-24s keys=$k%-10d $sec%7.2f s  " +
             f"(post-gc heap ${heap}M)")
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

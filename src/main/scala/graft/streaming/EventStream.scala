@@ -171,7 +171,7 @@ object EventStream {
     }
     val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
-    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), q)
+    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), owner, q)
     q
   }
 
@@ -286,7 +286,7 @@ object EventStream {
     }
     val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
-    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), q)
+    trackLiveWriter(stream.sparkSession, new java.io.File(tableRoot), owner, q)
     q
   }
 
@@ -737,47 +737,95 @@ object EventStream {
     * A JVM crash leaves the marker behind BY DESIGN: maintenance then
     * fails closed until the operator confirms the process is gone and
     * deletes it — the same record-the-judgment contract as a
-    * forever-gone checkpoint under the `_OWNER` guard. Removal is
-    * compare-by-content (only this query's own runId), so a lagging
-    * listener of a PREVIOUS incarnation can never reap the marker a
-    * newer incarnation just stamped. The one residual blind spot is
-    * cross-process: a live writer in ANOTHER JVM holds the marker and
-    * is correctly refused, but nothing here can distinguish it from a
-    * crash — the operator's deletion judgment covers both. */
+    * forever-gone checkpoint under the `_OWNER` guard.
+    *
+    * The stamp is OWNER-GATED: only a query whose owner token matches
+    * the root's `_OWNER` (or a first writer on an unowned root) may
+    * replace an existing marker. A mis-owned query — which WILL fail
+    * [[requireOwner]] at its first batch and terminate — must not
+    * erase the live owner's guard on its way down (its termination
+    * listener then finds the marker carrying someone else's runId and
+    * leaves it alone). Removal is an atomic claim-then-check
+    * ([[clearWriterIf]]); the residual races are documented there.
+    * The one blind spot that remains by construction is cross-process:
+    * a live writer in ANOTHER JVM holds the marker and is correctly
+    * refused, but nothing here can distinguish it from a crash — the
+    * operator's deletion judgment covers both. */
   private def trackLiveWriter(session: SparkSession, root: java.io.File,
+      owner: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    writeMetaFile(root, "_WRITER", q.runId.toString)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.runId == q.runId) {
-          clearWriterIf(root, q.runId.toString)
-          session.streams.removeListener(this)
-        }
-    }
+    val marker = new java.io.File(root, "_WRITER")
+    val ownerFile = new java.io.File(root, "_OWNER")
+    val rootOwner =
+      if (ownerFile.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(
+          ownerFile.toPath), "UTF-8"))
+      else None
+    if (!marker.exists() || rootOwner.forall(_ == owner))
+      writeMetaFile(root, "_WRITER", q.runId.toString)
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.runId == q.runId) {
+            clearWriterIf(root, q.runId.toString)
+            session.streams.removeListener(this)
+          }
+      }
     session.streams.addListener(listener)
     // the query may have terminated before the listener registered — the
-    // event then never fires; reap the marker here instead
-    if (!session.streams.active.exists(_.runId == q.runId))
+    // event then never fires; reap the marker AND the listener here
+    // (the listener would otherwise accumulate per short-lived query)
+    if (!session.streams.active.exists(_.runId == q.runId)) {
       clearWriterIf(root, q.runId.toString)
+      session.streams.removeListener(listener)
+    }
   }
 
-  /** Remove the live-writer marker iff it still carries `runId` — the
-    * compare keeps a lagging terminated-listener from reaping a NEWER
-    * incarnation's marker (stamps and reaps are not atomic as a pair;
-    * the worst interleaving loses a marker, never data). */
+  /** Remove the live-writer marker iff it carries `runId`, as a
+    * CLAIM-THEN-CHECK: the marker is atomically renamed aside, read,
+    * and either deleted (ours) or re-linked into place if no newer
+    * stamp appeared meanwhile (not ours — but if a newer incarnation
+    * stamped during the claim, its marker wins and the stale content
+    * is dropped, since the runId it names was superseded either way).
+    * A plain read-then-delete would let a lagging listener of a dead
+    * incarnation reap a newer incarnation's fresh marker. Residual,
+    * documented: during the claim window the marker is briefly absent,
+    * so a concurrent [[requireNoLiveWriter]] racing a lagging reaper
+    * AND a live newer writer can pass — microseconds wide, and closed
+    * for good only by a lock protocol a real table format brings. */
   private def clearWriterIf(root: java.io.File, runId: String): Unit = {
     val f = new java.io.File(root, "_WRITER")
+    if (!f.exists()) return
+    val tmp = new java.io.File(root,
+      "._writer_reap_" + java.util.UUID.randomUUID().toString)
     try {
-      if (f.exists() && new String(java.nio.file.Files.readAllBytes(
-          f.toPath), "UTF-8").trim == runId)
-        java.nio.file.Files.deleteIfExists(f.toPath): Unit
-    } catch { case _: java.io.IOException => () }
+      java.nio.file.Files.move(f.toPath, tmp.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val content = new String(java.nio.file.Files.readAllBytes(
+        tmp.toPath), "UTF-8").trim
+      if (content == runId)
+        java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+      else {
+        // not ours: restore — unless a newer stamp already took the
+        // name, in which case the claimed content is obsolete
+        try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+      }
+    } catch { case _: java.io.IOException => () } // lost the claim race
   }
+
+  /** How long [[requireNoLiveWriter]] waits for a just-stopped query's
+    * termination listener to reap the marker before refusing. Only the
+    * REFUSAL path ever waits this long (the happy path exits the poll
+    * the moment the marker disappears); specs that assert the refusal
+    * shrink it so the suite doesn't pay three full graces. */
+  @volatile private[graft] var liveWriterGraceMs: Long = 10000L
 
   /** Refuse destructive maintenance while a writer query is LIVE on
     * this root — even idle: an idle query's next batch would commit
@@ -788,13 +836,6 @@ object EventStream {
     * short grace poll before this refuses (the just-stopped-query
     * case, e.g. a maintenance cadence running immediately after
     * [[drainAndAwait]]). */
-  /** How long [[requireNoLiveWriter]] waits for a just-stopped query's
-    * termination listener to reap the marker before refusing. Only the
-    * REFUSAL path ever waits this long (the happy path exits the poll
-    * the moment the marker disappears); specs that assert the refusal
-    * shrink it so the suite doesn't pay three full graces. */
-  @volatile private[graft] var liveWriterGraceMs: Long = 10000L
-
   private def requireNoLiveWriter(top: java.io.File): Unit = {
     val f = new java.io.File(top, "_WRITER")
     if (!f.exists()) return

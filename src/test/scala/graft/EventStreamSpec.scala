@@ -898,6 +898,28 @@ class EventStreamSpec extends SparkSpec {
       // the refused rebucket must not have flipped the layout
       assert(!new java.io.File(tbl).list().exists(_.startsWith("gen")),
         "a refused rebucket left generation artifacts")
+      // a MIS-OWNED second query (different checkpoint, same root) dies
+      // at requireOwner on its first batch — and must NOT have erased
+      // the live owner's marker on the way down (the stamp is
+      // owner-gated; an ungated stamp + the loser's own reap would
+      // reopen the idle-writer window this guard exists to close)
+      val in2 = root.resolve("in2").toString
+      new EventStream.ChunkWriter(in2)
+        .write(Seq((99L, "x")).toDF("id", "payload"), Seq("id", "payload"))
+      val intruder = EventStream.streamingUpsertBucketed(
+        spark.readStream.schema("id LONG, payload STRING")
+          .option("maxFilesPerTrigger", 1).parquet(in2),
+        tbl, "id", 4, checkpoint = Some(root.resolve("ckpt2").toString))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try intruder.processAllAvailable()
+        finally EventStream.drainAndAwait(spark, intruder)
+      }
+      val marker = java.nio.file.Paths.get(tbl, "_WRITER")
+      assert(java.nio.file.Files.exists(marker),
+        "the intruder's teardown erased the live owner's marker")
+      assert(new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8").trim == q.runId.toString,
+        "the marker no longer names the live owner's run")
     } finally {
       EventStream.liveWriterGraceMs = grace
       EventStream.drainAndAwait(spark, q)
