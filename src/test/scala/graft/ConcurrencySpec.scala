@@ -19,11 +19,15 @@ import scala.concurrent.duration._
   * benign by design. */
 class ConcurrencySpec extends SparkSpec {
 
-  // FOUR streaming replays in the set: e18 (own child session since
+  // SIX streaming replays in the set: e18 (own child session since
   // round 10) plus a memorySink replay (e11), the TWS sessionizer
-  // replay (e20), and the mid-ingest rebucket replay (e19c — two query
+  // replay (e20), the mid-ingest rebucket replay (e19c — two query
   // incarnations, an owner-guarded versioned table, and a maintenance
-  // rewrite between them, all on per-call temp roots) — every replay
+  // rewrite between them, all on per-call temp roots), the as-of
+  // replay (e21 — in-lane vacuum + loud-horizon assertion beside the
+  // others' live tables), and the drift replay (e22 — two incarnations
+  // whose live-writer markers and cross-era merges must not cross
+  // roots) — every replay
   // builds its streams on an isolated child session
   // (EventStream.isolatedRunner) or touches only its own table root,
   // so their 4-partition state conf (and e20's RocksDB provider
@@ -33,7 +37,8 @@ class ConcurrencySpec extends SparkSpec {
     "tri1_dup_triangles", "gc1_clustering_coeff", "dbs1_dbscan",
     "hits1_hubs_authorities", "pr1_pagerank", "q1_agg",
     "d2_minhash_pairs", "v2_knn_topk", "e18_stream_restart",
-    "e11_stream_window", "e20_tws_sessionize", "e19c_stream_rebucket")
+    "e11_stream_window", "e20_tws_sessionize", "e19c_stream_rebucket",
+    "e21_upsert_asof", "e22_upsert_drift")
 
   private def str(v: Any): String = v match {
     case a: Array[_] => a.map(str).mkString("[", ",", "]")
@@ -44,9 +49,9 @@ class ConcurrencySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .collect().map(_.toSeq.map(str).mkString("|")).toSeq.sorted
 
-  test("twelve queries incl. three lazy-return pin users (one past the" +
-      " FIFO bound) and four streaming replays (one with a mid-ingest" +
-      " rebucket) run concurrently and match sequential results") {
+  test("fourteen queries incl. three lazy-return pin users (one past the" +
+      " FIFO bound) and six streaming replays (rebucket, as-of+vacuum," +
+      " drift among them) run concurrently and match sequential results") {
     val shufflePrev = spark.conf.get("spark.sql.shuffle.partitions")
     val providerPrev =
       spark.conf.get("spark.sql.streaming.stateStore.providerClass")
