@@ -739,13 +739,22 @@ object EventStream {
     * deletes it — the same record-the-judgment contract as a
     * forever-gone checkpoint under the `_OWNER` guard.
     *
-    * The stamp is OWNER-GATED: only a query whose owner token matches
-    * the root's `_OWNER` (or a first writer on an unowned root) may
-    * replace an existing marker. A mis-owned query — which WILL fail
-    * [[requireOwner]] at its first batch and terminate — must not
-    * erase the live owner's guard on its way down (its termination
-    * listener then finds the marker carrying someone else's runId and
-    * leaves it alone). Removal is an atomic claim-then-check
+    * The stamp is OWNER-GATED, create-or-match: a marker is written
+    * when none exists, and an EXISTING marker is replaced only when
+    * the root's `_OWNER` exists and matches this query's owner token.
+    * Both failure shapes of a weaker gate are excluded: a mis-owned
+    * query on an owned root (it WILL fail [[requireOwner]] at its
+    * first batch and die) cannot erase the live owner's guard, and
+    * neither can a second fresh query racing a still-unowned root
+    * (`_OWNER` is only created inside the first batch — before it, an
+    * existing marker means someone else is live, whoever ends up
+    * owning). A query that did NOT stamp registers no reap listener:
+    * it has nothing to reap, and reaping would only open the
+    * claim-window on the live owner's marker. Fail-closed corollary:
+    * a writer that crashes before its FIRST batch leaves a marker a
+    * same-checkpoint resume cannot replace until its first batch
+    * stamps `_OWNER`-gated — maintenance refuses in that window, the
+    * safe direction. Removal is an atomic claim-then-check
     * ([[clearWriterIf]]); the residual races are documented there.
     * The one blind spot that remains by construction is cross-process:
     * a live writer in ANOTHER JVM holds the marker and is correctly
@@ -761,8 +770,9 @@ object EventStream {
         Some(new String(java.nio.file.Files.readAllBytes(
           ownerFile.toPath), "UTF-8"))
       else None
-    if (!marker.exists() || rootOwner.forall(_ == owner))
-      writeMetaFile(root, "_WRITER", q.runId.toString)
+    val stamped = !marker.exists() || rootOwner.contains(owner)
+    if (!stamped) return // foreign or unowned-but-marked root: hands off
+    writeMetaFile(root, "_WRITER", q.runId.toString)
     val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -788,36 +798,51 @@ object EventStream {
 
   /** Remove the live-writer marker iff it carries `runId`, as a
     * CLAIM-THEN-CHECK: the marker is atomically renamed aside, read,
-    * and either deleted (ours) or re-linked into place if no newer
-    * stamp appeared meanwhile (not ours — but if a newer incarnation
-    * stamped during the claim, its marker wins and the stale content
-    * is dropped, since the runId it names was superseded either way).
-    * A plain read-then-delete would let a lagging listener of a dead
-    * incarnation reap a newer incarnation's fresh marker. Residual,
-    * documented: during the claim window the marker is briefly absent,
-    * so a concurrent [[requireNoLiveWriter]] racing a lagging reaper
-    * AND a live newer writer can pass — microseconds wide, and closed
-    * for good only by a lock protocol a real table format brings. */
+    * and either deleted (ours) or restored (not ours — unless a newer
+    * stamp already took the name, in which case the claimed content
+    * named a superseded runId either way and is dropped). A plain
+    * read-then-delete would let a lagging listener of a dead
+    * incarnation reap a newer incarnation's fresh marker.
+    *
+    * FAIL-CLOSED posture on errors after a successful claim: an
+    * unreadable claimed file restores rather than deletes, and the
+    * restore tries the atomic create-if-absent link first and falls
+    * back to a no-replace move where hardlinks are unsupported — only
+    * if BOTH primitives fail does the marker stay lost (best-effort
+    * bound of a markerfile protocol; a real table format's lock
+    * service replaces all of this). Residual, documented: during the
+    * claim window the marker is briefly absent, so a concurrent
+    * [[requireNoLiveWriter]] racing a lagging reaper AND a live newer
+    * writer can pass — microseconds wide, and reachable only when a
+    * reaper claims a marker that is not its own. */
   private def clearWriterIf(root: java.io.File, runId: String): Unit = {
     val f = new java.io.File(root, "_WRITER")
     if (!f.exists()) return
     val tmp = new java.io.File(root,
       "._writer_reap_" + java.util.UUID.randomUUID().toString)
-    try {
-      java.nio.file.Files.move(f.toPath, tmp.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      val content = new String(java.nio.file.Files.readAllBytes(
-        tmp.toPath), "UTF-8").trim
-      if (content == runId)
-        java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
-      else {
-        // not ours: restore — unless a newer stamp already took the
-        // name, in which case the claimed content is obsolete
-        try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+    val claimed =
+      try { java.nio.file.Files.move(f.toPath, tmp.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+      catch { case _: java.io.IOException => false } // lost the claim race
+    if (!claimed) return
+    val content =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        tmp.toPath), "UTF-8").trim)
+      catch { case _: java.io.IOException => None }
+    if (content.contains(runId))
+      java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+    else {
+      // not ours (or unreadable — fail closed): put it back unless a
+      // newer stamp already owns the name
+      try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.io.IOException => // no hardlink support: move back
+          try java.nio.file.Files.move(tmp.toPath, f.toPath) // no-replace
+          catch { case _: java.io.IOException => () }
       }
-    } catch { case _: java.io.IOException => () } // lost the claim race
+      java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+    }
   }
 
   /** How long [[requireNoLiveWriter]] waits for a just-stopped query's
@@ -1222,8 +1247,7 @@ object EventStream {
     val span = math.max(1L, hi - lo + 1)
     val w = new ChunkWriter(dir)
     (0 until chunks).foreach { i =>
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
+      val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
       w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), outCols)
     }
     sentinel.foreach(sf => w.write(sf, outCols))
@@ -1235,6 +1259,18 @@ object EventStream {
         s"${(System.currentTimeMillis() - w.startMillis) / 1000.0} s")
     dir
   }
+
+  /** The replay time-range split, in ONE place for [[chunkedReplayDir]]
+    * and the two-incarnation replays that stage their own chunks
+    * ([[replayUpsertRebucket]], [[replayUpsertDrift]]): chunk i of n
+    * covers [lo + span*i/n, lo + span*(i+1)/n) on floor-second
+    * timestamps. The e21/e22 DuckDB oracles reproduce this integer
+    * arithmetic token-for-token — a change here must update them in
+    * lockstep, and a private copy in one replay would let that lane
+    * silently diverge from its oracle's cut (round-12 review). */
+  private def chunkBounds(lo: Long, span: Long, chunks: Int,
+      i: Int): (Long, Long) =
+    (lo + span * i / chunks, lo + span * (i + 1) / chunks)
 
   private def withSec(events: DataFrame): DataFrame =
     events.withColumn("__sec", col("ts").cast("long"))
@@ -1960,29 +1996,15 @@ object EventStream {
     val w = new ChunkWriter(inDir)
     def writeChunk(i: Int, outCols: Seq[String],
         cohort: org.apache.spark.sql.Column = lit(true)): Unit = {
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
+      val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
       w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi)
         .where(cohort), outCols)
-    }
-    // the per-batch latest-per-key reduction, era-aware: the struct-max
-    // tie-break is (ts, event_id, value) exactly as in the sibling
-    // replays (event_ids are unique, so the order is already total);
-    // the added column rides BEHIND the tie-break fields and never
-    // participates in it
-    def reduce(b: DataFrame): DataFrame = {
-      val extras = b.columns.toSeq
-        .filterNot(Set("user_id", "ts", "event_id", "value"))
-      val fields = Seq("ts", "event_id", "value") ++ extras
-      b.groupBy(col("user_id"))
-        .agg(max(struct(fields.map(col): _*)).as("m"))
-        .select(col("user_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
     }
     def drain(schema: String): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = streamingUpsertBucketed(stream, tbl, "user_id", nBuckets,
-        reduceBatch = reduce, checkpoint = Some(ckpt),
+        reduceBatch = lwwReduceByUser, checkpoint = Some(ckpt),
         tolerateSchemaDrift = true)
       drainAndAwait(spark, q)
     }
@@ -2007,17 +2029,24 @@ object EventStream {
         round(col("value"), 6).as("value"), col("etype"))
   }
 
-  /** The e19-family per-batch reduction, in ONE place for all three
-    * ingest replays (plain, bucketed, rebucket): collapse a micro-batch
-    * to its latest update per user with the deterministic
-    * (ts, event_id, value) struct-max tie-break — the contract the
-    * DuckDB oracle mirrors token-for-token; a copy drifting in one
-    * replay would silently diverge that lane from its siblings. */
-  private def lwwReduceByUser(b: DataFrame): DataFrame =
+  /** The e19-family per-batch reduction, in ONE place for all the
+    * ingest replays (plain, bucketed, rebucket, as-of, drift):
+    * collapse a micro-batch to its latest update per user with the
+    * deterministic (ts, event_id, value) struct-max tie-break — the
+    * contract the DuckDB oracle mirrors token-for-token; a copy
+    * drifting in one replay would silently diverge that lane from its
+    * siblings. Columns beyond the tie-break trio (e22's drifted
+    * `etype`) ride BEHIND it in the struct and never participate in
+    * the ordering (event_ids are unique, so the trio is already a
+    * total order); with no extras the plan is the round-11 original. */
+  private def lwwReduceByUser(b: DataFrame): DataFrame = {
+    val extras = b.columns.toSeq
+      .filterNot(Set("user_id", "ts", "event_id", "value"))
+    val fields = Seq("ts", "event_id", "value") ++ extras
     b.groupBy(col("user_id"))
-      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("m.ts").as("ts"),
-        col("m.event_id").as("event_id"), col("m.value").as("value"))
+      .agg(max(struct(fields.map(col): _*)).as("m"))
+      .select(col("user_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
+  }
 
   /** E19C — REBUCKET MID-INGEST: the bucketed ingest of
     * [[replayUpsertBucketed]] interrupted after its first tranche by
@@ -2047,8 +2076,7 @@ object EventStream {
     val ckpt = root.resolve("ckpt").toString
     val w = new ChunkWriter(inDir)
     def writeChunk(i: Int): Unit = {
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
+      val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
       w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), cols)
     }
     def drain(): Unit = {
