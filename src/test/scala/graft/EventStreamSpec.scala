@@ -947,6 +947,51 @@ class EventStreamSpec extends SparkSpec {
     EventStream.vacuumBucketed(tbl) // the judgment recorded, it proceeds
   }
 
+  test("a second fresh query racing a still-unowned root neither steals" +
+      " nor reaps the first writer's live marker") {
+    // the round-12 review race: _OWNER is only created inside the first
+    // batch, so before any batch runs the owner gate has nothing to
+    // match — an existing marker on an unowned root must mean HANDS OFF
+    // (whoever ends up owning, someone is live), or the loser's own
+    // termination reap would disarm the winner's guard
+    val root = java.nio.file.Files.createTempDirectory("es_stamp_race")
+    val tbl = root.resolve("table").toString
+    def emptyIn(name: String): String = {
+      val d = root.resolve(name)
+      java.nio.file.Files.createDirectories(d)
+      d.toString
+    }
+    def start(in: String, ckpt: String) = EventStream.streamingUpsertBucketed(
+      spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      tbl, "id", 4, checkpoint = Some(root.resolve(ckpt).toString))
+    val marker = java.nio.file.Paths.get(tbl, "_WRITER")
+    val q1 = start(emptyIn("in1"), "ckpt1")
+    try {
+      q1.processAllAvailable() // empty source: live, idle, ZERO batches
+      assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        .trim == q1.runId.toString)
+      val q2 = start(emptyIn("in2"), "ckpt2")
+      try {
+        q2.processAllAvailable()
+        assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+            .trim == q1.runId.toString,
+          "the second fresh query stole the live marker")
+      } finally EventStream.drainAndAwait(spark, q2)
+      // q2 never stamped, so its teardown must not have reaped either
+      assert(java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+          .trim == q1.runId.toString,
+        "the loser's teardown reaped the winner's marker")
+    } finally EventStream.drainAndAwait(spark, q1)
+    // the winner's own clean stop still reaps normally
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (java.nio.file.Files.exists(marker) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!java.nio.file.Files.exists(marker),
+      "the winner's clean stop failed to reap its marker")
+  }
+
   test("in-writer retention bounds the plain table's footprint, keeps" +
       " the crash-retry's merge source, and survives the crash window") {
     val root = java.nio.file.Files.createTempDirectory("es_retain")
