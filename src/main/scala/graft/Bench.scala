@@ -28,7 +28,14 @@ import org.apache.spark.sql.SparkSession
   *      persists; the final time is the min of both passes;
   *   5. batch and streaming lanes are totaled separately — the e8-e18
   *      micro-batch replays are fixed-cost by design (~20% of the
-  *      total) and would otherwise drown the batch engine's signal.
+  *      total) and would otherwise drown the batch engine's signal;
+  *   6. (round 13) all three canaries are re-timed at the END of the
+  *      run and the gate takes the worst of each canary's start/end
+  *      ratio — a co-tenant arriving mid-run (the promoted round-12
+  *      incident) is adjudicated mechanically, not in prose; the IO
+  *      canary's ratio additionally needs CORROBORATION from the
+  *      write-heavy lanes before it may relax the gate
+  *      ([[gatedIoRatio]]).
   */
 object Bench {
   /** The Structured-Streaming replay oracles (write real parquet
@@ -44,7 +51,8 @@ object Bench {
     // only (the gate is per-query), but the batch total should measure
     // the batch engine (BASELINE.md round-12 notes the re-lane)
     "e19b_stream_upsert_bucketed", "e19c_stream_rebucket",
-    "e20_tws_sessionize", "e21_upsert_asof", "e22_upsert_drift")
+    "e20_tws_sessionize", "e21_upsert_asof", "e22_upsert_drift",
+    "e23_upsert_point")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures
@@ -132,6 +140,25 @@ object Bench {
   def driftEstimate(canaryRatios: Seq[Option[Double]],
       medRatio: Option[Double]): Double =
     (Seq(1.0) ++ canaryRatios.flatten ++ medRatio).max
+
+  /** CORROBORATION gate on the IO canary's ratio (round-12 advisor):
+    * the 32 MB fsync is an order of magnitude noisier than the ~0.4 s
+    * CPU canaries, and its ratio joins the [[driftEstimate]] max — so
+    * one spurious fsync-latency spike would multiplicatively relax the
+    * regression threshold for EVERY query and suppress
+    * [[driftWarning]]. An elevated IO ratio (> 1.15) is therefore
+    * admitted only when the queries that actually write bytes agree
+    * the disk got slower: the streaming lane's median now/prev ratio
+    * (checkpoint/sink writers — exactly the lanes the round-11 and
+    * round-12 disk co-tenants inflated together) must also sit above
+    * 1.1. A quiet IO ratio passes untouched (it contributes nothing to
+    * a max). The residual this trades away is documented: a disk
+    * slowdown sharp enough to inflate only a FEW write lanes (median
+    * quiet) is excluded, and those lanes then answer to the normal 2x
+    * gate + end-of-run retry instead. */
+  def gatedIoRatio(io: Option[Double],
+      writeLaneMedian: Option[Double]): Option[Double] =
+    io.filter(r => r <= 1.15 || writeLaneMedian.exists(_ > 1.1))
 
   /** The gate's one blind spot, surfaced instead of absorbed (round-7
     * ADVICE): a CODE regression that slows the majority of queries moves
@@ -283,13 +310,14 @@ object Bench {
     // prune every unreferenced projection (a langid or embed query would
     // benchmark nothing but the scan).
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
-    def timeThunk(label: String, run: () => Unit): Double = {
+    def timeThunk(label: String, run: () => Unit, reps: Int = 0): Double = {
+      val n = if (reps > 0) reps else runs
       // localCheckpoint blocks from prior queries (dedup/clustering staging)
       // are freed by the ContextCleaner only after the owning RDD is GC'd;
       // without a nudge they pile up in the block manager and tax the
       // storage-memory pool of later queries. Outside the timed region.
       System.gc()
-      (1 to runs).map { _ =>
+      (1 to n).map { _ =>
         // Dataset persists (the graph family's edge pins) are plan-keyed,
         // so rep N+1 of the same query would read rep N's cache and time
         // a cache hit instead of the query (round-8 review finding);
@@ -329,7 +357,12 @@ object Bench {
     val canaryShuffle = timeThunk("canary_shuffle", () =>
       shuffleCanary(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
-    val canaryIo = timeThunk("canary_io", () => ioCanary())
+    // the IO canary gets more reps than the CPU pair (round-12 advisor):
+    // a ~77 ms fsync is far noisier than the ~0.4 s canaries, each rep
+    // is nearly free, and min-of-7 only admits a spike that persisted
+    // across every observation
+    val ioReps = math.max(runs, 7)
+    val canaryIo = timeThunk("canary_io", () => ioCanary(), reps = ioReps)
     val firstPass: Map[String, Double] = names.map { n =>
       n -> (if (n == canaryName) canary else time(n))
     }.toMap
@@ -366,24 +399,55 @@ object Bench {
         Option.empty[Double], Option.empty[Double], Option.empty[Double])
     }
     val med = medianRatio(firstPass, prevQueries)
-    val canaryRatios = Seq(
+    // preliminary drift (start canaries only) picks which queries get
+    // the end-of-run retry; the FINAL gate below re-estimates with the
+    // end canaries folded in
+    def laneMedian(m: Map[String, Double]): Option[Double] =
+      medianRatio(m.view.filterKeys(streamingLane).toMap, prevQueries,
+        minN = 4)
+    val drift = driftEstimate(Seq(
       prevCanary.map(canary / _),
       prevCanaryShuffle.map(canaryShuffle / _),
-      prevCanaryIo.map(canaryIo / _))
-    val drift = driftEstimate(canaryRatios, med)
+      gatedIoRatio(prevCanaryIo.map(canaryIo / _), laneMedian(firstPass))),
+      med)
     val retried = gateFlags(firstPass, prevQueries, drift)
       .map(n => n -> time(n)).toMap
     val results = firstPass ++ retried.map { case (k, v) =>
       k -> math.min(v, firstPass(k))
     }
+    // END-OF-RUN canary re-measure (round-12 verdict ask #1): the
+    // canaries used to run ONCE, at bench start, so a co-tenant
+    // arriving MID-run was invisible to the estimate — the promoted
+    // round-12 incident: start canaries at session-best, the
+    // disk-writing lanes at 1.35-1.47x their pins, and a probe 30
+    // minutes later showing all three canaries elevated; BASELINE.md
+    // had to adjudicate in prose. The same three canaries re-time
+    // after the last query, and the final gate takes the WORST of each
+    // canary's start/end ratio — drift that develops mid-run now
+    // relaxes the gate mechanically, like drift present at the start.
+    val canaryEnd = time(canaryName)
+    val canaryShuffleEnd = timeThunk("canary_shuffle_end", () =>
+      shuffleCanary(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    val canaryIoEnd = timeThunk("canary_io_end", () => ioCanary(),
+      reps = ioReps)
+    val writeLaneMed = laneMedian(results)
+    val canaryRatios = Seq(
+      prevCanary.map(canary / _), prevCanary.map(canaryEnd / _),
+      prevCanaryShuffle.map(canaryShuffle / _),
+      prevCanaryShuffle.map(canaryShuffleEnd / _),
+      gatedIoRatio(prevCanaryIo.map(canaryIo / _), writeLaneMed),
+      gatedIoRatio(prevCanaryIo.map(canaryIoEnd / _), writeLaneMed))
+    val medFinal = medianRatio(results, prevQueries)
+    val driftFinal = driftEstimate(canaryRatios, medFinal)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalStreaming = results.filter(kv => streamingLane(kv._1)).values.sum
     val totalBatch = total - totalStreaming
     val regressions: Seq[String] =
-      gateFlags(results, prevQueries, drift).map { n =>
+      gateFlags(results, prevQueries, driftFinal).map { n =>
         val why = jsonEscape(declaredRewrites.getOrElse(n, "undeclared"))
         val first = firstPass(n)
-        f"""{"name":"$n","prev":${prevQueries(n)}%.3f,"now":${results(n)}%.3f,"first_pass":$first%.3f,"drift":$drift%.3f,"reason":"$why"}"""
+        f"""{"name":"$n","prev":${prevQueries(n)}%.3f,"now":${results(n)}%.3f,"first_pass":$first%.3f,"drift":$driftFinal%.3f,"reason":"$why"}"""
       }
     val regJson = regressions.mkString("[", ",", "]")
     // Family-level adjudication (see familyShifts): a declared entry
@@ -412,10 +476,11 @@ object Bench {
       results.toSeq.sortBy(-_._2)
         .map { case (k, v) => f""""$k":${v / canary}%.4f""" }.mkString("{", ",", "}")
     else "{}"
-    val medJson = med.map(m => f"$m%.4f").getOrElse("null")
-    val warnJson = driftWarning(canaryRatios, med)
+    val medJson = medFinal.map(m => f"$m%.4f").getOrElse("null")
+    val warnJson = driftWarning(canaryRatios, medFinal)
       .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
-    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"median_ratio":$medJson,"drift_estimate":$drift%.4f,"drift_warning":$warnJson"""
+    val laneMedJson = writeLaneMed.map(m => f"$m%.4f").getOrElse("null")
+    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"canary_sec_end":$canaryEnd%.4f,"canary_shuffle_sec_end":$canaryShuffleEnd%.4f,"canary_io_sec_end":$canaryIoEnd%.4f,"write_lane_median":$laneMedJson,"median_ratio":$medJson,"drift_estimate":$driftFinal%.4f,"drift_warning":$warnJson"""
     // a missing parent dir must not cost the whole 20-minute run at the
     // final write (a gitignored tmp/ target can vanish between rounds)
     Option(java.nio.file.Paths.get(fullPath).getParent)

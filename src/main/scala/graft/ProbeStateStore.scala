@@ -106,9 +106,9 @@ object ProbeStateForce {
       schema = "id LONG", outCols = Seq("id"),
       rows = (spark, a, b) => spark.range(a, b).toDF("id"),
       lanes = Seq(
-        ("rocksdb", Some(StateForceHarness.RocksDb),
+        StateForceHarness.Lane("rocksdb", Some(StateForceHarness.RocksDb),
           df => df.dropDuplicates("id")),
-        ("hdfs-backed (default)", None,
+        StateForceHarness.Lane("hdfs-backed (default)", None,
           df => df.dropDuplicates("id"))))
   }
 }
@@ -153,10 +153,33 @@ object ProbeTwsForce {
         .select(col("id").as("user_id"),
           timestamp_seconds(lit(1700000000L) + col("id") % 86400L).as("ts")),
       lanes = Seq(
-        ("tws rocksdb", Some(StateForceHarness.RocksDb),
+        StateForceHarness.Lane("tws rocksdb",
+          Some(StateForceHarness.RocksDb),
           df => graft.streaming.TwsSessionize.sessionize(
             sessionEvents(df)).toDF()),
-        ("fmgws in-heap (default)", None,
+        // round-13 knob pricing (round-12 verdict ask #4): how much of
+        // the below-cliff 2.8-3.2x RocksDB penalty is recoverable
+        // CONFIGURATION? changelog checkpointing removes the per-commit
+        // full snapshot; the 1-commit cadence amortizes whatever
+        // remains over one commit instead of four; the combined lane
+        // shows whether the two knobs overlap.
+        StateForceHarness.Lane("tws rocksdb+changelog",
+          Some(StateForceHarness.RocksDb),
+          df => graft.streaming.TwsSessionize.sessionize(
+            sessionEvents(df)).toDF(),
+          extraConf = StateForceHarness.RocksDbChangelog),
+        StateForceHarness.Lane("tws rocksdb 1-commit",
+          Some(StateForceHarness.RocksDb),
+          df => graft.streaming.TwsSessionize.sessionize(
+            sessionEvents(df)).toDF(),
+          filesPerTrigger = 4),
+        StateForceHarness.Lane("tws rocksdb+chlog 1-commit",
+          Some(StateForceHarness.RocksDb),
+          df => graft.streaming.TwsSessionize.sessionize(
+            sessionEvents(df)).toDF(),
+          extraConf = StateForceHarness.RocksDbChangelog,
+          filesPerTrigger = 4),
+        StateForceHarness.Lane("fmgws in-heap (default)", None,
           df => graft.streaming.EventStream.sessionizeStreaming(
             sessionEvents(df)).toDF())))
   }
@@ -166,8 +189,10 @@ object ProbeTwsForce {
   * [[ProbeStateForce]] and [[ProbeTwsForce]] (round-12 review: the TWS
   * probe had copy-pasted the harness, and the copy had already dropped
   * the load-bearing heap-attribution ordering note — two probes must
-  * not be able to drift on WHAT they measure). K keys arrive as 4 real
-  * micro-batches of fresh keys; 4 state partitions (the replay
+  * not be able to drift on WHAT they measure). K keys arrive as 4
+  * parquet files of fresh keys, delivered as 4 micro-batches by
+  * default or fewer under a lane's `filesPerTrigger` (the cadence
+  * knob); 4 state partitions (the replay
   * posture); per-lane child sessions; noop sink in append mode; an
   * untimed warmup lane per form at a sliver of the size so
   * codegen/classloading never lands in a timed lane. Lanes run in the
@@ -178,10 +203,28 @@ private[graft] object StateForceHarness {
   val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** (print label, provider class or None = session default, the
-    * stateful plan under test). */
-  type Lane = (String, Option[String],
-    org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+  /** RocksDB changelog checkpointing: commit the per-batch CHANGELOG to
+    * the checkpoint instead of a full snapshot per commit — the knob
+    * that targets exactly the snapshot amplification the round-12
+    * below-cliff measurement (TWS/RocksDB 2.8-3.2x slower than in-heap
+    * at a 4-commit cadence) is suspected to be made of. Priced as its
+    * own lane so the migration guidance can say how much of the 3x is
+    * recoverable CONFIGURATION vs inherent engine cost. */
+  val RocksDbChangelog: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
+  /** One probe lane: print label, provider class (None = session
+    * default), the stateful plan under test, per-lane session conf
+    * overrides (e.g. [[RocksDbChangelog]]), and the micro-batch
+    * cadence — `filesPerTrigger` files per trigger over the shared
+    * 4-file input, so 1 = 4 commits (the replay posture) and 4 = one
+    * commit for the whole key load (the long-cadence posture where
+    * per-commit snapshot cost amortizes). */
+  final case class Lane(label: String, provider: Option[String],
+      form: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      extraConf: Map[String, String] = Map.empty,
+      filesPerTrigger: Int = 1)
 
   def run(tag: String, tmpPrefix: String, keyCounts: Seq[Long],
       schema: String, outCols: Seq[String],
@@ -196,17 +239,16 @@ private[graft] object StateForceHarness {
       else java.nio.file.Files.createTempDirectory(tmpPrefix)
     // the input dir fully determines lane size; no size parameter, or a
     // reader mis-models what the lane times (round-11 review finding)
-    def lane(provider: Option[String],
-        form: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-        dir: String): (Double, Long) = {
+    def lane(l: Lane, dir: String): (Double, Long) = {
       val runner = spark.newSession()
-      runner.conf.set(key, provider.getOrElse(default))
+      runner.conf.set(key, l.provider.getOrElse(default))
       runner.conf.set("spark.sql.shuffle.partitions", "4")
+      l.extraConf.foreach { case (k, v) => runner.conf.set(k, v) }
       val ckpt = java.nio.file.Files
         .createTempDirectory(root, "ckpt").toString
       val t0 = System.nanoTime()
-      val q = form(runner.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(dir))
+      val q = l.form(runner.readStream.schema(schema)
+          .option("maxFilesPerTrigger", l.filesPerTrigger).parquet(dir))
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -235,10 +277,10 @@ private[graft] object StateForceHarness {
         val warmDir = root.resolve(s"warm_$k").toString
         val ww = new graft.streaming.EventStream.ChunkWriter(warmDir)
         ww.write(rows(spark, 0, 1000), outCols)
-        for ((_, p, form) <- lanes) lane(p, form, warmDir)
-        for ((label, p, form) <- lanes) {
-          val (sec, heap) = lane(p, form, dir)
-          println(f"[$tag] $label%-24s keys=$k%-10d $sec%7.2f s  " +
+        for (l <- lanes) lane(l, warmDir)
+        for (l <- lanes) {
+          val (sec, heap) = lane(l, dir)
+          println(f"[$tag] ${l.label}%-28s keys=$k%-10d $sec%7.2f s  " +
             f"(post-gc heap ${heap}M)")
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

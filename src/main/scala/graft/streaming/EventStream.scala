@@ -2055,22 +2055,69 @@ object EventStream {
   def replayUpsertBucketed(events: DataFrame, chunks: Int = 6,
       nBuckets: Int = 32): DataFrame = {
     val spark = events.sparkSession
+    val root = ingestBucketedReplay(events, chunks, nBuckets,
+      "graft_upsertb_tbl")
+    latestBucketedUpsert(spark, root)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"))
+  }
+
+  /** The ONE copy of the e19b/e21/e23 bucketed-ingest block (chunked
+    * time-range replay → [[streamingUpsertBucketed]] with the shared
+    * [[lwwReduceByUser]] reduction, drained clean): the three lanes
+    * differ only in HOW they read the table back, so the ingest they
+    * read from must be incapable of drifting between them. Returns the
+    * table root (temp, reclaimed at JVM exit). */
+  private def ingestBucketedReplay(events: DataFrame, chunks: Int,
+      nBuckets: Int, prefix: String): String = {
+    val spark = events.sparkSession
     val cols = Seq("event_id", "ts", "user_id", "value")
     val src = withSec(events.select(col("event_id"), col("ts"),
       col("user_id"), col("value")))
     val dir = chunkedReplayDir(src, cols, chunks)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_upsertb_tbl").toString
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
     registerRestartRoot(new java.io.File(root))
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
       reduceBatch = lwwReduceByUser)
-    try q.processAllAvailable() finally q.stop()
-    latestBucketedUpsert(spark, root)
-      .select(col("user_id"), col("event_id"),
-        round(col("value"), 6).as("value"))
+    drainAndAwait(spark, q)
+    root
+  }
+
+  /** E23 — POINT LOOKUP on the ingested store under the oracle: the
+    * bucketed ingest of [[replayUpsertBucketed]], then ONE planted
+    * user's latest state read back through [[bucketedPointLookup]]'s
+    * O(bucket) path — the read-side half of the reference's get-by-id
+    * against the versioned store (S2, src/session_store.rs:127-136),
+    * the last maintenance-surface read that was pinned only by specs.
+    * The oracle is the e19 argmax SQL restricted to the planted user.
+    *
+    * The SCALE claim is asserted in-row, not in prose: the lookup's
+    * physical plan must contain exactly ONE parquet scan whose root is
+    * a single `b<k>/v<n>` bucket-version dir (never the table), and
+    * the id equality must reach that scan as a pushed filter — a plan
+    * that widened to the table or lost the pushdown fails every
+    * verify/bench run loudly. */
+  def replayUpsertPointLookup(events: DataFrame, chunks: Int = 6,
+      nBuckets: Int = 32, userId: Long = 1L): DataFrame = {
+    val spark = events.sparkSession
+    val root = ingestBucketedReplay(events, chunks, nBuckets,
+      "graft_upsertp_tbl")
+    val hit = bucketedPointLookup(spark, root, "user_id", userId)
+    val scans = hit.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    require(paths.size == 1 && paths.head.matches(".*/b\\d+/v\\d+"),
+      s"the point lookup must read exactly ONE bucket version dir " +
+        s"(O(bucket), not O(table)) — scanned $paths")
+    require(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("EqualTo(user_id"))),
+      "the id equality must reach the parquet scan as a pushed filter")
+    hit.select(col("user_id"), col("event_id"),
+      round(col("value"), 6).as("value"))
   }
 
   /** E21 — TIME TRAVEL under the oracle: the bucketed ingest of
@@ -2094,19 +2141,8 @@ object EventStream {
   def replayUpsertAsOf(events: DataFrame, chunks: Int = 6,
       asOfBatch: Long = 2, nBuckets: Int = 16): DataFrame = {
     val spark = events.sparkSession
-    val cols = Seq("event_id", "ts", "user_id", "value")
-    val src = withSec(events.select(col("event_id"), col("ts"),
-      col("user_id"), col("value")))
-    val dir = chunkedReplayDir(src, cols, chunks)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_upserta_tbl").toString
-    registerRestartRoot(new java.io.File(root))
-    val stream = spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = streamingUpsertBucketed(stream, root, "user_id", nBuckets,
-      reduceBatch = lwwReduceByUser)
-    drainAndAwait(spark, q)
+    val root = ingestBucketedReplay(events, chunks, nBuckets,
+      "graft_upserta_tbl")
     // materialize the snapshot BEFORE the horizon lane destroys the
     // versions it stitches — the parquet read is lazy
     val snapshot = bucketedUpsertAsOf(spark, root, asOfBatch)

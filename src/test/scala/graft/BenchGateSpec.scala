@@ -188,6 +188,52 @@ class BenchGateSpec extends AnyFunSuite {
       Some(1.4)).isEmpty)
   }
 
+  test("r12 replay: mid-run drift is caught by the END-of-run canary" +
+      " re-measure, mechanically") {
+    // the promoted round-12 incident: start canaries at session-best
+    // (scan 0.87x, shuffle ~1.0x, io ~1.0x) because the disk co-tenant
+    // arrived MID-run; the disk-writing lanes finished 1.35-1.47x their
+    // r11 pins, a probe 30 min later showed all three canaries
+    // elevated, and BASELINE.md adjudicated in prose. With the end
+    // canaries folded in, the estimate sees what the probe saw.
+    val startRatios = Seq(Some(0.87), Some(1.0), Some(1.0))
+    // a write-lane victim pushed past the 2x bar by the disk co-tenant
+    val p = prev + ("e20_tws_sessionize" -> 3.51)
+    val now = prev + ("e20_tws_sessionize" -> 3.51 * 2.1)
+    val med = Bench.medianRatio(now, p)
+    // start-canaries-only (the round-12 gate): the victim fires raw
+    val blind = Bench.driftEstimate(startRatios, med)
+    assert(Bench.gateFlags(now, p, blind) == Seq("e20_tws_sessionize"))
+    // end canaries see the co-tenant (io end 1.6x, corroborated by the
+    // write lanes at 1.4x): the estimate relaxes and the row clears
+    val endIo = Bench.gatedIoRatio(Some(1.6), Some(1.4))
+    assert(endIo.contains(1.6), "corroborated io drift must be admitted")
+    val seen = Bench.driftEstimate(startRatios ++
+      Seq(Some(1.05), Some(1.1), endIo), med)
+    assert(seen == 1.6)
+    assert(Bench.gateFlags(now, p, seen).isEmpty)
+  }
+
+  test("the IO ratio needs write-lane corroboration before it may relax" +
+      " the gate (round-12 advisor)") {
+    // a spurious fsync-latency spike with QUIET write lanes must not
+    // multiplicatively relax the threshold for every query...
+    assert(Bench.gatedIoRatio(Some(1.9), Some(1.02)).isEmpty)
+    assert(Bench.gatedIoRatio(Some(1.9), None).isEmpty)
+    // ...nor suppress the code-wide-slowdown warning: with the spike
+    // excluded, quiet CPU canaries + a 1.4 median still warn
+    assert(Bench.driftWarning(
+      Seq(Some(1.0), Some(1.0)) :+ Bench.gatedIoRatio(Some(1.9), Some(1.0)),
+      Some(1.4)).nonEmpty)
+    // a QUIET io ratio always passes (it contributes nothing to a max)
+    assert(Bench.gatedIoRatio(Some(1.02), Some(1.0)).contains(1.02))
+    assert(Bench.gatedIoRatio(Some(0.8), None).contains(0.8))
+    // a corroborated elevation passes: the real disk co-tenant shape
+    assert(Bench.gatedIoRatio(Some(1.6), Some(1.35)).contains(1.6))
+    // unpinned io canary stays absent either way
+    assert(Bench.gatedIoRatio(None, Some(1.4)).isEmpty)
+  }
+
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
     assert(Bench.driftEstimate(Seq(Some(0.7), Some(0.8)), Some(0.9)) == 1.0)
     assert(Bench.driftEstimate(Seq(None, None), None) == 1.0)
