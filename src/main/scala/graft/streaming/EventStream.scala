@@ -916,8 +916,15 @@ object EventStream {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (e.runId == q.runId) { // step 4
             Option(stamped.getAndSet(null)).foreach { v =>
-              clearWriterIf(root, v)
+              // heartbeat FIRST: the marker's disappearance is the
+              // signal pollers watch, so by the time they see it gone
+              // the heartbeat must already be gone too (the reverse
+              // order dangles an orphan heartbeat for a reader that
+              // reacted to the marker instantly; a crash between the
+              // two deletions leaves marker-without-heartbeat — the
+              // fail-closed "no heartbeat" guidance, safe direction)
               clearHeartbeatIf(root, run)
+              clearWriterIf(root, v)
             }
             session.streams.removeListener(this)
           }
@@ -928,8 +935,8 @@ object EventStream {
     // (the listener would otherwise accumulate per short-lived query)
     if (!session.streams.active.exists(_.runId == q.runId)) {
       Option(stamped.getAndSet(null)).foreach { v =>
+        clearHeartbeatIf(root, run) // before the marker — see step 4
         clearWriterIf(root, v)
-        clearHeartbeatIf(root, run)
       }
       session.streams.removeListener(listener)
     }

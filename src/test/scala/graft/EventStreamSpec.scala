@@ -1087,13 +1087,15 @@ class EventStreamSpec extends SparkSpec {
         "a deleted marker under a live writer must be re-stamped at " +
           "the next beat")
     } finally EventStream.drainAndAwait(spark, q)
-    // clean stop reaps marker AND heartbeat; maintenance proceeds
+    // clean stop reaps marker AND heartbeat (heartbeat strictly first,
+    // so marker-gone implies heartbeat-gone); maintenance proceeds
+    val hb = java.nio.file.Paths.get(tbl, "_WRITER_HB")
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (java.nio.file.Files.exists(marker) &&
+    while ((java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.exists(hb)) &&
       System.nanoTime() < deadline) Thread.sleep(50)
     assert(!java.nio.file.Files.exists(marker))
-    assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(tbl, "_WRITER_HB")),
+    assert(!java.nio.file.Files.exists(hb),
       "the heartbeat must be reaped with the marker")
     EventStream.vacuumBucketed(tbl)
   }
