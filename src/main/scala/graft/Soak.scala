@@ -401,6 +401,12 @@ object Soak {
     // track e19c (same two-drain shape) without the rebucket's one-time
     // table rewrite.
     "e22_upsert_drift" -> SparkEntry.queries("e22_upsert_drift"),
+    // the POINT-LOOKUP cadence at factor x keys: the ingest tracks
+    // e19b; the lookup itself must NOT grow with the factor (one
+    // bucket's newest version at a fixed bucket count grows linearly,
+    // but the lane's in-row plan assertion keeps it ONE directory —
+    // the O(bucket)-not-O(table) claim rides into the soak unchanged).
+    "e23_upsert_point" -> SparkEntry.queries("e23_upsert_point"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -673,7 +679,8 @@ object Soak {
       "e19c_stream_rebucket" -> 10,
       "e20_tws_sessionize" -> 10,
       "e21_upsert_asof" -> 10,
-      "e22_upsert_drift" -> 10).withDefaultValue(Int.MaxValue)
+      "e22_upsert_drift" -> 10,
+      "e23_upsert_point" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))
