@@ -586,8 +586,9 @@ object EventStream {
     * generation flip then abandons) is caught by the live-writer
     * marker: [[requireNoLiveWriter]] refuses while `_WRITER` exists,
     * and the writer's termination listener removes it on any clean or
-    * failed stop (see [[trackLiveWriter]] for the one residual
-    * cross-process caveat). Anonymous tables need no drain guard —
+    * failed stop (see [[startTrackedWriter]]; the heartbeat lets the
+    * refusal distinguish a RUNNING cross-process writer from a crash).
+    * Anonymous tables need no drain guard —
     * their temp checkpoint dies with the incarnation, so no retry can
     * ever target them. */
   def rebucketUpsert(spark: SparkSession, tableRoot: String, idCol: String,
