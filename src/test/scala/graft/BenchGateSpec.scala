@@ -232,6 +232,14 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gatedIoRatio(Some(1.6), Some(1.35)).contains(1.6))
     // unpinned io canary stays absent either way
     assert(Bench.gatedIoRatio(None, Some(1.4)).isEmpty)
+    // the first live firing (round-13 full run, 14:44): io END 1.34
+    // with the write-lane median at 1.0945 — a hair under the bar, so
+    // the late-arriving disk co-tenant was EXCLUDED from the estimate
+    // while the quiet CPU end-canaries (0.955/0.959) anchored it; the
+    // run still promoted nothing (scan START 1.17 carried the gate).
+    // Pinned with the real numbers so the boundary stays deliberate.
+    assert(Bench.gatedIoRatio(Some(1.34), Some(1.0945)).isEmpty)
+    assert(Bench.gatedIoRatio(Some(1.34), Some(1.11)).contains(1.34))
   }
 
   test("driftEstimate floors at 1.0; medianRatio needs 8 common rows") {
