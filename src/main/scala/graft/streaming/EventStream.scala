@@ -772,11 +772,12 @@ object EventStream {
   /** How old a `_WRITER_HB` heartbeat may be before
     * [[requireNoLiveWriter]] stops calling the writer RUNNING and
     * reverts to the crash guidance. Heartbeats refresh on every
-    * progress AND idle event (idle events arrive on
-    * `noDataProgressEventInterval`, default 10 s), so a minute of
-    * silence means the process is gone — or wedged so hard (GC death
-    * spiral) that for a fail-closed guard the advice is the same.
-    * Volatile so specs can compress the stale boundary. */
+    * progress/idle event AND on a timer at a quarter of this threshold
+    * (events alone go silent inside a long micro-batch — progress only
+    * fires at batch completion), so a minute of silence means the
+    * process is gone — or wedged so hard (GC death spiral) that for a
+    * fail-closed guard the advice is the same. Volatile so specs can
+    * compress the stale boundary. */
   @volatile private[graft] var writerHeartbeatStaleMs: Long = 60000L
 
   /** Refresh the root's `_WRITER_HB` heartbeat: `<runId> <epochMillis>`,
@@ -828,8 +829,11 @@ object EventStream {
     *     the new one is even live). The query is therefore never
     *     live-but-unmarked — the old post-start() stamp left a window
     *     where the first micro-batch could already be executing with
-    *     no marker for maintenance to see. If start() itself throws,
-    *     the provisional stamp is reaped on the way out.
+    *     no marker for maintenance to see. A heartbeat is stamped WITH
+    *     the provisional marker, so even the startup window (checkpoint
+    *     recovery, a long first batch) reads as a RUNNING writer, never
+    *     as "crashed — delete it". If start() itself throws, the
+    *     provisional stamp and heartbeat are reaped on the way out.
     *  2. AFTER start(): the provisional content is replaced with the
     *     runId. A plain replace is sound here: this query holds the
     *     marker (its content is our token), and the only writer that
@@ -838,7 +842,9 @@ object EventStream {
     *     checkpoint lock, and cross-process twins corrupt the
     *     checkpoint itself long before this marker matters (the
     *     protocol's documented cross-process bound).
-    *  3. ON EVERY progress/idle event ("beat"): the marker is
+    *  3. ON EVERY progress/idle event AND on a timer ("beat" — the
+    *     timer covers the inside of a long micro-batch, where progress
+    *     events go silent until batch completion): the marker is
     *     re-asserted. If it vanished (an operator recorded a crash
     *     judgment against a marker that actually belonged to a live
     *     resume) it is re-stamped; if it names another run while
@@ -874,15 +880,33 @@ object EventStream {
     // the holder) — the reap key, so a non-holder can never reap
     val stamped =
       new java.util.concurrent.atomic.AtomicReference[String](null)
+    // beats and the reap are mutually exclusive and the reap is final:
+    // without this, a beat delivered on the listener-bus (or timer)
+    // thread could re-stamp the marker AFTER the reap cleared it, with
+    // no reaper left — a cleanly-stopped table carrying a permanent
+    // dead-run marker that fails every later maintenance op until an
+    // operator hand-deletes (round-13 review finding)
+    val lock = new Object
+    var done = false // guarded by lock
+    // the provisional stamp carries a heartbeat from the very first
+    // write: a marker observed during startup (checkpoint recovery, or
+    // a long first batch before any event fires) must read as a
+    // RUNNING writer, never as "crashed — delete it" (round-13 review
+    // finding: the delete guidance during the startup window was the
+    // data-loss direction)
     if (stampWriterIfAbsent(root, token)) stamped.set(token)
     else if (readOwnerToken(root).contains(owner)) {
       writeMetaFile(root, "_WRITER", token)
       stamped.set(token)
     }
+    if (stamped.get == token) writeHeartbeat(root, token)
     val q =
       try startQuery()
       catch { case t: Throwable =>
-        Option(stamped.get).foreach(clearWriterIf(root, _))
+        Option(stamped.get).foreach { v =>
+          clearHeartbeatIf(root, v)
+          clearWriterIf(root, v)
+        }
         throw t
       }
     val run = q.runId.toString
@@ -890,21 +914,45 @@ object EventStream {
       writeMetaFile(root, "_WRITER", run)
       writeHeartbeat(root, run)
     }
+    def beat(): Unit = lock.synchronized { // step 3
+      if (done) return
+      readWriterMarker(root) match {
+        case Some(`run`) => () // already ours
+        case None => // re-arm a deleted guard under a live writer
+          if (stampWriterIfAbsent(root, run)) stamped.set(run)
+        case Some(_) => // another run's marker: take iff root is OURS
+          if (readOwnerToken(root).contains(owner)) {
+            writeMetaFile(root, "_WRITER", run)
+            stamped.set(run)
+          }
+      }
+      if (stamped.get == run) writeHeartbeat(root, run)
+    }
+    def reap(): Unit = lock.synchronized { // step 4
+      if (done) return
+      done = true
+      Option(stamped.getAndSet(null)).foreach { v =>
+        // heartbeat FIRST: the marker's disappearance is the signal
+        // pollers watch, so by the time they see it gone the heartbeat
+        // must already be gone too (the reverse order dangles an
+        // orphan heartbeat for a reader that reacted to the marker
+        // instantly; a crash between the two deletions leaves
+        // marker-without-heartbeat — fail-closed, the safe direction)
+        clearHeartbeatIf(root, v)
+        clearWriterIf(root, v)
+      }
+    }
+    // event beats alone go silent inside a LONG micro-batch (progress
+    // fires at batch COMPLETION, idle only with no data), so a merge
+    // longer than the stale threshold would read as "crashed" mid-run
+    // — the timer keeps the heartbeat fresh through it (round-13
+    // review finding). The timer also self-heals: a query found no
+    // longer active reaps and cancels even if the termination event
+    // was never seen.
+    val hbPeriodMs = math.max(writerHeartbeatStaleMs / 4, 1000L)
+    val hbTimer = new java.util.Timer("graft-writer-hb", true)
     val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
-        private def beat(): Unit = { // step 3
-          readWriterMarker(root) match {
-            case Some(`run`) => () // already ours
-            case None => // re-arm a deleted guard under a live writer
-              if (stampWriterIfAbsent(root, run)) stamped.set(run)
-            case Some(_) => // another run's marker: take iff root is OURS
-              if (readOwnerToken(root).contains(owner)) {
-                writeMetaFile(root, "_WRITER", run)
-                stamped.set(run)
-              }
-          }
-          if (stamped.get == run) writeHeartbeat(root, run)
-        }
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
@@ -915,30 +963,24 @@ object EventStream {
           if (e.runId == q.runId) beat()
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.runId == q.runId) { // step 4
-            Option(stamped.getAndSet(null)).foreach { v =>
-              // heartbeat FIRST: the marker's disappearance is the
-              // signal pollers watch, so by the time they see it gone
-              // the heartbeat must already be gone too (the reverse
-              // order dangles an orphan heartbeat for a reader that
-              // reacted to the marker instantly; a crash between the
-              // two deletions leaves marker-without-heartbeat — the
-              // fail-closed "no heartbeat" guidance, safe direction)
-              clearHeartbeatIf(root, run)
-              clearWriterIf(root, v)
-            }
+          if (e.runId == q.runId) {
+            reap()
+            hbTimer.cancel()
             session.streams.removeListener(this)
           }
       }
     session.streams.addListener(listener)
+    hbTimer.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit =
+        if (session.streams.active.exists(_.runId == q.runId)) beat()
+        else { reap(); hbTimer.cancel() }
+    }, hbPeriodMs, hbPeriodMs)
     // the query may have terminated before the listener registered — the
-    // event then never fires; reap marker, heartbeat AND listener here
-    // (the listener would otherwise accumulate per short-lived query)
+    // event then never fires; reap marker, heartbeat, timer AND listener
+    // here (they would otherwise accumulate per short-lived query)
     if (!session.streams.active.exists(_.runId == q.runId)) {
-      Option(stamped.getAndSet(null)).foreach { v =>
-        clearHeartbeatIf(root, run) // before the marker — see step 4
-        clearWriterIf(root, v)
-      }
+      reap()
+      hbTimer.cancel()
       session.streams.removeListener(listener)
     }
     q
@@ -1045,9 +1087,9 @@ object EventStream {
             "process has almost certainly crashed — verify it is " +
             s"gone, then delete $top/_WRITER to record that judgment"
         case None =>
-          "It left no heartbeat (crashed before its first beat); if " +
-            s"its process is gone, delete $top/_WRITER to record " +
-            "that judgment"
+          "It left no matching heartbeat (a pre-heartbeat marker, or " +
+            "it died before stamping one); if its process is gone, " +
+            s"delete $top/_WRITER to record that judgment"
       }
       throw new IllegalArgumentException(
         s"tableRoot $top has a LIVE writer (query run $runId): a " +

@@ -1139,7 +1139,8 @@ class EventStreamSpec extends SparkSpec {
       val none = intercept[IllegalArgumentException] {
         EventStream.vacuumBucketed(tbl)
       }
-      assert(none.getMessage.contains("no heartbeat"), none.getMessage)
+      assert(none.getMessage.contains("no matching heartbeat"),
+        none.getMessage)
     } finally EventStream.liveWriterGraceMs = grace
     // the judgment recorded, maintenance proceeds
     java.nio.file.Files.delete(marker)
