@@ -52,7 +52,7 @@ object Bench {
     // the batch engine (BASELINE.md round-12 notes the re-lane)
     "e19b_stream_upsert_bucketed", "e19c_stream_rebucket",
     "e20_tws_sessionize", "e21_upsert_asof", "e22_upsert_drift",
-    "e23_upsert_point")
+    "e23_upsert_point", "e24_upsert_point_asof")
 
   /** Scan-bound canary: date-range filter + small agg over lineitem whose
     * plan has been stable since round 1. Its run-to-run movement measures
@@ -455,6 +455,21 @@ object Bench {
     val results = results0 ++ flagged2.map { n =>
       n -> math.min(time(n), results0(n))
     }
+    // canary_*_sec_end is documented as "re-timed after the last
+    // query": when a second retry wave fired AFTER the first end
+    // re-measure, re-time so the reported fields keep that meaning
+    // (drift arising during the retries would otherwise be invisible
+    // to the record — round-13 advisor). REPORTING ONLY: driftFinal
+    // and the gate decisions above stay fixed on the first end
+    // measure — retries only lower times, and re-deriving the
+    // estimate after each wave could cascade retries unboundedly.
+    val (canaryEndR, canaryShuffleEndR, canaryIoEndR) =
+      if (flagged2.isEmpty) (canaryEnd, canaryShuffleEnd, canaryIoEnd)
+      else (time(canaryName),
+        timeThunk("canary_shuffle_end2", () =>
+          shuffleCanary(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()),
+        timeThunk("canary_io_end2", () => ioCanary(), reps = ioReps))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalStreaming = results.filter(kv => streamingLane(kv._1)).values.sum
     val totalBatch = total - totalStreaming
@@ -495,7 +510,7 @@ object Bench {
     val warnJson = driftWarning(canaryRatios, medFinal)
       .map(w => s""""${jsonEscape(w)}"""").getOrElse("null")
     val laneMedJson = writeLaneMed.map(m => f"$m%.4f").getOrElse("null")
-    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"canary_sec_end":$canaryEnd%.4f,"canary_shuffle_sec_end":$canaryShuffleEnd%.4f,"canary_io_sec_end":$canaryIoEnd%.4f,"write_lane_median":$laneMedJson,"median_ratio":$medJson,"drift_estimate":$driftFinal%.4f,"drift_warning":$warnJson"""
+    val lanes = f""""total_batch":$totalBatch%.3f,"total_streaming":$totalStreaming%.3f,"canary_sec":$canary%.4f,"canary_shuffle_sec":$canaryShuffle%.4f,"canary_io_sec":$canaryIo%.4f,"canary_sec_end":$canaryEndR%.4f,"canary_shuffle_sec_end":$canaryShuffleEndR%.4f,"canary_io_sec_end":$canaryIoEndR%.4f,"write_lane_median":$laneMedJson,"median_ratio":$medJson,"drift_estimate":$driftFinal%.4f,"drift_warning":$warnJson"""
     // a missing parent dir must not cost the whole 20-minute run at the
     // final write (a gitignored tmp/ target can vanish between rounds)
     Option(java.nio.file.Paths.get(fullPath).getParent)

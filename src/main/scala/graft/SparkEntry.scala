@@ -42,7 +42,7 @@ object SparkEntry {
     Queries43.registry, Queries44.registry, Queries45.registry,
     Queries46.registry, Queries47.registry, Queries48.registry,
     Queries49.registry, Queries50.registry, Queries51.registry,
-    Queries52.registry, Queries53.registry)
+    Queries52.registry, Queries53.registry, Queries54.registry)
 
   private[graft] val oracleParts: Seq[Map[String, String]] = Seq(
     Queries.oracles, Queries2.oracles, Queries3.oracles,
@@ -62,7 +62,7 @@ object SparkEntry {
     Queries43.oracles, Queries44.oracles, Queries45.oracles,
     Queries46.oracles, Queries47.oracles, Queries48.oracles,
     Queries49.oracles, Queries50.oracles, Queries51.oracles,
-    Queries52.oracles, Queries53.oracles)
+    Queries52.oracles, Queries53.oracles, Queries54.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -453,22 +453,7 @@ object EventStream {
   def bucketedPointLookup(spark: SparkSession, tableRoot: String,
       idCol: String, id: Any): DataFrame = {
     val root = activeBucketedDir(new java.io.File(tableRoot))
-    val n = readNBuckets(root).getOrElse(sys.error(
-      s"$tableRoot has no _NBUCKETS metadata — not a bucketed upsert table"))
-    // one committed version anywhere in the table gives the stored id
-    // type (and the miss path's schema) for a single footer read
-    val refPath = Option(root.list()).getOrElse(Array.empty)
-      .filter(_.matches("b\\d+")).sorted.iterator
-      .flatMap(b => committedVersions(new java.io.File(root, b)).lastOption
-        .map(v => s"${root.getPath}/$b/v$v"))
-      .nextOption().getOrElse(sys.error(
-        s"no committed bucket version under $tableRoot — empty table"))
-    val refSchema = spark.read.parquet(refPath).schema
-    val idType = refSchema(idCol).dataType
-    val idLit = lit(id).cast(idType)
-    val k = spark.range(1).select(idLit.as(idCol))
-      .select(graft.operators.MemoryOps.bucketOf(idCol, n))
-      .head().getLong(0)
+    val (idLit, k, refSchema) = resolveBucket(spark, root, idCol, id)
     committedVersions(new java.io.File(root, s"b$k")).lastOption match {
       case Some(v) =>
         spark.read.parquet(s"${root.getPath}/b$k/v$v")
@@ -477,6 +462,79 @@ object EventStream {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], refSchema)
     }
+  }
+
+  /** Shared id→bucket resolution of the point-lookup family: the
+    * caller's literal CAST to the table's STORED id type, then the
+    * PRODUCTION hash evaluated on a one-row frame (xxhash64 hashes an
+    * Int and a Long differently — a re-derived or type-mismatched
+    * bucket number silently misses existing rows). One reference
+    * footer read supplies the id type and the miss path's schema. */
+  private def resolveBucket(spark: SparkSession, root: java.io.File,
+      idCol: String, id: Any)
+      : (org.apache.spark.sql.Column, Long, org.apache.spark.sql.types.StructType) = {
+    val n = readNBuckets(root).getOrElse(sys.error(
+      s"$root has no _NBUCKETS metadata — not a bucketed upsert table"))
+    val refPath = Option(root.list()).getOrElse(Array.empty)
+      .filter(_.matches("b\\d+")).sorted.iterator
+      .flatMap(b => committedVersions(new java.io.File(root, b)).lastOption
+        .map(v => s"${root.getPath}/$b/v$v"))
+      .nextOption().getOrElse(sys.error(
+        s"no committed bucket version under $root — empty table"))
+    val refSchema = spark.read.parquet(refPath).schema
+    val idLit = lit(id).cast(refSchema(idCol).dataType)
+    val k = spark.range(1).select(idLit.as(idCol))
+      .select(graft.operators.MemoryOps.bucketOf(idCol, n))
+      .head().getLong(0)
+    (idLit, k, refSchema)
+  }
+
+  /** POINT LOOKUP with TIME TRAVEL: [[bucketedPointLookup]]'s
+    * O(bucket) read at [[bucketedUpsertAsOf]]'s snapshot semantics —
+    * hash the id to its bucket, read ONLY that bucket's newest
+    * committed version with id ≤ `asOfBatch`, filter. The composition
+    * of the two pinned postures (the reference's S2 get-by-id,
+    * src/session_store.rs:127-136, and the versioned store's
+    * point-in-time read) in one single-dir scan: buckets version
+    * independently, so the id's history is entirely inside its own
+    * bucket's version axis — no stitch needed for one key.
+    *
+    * Fails loudly past the retention horizon, re-checked after
+    * resolution like the stitched read. The horizon is TABLE-wide (the
+    * metadata records the max floor over buckets, not per-bucket
+    * floors), so a lookup whose own bucket still holds the needed
+    * version can still be refused — conservative in the fail-closed
+    * direction; per-bucket horizons are a table-format feature this
+    * markerfile layout deliberately doesn't reimplement. A bucket
+    * whose FIRST version is newer than `asOfBatch` held no data yet:
+    * empty frame, same skip semantics as the stitched as-of. */
+  def bucketedPointLookupAsOf(spark: SparkSession, tableRoot: String,
+      idCol: String, id: Any, asOfBatch: Long): DataFrame = {
+    val root = activeBucketedDir(new java.io.File(tableRoot))
+    val horizon = readHorizon(root)
+    require(asOfBatch > horizon,
+      s"as-of $asOfBatch predates the retention horizon $horizon of " +
+        s"$tableRoot — that history has been vacuumed or rebucketed away")
+    val (idLit, k, refSchema) = resolveBucket(spark, root, idCol, id)
+    val result = committedVersions(new java.io.File(root, s"b$k"))
+      .filter(_ <= asOfBatch).lastOption match {
+      case Some(v) =>
+        spark.read.parquet(s"${root.getPath}/b$k/v$v")
+          .where(col(idCol) === idLit)
+      case None => // the bucket held no data yet as of that batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], refSchema)
+    }
+    // RE-CHECK after resolution (the stitched read's loud contract):
+    // in-writer retention raises the horizon BEFORE deleting, so a
+    // lookup that resolved its version just ahead of a retirement must
+    // notice the horizon moved past it — never a silently stale answer
+    val horizon2 = readHorizon(root)
+    require(asOfBatch > horizon2,
+      s"as-of $asOfBatch was overtaken by the retention horizon " +
+        s"(now $horizon2) while resolving $tableRoot — retry with a " +
+        "newer as-of")
+    result
   }
 
   /** Reclaim superseded bucket versions, keeping the newest `keep`
@@ -749,8 +807,12 @@ object EventStream {
     * query's termination reap could later disarm the survivor's guard).
     * Exactly one caller returns true; the loser falls through to the
     * owner-gated paths in [[startTrackedWriter]]. Falls back to a
-    * no-replace move where hardlinks are unsupported (non-atomic
-    * existence check — the best-effort bound of a markerfile protocol). */
+    * CREATE_NEW open where hardlinks are unsupported — also atomic
+    * create-if-absent (O_CREAT|O_EXCL), so the no-hardlink path keeps
+    * the exactly-one-winner contract; the only loss vs link(2) is that
+    * a reader racing the fallback can observe a partially-written
+    * marker (an unreadable/foreign value, which every consumer already
+    * fails closed on), where link(2) publishes full content at once. */
   private[graft] def stampWriterIfAbsent(root: java.io.File,
       value: String): Boolean = {
     root.mkdirs()
@@ -762,12 +824,29 @@ object EventStream {
       try { java.nio.file.Files.createLink(marker, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException =>
-          try { java.nio.file.Files.move(tmp, marker); true }
-          catch { case _: java.io.IOException => false }
+        case _: java.io.IOException => createNewWithContent(marker, value)
       }
     } finally java.nio.file.Files.deleteIfExists(tmp): Unit
   }
+
+  /** Atomic create-if-absent WITHOUT hardlinks: a CREATE_NEW open maps
+    * to O_CREAT|O_EXCL, so of N racers exactly one creates the file
+    * (the round-13 advisor's fallback fix — the previous no-replace
+    * move was a TOCTOU existence check, under which two racers could
+    * both believe they stamped: the exact race the link(2) path
+    * closes). Returns false on FileAlreadyExists or any other IO
+    * failure — the loser semantics of [[stampWriterIfAbsent]]. */
+  private[graft] def createNewWithContent(path: java.nio.file.Path,
+      value: String): Boolean =
+    try {
+      val ch = java.nio.file.Files.newByteChannel(path,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(
+        value.getBytes("UTF-8"))): Unit
+      finally ch.close()
+      true
+    } catch { case _: java.io.IOException => false }
 
   /** How old a `_WRITER_HB` heartbeat may be before
     * [[requireNoLiveWriter]] stops calling the writer RUNNING and
@@ -777,7 +856,20 @@ object EventStream {
     * fires at batch completion), so a minute of silence means the
     * process is gone — or wedged so hard (GC death spiral) that for a
     * fail-closed guard the advice is the same. Volatile so specs can
-    * compress the stale boundary. */
+    * compress the stale boundary.
+    *
+    * CLOCK ASSUMPTION: staleness compares the `epochMillis` the WRITER
+    * stamped against the READER's `System.currentTimeMillis()` — two
+    * processes, one wall clock, which holds on a single host (the
+    * protocol's scope: `_WRITER` lives on a local filesystem). Across
+    * hosts sharing a mounted root, the comparison inherits wall-clock
+    * skew: a reader running fast by more than this threshold calls a
+    * live writer crashed, one running slow calls a crashed writer
+    * live. Both degrade GUIDANCE only — the guard itself stays
+    * fail-closed on the marker, so skew can delay maintenance or
+    * sharpen the operator's judgment call, never license a destructive
+    * op — the same honesty bound [[clearWriterIf]]'s documented claim
+    * window carries; a real table format's lock service replaces both. */
   @volatile private[graft] var writerHeartbeatStaleMs: Long = 60000L
 
   /** Refresh the root's `_WRITER_HB` heartbeat: `<runId> <epochMillis>`,
@@ -792,6 +884,25 @@ object EventStream {
   private def writeHeartbeat(root: java.io.File, runId: String): Unit =
     writeMetaFile(root, "_WRITER_HB",
       s"$runId ${System.currentTimeMillis()}")
+
+  /** True iff `_WRITER_HB` names `marker` and is younger than
+    * [[writerHeartbeatStaleMs]] — the "that writer is RUNNING right
+    * now" signal. Any read/parse failure reads as not-fresh: every
+    * caller uses freshness to REFRAIN from touching a live writer's
+    * state, so the failure direction only makes the caller bolder
+    * against a marker whose owner left no legible evidence of life —
+    * the same judgment [[requireNoLiveWriter]]'s guidance encodes. */
+  private def heartbeatFresh(root: java.io.File, marker: String): Boolean = {
+    val hb = new java.io.File(root, "_WRITER_HB")
+    try {
+      hb.exists() && (new String(java.nio.file.Files.readAllBytes(
+        hb.toPath), "UTF-8").trim.split(' ') match {
+        case Array(`marker`, millis) if millis.forall(_.isDigit) =>
+          System.currentTimeMillis() - millis.toLong < writerHeartbeatStaleMs
+        case _ => false
+      })
+    } catch { case _: Exception => false }
+  }
 
   /** Reap the heartbeat iff it names `runId` — advisory metadata, so a
     * plain read-compare-delete suffices (a racing newer writer loses
@@ -824,9 +935,13 @@ object EventStream {
     *  1. BEFORE start(): a provisional marker (`starting-<uuid>`) is
     *     stamped — atomic create-if-absent ([[stampWriterIfAbsent]]),
     *     or an owner-gated replace when the root's `_OWNER` already
-    *     matches this query's owner token (the checkpointed-resume
-    *     case: the dead incarnation's stale marker is replaced before
-    *     the new one is even live). The query is therefore never
+    *     matches this query's owner token AND the incumbent marker's
+    *     heartbeat is stale or absent (the checkpointed-resume case:
+    *     the dead incarnation's stale marker is replaced before the
+    *     new one is even live; a FRESH heartbeat means the incumbent
+    *     is running — a same-owner duplicate start must not disarm it
+    *     on its way to the start() failure Spark's checkpoint lock
+    *     guarantees). The query is therefore never
     *     live-but-unmarked — the old post-start() stamp left a window
     *     where the first micro-batch could already be executing with
     *     no marker for maintenance to see. A heartbeat is stamped WITH
@@ -894,10 +1009,31 @@ object EventStream {
     // RUNNING writer, never as "crashed — delete it" (round-13 review
     // finding: the delete guidance during the startup window was the
     // data-loss direction)
+    // when the pre-start path replaces an incumbent marker, its content
+    // is kept so a failed start() can RESTORE it instead of leaving the
+    // root unguarded (see the catch below)
+    var replacedMarker: Option[String] = None
     if (stampWriterIfAbsent(root, token)) stamped.set(token)
-    else if (readOwnerToken(root).contains(owner)) {
-      writeMetaFile(root, "_WRITER", token)
-      stamped.set(token)
+    else {
+      val prior = readWriterMarker(root)
+      // owner-gated replace, gated on the incumbent looking DEAD
+      // (stale or absent heartbeat). Ungated, an in-process duplicate
+      // start on the same root+checkpoint — same owner token — would
+      // replace the LIVE twin's marker HERE, before Spark's checkpoint
+      // lock makes start() throw, and the failed-start catch would
+      // then delete what this wrote: the live writer disarmed until
+      // its next beat, a window where vacuum/rebucket could destroy
+      // the layout under it (round-13 advisor, medium). A FRESH
+      // heartbeat falsifies the premise this replace exists for ("the
+      // marker is a dead incarnation's leftover"), so leave it alone;
+      // a legal starter whose incumbent stops later acquires the
+      // marker through its first beat.
+      if (readOwnerToken(root).contains(owner) &&
+          !prior.exists(p => heartbeatFresh(root, p))) {
+        writeMetaFile(root, "_WRITER", token)
+        stamped.set(token)
+        replacedMarker = prior
+      }
     }
     if (stamped.get == token) writeHeartbeat(root, token)
     val q =
@@ -907,6 +1043,12 @@ object EventStream {
           clearHeartbeatIf(root, v)
           clearWriterIf(root, v)
         }
+        // a replaced incumbent was stale-LOOKING, not proven dead (a
+        // wedged writer beats no heartbeat): put its marker back so
+        // our failed start leaves the guard exactly as found — minus
+        // the incumbent's heartbeat, which our provisional beat
+        // overwrote; marker-without-heartbeat is the fail-closed shape
+        replacedMarker.foreach(p => stampWriterIfAbsent(root, p): Unit)
         throw t
       }
     val run = q.runId.toString
@@ -915,18 +1057,30 @@ object EventStream {
       writeHeartbeat(root, run)
     }
     def beat(): Unit = lock.synchronized { // step 3
+      // `holding` = the marker content observed or written in THIS
+      // beat equals our run. Gating the heartbeat on a stale `stamped`
+      // instead (the pre-round-14 shape) let a beat refresh `_WRITER_HB`
+      // naming OUR run while `_WRITER` named a foreign one — and
+      // [[requireNoLiveWriter]], finding no heartbeat matching the
+      // marker, would emit the delete-the-marker guidance against a
+      // possibly LIVE writer: the exact misguidance the heartbeat
+      // exists to prevent (round-13 advisor). Losing the marker also
+      // nulls `stamped`, so a non-holder can neither beat nor reap.
       if (done) return
-      readWriterMarker(root) match {
-        case Some(`run`) => () // already ours
+      val holding = readWriterMarker(root) match {
+        case Some(`run`) => true // already ours
         case None => // re-arm a deleted guard under a live writer
-          if (stampWriterIfAbsent(root, run)) stamped.set(run)
+          val won = stampWriterIfAbsent(root, run)
+          stamped.set(if (won) run else null)
+          won
         case Some(_) => // another run's marker: take iff root is OURS
           if (readOwnerToken(root).contains(owner)) {
             writeMetaFile(root, "_WRITER", run)
             stamped.set(run)
-          }
+            true
+          } else { stamped.set(null); false }
       }
-      if (stamped.get == run) writeHeartbeat(root, run)
+      if (holding) writeHeartbeat(root, run)
     }
     def reap(): Unit = lock.synchronized { // step 4
       if (done) return
@@ -2156,6 +2310,18 @@ object EventStream {
     val root = ingestBucketedReplay(events, chunks, nBuckets,
       "graft_upsertp_tbl")
     val hit = bucketedPointLookup(spark, root, "user_id", userId)
+    assertPointLookupPlan(hit, "user_id")
+    hit.select(col("user_id"), col("event_id"),
+      round(col("value"), 6).as("value"))
+  }
+
+  /** The ONE copy of the point-lookup family's in-row SCALE assertion
+    * (e23/e24): the physical plan must contain exactly one parquet
+    * scan rooted at a single `b<k>/v<n>` bucket-version dir — O(bucket),
+    * never O(table) — with the id equality pushed to the scan. Shared
+    * so the latest and as-of lanes assert the same contract and cannot
+    * drift apart. */
+  private def assertPointLookupPlan(hit: DataFrame, idCol: String): Unit = {
     val scans = hit.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
@@ -2164,10 +2330,61 @@ object EventStream {
       s"the point lookup must read exactly ONE bucket version dir " +
         s"(O(bucket), not O(table)) — scanned $paths")
     require(scans.exists(_.metadata.get("PushedFilters")
-        .exists(_.contains("EqualTo(user_id"))),
+        .exists(_.contains(s"EqualTo($idCol"))),
       "the id equality must reach the parquet scan as a pushed filter")
-    hit.select(col("user_id"), col("event_id"),
-      round(col("value"), 6).as("value"))
+  }
+
+  /** E24 — the AS-OF POINT LOOKUP under the oracle: the shared
+    * bucketed ingest, then ONE planted user's state at a MID-FEED
+    * batch boundary read through [[bucketedPointLookupAsOf]]'s
+    * single-dir path — the composition of e23 (S2 get-by-id, O(bucket))
+    * and e21 (time travel) the round-13 verdict named as the one
+    * un-pinned composition of two pinned postures. The oracle is e21's
+    * prefix argmax SQL restricted to the planted user.
+    *
+    * Three contracts ride in the row, asserted on every verify and
+    * bench run:
+    *  - the SAME single-bucket-version-dir + pushed-filter plan shape
+    *    as e23 ([[assertPointLookupPlan]] — one copy);
+    *  - the as-of answer actually DIFFERS from the latest answer for
+    *    this user (fixture-verified at every sf: the planted user's
+    *    latest event lands after the boundary), so the row can never
+    *    pass vacuously as a re-run of e23;
+    *  - the LOUD-HORIZON refusal: after a keep-1 [[vacuumBucketed]]
+    *    destroys the history, the SAME lookup must fail on the raised
+    *    horizon — never a silently stale answer. */
+  def replayUpsertPointLookupAsOf(events: DataFrame, chunks: Int = 6,
+      asOfBatch: Long = 2, nBuckets: Int = 32,
+      userId: Long = 1L): DataFrame = {
+    val spark = events.sparkSession
+    val root = ingestBucketedReplay(events, chunks, nBuckets,
+      "graft_upsertpa_tbl")
+    val hit = bucketedPointLookupAsOf(spark, root, "user_id", userId,
+      asOfBatch)
+    assertPointLookupPlan(hit, "user_id")
+    // materialize BEFORE the horizon lane destroys the version it
+    // reads — the parquet read is lazy
+    val snapshot = hit.select(col("user_id"), col("event_id"),
+      round(col("value"), 6).as("value")).localCheckpoint(true)
+    val latest = bucketedPointLookup(spark, root, "user_id", userId)
+      .select(col("event_id")).head().getLong(0)
+    val asOfEvent = snapshot.select(col("event_id")).head().getLong(0)
+    require(asOfEvent != latest,
+      s"the as-of lookup must answer from the PREFIX, not the latest " +
+        s"state (both returned event $latest) — the fixture plants a " +
+        "later event for this user past the boundary")
+    vacuumBucketed(root, keep = 1)
+    val loud =
+      try { bucketedPointLookupAsOf(spark, root, "user_id", userId,
+        asOfBatch); false }
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("retention horizon") => true
+      }
+    require(loud, s"as-of $asOfBatch must fail LOUDLY once vacuum " +
+      "raised the retention horizon past it — a quiet answer here " +
+      "would be a silently stale point read")
+    snapshot
   }
 
   /** E21 — TIME TRAVEL under the oracle: the bucketed ingest of

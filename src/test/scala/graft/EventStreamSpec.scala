@@ -1147,6 +1147,257 @@ class EventStreamSpec extends SparkSpec {
     EventStream.vacuumBucketed(tbl)
   }
 
+  test("the no-hardlink fallback stamp is ALSO atomic: N concurrent" +
+      " CREATE_NEW racers, one winner") {
+    // the round-13 advisor's low finding: the old fallback was a
+    // no-replace move whose existence check is TOCTOU on POSIX
+    // (rename(2) silently overwrites) — two racers on a hardlink-less
+    // filesystem could both believe they stamped. CREATE_NEW maps to
+    // O_CREAT|O_EXCL: atomic create-if-absent without link(2). The
+    // local fs supports hardlinks, so this pins the extracted fallback
+    // primitive directly rather than forcing the IOException path.
+    val root = java.nio.file.Files.createTempDirectory("es_createnew")
+    val target = root.resolve("_WRITER")
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        gate.await()
+        if (EventStream.createNewWithContent(target, s"racer-$i")) {
+          wins.incrementAndGet(): Unit
+          winners.add(s"racer-$i"): Unit
+        }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join())
+    assert(wins.get() == 1,
+      s"expected exactly one CREATE_NEW winner, got ${wins.get()}")
+    val content = new String(java.nio.file.Files.readAllBytes(target),
+      "UTF-8").trim
+    assert(winners.contains(content),
+      s"the file content ($content) must be the winner's value")
+  }
+
+  test("a same-owner duplicate start must NOT disarm the live twin's" +
+      " guard: the fresh heartbeat gates the pre-start replace") {
+    // the round-13 advisor's medium finding: the pre-start owner-gated
+    // replace used to fire unconditionally, so an in-process duplicate
+    // start on the same root+checkpoint (same owner token) replaced
+    // the LIVE twin's marker BEFORE Spark refused the start, and the
+    // failed-start cleanup then deleted it — guard disarmed until the
+    // twin's next beat, a window where vacuum/rebucket could destroy
+    // the layout under a live writer. With the incumbent's heartbeat
+    // FRESH, the duplicate must leave marker AND heartbeat untouched.
+    val root = java.nio.file.Files.createTempDirectory("es_dup_start")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val marker = java.nio.file.Paths.get(tbl, "_WRITER")
+    val hb = java.nio.file.Paths.get(tbl, "_WRITER_HB")
+    val w = new EventStream.ChunkWriter(in)
+    w.write(Seq((1L, "p1")).toDF("id", "payload"), Seq("id", "payload"))
+    def stream() = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // default stopActiveRunOnRestart=true would hand the checkpoint
+    // over to the new run instead of refusing; the advisor's scenario
+    // is the refusal path (conf off -> same-id start throws)
+    val restart = spark.conf.get("spark.sql.streaming.stopActiveRunOnRestart")
+    spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", "false")
+    val q1 = EventStream.streamingUpsertBucketed(stream(), tbl, "id", 4,
+      checkpoint = Some(ckpt))
+    try {
+      q1.processAllAvailable()
+      val run1 = q1.runId.toString
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def markerContent(): String =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        else "<absent>"
+      while (markerContent() != run1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(markerContent() == run1, "precondition: q1 holds the marker")
+      intercept[Exception] {
+        EventStream.streamingUpsertBucketed(stream(), tbl, "id", 4,
+          checkpoint = Some(ckpt))
+      }
+      // IMMEDIATELY after the refused duplicate: the live guard intact
+      // (pre-fix, the marker was absent here until q1's next beat)
+      assert(markerContent() == run1,
+        "the refused duplicate start must leave the live marker intact")
+      assert(java.nio.file.Files.exists(hb) &&
+        new String(java.nio.file.Files.readAllBytes(hb), "UTF-8")
+          .startsWith(run1),
+        "the refused duplicate start must leave the live heartbeat intact")
+    } finally {
+      spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", restart)
+      EventStream.drainAndAwait(spark, q1)
+    }
+  }
+
+  test("a failed start that replaced a stale-LOOKING marker restores it" +
+      " on the way out — the incumbent's guard survives our failure") {
+    // second half of the same advisor finding: when the pre-start
+    // replace DOES fire (incumbent heartbeat stale or absent — the
+    // resume premise) but start() then throws, deleting our
+    // provisional stamp must not leave the root unguarded: the
+    // incumbent was stale-LOOKING, not proven dead (a wedged writer
+    // beats no heartbeat), so its marker content is put back.
+    val root = java.nio.file.Files.createTempDirectory("es_restore_marker")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val tbl2 = root.resolve("table2").toString
+    val ckpt = root.resolve("ckpt").toString
+    val w = new EventStream.ChunkWriter(in)
+    w.write(Seq((1L, "p1")).toDF("id", "payload"), Seq("id", "payload"))
+    def stream() = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val restart = spark.conf.get("spark.sql.streaming.stopActiveRunOnRestart")
+    spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", "false")
+    // q1 holds the CHECKPOINT (the start() failure source); the stale
+    // incumbent lives on a SECOND root owned by the same token, with
+    // no heartbeat — the replace-then-fail path in one start call
+    val q1 = EventStream.streamingUpsertBucketed(stream(), tbl, "id", 4,
+      checkpoint = Some(ckpt))
+    try {
+      q1.processAllAvailable()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl2))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tbl2, "_OWNER"), ckpt)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tbl2, "_WRITER"), "wedged-run-id")
+      intercept[Exception] {
+        EventStream.streamingUpsertBucketed(stream(), tbl2, "id", 4,
+          checkpoint = Some(ckpt))
+      }
+      val restored = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tbl2, "_WRITER")), "UTF-8").trim
+      assert(restored == "wedged-run-id",
+        s"the failed start must restore the incumbent marker, got $restored")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tbl2, "_WRITER_HB")),
+        "the failed start's provisional heartbeat must be reaped " +
+          "(marker-without-heartbeat is the fail-closed shape)")
+    } finally {
+      spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", restart)
+      EventStream.drainAndAwait(spark, q1)
+    }
+  }
+
+  test("a beat that finds a foreign marker on a root not ours stops" +
+      " heartbeating and forfeits the reap claim") {
+    // the round-13 advisor's low finding: `stamped` kept our runId
+    // after the marker was lost to a foreign value without a takeover,
+    // so every beat refreshed _WRITER_HB naming US while _WRITER named
+    // THEM — and requireNoLiveWriter, finding no heartbeat matching
+    // the marker, emitted the delete-the-marker guidance against a
+    // possibly live writer: the exact misguidance the heartbeat was
+    // added to prevent. The fix: heartbeat only when THIS beat holds
+    // the marker; losing it nulls the reap claim.
+    val stale = EventStream.writerHeartbeatStaleMs
+    EventStream.writerHeartbeatStaleMs = 4000L // timer beat every 1 s
+    val root = java.nio.file.Files.createTempDirectory("es_foreign_marker")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val marker = java.nio.file.Paths.get(tbl, "_WRITER")
+    val owner = java.nio.file.Paths.get(tbl, "_OWNER")
+    val hb = java.nio.file.Paths.get(tbl, "_WRITER_HB")
+    val w = new EventStream.ChunkWriter(in)
+    w.write(Seq((1L, "p1")).toDF("id", "payload"), Seq("id", "payload"))
+    val q = EventStream.streamingUpsertBucketed(
+      spark.readStream.schema("id LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      tbl, "id", 4, checkpoint = Some(ckpt))
+    try {
+      q.processAllAvailable()
+      val run = q.runId.toString
+      def poll(cond: () => Boolean): Boolean = {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (!cond() && System.nanoTime() < deadline) Thread.sleep(50)
+        cond()
+      }
+      assert(poll(() => java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+          .trim == run), "precondition: the query holds the marker")
+      // simulate losing the root: a foreign owner AND a foreign marker
+      // (the never-stamped-query posture — beats must not take over)
+      java.nio.file.Files.writeString(owner, "someone-else")
+      java.nio.file.Files.writeString(marker, "foreign-run-id")
+      val planted = System.currentTimeMillis()
+      Thread.sleep(3500) // >3 timer beats at the compressed period
+      assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        .trim == "foreign-run-id",
+        "beats must not take over a root owned by someone else")
+      val hbStampedAfter = java.nio.file.Files.exists(hb) && {
+        new String(java.nio.file.Files.readAllBytes(hb), "UTF-8")
+          .trim.split(' ') match {
+          case Array(r, millis) if millis.forall(_.isDigit) =>
+            r == run && millis.toLong >= planted
+          case _ => false
+        }
+      }
+      assert(!hbStampedAfter,
+        "a beat that does not hold the marker must not refresh the " +
+          "heartbeat naming our run against a foreign marker")
+      // root legitimately ours again: the next beat re-acquires
+      java.nio.file.Files.writeString(owner, ckpt)
+      assert(poll(() => new String(java.nio.file.Files.readAllBytes(
+        marker), "UTF-8").trim == run),
+        "the beat must re-acquire the marker once the root is ours again")
+      assert(poll(() => java.nio.file.Files.exists(hb) &&
+        new String(java.nio.file.Files.readAllBytes(hb), "UTF-8")
+          .startsWith(run)),
+        "the heartbeat must resume with the re-acquired marker")
+    } finally {
+      EventStream.drainAndAwait(spark, q)
+      EventStream.writerHeartbeatStaleMs = stale
+    }
+  }
+
+  test("bucketedPointLookupAsOf: mid-feed state from ONE bucket version," +
+      " pre-first-write miss, and the loud horizon after vacuum") {
+    // the e24 composition at batch level: the id's history lives
+    // entirely inside its own bucket's version axis, so the as-of
+    // answer is the bucket's newest committed version <= asOfBatch,
+    // filtered — never a table-wide stitch for one key
+    val root = java.nio.file.Files.createTempDirectory("es_point_asof")
+    val tbl = root.resolve("table").toString
+    def put(batch: Long, rows: (Long, String)*): Unit =
+      EventStream.upsertBatchBucketed(tbl,
+        rows.toSeq.toDF("id", "payload"), batch, "id", 4)
+    put(0L, 1L -> "a0", 2L -> "b0")
+    put(1L, 1L -> "a1")
+    put(2L, 1L -> "a2", 2L -> "b2", 7L -> "g2")
+    def asOf(id: Long, batch: Long): Seq[String] =
+      EventStream.bucketedPointLookupAsOf(spark, tbl, "id", id, batch)
+        .select("payload").collect().map(_.getString(0)).toSeq
+    assert(asOf(1L, 1L) == Seq("a1"), "id 1 as of batch 1")
+    assert(asOf(1L, 0L) == Seq("a0"), "id 1 as of batch 0")
+    // id 2 was untouched by batch 1: its state as of 1 is batch 0's
+    // (whether or not its bucket was rewritten by id 1's merge)
+    assert(asOf(2L, 1L) == Seq("b0"), "id 2 as of batch 1")
+    // id 7 first appeared in batch 2: as of 1 it must MISS — either
+    // its bucket had no version yet (empty-frame path) or the version
+    // it had carries no id-7 row (filter path); both answer empty
+    assert(asOf(7L, 1L).isEmpty, "id 7 must not exist as of batch 1")
+    assert(asOf(7L, 2L) == Seq("g2"), "id 7 as of batch 2")
+    // the latest lookup is unaffected by any of this
+    assert(EventStream.bucketedPointLookup(spark, tbl, "id", 1L)
+      .select("payload").collect().map(_.getString(0)).toSeq == Seq("a2"))
+    // keep-1 vacuum raises the horizon to 1: batch-1 state is
+    // destroyed and the SAME lookup must refuse loudly, while the
+    // surviving batch-2 state stays answerable
+    EventStream.vacuumBucketed(tbl, keep = 1)
+    val e = intercept[IllegalArgumentException] { asOf(1L, 1L) }
+    assert(e.getMessage.contains("retention horizon"), e.getMessage)
+    assert(asOf(1L, 2L) == Seq("a2"),
+      "as-of above the horizon must still answer after vacuum")
+  }
+
   test("in-writer retention bounds the plain table's footprint, keeps" +
       " the crash-retry's merge source, and survives the crash window") {
     val root = java.nio.file.Files.createTempDirectory("es_retain")
