@@ -407,6 +407,12 @@ object Soak {
     // but the lane's in-row plan assertion keeps it ONE directory —
     // the O(bucket)-not-O(table) claim rides into the soak unchanged).
     "e23_upsert_point" -> SparkEntry.queries("e23_upsert_point"),
+    // the AS-OF POINT-LOOKUP cadence: e23's ingest + single-dir read
+    // at a mid-feed version plus e21's keep-1 vacuum and loud-horizon
+    // lane — should track e23 plus the vacuum's version sweep; the
+    // in-row plan assertion again pins the read to ONE directory at
+    // every factor.
+    "e24_upsert_point_asof" -> SparkEntry.queries("e24_upsert_point_asof"),
     // shifted custkeys: the true distinct count grows by the factor
     // while the sketch output stays m=256 longs — the "registers, not
     // rows, cross the wire" posture measured
@@ -680,7 +686,8 @@ object Soak {
       "e20_tws_sessionize" -> 10,
       "e21_upsert_asof" -> 10,
       "e22_upsert_drift" -> 10,
-      "e23_upsert_point" -> 10).withDefaultValue(Int.MaxValue)
+      "e23_upsert_point" -> 10,
+      "e24_upsert_point_asof" -> 10).withDefaultValue(Int.MaxValue)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = names.filter(n => only.forall(_.exists(n.startsWith)))

@@ -1068,7 +1068,9 @@ object EventStream {
       // nulls `stamped`, so a non-holder can neither beat nor reap.
       if (done) return
       val holding = readWriterMarker(root) match {
-        case Some(`run`) => true // already ours
+        case Some(`run`) => // already ours; re-arm the reap key in case
+          // a foreign interlude nulled it and the content came back
+          stamped.set(run); true
         case None => // re-arm a deleted guard under a live writer
           val won = stampWriterIfAbsent(root, run)
           stamped.set(if (won) run else null)
