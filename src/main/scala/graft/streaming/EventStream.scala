@@ -835,17 +835,32 @@ object EventStream {
     * move was a TOCTOU existence check, under which two racers could
     * both believe they stamped: the exact race the link(2) path
     * closes). Returns false on FileAlreadyExists or any other IO
-    * failure — the loser semantics of [[stampWriterIfAbsent]]. */
+    * failure — the loser semantics of [[stampWriterIfAbsent]]. A write
+    * or close failure AFTER the create succeeded deletes what was
+    * created before returning false: in loser semantics "false" means
+    * "someone else's valid marker is in place", and an empty/partial
+    * marker we abandoned would instead block every later stamp
+    * (including the failed-start restore path) and read to
+    * [[requireNoLiveWriter]] as a crashed writer until an operator
+    * hand-deletes — content that was never published belongs to no one. */
   private[graft] def createNewWithContent(path: java.nio.file.Path,
       value: String): Boolean =
     try {
       val ch = java.nio.file.Files.newByteChannel(path,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(
-        value.getBytes("UTF-8"))): Unit
-      finally ch.close()
-      true
+      try {
+        try ch.write(java.nio.ByteBuffer.wrap(
+          value.getBytes("UTF-8"))): Unit
+        finally ch.close()
+        true
+      } catch { case _: java.io.IOException =>
+        // we created the file (CREATE_NEW succeeded) but never
+        // published full content — remove the garbage, best-effort
+        try java.nio.file.Files.deleteIfExists(path): Unit
+        catch { case _: java.io.IOException => () }
+        false
+      }
     } catch { case _: java.io.IOException => false }
 
   /** How old a `_WRITER_HB` heartbeat may be before
@@ -885,6 +900,29 @@ object EventStream {
     writeMetaFile(root, "_WRITER_HB",
       s"$runId ${System.currentTimeMillis()}")
 
+  /** Age in ms of the `_WRITER_HB` heartbeat iff it names `marker`;
+    * None when the file is absent, unreadable, or names another run.
+    * THE one parser of the heartbeat wire format
+    * (`<runId> <epochMillis>`): [[heartbeatFresh]] (the pre-start
+    * replace gate) and [[requireNoLiveWriter]] (the refusal guidance)
+    * both derive from it, so a format change cannot silently split
+    * their judgments — two hand-rolled copies updated out of step
+    * would let the gate call every incumbent dead while the guidance
+    * still called it live, re-opening the disarm race the gate closes. */
+  private def heartbeatAgeMs(root: java.io.File,
+      marker: String): Option[Long] = {
+    val hb = new java.io.File(root, "_WRITER_HB")
+    try {
+      if (!hb.exists()) None
+      else new String(java.nio.file.Files.readAllBytes(hb.toPath),
+        "UTF-8").trim.split(' ') match {
+        case Array(`marker`, millis) if millis.forall(_.isDigit) =>
+          Some(System.currentTimeMillis() - millis.toLong)
+        case _ => None // another incarnation's heartbeat, or garbage
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** True iff `_WRITER_HB` names `marker` and is younger than
     * [[writerHeartbeatStaleMs]] — the "that writer is RUNNING right
     * now" signal. Any read/parse failure reads as not-fresh: every
@@ -892,17 +930,8 @@ object EventStream {
     * state, so the failure direction only makes the caller bolder
     * against a marker whose owner left no legible evidence of life —
     * the same judgment [[requireNoLiveWriter]]'s guidance encodes. */
-  private def heartbeatFresh(root: java.io.File, marker: String): Boolean = {
-    val hb = new java.io.File(root, "_WRITER_HB")
-    try {
-      hb.exists() && (new String(java.nio.file.Files.readAllBytes(
-        hb.toPath), "UTF-8").trim.split(' ') match {
-        case Array(`marker`, millis) if millis.forall(_.isDigit) =>
-          System.currentTimeMillis() - millis.toLong < writerHeartbeatStaleMs
-        case _ => false
-      })
-    } catch { case _: Exception => false }
-  }
+  private def heartbeatFresh(root: java.io.File, marker: String): Boolean =
+    heartbeatAgeMs(root, marker).exists(_ < writerHeartbeatStaleMs)
 
   /** Reap the heartbeat iff it names `runId` — advisory metadata, so a
     * plain read-compare-delete suffices (a racing newer writer loses
@@ -940,12 +969,12 @@ object EventStream {
     *     the dead incarnation's stale marker is replaced before the
     *     new one is even live; a FRESH heartbeat means the incumbent
     *     is running — a same-owner duplicate start must not disarm it
-    *     on its way to the start() failure Spark's checkpoint lock
-    *     guarantees). The query is therefore never
-    *     live-but-unmarked — the old post-start() stamp left a window
-    *     where the first micro-batch could already be executing with
-    *     no marker for maintenance to see. A heartbeat is stamped WITH
-    *     the provisional marker, so even the startup window (checkpoint
+    *     whether its own start() goes on to throw or to take over).
+    *     When this step stamps, the query is never live-but-unmarked —
+    *     the old post-start() stamp left a window where the first
+    *     micro-batch could already be executing with no marker for
+    *     maintenance to see. A heartbeat is stamped WITH the
+    *     provisional marker, so even the startup window (checkpoint
     *     recovery, a long first batch) reads as a RUNNING writer, never
     *     as "crashed — delete it". If start() itself throws, the
     *     provisional stamp and heartbeat are reaped on the way out.
@@ -956,7 +985,17 @@ object EventStream {
     *     same-checkpoint twin — excluded in-process by Spark's
     *     checkpoint lock, and cross-process twins corrupt the
     *     checkpoint itself long before this marker matters (the
-    *     protocol's documented cross-process bound).
+    *     protocol's documented cross-process bound). When step 1
+    *     REFUSED the replace (fresh incumbent) and start() succeeded
+    *     anyway — Spark's DEFAULT stopActiveRunOnRestart=true stops a
+    *     same-checkpoint incumbent and hands over rather than throwing
+    *     — step 2b acquires the marker owner-gated immediately, so the
+    *     successor is marked from the moment start() returns instead
+    *     of from its first beat. Residual, documented: between the
+    *     stopped incumbent's async reap and step 2b's write the root
+    *     can be briefly unmarked — bounded by start()'s return, the
+    *     same class as [[clearWriterIf]]'s claim window, where the old
+    *     15-second-scale first-beat wait was an operational window.
     *  3. ON EVERY progress/idle event AND on a timer ("beat" — the
     *     timer covers the inside of a long micro-batch, where progress
     *     events go silent until batch completion): the marker is
@@ -1026,8 +1065,8 @@ object EventStream {
       // the layout under it (round-13 advisor, medium). A FRESH
       // heartbeat falsifies the premise this replace exists for ("the
       // marker is a dead incarnation's leftover"), so leave it alone;
-      // a legal starter whose incumbent stops later acquires the
-      // marker through its first beat.
+      // a legal starter whose incumbent Spark stops in the handover
+      // acquires the marker at step 2b, right after start() returns.
       if (readOwnerToken(root).contains(owner) &&
           !prior.exists(p => heartbeatFresh(root, p))) {
         writeMetaFile(root, "_WRITER", token)
@@ -1053,6 +1092,26 @@ object EventStream {
       }
     val run = q.runId.toString
     if (stamped.compareAndSet(token, run)) { // step 2
+      writeMetaFile(root, "_WRITER", run)
+      writeHeartbeat(root, run)
+    } else if (readOwnerToken(root).contains(owner) &&
+        stamped.compareAndSet(null, run)) { // step 2b
+      // the pre-start gate refused to replace a FRESH incumbent, yet
+      // start() SUCCEEDED. Under Spark's DEFAULT
+      // spark.sql.streaming.stopActiveRunOnRestart=true a
+      // same-checkpoint duplicate start does not throw — Spark STOPS
+      // the incumbent and hands its checkpoint over, so we arrive here
+      // with the incumbent terminating and its reap about to delete
+      // the marker it still holds. Waiting for our first beat (up to a
+      // quarter of the stale threshold) would leave the root
+      // live-but-unmarked for that whole window (round-14 review
+      // finding); acquire now, owner-gated exactly like a beat's
+      // takeover. Ordering vs the incumbent's async reap is safe both
+      // ways: its claim-then-check reads OUR content and restores, or
+      // it deleted first and this write re-creates. Owner mismatch
+      // (a mis-owned query, or a fresh-root stamp race before any
+      // owner exists) keeps the old posture: stay unmarked until the
+      // first batch establishes ownership and a beat acquires.
       writeMetaFile(root, "_WRITER", run)
       writeHeartbeat(root, run)
     }
@@ -1221,18 +1280,7 @@ object EventStream {
       // FRESH beat means a writer is RUNNING — possibly in another
       // process, where the marker alone cannot distinguish live from
       // crashed — so deletion guidance would be the data-loss path
-      val hbAge: Option[Long] = {
-        val hb = new java.io.File(top, "_WRITER_HB")
-        try {
-          if (!hb.exists()) None
-          else new String(java.nio.file.Files.readAllBytes(hb.toPath),
-            "UTF-8").trim.split(' ') match {
-            case Array(`runId`, millis) if millis.forall(_.isDigit) =>
-              Some(System.currentTimeMillis() - millis.toLong)
-            case _ => None // stale file from another incarnation
-          }
-        } catch { case _: Exception => None }
-      }
+      val hbAge: Option[Long] = heartbeatAgeMs(top, runId)
       val guidance = hbAge match {
         case Some(age) if age < writerHeartbeatStaleMs =>
           f"Its heartbeat is FRESH (${age / 1000.0}%.1f s old): the " +

@@ -1287,6 +1287,78 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("a same-checkpoint duplicate start under the DEFAULT handover conf" +
+      " marks the successor the moment start() returns (step 2b)") {
+    // the other half of the pre-start gate's world: under Spark's
+    // DEFAULT spark.sql.streaming.stopActiveRunOnRestart=true a
+    // same-checkpoint duplicate start does not throw — Spark STOPS the
+    // incumbent and hands the checkpoint over. The gate (correctly)
+    // refused to replace the FRESH incumbent's marker, but pre-fix the
+    // successor then stayed unmarked until its first beat while the
+    // stopped incumbent's reap deleted the marker: a live-but-unmarked
+    // window of up to a quarter of the stale threshold in which
+    // vacuum/rebucket could destroy the layout under the live
+    // successor (round-14 review finding). Step 2b closes it with an
+    // owner-gated acquire right after start() returns.
+    val root = java.nio.file.Files.createTempDirectory("es_handover_marker")
+    val in = root.resolve("in").toString
+    val tbl = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val marker = java.nio.file.Paths.get(tbl, "_WRITER")
+    val hb = java.nio.file.Paths.get(tbl, "_WRITER_HB")
+    val w = new EventStream.ChunkWriter(in)
+    w.write(Seq((1L, "p1")).toDF("id", "payload"), Seq("id", "payload"))
+    def stream() = spark.readStream.schema("id LONG, payload STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    assert(spark.conf.get(
+      "spark.sql.streaming.stopActiveRunOnRestart") == "true",
+      "precondition: the DEFAULT handover conf")
+    val q1 = EventStream.streamingUpsertBucketed(stream(), tbl, "id", 4,
+      checkpoint = Some(ckpt))
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q1.processAllAvailable()
+      val run1 = q1.runId.toString
+      def markerContent(): String =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        else "<absent>"
+      def poll(cond: () => Boolean, ms: Long): Boolean = {
+        val deadline = System.nanoTime() + ms * 1000 * 1000
+        while (!cond() && System.nanoTime() < deadline) Thread.sleep(25)
+        cond()
+      }
+      assert(poll(() => markerContent() == run1, 15000),
+        "precondition: q1 holds the marker")
+      q2 = EventStream.streamingUpsertBucketed(stream(), tbl, "id", 4,
+        checkpoint = Some(ckpt)) // no throw: Spark stops q1, hands over
+      val run2 = q2.runId.toString
+      assert(run2 != run1, "the handover must produce a new run")
+      // step 2b is synchronous in the tracked start: the only
+      // tolerance needed is for q1's ASYNC termination reap
+      // interleaving (its claim-then-check restores our content —
+      // microseconds). The 3 s bound sits far below both the first
+      // timer beat (15 s at the default threshold) and the 10 s
+      // idle-event interval, so a pass can only come from the
+      // step-2b stamp, never from a first-beat takeover.
+      assert(poll(() => markerContent() == run2, 3000),
+        s"successor must be marked at start()-return, got ${markerContent()}")
+      assert(poll(() => java.nio.file.Files.exists(hb) &&
+        new String(java.nio.file.Files.readAllBytes(hb), "UTF-8")
+          .startsWith(run2), 3000),
+        "the successor's heartbeat must ride with the step-2b stamp")
+      assert(!q1.isActive, "the handover must have stopped the incumbent")
+      // and the acquired marker reaps cleanly on the successor's stop
+      EventStream.drainAndAwait(spark, q2)
+      q2 = null
+      assert(poll(() => !java.nio.file.Files.exists(marker), 15000),
+        "the successor's stop must reap the marker it acquired at 2b")
+    } finally {
+      if (q2 != null && q2.isActive) EventStream.drainAndAwait(spark, q2)
+      if (q1.isActive) EventStream.drainAndAwait(spark, q1)
+    }
+  }
+
   test("a beat that finds a foreign marker on a root not ours stops" +
       " heartbeating and forfeits the reap claim") {
     // the round-13 advisor's low finding: `stamped` kept our runId
@@ -1327,6 +1399,12 @@ class EventStreamSpec extends SparkSpec {
       // (the never-stamped-query posture — beats must not take over)
       java.nio.file.Files.writeString(owner, "someone-else")
       java.nio.file.Files.writeString(marker, "foreign-run-id")
+      // a beat that read the still-ours marker JUST before the
+      // overwrite may legitimately finish its heartbeat write after
+      // it — let any straddler drain for one full timer period before
+      // capturing the cutoff, so the assertion below only sees beats
+      // that observed the foreign marker (round-14 review finding)
+      Thread.sleep(1200)
       val planted = System.currentTimeMillis()
       Thread.sleep(3500) // >3 timer beats at the compressed period
       assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
