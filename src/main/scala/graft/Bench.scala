@@ -272,8 +272,33 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local fixture files are single small parquets: split scans at 4 MB
       // so local[N] gets real scan parallelism (cluster deployments keep
-      // the 128 MB default)
-      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+      // the 128 MB default). Round 14 A/B'd a finer floor (openCost
+      // 256 KB + minPartitionNum = cpus, splitting orders/events ~10
+      // ways): the batch subset came out neutral-to-SLOWER (lnk1 +25%)
+      // — the per-task overhead beats the extra parallelism at fixture
+      // scale — so the defaults stay; the env overrides remain for
+      // re-probing on other boxes (OPTIMIZATION_r14.md).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          String.valueOf(4 * 1024 * 1024)))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
+          String.valueOf(4 * 1024 * 1024)))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_NUM", "1"))
+      // Round 14 (guide §2 "make partitioning scale-adaptive — AQE
+      // coalescing"): cached plans keep their shuffle's RAW partition
+      // count by default (AQE may not change a cached plan's output
+      // partitioning), so every pinned frame — the graph family's edge
+      // pins, DBSCAN's pair pin — materializes at
+      // spark.sql.shuffle.partitions and each ITERATION then schedules
+      // that many near-empty tasks. This flag lets AQE size cached-plan
+      // partitions from the data like any other stage, at fixture scale
+      // AND at warehouse scale (it is a size-derived rule, not a local
+      // constant). A/B at sf0.1/32cpus, min-of-3, quiet box:
+      // kc1 4.55→2.08 s, gc1 4.28→2.31 s, lnk1 5.13→4.36 s.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,10 @@ object Queries27 {
   // deterministic double expression on both engines.
   // ---------------------------------------------------------------------
   def zipf1BigramZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT pinned (round-14 A/B): persisting the explode+count subtree
+    // across the range partitioner's two passes cost more than the
+    // second evaluation (zipf1 2.98 s unpinned vs 3.36 s pinned) — the
+    // bigram hashing is cheap native compute
     val tf = Tables.documents(spark, sfDir)
       .select(explode(TextHash.shingles(col("text"), 2)).as("__bg"))
       .groupBy(col("__bg")).agg(count(lit(1)).as("__n"))
@@ -89,6 +93,10 @@ object Queries27 {
   // ---------------------------------------------------------------------
   def rg1NgramF1(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // NOT pinned (round-14 A/B): checkpointing the shared pairs/shingle
+    // subtrees cost MORE than their re-computation — the native hashing
+    // is cheap and the eager materialization serializes the plan
+    // (rg1 3.13 s unpinned vs 3.67 s pinned, same-session canaries)
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select(col("id1"), col("id2"))
     val sh = docs.select(col("doc_id"),

@@ -35,7 +35,12 @@ object Queries40 {
 
   /** The EM core over a single `__x` double column — exposed so the
     * spec can plant a known mixture through the same dataflow. */
-  private[graft] def emFit(x: DataFrame, iters: Int): DataFrame = {
+  private[graft] def emFit(x0: DataFrame, iters: Int): DataFrame = {
+    // the sample column is iteration-INVARIANT: pin it once so the init
+    // moments and every EM round read the cached column instead of
+    // re-scanning the source parquet per iteration (round 14, guide §5 —
+    // reuse across `iters`+1 consumers; released before return)
+    val x = x0.persist()
     val init = x.agg(
         count(lit(1)).as("__n"),
         sum(col("__x").cast("decimal(28,6)")).cast("double").as("__s"),
@@ -87,6 +92,7 @@ object Queries40 {
             (col("__rx2") / (col("__n") - col("__r1")))).as("__s2"))
         .localCheckpoint(true)
     }
+    x.unpersist(): Unit
     params.select(col("__n").as("n"),
       round(col("__w1"), 6).as("w1"), round(col("__mu1"), 4).as("mu1"),
       round(col("__s1"), 4).as("sd1"),

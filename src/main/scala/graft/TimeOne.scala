@@ -15,7 +15,17 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          String.valueOf(4 * 1024 * 1024)))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
+          String.valueOf(4 * 1024 * 1024)))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_NUM", "1"))
+      // match Bench: AQE may size cached-plan output partitions
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -313,8 +313,12 @@ object Dedup {
           .select(col("v"), col("m"))
           .unionByName(mins2.select(col("u").as("v"), col("m"))),
         col("v"), col("m")).localCheckpoint(true)
-      converged = small.exceptAll(edges).isEmpty &&
-        edges.exceptAll(small).isEmpty
+      // symmetric difference in ONE action (round 14): both sides are
+      // checkpointed, so each exceptAll reads cache — but two separate
+      // isEmpty actions paid two scheduling rounds per round; the union
+      // is empty iff both differences are
+      converged = small.exceptAll(edges)
+        .unionAll(edges.exceptAll(small)).isEmpty
       edges = small
       rounds += 1
     }

@@ -74,8 +74,12 @@ object PageRank {
       .distinct()
       .join(outDeg, Seq("node"), "left")
       .localCheckpoint(true)
-    val n = nodesD.count() // one scalar: the teleport denominator
-    val nDangling = nodesD.where(col("__outd").isNull).count()
+    // one scalar pair in ONE job (round 14): the teleport denominator and
+    // the dangling count read the same checkpointed node table — two
+    // separate count() actions paid a second scheduling round for it
+    val nRow = nodesD.agg(count(lit(1)),
+      count(when(col("__outd").isNull, lit(1)))).head()
+    val (n, nDangling) = (nRow.getLong(0), nRow.getLong(1))
     // checkpointed subtrees carry no size stats, so the planner would
     // sort-merge the edge stream against the NODE-sized rank table; hint
     // broadcast from the measured node count (the SparseSim/autoSaltedJoin
@@ -150,8 +154,10 @@ object PageRank {
         when(col("__isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
       .drop("__isSeed")
       .localCheckpoint(true)
-    val n = nodesD.count()
-    val nDangling = nodesD.where(col("__outd").isNull).count()
+    // same single-job scalar pair as [[ranks]]
+    val nRow = nodesD.agg(count(lit(1)),
+      count(when(col("__outd").isNull, lit(1)))).head()
+    val (n, nDangling) = (nRow.getLong(0), nRow.getLong(1))
     val broadcastMax = GraphPlanning.broadcastMaxNodes(edges.sparkSession)
     def nodeSide(df: DataFrame) =
       if (n <= broadcastMax) broadcast(df) else df

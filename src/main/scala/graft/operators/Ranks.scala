@@ -25,7 +25,12 @@ object Ranks {
     val parts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     // eager checkpoint: the range partitioner SAMPLES, so without pinning
-    // the offsets job and the final job could see different boundaries
+    // the offsets job and the final job could see different boundaries.
+    // NOTE the sampling pass ALSO means `df`'s plan executes twice
+    // (sample + shuffle map) — a caller feeding an EXPENSIVE subtree
+    // should persist it first (ts1/zipf1 do; round-14 A/B showed a
+    // blanket persist here costs more than the re-run for the many
+    // cheap-input callers).
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -55,6 +60,8 @@ object Ranks {
     val spark = df.sparkSession
     val parts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // same sampling double-evaluation note as [[withGlobalRank]]: an
+    // expensive input subtree is the CALLER's job to persist
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())

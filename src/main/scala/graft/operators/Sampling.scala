@@ -102,7 +102,14 @@ object Sampling {
     val kLo = math.ceil(alpha / 2 * b).toInt
     val kHi = math.ceil((1 - alpha / 2) * b).toInt
     val x = df.select(col(keyCol).as("__k"), col(xCol).as("__x"))
-    val reps = x.select(col("__k"), col("__x"),
+    // the B-fold explode multiplies whatever parallelism the input
+    // arrives with — a small single-file scan (orders is one 4 MB split)
+    // would run the entire n×B expansion in ONE task; spread the input
+    // across the session's shuffle partitions first (round 14, guide
+    // §2.5 — the repartition moves n rows to parallelize n×B work)
+    val parts = math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val reps = x.repartition(parts).select(col("__k"), col("__x"),
         explode(sequence(lit(0), lit(b - 1))).as("__j"))
       .withColumn("__w", poissonWeight(bootUniform(col("__k"), col("__j"))))
     val means = reps.groupBy(col("__j"))

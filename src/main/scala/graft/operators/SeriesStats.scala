@@ -93,16 +93,35 @@ object SeriesStats {
   def theilSen(series: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("double")
     val s = series.select(col("t"), col("x"))
+    // The O(n²) pair join's output parallelism is its STREAM side's
+    // partition count, and the daily-aggregate input arrives AQE-
+    // coalesced to ONE partition — leaving the n²/2 slope rows (and the
+    // range shuffle feeding the median) single-threaded. Spread the
+    // stream side across the session's shuffle partitions first
+    // (round 14, guide §2.5 input skew: "one huge unsplittable input
+    // partition — repartition immediately after the read").
+    val parts = math.max(1, s.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
     val a = s.select(col("t").as("__ta"), col("x").as("__xa"))
+      .repartition(parts)
     val b = s.select(col("t").as("__tb"), col("x").as("__xb"))
     val slopes = a.join(b, col("__ta") < col("__tb"))
       .select(col("__ta"), col("__tb"),
         ((d(col("__xb")) - d(col("__xa"))) /
           d(datediff(col("__tb"), col("__ta")))).as("__s"),
         lit(1L).as("__one"))
-    val rankedS = Ranks.withRunningSums(slopes, Seq("__one" -> "__rank"),
+    // the O(n²) slope table feeds the range partitioner's sampling pass
+    // AND the shuffle map (see Ranks.withRunningSums note) — persist so
+    // the pair join runs once; released after the eager checkpoint
+    val slopesP = slopes.persist()
+    val rankedS = Ranks.withRunningSums(slopesP, Seq("__one" -> "__rank"),
       Seq(col("__s").asc, col("__ta").asc, col("__tb").asc))
-    val nP = slopes.agg(count(lit(1)).as("__np"))
+    slopesP.unpersist(): Unit
+    // the pair count = the max running rank of the CHECKPOINTED frame —
+    // counting `slopes` directly would re-run the O(n²) pair join a
+    // second time at action time (round 14; same value by construction:
+    // __rank is the prefix sum of ones under a total order)
+    val nP = rankedS.agg(max(col("__rank")).as("__np"))
     val slope = rankedS
       .crossJoin(broadcast(nP)) // scalar-broadcast pattern
       .where(col("__rank") ===
