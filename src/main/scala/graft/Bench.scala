@@ -297,8 +297,10 @@ object Bench {
       // AND at warehouse scale (it is a size-derived rule, not a local
       // constant). A/B at sf0.1/32cpus, min-of-3, quiet box:
       // kc1 4.55→2.08 s, gc1 4.28→2.31 s, lnk1 5.13→4.36 s.
+      // env-overridable for A/B probes (round 15, verdict item 1);
+      // default unchanged
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

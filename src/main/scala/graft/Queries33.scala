@@ -39,8 +39,13 @@ object Queries33 {
   def spr1Spearman(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(SprCols.map(c => col(c)): _*)
+    // rank tables derive from the BASE lineitem projection, not the
+    // growing join chain: ranks depend only on each column's value
+    // multiset, which the 1:1 join-backs preserve — without this the
+    // third rank's value-count job re-executed the second rank's
+    // value-keyed shuffle join (round 15, guide §1.2)
     val ranked = SprCols.foldLeft(li)((d, c) =>
-      Ranks.withAvgRank2(d, s"__r_$c", c))
+      Ranks.withAvgRank2(d, s"__r_$c", c, rankSource = Some(li)))
     def s1(c: String) =
       sum(col(s"__r_$c").cast("decimal(20,0)")).cast("double").as(s"__s_$c")
     def s2(a: String, b: String) =

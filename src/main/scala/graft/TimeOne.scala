@@ -28,6 +28,14 @@ object TimeOne {
         "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // ad-hoc A/B overrides, applied AFTER the fixed conf so they win:
+    // SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" (runtime-settable SQL confs only)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()

@@ -107,10 +107,23 @@ object Ranks {
     * more than they parallelize. */
   private val SmallDomain = 65536L
 
-  def withAvgRank2(df: DataFrame, outCol: String, valueCol: String): DataFrame = {
+  /** @param rankSource optional frame to derive the VALUE TABLE from
+    *   instead of `df`. The rank of a value depends only on `valueCol`'s
+    *   multiset, so a caller that chains several rank join-backs (spr1's
+    *   three columns) can pass the pre-join BASE here: each rank stage's
+    *   value-count job then scans the base instead of re-executing every
+    *   earlier join-back inside its own subtree (round 15, guide §1.2 —
+    *   the third rank's count job re-ran the second rank's value-keyed
+    *   shuffle join for nothing). The caller must guarantee
+    *   `rankSource[valueCol]` equals `df[valueCol]` as a MULTISET (ranks
+    *   are count-derived); a 1:1 join-back chain preserves exactly that.
+    */
+  def withAvgRank2(df: DataFrame, outCol: String, valueCol: String,
+      rankSource: Option[DataFrame] = None): DataFrame = {
     // pin the value table once: the domain-size probe below and the rank
     // pass both consume it
-    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val cnts = rankSource.getOrElse(df)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
     val k = cnts.count() // scalar planning statistic
     val ranks =

@@ -121,7 +121,10 @@ object SeriesStats {
     // counting `slopes` directly would re-run the O(n²) pair join a
     // second time at action time (round 14; same value by construction:
     // __rank is the prefix sum of ones under a total order)
-    val nP = rankedS.agg(max(col("__rank")).as("__np"))
+    // coalesce keeps the old count-zero semantics for a degenerate
+    // (<2-point) series — max over an empty frame is NULL, count was 0
+    // (round-14 advisor)
+    val nP = rankedS.agg(coalesce(max(col("__rank")), lit(0L)).as("__np"))
     val slope = rankedS
       .crossJoin(broadcast(nP)) // scalar-broadcast pattern
       .where(col("__rank") ===

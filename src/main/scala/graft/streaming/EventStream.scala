@@ -383,10 +383,14 @@ object EventStream {
           new java.io.File(bdir, s"v$v")): Unit)
       }
     }
-    } finally inc1.unpersist(): Unit
-    if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
-      println(f"[replay] upsertBatchBucketed b$batchId: " +
-        f"${(System.nanoTime() - dbgT0) / 1e9}%.2f s")
+    } finally {
+      inc1.unpersist(): Unit
+      // in the finally so the empty-batch early return still traces
+      // (round-14 advisor: debug timelines showed gaps at empty batchIds)
+      if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+        println(f"[replay] upsertBatchBucketed b$batchId: " +
+          f"${(System.nanoTime() - dbgT0) / 1e9}%.2f s")
+    }
   }
 
   /** Current state of a [[streamingUpsertBucketed]] table: the newest
@@ -1643,18 +1647,21 @@ object EventStream {
         .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
       i += 1
     }
-    /** Move an already-written parquet file into `dir` as the next
-      * micro-batch — same strictly-increasing-mtime contract as
-      * [[write]], without running a Spark job. Lets a caller stage many
-      * chunks in ONE write job (see [[chunkedReplayDir]]) and still
-      * deliver them as ordered one-file batches. */
-    def adopt(f: java.io.File): Unit = {
+    /** Move (or, with `keep`, copy) an already-written parquet file into
+      * `dir` as the next micro-batch — same strictly-increasing-mtime
+      * contract as [[write]], without running a Spark job. Lets a caller
+      * stage many chunks in ONE write job (see [[ChunkStager]]) and still
+      * deliver them as ordered one-file batches; `keep = true` leaves the
+      * staged file in place so a later batch can redeliver it
+      * byte-identically ([[replayRestart]]'s crash-redelivery). */
+    def adopt(f: java.io.File, keep: Boolean = false): Unit = {
       // one task can stage several chunks, giving their files identical
       // part-names across chunk dirs — prefix the batch index so the
       // flat delivery dir never collides
       val dst = new java.io.File(dir, f"part-c$i%05d-${f.getName.stripPrefix("part-")}")
       dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(f.toPath, dst.toPath)
+      if (keep) java.nio.file.Files.copy(f.toPath, dst.toPath)
+      else java.nio.file.Files.move(f.toPath, dst.toPath)
       dst.setLastModified(t0 + i * 60000L): Unit
       seen += dst.getName
       i += 1
@@ -1699,41 +1706,22 @@ object EventStream {
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     val w = new ChunkWriter(dir)
-    // ONE job stages every chunk (round 14, guide §1.2/§2.4): the old
-    // per-chunk filter+coalesce(1) loop paid `chunks` scheduling rounds
-    // over the cached source for identical bytes. __chunk is the exact
-    // inverse of [[chunkBounds]]'s integer split — for d = __sec − lo,
-    // the greatest i with lo + span·i/n ≤ sec is
-    // floor(((d+1)·n + span − 1) / span) − 1; all magnitudes are far
-    // below 2^53, so the double floor() is exact. partitionBy keeps
-    // one FILE per chunk (repartition clusters each chunk into one
-    // task) and drops __chunk from the data columns; [[ChunkWriter.adopt]]
-    // then delivers the staged files in chunk order under the same
+    // ONE job stages every chunk — and, since round 15, the sentinel and
+    // tail frames too (each was one more coalesce(1) Spark job per lane):
+    // see [[ChunkStager]]. __chunk is the exact inverse of
+    // [[chunkBounds]]'s integer split — for d = __sec − lo, the greatest
+    // i with lo + span·i/n ≤ sec is ((d+1)·n + span − 1) div span − 1,
+    // computed in INTEGER column arithmetic (round-14 advisor: the double
+    // floor() was exact only while the numerator stayed below 2^53 —
+    // `div` removes the assumption outright). partitionBy keeps one FILE
+    // per chunk (repartition clusters each chunk into one task) and
+    // drops __chunk from the data columns; [[ChunkWriter.adopt]] then
+    // delivers the staged files in chunk order under the same
     // strictly-increasing-mtime contract as the per-chunk writes.
-    val staging = root.resolve("stage").toString
-    src.select(outCols.map(col) :+
-        floor(((col("__sec") - lit(lo) + lit(1L)) * lit(chunks.toLong) +
-          lit(span - 1L)) / lit(span.toDouble)).cast("int")
-          .minus(lit(1)).as("__chunk"): _*)
-      .repartition(col("__chunk"))
-      .write.partitionBy("__chunk").parquet(staging)
-    (0 until chunks).foreach { i =>
-      val staged = Option(new java.io.File(staging, s"__chunk=$i").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.startsWith("part-"))
-      if (staged.nonEmpty) staged.sortBy(_.getName).foreach(w.adopt)
-      else {
-        // an EMPTY chunk still has to arrive as its own (empty)
-        // micro-batch or every later batchId shifts — stage it the old
-        // one-job way, which writes a zero-row file
-        val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
-        w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), outCols)
-      }
-    }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    sentinel.foreach(sf => w.write(sf, outCols))
-    // post-sentinel deliveries, one micro-batch each, in order
-    tail.foreach(tf => w.write(tf, outCols))
+    val stager = new ChunkStager(src, outCols, chunks, lo, span,
+      extras = sentinel.toSeq ++ tail)
+    try (0 until stager.total).foreach(stager.deliver(w, _))
+    finally stager.close()
     src.unpersist()
     if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
       println(s"[replay] chunk-write phase: " +
@@ -1752,6 +1740,83 @@ object EventStream {
   private def chunkBounds(lo: Long, span: Long, chunks: Int,
       i: Int): (Long, Long) =
     (lo + span * i / chunks, lo + span * (i + 1) / chunks)
+
+  /** The `__chunk` column — the exact integer inverse of [[chunkBounds]]
+    * (see the derivation at the [[chunkedReplayDir]] staging write), in
+    * ONE place for the one-job chunk staging used by the single-drain
+    * and two-incarnation replays alike. Integral `div`: no floating-
+    * point exactness assumption at any span/chunk magnitude. */
+  private def chunkIndexCol(lo: Long, span: Long, chunks: Int)
+      : org.apache.spark.sql.Column =
+    expr(s"(((__sec - ${lo}L + 1L) * ${chunks}L + ${span - 1}L) div ${span}L)")
+      .cast("int").minus(lit(1)).as("__chunk")
+
+  /** ONE-JOB chunk staging, shared by every replay that delivers
+    * time-range chunks through a [[ChunkWriter]] — the single-drain
+    * lanes via [[chunkedReplayDir]] and the two-incarnation lanes
+    * ([[replayRestart]], [[replayUpsertRebucket]], [[replayUpsertDrift]]),
+    * which deliver their staged chunks in phases. Stages every chunk of
+    * `src` (which must carry `__sec`) — plus any `extras` frames, one
+    * staged chunk each AFTER the real chunks (sentinels/tails) — as one
+    * partitioned write instead of a filter+coalesce(1) Spark job per
+    * chunk (guide §1.2/§2.4; round 14 introduced this for the
+    * single-drain lanes, round 15 moved it here so the phase-delivering
+    * lanes stop paying ~9 scheduling rounds per call).
+    *
+    * `deliver(w, i, keep = true)` COPIES the staged file so the same
+    * chunk can later be redelivered byte-identically (replayRestart's
+    * crash-redelivery is then the SAME bytes by construction, not by
+    * parquet write determinism). Empty chunks fall back to a zero-row
+    * one-job write so batchIds can never shift. `close()` reclaims the
+    * staging dir. */
+  private final class ChunkStager(src: DataFrame, outCols: Seq[String],
+      chunks: Int, lo: Long, span: Long, extras: Seq[DataFrame] = Nil) {
+    private val stagingRoot =
+      java.nio.file.Files.createTempDirectory("graft_replay_stage")
+    // the parquet writer requires a NOT-yet-existing target path
+    private val staging = stagingRoot.resolve("c")
+    locally {
+      val base = src.select(
+        outCols.map(col) :+ chunkIndexCol(lo, span, chunks): _*)
+      extras.zipWithIndex.foldLeft(base) { case (acc, (f, j)) =>
+          acc.unionByName(f.select(
+            outCols.map(col) :+ lit(chunks + j).as("__chunk"): _*))
+        }
+        .repartition(col("__chunk"))
+        .write.partitionBy("__chunk").parquet(staging.toString)
+    }
+    /** Total deliverable batch count (real chunks + extras). */
+    def total: Int = chunks + extras.size
+    def deliver(w: ChunkWriter, i: Int, keep: Boolean = false): Unit = {
+      val staged = Option(
+          new java.io.File(staging.toFile, s"__chunk=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-"))
+      if (staged.nonEmpty) {
+        // one file per chunk is LOAD-BEARING (round-14 advisor): a conf
+        // that splits a chunk's output (maxRecordsPerFile …) would adopt
+        // each piece as its own micro-batch and silently shift every
+        // later batchId — fail fast instead
+        require(staged.length == 1,
+          s"chunk $i staged ${staged.length} files (expected exactly 1); " +
+            "a multi-file chunk would shift every later batchId")
+        w.adopt(staged.head, keep)
+      } else {
+        // sentinel/tail frames are 1-2 literal rows — a missing staged
+        // file for one means the staging write itself is broken
+        require(i < chunks,
+          s"extra frame ${i - chunks} staged no file — sentinel frames " +
+            "cannot be empty (the watermark handoff rides on them)")
+        // an EMPTY chunk still has to arrive as its own (empty)
+        // micro-batch or every later batchId shifts — stage it the old
+        // one-job way, which writes a zero-row file
+        val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
+        w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), outCols)
+      }
+    }
+    def close(): Unit = org.apache.commons.io.FileUtils
+      .deleteQuietly(stagingRoot.toFile): Unit
+  }
 
   private def withSec(events: DataFrame): DataFrame =
     events.withColumn("__sec", col("ts").cast("long"))
@@ -1834,6 +1899,22 @@ object EventStream {
         .option("checkpointLocation", ckpt)
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
+      // per-batch phase evidence for the drain (round 15, guide §1):
+      // where each micro-batch's wall-clock went, from the engine's own
+      // progress metrics — the replay lanes' cost is drain-bound and
+      // invisible to job timers
+      if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+        q.recentProgress.foreach { p =>
+          def ms(k: String): Long =
+            Option(p.durationMs.get(k)).map(_.longValue).getOrElse(-1L)
+          val stateCommit = p.stateOperators.map(_.commitTimeMs).sum
+          println(s"[replay] $prefix batch ${p.batchId}: " +
+            s"trigger ${ms("triggerExecution")} ms (addBatch ${ms("addBatch")}, " +
+            s"getBatch ${ms("getBatch")}, latestOffset ${ms("latestOffset")}, " +
+            s"planning ${ms("queryPlanning")}, walCommit ${ms("walCommit")}, " +
+            s"commitOffsets ${ms("commitOffsets")}, stateCommit $stateCommit ms, " +
+            s"rows ${p.numInputRows})")
+        }
     } finally {
       // the replay is done with its checkpoint the moment the drain ends —
       // reclaim the tmpfs space instead of accumulating a dir per replay
@@ -1935,11 +2016,23 @@ object EventStream {
     val spark = events.sparkSession
     val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
       replayCols, chunks)
-    def side(r: SparkSession, tpe: String) = r.readStream.schema(replaySchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-      .where(col("event_type") === tpe)
-    memorySink(spark,
-        r => followsWithin(side(r, "purchase"), side(r, "click"), windowSec),
+    memorySink(spark, { r =>
+        // an INNER interval join emits each match the moment the later
+        // side arrives — the trailing no-data batch only evicts state
+        // and contributes no output row, so its full commit cycle
+        // (~10% of the drain) is pure cost here (round 15, guide §1.2;
+        // the outer-join lane e17 gets the same cut, argued at its
+        // sentinel design). Runner-scoped conf, never the caller's.
+        r.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // ONE file source shared by both legs (round 15): two readStream
+        // instances over the same dir each paid their own per-batch
+        // offset resolution, seen-files log, and WAL entry; the self-join
+        // legs differ only in their type filter, which sits downstream
+        val stream = r.readStream.schema(replaySchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+        def side(tpe: String) = stream.where(col("event_type") === tpe)
+        followsWithin(side("purchase"), side("click"), windowSec)
+      },
         "graft_e10_", OutputMode.Append())
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
@@ -1984,12 +2077,24 @@ object EventStream {
       replayCols, chunks,
       sentinel = Some(sentinels(horizon)),
       tail = Seq(sentinels(horizon + 60)))
-    def side(r: SparkSession, tpe: String) = r.readStream.schema(replaySchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-      .where(col("event_type") === tpe)
-    memorySink(spark,
-        r => followsWithin(side(r, "purchase"), side(r, "click"), windowSec,
-          "left_outer"),
+    memorySink(spark, { r =>
+        // the trailing no-data batch is pure cost HERE TOO (round 15):
+        // every real purchase evicts while the tail sentinel batch
+        // processes (it evicts with sentinel #1's watermark, which the
+        // horizon puts past every real row's eviction point — the dual-
+        // sentinel design above exists precisely so no emission waits
+        // for a post-tail batch), and the only state left afterwards is
+        // the sentinels' own, whose null-extended rows are filtered by
+        // user sign. The DuckDB oracle (appended set == batch LEFT JOIN)
+        // re-verified at sf0.001/0.01/0.1 after this cut.
+        r.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // ONE file source shared by both legs — see replayFollows
+        val stream = r.readStream.schema(replaySchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+        def side(tpe: String) = stream.where(col("event_type") === tpe)
+        followsWithin(side("purchase"), side("click"), windowSec,
+          "left_outer")
+      },
         "graft_e17_", OutputMode.Append())
       .where(col("p_user_id") >= 0)
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
@@ -2272,14 +2377,21 @@ object EventStream {
     val outDir = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
 
-    // one micro-batch per write, across BOTH query incarnations
+    // one micro-batch per delivery, across BOTH query incarnations. ALL
+    // chunks and both flush sentinels stage in ONE Spark job up front
+    // (round 15, guide §1.2 — the per-chunk filter+coalesce(1) loop paid
+    // 9 scheduling rounds per call); the phases below just move/copy
+    // staged files, no Spark jobs. Chunk 0 is delivered with keep=true
+    // so its phase-2 redelivery is the SAME staged file — byte-identical
+    // by construction rather than by parquet write determinism.
     val w = new ChunkWriter(inDir)
-    def writeChunk(df: DataFrame): Unit = w.write(df, cols)
-    def chunkDf(i: Int): DataFrame = {
-      val cLo = lo + span * i / chunks
-      val cHi = lo + span * (i + 1) / chunks
-      src.where(col("__sec") >= cLo && col("__sec") < cHi)
-    }
+    val stager = new ChunkStager(src, cols, chunks, lo, span,
+      // DISTINCT sentinel ids: the pipeline dedups on event_id, so a
+      // shared id would drop sentinel #2 in-flight and the
+      // two-watermark handoff would ride on the dedup's leniency
+      // instead of the documented mechanism (round-10 review finding)
+      extras = Seq(flushSentinel(spark, hi + 10800L, id = -1L),
+        flushSentinel(spark, hi + 10860L, id = -2L)))
 
     // Both queries build from one [[isolatedRunner]] child session, so
     // the checkpoint sees one consistent conf across the two
@@ -2317,21 +2429,22 @@ object EventStream {
     try {
       val half = chunks / 2
       phase("write-phase1") {
-        (0 until half).foreach(i => writeChunk(chunkDf(i))) }
+        (0 until half).foreach(i => stager.deliver(w, i, keep = i == 0)) }
       phase("drain-1")(drain()) // query 1: first tranche, then stops
       betweenDrains(ckpt, outDir)
       phase("write-phase2") {
-        writeChunk(chunkDf(0)) // byte-identical redelivery across the restart
-        (half until chunks).foreach(i => writeChunk(chunkDf(i)))
-        // DISTINCT sentinel ids: the pipeline dedups on event_id, so a
-        // shared id would drop sentinel #2 in-flight and the
-        // two-watermark handoff would ride on the dedup's leniency
-        // instead of the documented mechanism (round-10 review finding)
-        writeChunk(flushSentinel(spark, hi + 10800L, id = -1L))
-        writeChunk(flushSentinel(spark, hi + 10860L, id = -2L))
+        // byte-identical redelivery across the restart (keep: the staged
+        // file must survive for the (half until chunks) loop when
+        // chunks < 2 makes this the FIRST delivery of chunk 0; close()
+        // reclaims it either way)
+        stager.deliver(w, 0, keep = true)
+        (half until chunks).foreach(stager.deliver(w, _))
+        stager.deliver(w, chunks)     // flush sentinel #1
+        stager.deliver(w, chunks + 1) // flush sentinel #2
       }
       phase("drain-2")(drain()) // query 2: fresh plan, recovered checkpoint
     } finally {
+      stager.close()
       src.unpersist()
       // reclaim the tmpfs input and checkpoint; outDir stays — the
       // returned DataFrame reads it lazily through its commit log
@@ -2623,12 +2736,6 @@ object EventStream {
     val runner = isolatedRunner(spark)
     val ckpt = shmCheckpointDir("graft_upsertd_ckpt")
     val w = new ChunkWriter(inDir)
-    def writeChunk(i: Int, outCols: Seq[String],
-        cohort: org.apache.spark.sql.Column = lit(true)): Unit = {
-      val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
-      w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi)
-        .where(cohort), outCols)
-    }
     def drain(schema: String): Unit = {
       val stream = runner.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -2637,22 +2744,35 @@ object EventStream {
         tolerateSchemaDrift = true)
       drainAndAwait(runner, q)
     }
+    // Each era's chunks stage in ONE Spark job (round 15, guide §1.2 —
+    // was one filter+coalesce(1) job per chunk). The eras stay separate
+    // staged writes: they project different widths (era 2 gains `etype`)
+    // and era 2 drops the %5 cohort. Each stager sees only its era's
+    // time range, so the chunk ids outside it stage no file and are
+    // never delivered.
+    val half = chunks / 2
+    val eraBound = chunkBounds(lo, span, chunks, half)._1
+    val stager1 = new ChunkStager(src.where(col("__sec") < eraBound),
+      Seq("event_id", "ts", "user_id", "value"), chunks, lo, span)
+    val stager2 = new ChunkStager(
+      src.where(col("__sec") >= eraBound).where(col("user_id") % 5 =!= 0),
+      Seq("event_id", "ts", "user_id", "value", "etype"), chunks, lo, span)
     try {
-      val half = chunks / 2
       // era 1: the feed before the field existed
-      (0 until half).foreach(writeChunk(_,
-        Seq("event_id", "ts", "user_id", "value")))
+      (0 until half).foreach(stager1.deliver(w, _))
       drain("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       // era 2: the feed gained `etype`; the restarted reader is wider
       // (the checkpoint's seen-files log keeps era-1 files out of it).
       // The %5 cohort churned in era 1 — their final rows must read
       // back with the era-1 NULL
-      (half until chunks).foreach(writeChunk(_,
-        Seq("event_id", "ts", "user_id", "value", "etype"),
-        cohort = col("user_id") % 5 =!= 0))
+      (half until chunks).foreach(stager2.deliver(w, _))
       drain("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, " +
         "etype STRING")
-    } finally src.unpersist(): Unit
+    } finally {
+      stager1.close()
+      stager2.close()
+      src.unpersist(): Unit
+    }
     latestBucketedUpsert(spark, tbl)
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"), col("etype"))
@@ -2708,10 +2828,10 @@ object EventStream {
     val runner = isolatedRunner(spark)
     val ckpt = shmCheckpointDir("graft_upsertr_ckpt")
     val w = new ChunkWriter(inDir)
-    def writeChunk(i: Int): Unit = {
-      val (cLo, cHi) = chunkBounds(lo, span, chunks, i)
-      w.write(src.where(col("__sec") >= cLo && col("__sec") < cHi), cols)
-    }
+    // ONE Spark job stages every chunk up front (round 15, guide §1.2 —
+    // was one filter+coalesce(1) job per chunk); the two incarnations
+    // then just move staged files into the delivery dir
+    val stager = new ChunkStager(src, cols, chunks, lo, span)
     def drain(): Unit = {
       val stream = runner.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
@@ -2724,12 +2844,15 @@ object EventStream {
     }
     try {
       val half = chunks / 2
-      (0 until half).foreach(writeChunk)
+      (0 until half).foreach(stager.deliver(w, _))
       drain() // incarnation 1 at the seed layout
       rebucketUpsert(spark, tbl, "user_id", newBuckets)
-      (half until chunks).foreach(writeChunk)
+      (half until chunks).foreach(stager.deliver(w, _))
       drain() // incarnation 2: resumed checkpoint, rebucketed generation
-    } finally src.unpersist(): Unit
+    } finally {
+      stager.close()
+      src.unpersist(): Unit
+    }
     latestBucketedUpsert(spark, tbl)
       .select(col("user_id"), col("event_id"),
         round(col("value"), 6).as("value"))
