@@ -260,8 +260,10 @@ object EventStream {
     * `tolerateSchemaDrift` = true widens on additive drift instead of
     * failing the query. Buckets then sit at different schema ERAS
     * until next touched (a bucket's schema only changes when written),
-    * so the drift-tolerant merge reads its predecessors with parquet
-    * `mergeSchema`, and the stitched readers
+    * so the drift-tolerant merge reads its predecessors under the
+    * UNION of their `_SCHEMA` manifests ([[mergedVersionSchema]] —
+    * metadata-served since round 15; parquet `mergeSchema`'s footer
+    * job before that), and the stitched readers
     * ([[latestBucketedUpsert]] / [[bucketedUpsertAsOf]]) always do. */
   def streamingUpsertBucketed(
       stream: DataFrame,
@@ -299,6 +301,13 @@ object EventStream {
       batchId: Long, idCol: String, nBuckets: Int,
       retainVersions: Int = 0, tolerateSchemaDrift: Boolean = false): Unit = {
     val dbgT0 = System.nanoTime()
+    val dbg = sys.env.contains("GRAFT_REPLAY_DEBUG")
+    var dbgP0 = dbgT0
+    def dbgPhase(label: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[replay]   b$batchId $label%-14s ${(now - dbgP0) / 1e9}%6.3f s")
+      dbgP0 = now
+    }
     val spark = inc0.sparkSession
     val dir = activeBucketedDir(new java.io.File(tableRoot0))
     val tableRoot = dir.getPath
@@ -317,6 +326,7 @@ object EventStream {
     // prune step shared with the batch form (MemoryOps.upsertBucketed)
     val (inc, touched) =
       graft.operators.MemoryOps.tagTouchedBuckets(inc1, idCol, n)
+    dbgPhase("touched")
     if (touched.isEmpty) return
     // the authoritative bucket count is stamped with the first real
     // write (an empty batch leaves no artifacts at all)
@@ -332,17 +342,20 @@ object EventStream {
       if (currentPaths.isEmpty) inc
       else graft.operators.MemoryOps.upsertById(
         // __bucket is a pure function of the id — recomputing beats
-        // persisting it into the data files. mergeSchema UNCONDITIONALLY:
-        // a table widened by an earlier drift-tolerant run leaves its
-        // buckets at mixed schema eras, and a later STRICT resume that
-        // sampled one footer would silently null the other eras' columns
-        // before the strict unionByName ever saw the mismatch — the
-        // fail-fast point is the merge below, never the read (round-11
-        // advisor finding).
+        // persisting it into the data files. The read schema is the
+        // UNION OF EVERY predecessor's manifest, unconditionally (the
+        // round-11 advisor's mergeSchema rationale, served from
+        // metadata since round 15): a table widened by an earlier
+        // drift-tolerant run leaves its buckets at mixed schema eras,
+        // and a STRICT resume that sampled one footer would silently
+        // null the other eras' columns before the strict unionByName
+        // ever saw the mismatch — the fail-fast point is the merge
+        // below, never the read.
         bucketed(spark.read
-          .option("mergeSchema", "true")
+          .schema(mergedVersionSchema(spark, currentPaths.toSeq))
           .parquet(currentPaths.toIndexedSeq: _*)),
         inc, idCol, tolerateSchemaDrift)
+    dbgPhase("merge-plan")
     // ONE job writes every touched bucket's next version into staging
     // (clustered on the bucket → one file per bucket dir); promotion is
     // a per-bucket rename + commit marker. Leading underscore keeps
@@ -351,6 +364,9 @@ object EventStream {
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     merged.repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(staging.getPath)
+    dbgPhase("merge-write")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      merged.schema.fields.filterNot(_.name == "__bucket"))
     touched.foreach { k =>
       val src = new java.io.File(staging, s"__bucket=$k")
       val dstDir = new java.io.File(tableRoot, s"b$k")
@@ -358,9 +374,11 @@ object EventStream {
       val dst = new java.io.File(dstDir, s"v$batchId")
       org.apache.commons.io.FileUtils.deleteQuietly(dst)
       java.nio.file.Files.move(src.toPath, dst.toPath)
+      writeSchemaManifest(dst, dataSchema) // before the commit marker
       new java.io.File(dst, "_SUCCESS").createNewFile(): Unit
     }
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    dbgPhase("promote")
     if (retainVersions >= 1) {
       // per touched bucket: doom everything below the newest
       // max(retain−1, 1) older versions (the retry's merge source
@@ -401,11 +419,12 @@ object EventStream {
     * each bucket's `dropRight(1)`, and a snapshot-isolated table
     * format subsumes all of this at warehouse scale.
     *
-    * Reads with parquet `mergeSchema`: under drift-tolerant ingest the
+    * Reads under the union of the per-version `_SCHEMA` manifests
+    * ([[mergedVersionSchema]]): under drift-tolerant ingest the
     * buckets sit at different schema eras (a bucket's schema only
     * changes when written), and sampling one footer would silently
-    * drop the other eras' columns. Costs one footer read per bucket —
-    * bounded by the bucket count, which this layout already bounds. */
+    * drop the other eras' columns. Costs one tiny metadata read per
+    * bucket, driver-side — no distributed footer job. */
   def latestBucketedUpsert(spark: SparkSession, tableRoot: String): DataFrame = {
     val root = activeBucketedDir(new java.io.File(tableRoot))
     val paths = Option(root.list()).getOrElse(Array.empty)
@@ -413,7 +432,9 @@ object EventStream {
         committedVersions(new java.io.File(root, b)).lastOption
           .map(v => s"${root.getPath}/$b/v$v"))
     require(paths.nonEmpty, s"no committed bucket version under $tableRoot")
-    spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+    // explicit manifest-union schema — see [[mergedVersionSchema]]
+    spark.read.schema(mergedVersionSchema(spark, paths.toSeq))
+      .parquet(paths.toIndexedSeq: _*)
   }
 
   /** TIME TRAVEL over a [[streamingUpsertBucketed]] table: its state
@@ -449,7 +470,9 @@ object EventStream {
       s"as-of $asOfBatch was overtaken by the retention horizon " +
         s"(now $horizon2) while resolving $tableRoot — retry with a " +
         "newer as-of")
-    spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+    // explicit manifest-union schema — see [[mergedVersionSchema]]
+    spark.read.schema(mergedVersionSchema(spark, paths.toSeq))
+      .parquet(paths.toIndexedSeq: _*)
   }
 
   /** POINT LOOKUP on a [[streamingUpsertBucketed]] table: hash the id
@@ -691,6 +714,8 @@ object EventStream {
     val staging = new java.io.File(gen, "_staging")
     state.repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode("overwrite").parquet(staging.getPath)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      state.schema.fields.filterNot(_.name == "__bucket"))
     Option(staging.list()).getOrElse(Array.empty)
       .filter(_.startsWith("__bucket=")).foreach { part =>
         val k = part.stripPrefix("__bucket=")
@@ -698,6 +723,7 @@ object EventStream {
         dst.getParentFile.mkdirs()
         java.nio.file.Files.move(
           new java.io.File(staging, part).toPath, dst.toPath)
+        writeSchemaManifest(dst, dataSchema) // before the commit marker
         new java.io.File(dst, "_SUCCESS").createNewFile(): Unit
       }
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
@@ -774,6 +800,54 @@ object EventStream {
         "UTF-8").trim.toInt)
     else None
   }
+
+  /** Per-version SCHEMA MANIFEST (round 15, guide §6 — the table-format
+    * posture: schema lives in table metadata, not in a per-read footer
+    * job). Every committed bucket-version dir carries its data-file
+    * schema as `_SCHEMA` JSON, stamped at promote time BEFORE the
+    * `_SUCCESS` marker; readers union the manifests DRIVER-SIDE and
+    * hand the parquet scan an explicit schema — the distributed
+    * footer-reading job that parquet `mergeSchema` spawned on EVERY
+    * micro-batch merge (and every read-back stitch) was ~0.3 s of each
+    * ~1 s replay batch. A version dir stamped before the manifest
+    * existed falls back to one driver-side single-footer inference
+    * (its files were written by one clustered task — one schema). */
+  private def writeSchemaManifest(dir: java.io.File,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    // nullable-normalized: parquet footers report optional fields, so
+    // this is exactly what the mergeSchema read inferred
+    writeMetaFile(dir, "_SCHEMA", org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true))).json)
+
+  private def versionSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val f = new java.io.File(path, "_SCHEMA")
+    if (f.isFile)
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else spark.read.parquet(path).schema // one footer, driver-side
+  }
+
+  /** Add-only union of version schemas, first-seen field order — the
+    * shape parquet `mergeSchema` produces for the engine's add-only
+    * drift contract (e22: a feed GAINS columns; nothing ever changes a
+    * column's type). A type change fails loudly instead of silently
+    * widening — no caller drifts types, so reaching that require is a
+    * corruption signal, not a feature gap. */
+  private def mergedVersionSchema(spark: SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.types.StructType =
+    paths.map(versionSchema(spark, _)).reduceLeft { (a, b) =>
+      b.fields.foreach { f =>
+        a.fields.find(_.name == f.name).foreach { x =>
+          require(x.dataType == f.dataType,
+            s"version schemas disagree on the TYPE of ${f.name} " +
+              s"(${x.dataType} vs ${f.dataType}); drift is add-only")
+        }
+      }
+      org.apache.spark.sql.types.StructType(
+        a.fields ++ b.fields.filterNot(f => a.fields.exists(_.name == f.name)))
+    }
 
   /** Highest version id whose table state is UNANSWERABLE (destroyed
     * by vacuum or rebucket); −1 = full history intact. */
@@ -1845,6 +1919,15 @@ object EventStream {
   private def isolatedRunner(spark: SparkSession): SparkSession = {
     val runner = spark.newSession()
     runner.conf.set("spark.sql.shuffle.partitions", "4")
+    // The runner reads only KB-sized replay inputs and bucket-version
+    // files; inheriting the parent BENCH session's 4 MB fixture-split
+    // knobs turned every 32-bucket merge read into 32 one-file scan
+    // tasks (round 15, guide §6 — split size is a per-workload setting;
+    // Spark's defaults pack these tiny files into a couple of splits).
+    runner.conf.set("spark.sql.files.maxPartitionBytes",
+      String.valueOf(128L * 1024 * 1024))
+    runner.conf.set("spark.sql.files.openCostInBytes",
+      String.valueOf(4L * 1024 * 1024))
     // AQE re-plans and schedules every exchange as its own query stage —
     // pure latency on a replay's KB-sized 4-partition batch jobs (the
     // streaming plans themselves already run without AQE; this reaches
@@ -2708,7 +2791,7 @@ object EventStream {
     *    new column gets `etype` NULL (rows win, not fields), and a
     *    user updated after it gets that update's value;
     *  - era stitching: buckets last written before the drift read back
-    *    null-filled through the mergeSchema readers.
+    *    null-filled through the manifest-union readers.
     *
     * The era-2 feed EXCLUDES the `user_id % 5 = 0` cohort (they
     * churned before the field shipped) — without it every fixture
