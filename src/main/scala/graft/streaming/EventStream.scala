@@ -1968,10 +1968,24 @@ object EventStream {
     * checkpoint keeps offset-log and state-delta fsyncs off disk, and
     * is reclaimed the moment the drain ends; the returned table's rows
     * live in the sink, not the checkpoint. */
+  /** @param noDataBatches keep Spark's trailing no-data micro-batch
+    *   (default). A lane whose LAST OUTPUT is watermark-driven — the
+    *   sentinel-flushed append aggregations e11/e14/e16, whose final
+    *   windows emit in the batch AFTER the sentinel advanced the
+    *   watermark — needs it; a lane whose operators emit on data
+    *   arrival (fMGWS/TWS state readouts e8/e20, update-mode funnel
+    *   e9, dropDuplicates e13, the stream-stream joins e10/e17 with
+    *   their dual-sentinel eviction design) pays its full commit
+    *   cycle (~0.3–0.7 s) for zero output rows — those pass false
+    *   (round 15, guide §1.2; each lane's oracle re-verified). */
   private def memorySink(parent: SparkSession,
       build: SparkSession => DataFrame,
-      prefix: String, mode: OutputMode): DataFrame = {
+      prefix: String, mode: OutputMode,
+      noDataBatches: Boolean = true): DataFrame = {
     val runner = isolatedRunner(parent)
+    if (!noDataBatches)
+      runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt = (if (java.nio.file.Files.isDirectory(shm))
@@ -2039,7 +2053,7 @@ object EventStream {
           r.readStream.schema("user_id LONG, ts TIMESTAMP")
             .option("maxFilesPerTrigger", 1).parquet(dir)
             .as[SessionEvent], gapMinutes).toDF(),
-        "graft_e8_", OutputMode.Append())
+        "graft_e8_", OutputMode.Append(), noDataBatches = false)
       .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
@@ -2075,7 +2089,7 @@ object EventStream {
           r.readStream.schema("user_id LONG, ts TIMESTAMP")
             .option("maxFilesPerTrigger", 1).parquet(dir)
             .as[SessionEvent], gapMinutes).toDF()
-      }, "graft_e20_", OutputMode.Append())
+      }, "graft_e20_", OutputMode.Append(), noDataBatches = false)
       .groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
@@ -2100,13 +2114,6 @@ object EventStream {
     val dir = chunkedReplayDir(withSec(events.select(replayCols.map(col): _*)),
       replayCols, chunks)
     memorySink(spark, { r =>
-        // an INNER interval join emits each match the moment the later
-        // side arrives — the trailing no-data batch only evicts state
-        // and contributes no output row, so its full commit cycle
-        // (~10% of the drain) is pure cost here (round 15, guide §1.2;
-        // the outer-join lane e17 gets the same cut, argued at its
-        // sentinel design). Runner-scoped conf, never the caller's.
-        r.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         // ONE file source shared by both legs (round 15): two readStream
         // instances over the same dir each paid their own per-batch
         // offset resolution, seen-files log, and WAL entry; the self-join
@@ -2116,7 +2123,10 @@ object EventStream {
         def side(tpe: String) = stream.where(col("event_type") === tpe)
         followsWithin(side("purchase"), side("click"), windowSec)
       },
-        "graft_e10_", OutputMode.Append())
+        // an INNER interval join emits each match the moment the later
+        // side arrives — the trailing no-data batch only evicts state
+        // and contributes no output row (round 15; see memorySink)
+        "graft_e10_", OutputMode.Append(), noDataBatches = false)
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
 
@@ -2161,16 +2171,6 @@ object EventStream {
       sentinel = Some(sentinels(horizon)),
       tail = Seq(sentinels(horizon + 60)))
     memorySink(spark, { r =>
-        // the trailing no-data batch is pure cost HERE TOO (round 15):
-        // every real purchase evicts while the tail sentinel batch
-        // processes (it evicts with sentinel #1's watermark, which the
-        // horizon puts past every real row's eviction point — the dual-
-        // sentinel design above exists precisely so no emission waits
-        // for a post-tail batch), and the only state left afterwards is
-        // the sentinels' own, whose null-extended rows are filtered by
-        // user sign. The DuckDB oracle (appended set == batch LEFT JOIN)
-        // re-verified at sf0.001/0.01/0.1 after this cut.
-        r.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         // ONE file source shared by both legs — see replayFollows
         val stream = r.readStream.schema(replaySchema)
           .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -2178,7 +2178,12 @@ object EventStream {
         followsWithin(side("purchase"), side("click"), windowSec,
           "left_outer")
       },
-        "graft_e17_", OutputMode.Append())
+        // the trailing no-data batch is pure cost here too: every real
+        // purchase evicts while the tail sentinel batch processes (the
+        // dual-sentinel design exists precisely so no emission waits
+        // for a post-tail batch), and the sentinels' own null-extended
+        // rows are filtered by user sign; oracle re-verified (round 15)
+        "graft_e17_", OutputMode.Append(), noDataBatches = false)
       .where(col("p_user_id") >= 0)
       .select(col("p_event_id"), col("p_user_id"), col("p_ts"), col("e_ts"))
   }
@@ -2204,7 +2209,7 @@ object EventStream {
           r.readStream.schema(replaySchema)
             .option("maxFilesPerTrigger", 1).parquet(dir)
             .as[FunnelEvent]).toDF(),
-        "graft_e9_", OutputMode.Update())
+        "graft_e9_", OutputMode.Update(), noDataBatches = false)
       .groupBy(col("user_id"))
       .agg(max(col("funnel_stage")).as("funnel_stage"))
   }
@@ -2239,7 +2244,7 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value")),
-      "graft_e13_", OutputMode.Append())
+      "graft_e13_", OutputMode.Append(), noDataBatches = false)
   }
 
   /** File-stream replay of the watermarked tumbling-window aggregation:
@@ -2336,6 +2341,12 @@ object EventStream {
     // on an isolated child session — the 4-partition replay conf never
     // touches the caller's session (same posture as memorySink)
     val runner = isolatedRunner(spark)
+    // the trailing no-data batch invokes foreachBatch on an EMPTY batch,
+    // which still runs the whole LSH candidate pipeline for zero rows
+    // and writes an empty b<N> dir the union reader ignores — pure cost
+    // (round 15; see memorySink's noDataBatches note)
+    runner.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
     val stream = runner.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val shm = java.nio.file.Paths.get("/dev/shm")
