@@ -812,14 +812,14 @@ object EventStream {
     * ~1 s replay batch. A version dir stamped before the manifest
     * existed falls back to one driver-side single-footer inference
     * (its files were written by one clustered task — one schema). */
-  private def writeSchemaManifest(dir: java.io.File,
+  private[graft] def writeSchemaManifest(dir: java.io.File,
       schema: org.apache.spark.sql.types.StructType): Unit =
     // nullable-normalized: parquet footers report optional fields, so
     // this is exactly what the mergeSchema read inferred
     writeMetaFile(dir, "_SCHEMA", org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(nullable = true))).json)
 
-  private def versionSchema(spark: SparkSession, path: String)
+  private[graft] def versionSchema(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
     val f = new java.io.File(path, "_SCHEMA")
     if (f.isFile)
@@ -835,7 +835,7 @@ object EventStream {
     * column's type). A type change fails loudly instead of silently
     * widening — no caller drifts types, so reaching that require is a
     * corruption signal, not a feature gap. */
-  private def mergedVersionSchema(spark: SparkSession,
+  private[graft] def mergedVersionSchema(spark: SparkSession,
       paths: Seq[String]): org.apache.spark.sql.types.StructType =
     paths.map(versionSchema(spark, _)).reduceLeft { (a, b) =>
       b.fields.foreach { f =>
